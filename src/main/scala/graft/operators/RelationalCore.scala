@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.GraftQuery
+import graft.sources.Tables
+
+/** SURVEY.md §2.2 / §2.6 — projection, filter, predicates, conditionals,
+  * casts, null handling, distinct, limit/offset, set ops, sample/split.
+  *
+  * Scale discipline: every query keeps raw-column filters at the leaf (so
+  * Catalyst pushes them into the Parquet scan), selects early (column
+  * pruning → narrow `ReadSchema`), and ends with a fully deterministic
+  * `ORDER BY` for oracle parity.
+  */
+object RelationalCore {
+
+  /** Money/stat doubles: round then cast to decimal on BOTH sides so
+    * float-summation-order differences between Spark and DuckDB vanish
+    * (SURVEY.md §5.1). */
+  private[operators] def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c, 2).cast(DecimalType(18, 2))
+  private[operators] def stat(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c, 4).cast(DecimalType(18, 4))
+
+  /** TPC-H Q1-shaped pricing summary: scan → pushed filter → hash agg
+    * (partial+final, map-side combine for free) → sort. The flagship query
+    * (SURVEY.md §7 M0). */
+  val q01PricingSummary: GraftQuery = GraftQuery.oracled(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
+      |       CAST(round(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS sum_base_price,
+      |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+      |       CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DECIMAL(18,2)) AS sum_charge,
+      |       CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4)) AS avg_qty,
+      |       CAST(round(avg(l_extendedprice), 4) AS DECIMAL(18,4)) AS avg_price,
+      |       CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= to_timestamp(lit("2001-09-01 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        money(sum($"l_quantity")).as("sum_qty"),
+        money(sum($"l_extendedprice")).as("sum_base_price"),
+        money(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("sum_disc_price"),
+        money(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"))).as("sum_charge"),
+        stat(avg($"l_quantity")).as("avg_qty"),
+        stat(avg($"l_extendedprice")).as("avg_price"),
+        stat(avg($"l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Projection + rename + derived column + compound predicates (`isin`,
+    * `like`, `between`, boolean algebra) — all pushed to the Parquet scan. */
+  val q02ProjectFilter: GraftQuery = GraftQuery.oracled(
+    "q02_project_filter",
+    """SELECT p_partkey AS part_id, p_name,
+      |       upper(p_brand) AS brand_uc,
+      |       CAST(round(p_retailprice * 1.1, 2) AS DECIMAL(18,2)) AS marked_up
+      |FROM part
+      |WHERE p_size BETWEEN 10 AND 20
+      |  AND p_type IN ('ECONOMY', 'PROMO')
+      |  AND p_name LIKE '%gear%'
+      |  AND NOT (p_retailprice < 100.0)
+      |ORDER BY part_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_size".between(10, 20)
+        && $"p_type".isin("ECONOMY", "PROMO")
+        && $"p_name".like("%gear%")
+        && !($"p_retailprice" < 100.0))
+      .select(
+        $"p_partkey".as("part_id"), $"p_name",
+        upper($"p_brand").as("brand_uc"),
+        money($"p_retailprice" * 1.1).as("marked_up"))
+      .orderBy($"part_id")
+  }
+
+  /** Conditional bucketing (`when/otherwise` ≡ CASE WHEN) + agg per bucket. */
+  val q03CaseBuckets: GraftQuery = GraftQuery.oracled(
+    "q03_case_buckets",
+    """SELECT c_mktsegment,
+      |       CASE WHEN c_acctbal < 0 THEN 'debt'
+      |            WHEN c_acctbal < 5000 THEN 'mid'
+      |            ELSE 'rich' END AS bal_bucket,
+      |       count(*) AS n,
+      |       CAST(round(sum(c_acctbal), 2) AS DECIMAL(18,2)) AS total_bal
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY c_mktsegment, bal_bucket""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .withColumn("bal_bucket",
+        when($"c_acctbal" < 0, "debt")
+          .when($"c_acctbal" < 5000, "mid")
+          .otherwise("rich"))
+      .groupBy($"c_mktsegment", $"bal_bucket")
+      .agg(count(lit(1)).as("n"), money(sum($"c_acctbal")).as("total_bal"))
+      .orderBy($"c_mktsegment", $"bal_bucket")
+  }
+
+  /** Casts + null handling: `nullif`/`coalesce`/`na.fill` round-trip.
+    * Corpus has no nulls (FIXTURES.md), so nulls are manufactured with
+    * `nullif` then repaired — exercising the same operators EDA cleaning
+    * uses (SURVEY.md §2.2). Note double→int casts are AVOIDED: Spark ANSI
+    * truncates while DuckDB rounds; `floor(...)` is the portable spelling. */
+  val q04CastsNulls: GraftQuery = GraftQuery.oracled(
+    "q04_casts_nulls",
+    """SELECT o_orderkey,
+      |       CAST(o_orderkey AS VARCHAR) AS key_str,
+      |       CAST(o_orderdate AS DATE) AS order_date,
+      |       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_repaired,
+      |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+      |FROM orders
+      |WHERE o_orderkey < 500
+      |ORDER BY o_orderkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" < 500)
+      .select(
+        $"o_orderkey",
+        $"o_orderkey".cast("string").as("key_str"),
+        $"o_orderdate".cast("date").as("order_date"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status_repaired"),
+        floor($"o_totalprice").cast("long").as("price_floor"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Distinct pairs (shuffle dedup — at scale this is a hash aggregate on
+    * the pair key, partial dedup map-side). */
+  val q05Distinct: GraftQuery = GraftQuery.oracled(
+    "q05_distinct",
+    """SELECT DISTINCT c_mktsegment, c_nationkey
+      |FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_mktsegment", $"c_nationkey")
+      .distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** Deterministic top-N with offset: global sort (range-partitioned exchange
+    * at scale → TakeOrderedAndProject here) + unique tie-break key. */
+  val q06TopNOffset: GraftQuery = GraftQuery.oracled(
+    "q06_topn_offset",
+    """SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 5""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .select($"o_orderkey", money($"o_totalprice").as("price"))
+      .offset(5).limit(20)
+  }
+
+  /** UNION ALL of two tagged key sets. */
+  val q07UnionAll: GraftQuery = GraftQuery.oracled(
+    "q07_union_all",
+    """SELECT c_custkey, 'automobile' AS tag FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |UNION ALL
+      |SELECT c_custkey, 'rich' AS tag FROM customer WHERE c_acctbal > 9000
+      |ORDER BY c_custkey, tag""") { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val auto = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey", lit("automobile").as("tag"))
+    val rich = c.filter($"c_acctbal" > 9000).select($"c_custkey", lit("rich").as("tag"))
+    auto.union(rich).orderBy($"c_custkey", $"tag")
+  }
+
+  /** INTERSECT (set semantics) of two key sets. */
+  val q08Intersect: GraftQuery = GraftQuery.oracled(
+    "q08_intersect",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |ORDER BY c_custkey""") { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+      .intersect(c.filter($"c_acctbal" > 5000).select($"c_custkey"))
+      .orderBy($"c_custkey")
+  }
+
+  /** EXCEPT (set semantics): rich customers outside the AUTOMOBILE segment
+    * (chosen over "customers without orders", which is empty at sf≥0.01 —
+    * an empty-vs-empty hash match would be a vacuous check). */
+  val q09Except: GraftQuery = GraftQuery.oracled(
+    "q09_except",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |ORDER BY c_custkey""") { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    c.filter($"c_acctbal" > 9000).select($"c_custkey")
+      .except(c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey"))
+      .orderBy($"c_custkey")
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL (multiset semantics) over duplicate-bearing
+    * projections — order-priority multisets of two order-status slices. */
+  val q10MultisetOps: GraftQuery = GraftQuery.oracled(
+    "q10_multiset_ops",
+    """SELECT op, count(*) AS n FROM (
+      |  SELECT o_orderpriority AS op FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT ALL
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      |) GROUP BY op
+      |ORDER BY op""") { (spark, dir) =>
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    o.filter($"o_orderstatus" === "F").select($"o_orderpriority".as("op"))
+      .intersectAll(o.filter($"o_orderstatus" === "O").select($"o_orderpriority"))
+      .groupBy($"op").agg(count(lit(1)).as("n"))
+      .orderBy($"op")
+  }
+
+  /** `randomSplit` train/test — not hash-stable across engines, so rows-only:
+    * ScalaTest asserts disjoint + exhaustive + seeded-reproducible
+    * (SURVEY.md §5.3). Returns split sizes. */
+  val q11SampleSplit: GraftQuery = GraftQuery.rowsOnly(
+    "q11_sample_split",
+    doc = "randomSplit(0.8/0.2, seed=42) on orders; returns (split, n) rows") { (spark, dir) =>
+    import spark.implicits._
+    val Array(train, test) = Tables.orders(spark, dir).randomSplit(Array(0.8, 0.2), seed = 42)
+    train.select(lit("train").as("split")).groupBy($"split").agg(count(lit(1)).as("n"))
+      .union(test.select(lit("test").as("split")).groupBy($"split").agg(count(lit(1)).as("n")))
+      .orderBy($"split")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q01PricingSummary, q02ProjectFilter, q03CaseBuckets, q04CastsNulls,
+    q05Distinct, q06TopNOffset, q07UnionAll, q08Intersect, q09Except,
+    q10MultisetOps, q11SampleSplit)
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet sources for the driver corpus (TESTDATA.md:13-15, FIXTURES.md).
+  *
+  * Scale note (100 TB): each loader is a plain `spark.read.parquet` so the
+  * vectorized Parquet reader, predicate pushdown, and column pruning all
+  * apply; at cluster scale the same call shards over a partitioned directory
+  * unchanged. Never cache here — let each query's plan prune columns first.
+  */
+object Tables {
+
+  val star: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** `events` is also the replayable stream table (SURVEY.md §2.8). */
+  val all: Seq[String] = star ++ Seq("events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` queries (lifecycle E2,
+    * SURVEY.md §3) resolve the same names the DuckDB oracle uses. Idempotent. */
+  def views(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

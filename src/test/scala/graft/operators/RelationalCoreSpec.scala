@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.sources.Tables
+
+/** Hand-computed/property assertions for SURVEY.md §2.2/§2.6 operators
+  * beyond what the DuckDB oracle covers. */
+class RelationalCoreSpec extends AnyFunSuite with SparkFixture {
+  import org.apache.spark.sql.functions._
+
+  test("q01 pricing summary aggregates the full filtered lineitem") {
+    val df = RelationalCore.q01PricingSummary.fn(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 6) // 3 returnflags x 2 linestatus
+    val totalCount = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01 00:00:00"))).count()
+    assert(totalCount === expected)
+  }
+
+  test("randomSplit is disjoint, exhaustive, and seed-reproducible") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sf)
+    val Array(a1, b1) = o.randomSplit(Array(0.8, 0.2), seed = 42)
+    val Array(a2, _) = o.randomSplit(Array(0.8, 0.2), seed = 42)
+    assert(a1.count() + b1.count() === o.count())
+    assert(a1.intersect(b1).count() === 0)
+    assert(a1.select($"o_orderkey").collect().toSet === a2.select($"o_orderkey").collect().toSet)
+  }
+
+  test("set ops: union/intersect/except algebra on custkeys") {
+    import spark.implicits._
+    val c = Tables.customer(spark, sf)
+    val rich = c.filter($"c_acctbal" > 9000).select($"c_custkey")
+    val auto = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val inter = rich.intersect(auto).count()
+    val exceptN = rich.except(auto).count()
+    assert(inter + exceptN === rich.distinct().count())
+  }
+}
