@@ -13,7 +13,11 @@ import graft.engine.GraftQuery
 object SparkEntry {
 
   def catalog: Seq[GraftQuery] =
-    graft.operators.RelationalCore.all
+    graft.operators.RelationalCore.all ++
+      graft.operators.Joins.all ++
+      graft.operators.Aggregates.all ++
+      graft.operators.Windows.all ++
+      graft.functions.ScalarFunctions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

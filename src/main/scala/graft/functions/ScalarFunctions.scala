@@ -1,0 +1,209 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.sources.Tables
+import graft.operators.RelationalCore.{money, stat}
+
+/** SURVEY.md §2.7 — scalar function families (string / date / math / array /
+  * map / JSON / hash), each exercised over the corpus column it exists for.
+  *
+  * All functions here are Catalyst built-ins (codegen'd, pushdown-friendly) —
+  * no UDFs in any hot path (SURVEY.md §2.11). Oracle dialect notes are
+  * inline where Spark and DuckDB names differ (e.g. Spark `log` is natural
+  * log ↔ DuckDB `ln`; DuckDB `log` is log10). */
+object ScalarFunctions {
+
+  /** String family over `part`/`documents`: case, trim, length, slicing,
+    * split-indexing, regexp extraction/replacement, padding, edit distance. */
+  val q37StringFuncs: GraftQuery = GraftQuery.oracled(
+    "q37_string_funcs",
+    """SELECT p_partkey,
+      |       upper(p_name)                               AS name_uc,
+      |       length(p_name)                              AS name_len,
+      |       substr(p_name, 1, 4)                        AS name_head,
+      |       string_split(p_name, ' ')[1]                AS first_word,
+      |       regexp_extract(p_brand, '([0-9]+)', 1)      AS brand_num,
+      |       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+      |       concat_ws('-', p_brand, p_type)             AS brand_type,
+      |       lpad(p_brand, 10, '*')                      AS brand_padded,
+      |       levenshtein(p_name, 'small ring')           AS edit_dist
+      |FROM part
+      |WHERE p_partkey < 100
+      |ORDER BY p_partkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_partkey" < 100)
+      .select($"p_partkey",
+        upper($"p_name").as("name_uc"),
+        length($"p_name").as("name_len"),
+        substring($"p_name", 1, 4).as("name_head"),
+        element_at(split($"p_name", " "), 1).as("first_word"),
+        regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
+        regexp_replace($"p_type", "[AEIOU]", "_").as("type_devoweled"),
+        concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+        lpad($"p_brand", 10, "*").as("brand_padded"),
+        levenshtein($"p_name", lit("small ring")).as("edit_dist"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time family over `orders`: component extraction, truncation,
+    * day arithmetic, epoch seconds. (Day-of-week is deliberately absent —
+    * Spark counts 1=Sunday, DuckDB 0=Sunday.) */
+  val q38DateFuncs: GraftQuery = GraftQuery.oracled(
+    "q38_date_funcs",
+    """SELECT o_orderkey,
+      |       year(o_orderdate)                       AS yr,
+      |       month(o_orderdate)                      AS mo,
+      |       day(o_orderdate)                        AS dom,
+      |       quarter(o_orderdate)                    AS qtr,
+      |       date_trunc('month', o_orderdate)        AS month_start,
+      |       date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002,
+      |       CAST(epoch(o_orderdate) AS BIGINT)      AS epoch_s
+      |FROM orders
+      |WHERE o_orderkey < 300
+      |ORDER BY o_orderkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" < 300)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("dom"),
+        quarter($"o_orderdate").as("qtr"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        datediff(to_date(lit("2002-01-01")), $"o_orderdate".cast("date")).as("days_to_2002"),
+        unix_timestamp($"o_orderdate").as("epoch_s"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Math family over `lineitem`. Spark `log` = natural log ↔ DuckDB `ln`. */
+  val q39MathFuncs: GraftQuery = GraftQuery.oracled(
+    "q39_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(round(abs(l_extendedprice - 1000), 4) AS DECIMAL(18,4))  AS abs_delta,
+      |       CAST(ceil(l_extendedprice) AS BIGINT)                         AS price_ceil,
+      |       CAST(floor(l_extendedprice) AS BIGINT)                        AS price_floor,
+      |       CAST(round(pow(l_quantity, 2), 4) AS DECIMAL(18,4))           AS qty_sq,
+      |       CAST(round(sqrt(l_extendedprice), 4) AS DECIMAL(18,4))        AS price_sqrt,
+      |       CAST(round(ln(l_extendedprice), 4) AS DECIMAL(18,4))          AS price_ln,
+      |       CAST(round(log10(l_extendedprice), 4) AS DECIMAL(18,4))       AS price_log10,
+      |       l_quantity % 7                                                AS qty_mod
+      |FROM lineitem
+      |WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" < 100)
+      .select($"l_orderkey", $"l_linenumber",
+        stat(abs($"l_extendedprice" - 1000)).as("abs_delta"),
+        ceil($"l_extendedprice").cast("long").as("price_ceil"),
+        floor($"l_extendedprice").cast("long").as("price_floor"),
+        stat(pow($"l_quantity", 2)).as("qty_sq"),
+        stat(sqrt($"l_extendedprice")).as("price_sqrt"),
+        stat(log($"l_extendedprice")).as("price_ln"),
+        stat(log10($"l_extendedprice")).as("price_log10"),
+        ($"l_quantity" % 7).as("qty_mod"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** JSON family over `events.props` (a JSON object string, FIXTURES.md):
+    * path extraction as string and typed int. Stays StringType at rest,
+    * parsed at query time (SURVEY.md §1.1). */
+  val q40JsonFuncs: GraftQuery = GraftQuery.oracled(
+    "q40_json_funcs",
+    """SELECT event_id,
+      |       json_extract_string(props, '$.k')          AS k_str,
+      |       CAST(json_extract(props, '$.k') AS INT)    AS k_int,
+      |       len(json_keys(props))                      AS n_keys
+      |FROM events
+      |WHERE event_id < 500
+      |ORDER BY event_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_id" < 500)
+      .select($"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast("int").as("k_int"),
+        size(map_keys(expr("from_json(props, 'map<string,int>')"))).as("n_keys"))
+      .orderBy($"event_id")
+  }
+
+  /** Array family over tokenized `documents.text`: size, distinct, contains,
+    * first/last indexing — the text-side array toolkit (SURVEY.md §2.7). */
+  val q41ArrayText: GraftQuery = GraftQuery.oracled(
+    "q41_array_text",
+    """SELECT doc_id,
+      |       len(string_split(text, ' '))                     AS n_tokens,
+      |       len(list_distinct(string_split(text, ' ')))      AS n_distinct,
+      |       list_contains(string_split(text, ' '), 'spark')  AS has_spark,
+      |       string_split(text, ' ')[1]                       AS first_tok,
+      |       string_split(text, ' ')[-1]                      AS last_tok
+      |FROM documents
+      |WHERE doc_id < 200
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 200)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_distinct"),
+        array_contains($"toks", "spark").as("has_spark"),
+        element_at($"toks", 1).as("first_tok"),
+        element_at($"toks", -1).as("last_tok"))
+      .orderBy($"doc_id")
+  }
+
+  /** Higher-order functions over the 64-dim embedding vectors: L2 norm,
+    * mean, dot-with-self via transform/aggregate — the same kernels the
+    * similarity-search ops build on (SURVEY.md §2.10). Floats are cast to
+    * double BEFORE arithmetic on both sides; both engines fold the 64
+    * elements left-to-right. */
+  val q42ArrayEmbeddings: GraftQuery = GraftQuery.oracled(
+    "q42_array_embeddings",
+    """SELECT vec_id, label,
+      |       len(embedding) AS dim,
+      |       CAST(round(sqrt(list_sum(list_transform(embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DECIMAL(18,4)) AS l2_norm,
+      |       CAST(round(list_sum(list_transform(embedding,
+      |         x -> CAST(x AS DOUBLE))) / len(embedding), 4) AS DECIMAL(18,4))     AS mean_val
+      |FROM embeddings
+      |WHERE vec_id < 200
+      |ORDER BY vec_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 200)
+      .select($"vec_id", $"label",
+        size($"embedding").as("dim"),
+        stat(sqrt(aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x))).as("l2_norm"),
+        stat(aggregate(transform($"embedding", x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x) / size($"embedding")).as("mean_val"))
+      .orderBy($"vec_id")
+  }
+
+  /** Hash family: portable content-hash dedup keys (md5 + sha2-256 over
+    * normalized text — the exact-dedup keys of SURVEY.md §2.10). Spark's
+    * xxhash64/murmur hash are engine-specific and excluded from the oracle. */
+  val q43HashFuncs: GraftQuery = GraftQuery.oracled(
+    "q43_hash_funcs",
+    """SELECT doc_id,
+      |       md5(lower(trim(text)))    AS md5_key,
+      |       sha256(lower(trim(text))) AS sha_key
+      |FROM documents
+      |WHERE doc_id < 200
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        md5(lower(trim($"text"))).as("md5_key"),
+        sha2(lower(trim($"text")), 256).as("sha_key"))
+      .orderBy($"doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q37StringFuncs, q38DateFuncs, q39MathFuncs, q40JsonFuncs,
+    q41ArrayText, q42ArrayEmbeddings, q43HashFuncs)
+}

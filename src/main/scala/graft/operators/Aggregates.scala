@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.sources.Tables
+import RelationalCore.{money, stat}
+
+/** SURVEY.md §2.4 — grouped/global/distinct/approx aggregation, grouping
+  * sets, pivot, stats, collect aggregates.
+  *
+  * Scale discipline: every groupBy here is a hash aggregate with map-side
+  * partial aggregation (one shuffle of the partial state, not the rows);
+  * `ORDER BY` determinism rules per GraftQuery doc. NULL-producing margins
+  * (rollup/cube) order with explicit NULLS FIRST on both sides — Spark's
+  * ASC default is nulls-first, DuckDB's is nulls-last. */
+object Aggregates {
+
+  /** ROLLUP margins over (priority, status). */
+  val q22Rollup: GraftQuery = GraftQuery.oracled(
+    "q22_rollup",
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |       CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), money(sum($"o_totalprice")).as("total"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** CUBE margins over (returnflag, linestatus). */
+  val q23Cube: GraftQuery = GraftQuery.oracled(
+    "q23_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(money(sum($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** GROUPING SETS through the SQL entry point (lifecycle E2, SURVEY.md §3):
+    * the same text DuckDB parses, run by Spark's ANTLR parser over temp
+    * views. */
+  val q24GroupingSets: GraftQuery = GraftQuery.oracled(
+    "q24_grouping_sets",
+    """SELECT c_mktsegment, c_nationkey, count(*) AS n
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""") { (spark, dir) =>
+    Tables.views(spark, dir)
+    spark.sql(
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin)
+  }
+
+  /** Pivot event_type → columns (explicit value list keeps the plan static —
+    * no extra distinct-scan job at scale); absent combinations filled 0 to
+    * match SQL's `count(*) FILTER`. */
+  val q25Pivot: GraftQuery = GraftQuery.oracled(
+    "q25_pivot",
+    """SELECT user_id,
+      |       count(*) FILTER (WHERE event_type = 'click')    AS click,
+      |       count(*) FILTER (WHERE event_type = 'error')    AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view')     AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy($"user_id")
+  }
+
+  /** EDA stats aggregates: stddev/variance/corr/covar (SURVEY.md §2.4). */
+  val q26Stats: GraftQuery = GraftQuery.oracled(
+    "q26_stats",
+    """SELECT l_returnflag,
+      |       CAST(round(stddev_samp(l_quantity), 4) AS DECIMAL(18,4))            AS sd_qty,
+      |       CAST(round(var_samp(l_discount), 4) AS DECIMAL(18,4))               AS var_disc,
+      |       CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4))  AS corr_qty_price,
+      |       CAST(round(covar_samp(l_quantity, l_tax), 4) AS DECIMAL(18,4))      AS covar_qty_tax,
+      |       CAST(round(min(l_extendedprice), 2) AS DECIMAL(18,2))               AS min_price,
+      |       CAST(round(max(l_extendedprice), 2) AS DECIMAL(18,2))               AS max_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        stat(stddev_samp($"l_quantity")).as("sd_qty"),
+        stat(var_samp($"l_discount")).as("var_disc"),
+        stat(corr($"l_quantity", $"l_extendedprice")).as("corr_qty_price"),
+        stat(covar_samp($"l_quantity", $"l_tax")).as("covar_qty_tax"),
+        money(min($"l_extendedprice")).as("min_price"),
+        money(max($"l_extendedprice")).as("max_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Exact percentiles (linear interpolation — `percentile` in Spark ≡
+    * `quantile_cont` in DuckDB). The approx variant is q29 (non-oracle). */
+  val q27Percentiles: GraftQuery = GraftQuery.oracled(
+    "q27_percentiles",
+    """SELECT o_orderpriority,
+      |       CAST(round(quantile_cont(o_totalprice, 0.25), 4) AS DECIMAL(18,4)) AS p25,
+      |       CAST(round(quantile_cont(o_totalprice, 0.50), 4) AS DECIMAL(18,4)) AS p50,
+      |       CAST(round(quantile_cont(o_totalprice, 0.75), 4) AS DECIMAL(18,4)) AS p75
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        stat(expr("percentile(o_totalprice, 0.25)")).as("p25"),
+        stat(expr("percentile(o_totalprice, 0.50)")).as("p50"),
+        stat(expr("percentile(o_totalprice, 0.75)")).as("p75"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Collect aggregates made deterministic: set-collect → sort → join
+    * (collect_list/_set are order-sensitive, SURVEY.md §2.4). */
+  val q28CollectSorted: GraftQuery = GraftQuery.oracled(
+    "q28_collect_sorted",
+    """SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(concat_ws(",", array_sort(collect_set($"c_mktsegment"))).as("segments"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** HyperLogLog++ approximate distinct — 100 TB cardinality estimation.
+    * Not oracle-able (different sketch than DuckDB); ScalaTest asserts the
+    * ≤5%-relative-error bound against the exact count (SURVEY.md §2.4). */
+  val q29ApproxDistinct: GraftQuery = GraftQuery.rowsOnly(
+    "q29_approx_distinct",
+    doc = "approx_count_distinct(user_id) per event_type, rsd=0.02") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Exact distinct aggregates (expand + two-phase agg under the hood). */
+  val q30DistinctAgg: GraftQuery = GraftQuery.oracled(
+    "q30_distinct_agg",
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS n_users,
+      |       count(*) AS n_events,
+      |       CAST(round(sum(DISTINCT value), 2) AS DECIMAL(18,2)) AS sum_distinct_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        money(sum_distinct($"value")).as("sum_distinct_value"))
+      .orderBy($"event_type")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
+    q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg)
+}

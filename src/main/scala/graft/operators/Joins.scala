@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.sources.Tables
+import RelationalCore.money
+
+/** SURVEY.md §2.3 — every join shape the star schema supports.
+  *
+  * Scale discipline: dimension tables (`region` 5, `nation` 25, `supplier`,
+  * `customer`) are `broadcast()`-hinted so the fact-table scan never
+  * shuffles for them — at 100 TB the lineitem side stays partition-local
+  * while dims replicate. Non-equi joins are expressed as *binned equi-joins*
+  * (bucket key + neighbor explode + residual predicate) so they shuffle-join
+  * instead of falling into BroadcastNestedLoop/cartesian. The as-of join is
+  * a single-shuffle union-window formulation, not a per-row lookup.
+  */
+object Joins {
+
+  /** TPC-H Q5-shaped star chain: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    * with all dims broadcast. One shuffle for the lineitem⋈orders equi-join;
+    * everything downstream is broadcast-local. */
+  val q12StarJoin: GraftQuery = GraftQuery.oracled(
+    "q12_star_join",
+    """SELECT n_name,
+      |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00"))
+            && $"o_orderdate" < to_timestamp(lit("1998-01-01 00:00:00"))),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(money(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"n_name")
+  }
+
+  /** TPC-H Q3-shaped shipping priority: filtered dims, grouped revenue,
+    * deterministic global top-10 (TakeOrderedAndProject — no full sort at
+    * scale). */
+  val q13ShippingPriority: GraftQuery = GraftQuery.oracled(
+    "q13_shipping_priority",
+    """SELECT l_orderkey,
+      |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > to_timestamp(lit("1996-03-15 00:00:00")))
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderdate" < to_timestamp(lit("1998-03-15 00:00:00"))),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(money(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+      .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** Left outer join keeping order-less entities, with outer-side null
+    * repair (`coalesce`). Uses the sparse supplier⋈nation direction so the
+    * outer side is genuinely unmatched at small sf. */
+  val q14LeftOuter: GraftQuery = GraftQuery.oracled(
+    "q14_left_outer",
+    """SELECT n_nationkey, n_name,
+      |       count(s_suppkey) AS n_suppliers,
+      |       CAST(round(coalesce(sum(s_acctbal), 0), 2) AS DECIMAL(18,2)) AS total_bal
+      |FROM nation
+      |LEFT JOIN supplier ON n_nationkey = s_nationkey
+      |GROUP BY n_nationkey, n_name
+      |ORDER BY n_nationkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.nation(spark, dir)
+      .join(Tables.supplier(spark, dir), $"n_nationkey" === $"s_nationkey", "left_outer")
+      .groupBy($"n_nationkey", $"n_name")
+      .agg(count($"s_suppkey").as("n_suppliers"),
+        money(coalesce(sum($"s_acctbal"), lit(0))).as("total_bal"))
+      .orderBy($"n_nationkey")
+  }
+
+  /** Full outer join of two per-nation profiles (customer counts vs supplier
+    * counts) — nulls possible on either side at small sf. */
+  val q15FullOuter: GraftQuery = GraftQuery.oracled(
+    "q15_full_outer",
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+      |     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT coalesce(c.nk, s.nk) AS nationkey,
+      |       coalesce(n_cust, 0) AS n_cust,
+      |       coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      |ORDER BY nationkey""") { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).groupBy($"c_nationkey".as("cnk")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir).groupBy($"s_nationkey".as("snk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, $"cnk" === $"snk", "full_outer")
+      .select(coalesce($"cnk", $"snk").as("nationkey"),
+        coalesce($"n_cust", lit(0)).as("n_cust"),
+        coalesce($"n_supp", lit(0)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  /** Left semi join (EXISTS): orders having at least one near-max-quantity
+    * line. No payload from the build side → semi-join, not inner+distinct. */
+  val q16SemiJoin: GraftQuery = GraftQuery.oracled(
+    "q16_semi_join",
+    """SELECT o_orderkey, o_orderstatus
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+      |ORDER BY o_orderkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).filter($"l_quantity" > 45),
+        $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Left anti join (NOT EXISTS): parts never shipped with a max discount. */
+  val q17AntiJoin: GraftQuery = GraftQuery.oracled(
+    "q17_anti_join",
+    """SELECT p_partkey, p_name
+      |FROM part
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_discount >= 0.09)
+      |ORDER BY p_partkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .join(Tables.lineitem(spark, dir).filter($"l_discount" >= 0.09),
+        $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey", $"p_name")
+      .orderBy($"p_partkey")
+  }
+
+  /** Explicit cross join of two small dims (only ever safe when both sides
+    * are broadcast-small; Catalyst plans BroadcastNestedLoop). */
+  val q18CrossJoin: GraftQuery = GraftQuery.oracled(
+    "q18_cross_join",
+    """SELECT r_name, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.region(spark, dir).select($"r_name")
+      .crossJoin(broadcast(Tables.nation(spark, dir).select($"n_name")))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Range (theta) join, scale-safe formulation: |s_acctbal - c_acctbal| ≤ 10
+    * rewritten as an equi-join on a bucketed key (width = band) with the
+    * probe side exploded to its 3 neighboring buckets, then the exact
+    * residual predicate. Turns an O(n·m) BNL into a shuffle hash join —
+    * the 100 TB-safe shape. Oracle states the naive theta join; results are
+    * identical by construction. */
+  val q19RangeJoinBinned: GraftQuery = GraftQuery.oracled(
+    "q19_range_join_binned",
+    """SELECT s_suppkey,
+      |       count(*) AS n_matches,
+      |       CAST(round(sum(c_acctbal), 2) AS DECIMAL(18,2)) AS matched_bal
+      |FROM supplier JOIN customer
+      |  ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""") { (spark, dir) =>
+    import spark.implicits._
+    val band = 10.0
+    val s = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_acctbal",
+        explode(array(lit(-1), lit(0), lit(1))).as("nb"))
+      .withColumn("bucket", floor($"s_acctbal" / band) + $"nb")
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_acctbal", floor($"c_acctbal" / band).as("bucket"))
+    s.join(c, Seq("bucket"))
+      .filter($"c_acctbal" >= $"s_acctbal" - band && $"c_acctbal" <= $"s_acctbal" + band)
+      .groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("n_matches"), money(sum($"c_acctbal")).as("matched_bal"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** As-of join: for each event, the latest order of that user with
+    * o_orderdate ≤ ts. Spark lacks the primitive; the scale-safe formulation
+    * is a tagged UNION of both sides + one window pass per key — a single
+    * shuffle, no per-row lookups (SURVEY.md §2.3). The oracle states the
+    * identical window formulation so tie-breaks agree exactly. */
+  val q20AsofJoin: GraftQuery = GraftQuery.oracled(
+    "q20_asof_join",
+    """WITH u AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t, 0 AS tag,
+      |         o_orderkey, NULL::BIGINT AS event_id
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id, date_trunc('microseconds', ts), 1, NULL, event_id FROM events
+      |), w AS (
+      |  SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+      |    PARTITION BY k ORDER BY t, tag, o_orderkey NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+      |  FROM u
+      |)
+      |SELECT event_id, k AS user_id, asof_orderkey
+      |FROM w WHERE tag = 1 AND asof_orderkey IS NOT NULL
+      |ORDER BY event_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(spark, dir)
+      .select($"o_custkey".as("k"), $"o_orderdate".as("t"), lit(0).as("tag"),
+        $"o_orderkey", lit(null).cast("long").as("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select($"user_id".as("k"), $"ts".as("t"), lit(1).as("tag"),
+        lit(null).cast("long").as("o_orderkey"), $"event_id")
+    val w = Window.partitionBy($"k")
+      .orderBy($"t".asc, $"tag".asc, $"o_orderkey".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.union(ev)
+      .withColumn("asof_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+      .filter($"tag" === 1 && $"asof_orderkey".isNotNull)
+      .select($"event_id", $"k".as("user_id"), $"asof_orderkey")
+      .orderBy($"event_id")
+  }
+
+  /** Self equi-join with a time band: pairs of events by the same user
+    * within 5 minutes — the equi key (user_id) carries the shuffle, the band
+    * is a residual predicate (no BNL). */
+  val q21SelfJoinBand: GraftQuery = GraftQuery.oracled(
+    "q21_self_join_band",
+    """SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_id < b.event_id
+      | AND date_trunc('microseconds', b.ts) >= date_trunc('microseconds', a.ts)
+      | AND date_trunc('microseconds', b.ts) <= date_trunc('microseconds', a.ts) + INTERVAL 5 MINUTE
+      |GROUP BY 1, 2
+      |ORDER BY type_a, type_b""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"user_id", $"event_id", $"ts", $"event_type")
+    val a = e.toDF("user_id", "event_id_a", "ts_a", "type_a")
+    val b = e.toDF("user_id", "event_id_b", "ts_b", "type_b")
+    a.join(b, Seq("user_id"))
+      .filter($"event_id_a" < $"event_id_b"
+        && $"ts_b" >= $"ts_a"
+        && $"ts_b" <= $"ts_a" + expr("INTERVAL 5 MINUTE"))
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q12StarJoin, q13ShippingPriority, q14LeftOuter, q15FullOuter,
+    q16SemiJoin, q17AntiJoin, q18CrossJoin, q19RangeJoinBinned,
+    q20AsofJoin, q21SelfJoinBand)
+}

@@ -17,10 +17,10 @@ object RelationalCore {
 
   /** Money/stat doubles: round then cast to decimal on BOTH sides so
     * float-summation-order differences between Spark and DuckDB vanish
-    * (SURVEY.md §5.1). */
-  private[operators] def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    * (SURVEY.md §5.1). Shared by every oracle'd module. */
+  def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c, 2).cast(DecimalType(18, 2))
-  private[operators] def stat(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def stat(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c, 4).cast(DecimalType(18, 4))
 
   /** TPC-H Q1-shaped pricing summary: scan → pushed filter → hash agg

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.sources.Tables
+import RelationalCore.{money, stat}
+
+/** SURVEY.md §2.5 — ranking, analytic, frame-spec window functions, and the
+  * lag-gap sessionization pattern.
+  *
+  * Scale discipline: a window is ONE shuffle on its partition key plus a
+  * partition-local sort. Heavily skewed partition keys would bottleneck a
+  * single task; partition keys here (customer, user) are high-cardinality.
+  * Every `orderBy` inside a window carries a unique tie-break column so
+  * results are deterministic on both engines. */
+object Windows {
+
+  /** Top-K per group: row_number ≤ 3 orders per customer by price. */
+  val q31TopKPerGroup: GraftQuery = GraftQuery.oracled(
+    "q31_topk_per_group",
+    """SELECT o_custkey, o_orderkey, rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""") { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Running (cumulative) revenue per customer — rows-frame aggregate. */
+  val q32RunningSum: GraftQuery = GraftQuery.oracled(
+    "q32_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(round(sum(o_totalprice) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DECIMAL(18,2)) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""") { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        money(sum($"o_totalprice").over(w)).as("running_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** lag/lead analytics: inter-event gap (exact µs arithmetic — no float)
+    * and next event type per user. */
+  val q33LagLead: GraftQuery = GraftQuery.oracled(
+    "q33_lag_lead",
+    """SELECT event_id,
+      |       epoch_us(date_trunc('microseconds', ts)) -
+      |         lag(epoch_us(date_trunc('microseconds', ts))) OVER w AS gap_us,
+      |       lead(event_type) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""") { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_id",
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"),
+        lead($"event_type", 1).over(w).as("next_type"))
+      .orderBy($"event_id")
+  }
+
+  /** Sessionization by lag-gap (SURVEY.md §2.5): gap > 30 min starts a new
+    * session; session id = running count of session starts. Batch twin of
+    * the streaming `session_window` (§2.8). */
+  val q34Sessionize: GraftQuery = GraftQuery.oracled(
+    "q34_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+      |         CASE WHEN epoch_us(date_trunc('microseconds', ts)) -
+      |                   lag(epoch_us(date_trunc('microseconds', ts))) OVER w
+      |                   > 30 * 60 * 1000000 THEN 1
+      |              WHEN lag(event_id) OVER w IS NULL THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ts) AS session_start, max(ts) AS session_end
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""") { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_session",
+        when($"prev_us".isNull, 1)
+          .when(unix_micros($"ts") - $"prev_us" > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"new_session").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** RANGE frame over event-time: trailing-30-day order count per customer.
+    * Value-based frame → deterministic regardless of tie order. Expressed
+    * through the SQL entry point (DataFrame rangeBetween only takes longs). */
+  val q35RangeFrame: GraftQuery = GraftQuery.oracled(
+    "q35_range_frame",
+    """SELECT o_custkey, o_orderkey,
+      |       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS n_last_30d
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""") { (spark, dir) =>
+    Tables.views(spark, dir)
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS n_last_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** Rank-family showcase: dense_rank, ntile, percent_rank over a total
+    * order (unique tie-break ⇒ deterministic deciles). */
+  val q36RankFamily: GraftQuery = GraftQuery.oracled(
+    "q36_rank_family",
+    """SELECT c_custkey,
+      |       dense_rank()   OVER w AS dr,
+      |       ntile(10)      OVER w AS decile,
+      |       CAST(round(percent_rank() OVER w, 6) AS DECIMAL(18,6)) AS pr
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_custkey""") { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_custkey",
+        dense_rank().over(w).as("dr"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).cast("decimal(18,6)").as("pr"))
+      .orderBy($"c_custkey")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
+    q35RangeFrame, q36RankFamily)
+}

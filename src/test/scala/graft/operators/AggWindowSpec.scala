@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.sources.Tables
+
+/** Non-oracle correctness gates for §2.4/§2.5 ops (SURVEY.md §5). */
+class AggWindowSpec extends AnyFunSuite with SparkFixture {
+  import org.apache.spark.sql.functions._
+
+  test("approx_count_distinct is within 5% of exact per event_type") {
+    import spark.implicits._
+    val approx = Aggregates.q29ApproxDistinct.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("sessionize: session event counts sum to total events, gaps respected") {
+    import spark.implicits._
+    val sessions = Windows.q34Sessionize.fn(spark, sf).cache()
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(sessions.agg(sum($"n_events")).head.getLong(0) === totalEvents)
+    // session bounds are ordered and per-user session ids are dense from 1
+    val perUser = sessions.groupBy($"user_id")
+      .agg(min($"session_id").as("lo"), max($"session_id").as("hi"), count(lit(1)).as("n"))
+    assert(perUser.filter($"lo" =!= 1 || $"hi" =!= $"n").count() === 0)
+    sessions.unpersist()
+  }
+
+  test("as-of join: every asof order predates its event") {
+    import spark.implicits._
+    val asof = Joins.q20AsofJoin.fn(spark, sf).withColumnRenamed("user_id", "asof_user")
+    val joined = asof
+      .join(Tables.orders(spark, sf), $"asof_orderkey" === $"o_orderkey")
+      .join(Tables.events(spark, sf), Seq("event_id"))
+    assert(joined.filter($"o_orderdate" > $"ts").count() === 0)
+    assert(joined.filter($"o_custkey" =!= $"asof_user" || $"user_id" =!= $"asof_user").count() === 0)
+  }
+
+  test("binned range join equals naive theta join at smoke scale") {
+    import spark.implicits._
+    val binned = Joins.q19RangeJoinBinned.fn(spark, sf)
+    val s = Tables.supplier(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val naive = s.join(c,
+        $"c_acctbal" >= $"s_acctbal" - 10 && $"c_acctbal" <= $"s_acctbal" + 10)
+      .groupBy($"s_suppkey").agg(count(lit(1)).as("n_matches"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = binned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naive)
+  }
+}
