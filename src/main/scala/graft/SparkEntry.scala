@@ -17,7 +17,11 @@ object SparkEntry {
       graft.operators.Joins.all ++
       graft.operators.Aggregates.all ++
       graft.operators.Windows.all ++
-      graft.functions.ScalarFunctions.all
+      graft.functions.ScalarFunctions.all ++
+      graft.llm.Dedup.all ++
+      graft.llm.Similarity.all ++
+      graft.llm.TextAnalysis.all ++
+      graft.llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import graft.engine.GraftQuery
+import graft.operators.RelationalCore.stat
+import graft.sources.Tables
+
+/** SURVEY.md §2.10 — similarity search over the `embeddings` table
+  * (`Array[Float]`, dim 64).
+  *
+  * Kernels are higher-order functions (`zip_with`/`aggregate`), codegen'd by
+  * Catalyst — no UDF deserialization per row. Floats are cast to double
+  * BEFORE multiplication, and the fold is left-to-right, exactly matching
+  * the oracle's `list_sum(list_transform(...))` per-index formulation
+  * (DuckDB's builtin `list_cosine_similarity` computes in float32 and is NOT
+  * used as the oracle — it diverges at 1e-8).
+  *
+  * Scale story: brute-force top-k broadcasts the (small) query set against a
+  * partitioned candidate scan — O(|C|·|Q|) work but embarrassingly parallel,
+  * no shuffle until the final per-query top-k. The LSH variant buckets
+  * candidates so each query only meets its bucket — the sub-quadratic path;
+  * an IVF layout (cluster-id partition key from a KMeans fit) is the same
+  * plumbing with a learned bucketer. */
+object Similarity {
+
+  /** Left-to-right double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def normed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", l2norm($"embedding").as("nrm"))
+  }
+
+  /** Brute-force cosine top-5 neighbors for the query set (vec_id < 10):
+    * the exact baseline every ANN variant is measured against. */
+  val q48KnnBruteForce: GraftQuery = GraftQuery.oracled(
+    "q48_knn_brute_force",
+    """WITH n AS (SELECT vec_id, embedding,
+      |       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      |       FROM embeddings),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |       list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+      |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |      WHERE q.vec_id < 10),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+      |SELECT query_id, neighbor_id, rnk, CAST(round(cos, 4) AS DECIMAL(18,4)) AS cosine
+      |FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = normed(spark, dir)
+    val q = n.toDF("query_id", "q_emb", "q_nrm")
+    val c = n.toDF("neighbor_id", "c_emb", "c_nrm")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    c.crossJoin(broadcast(q.filter($"query_id" < 10)))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("cos", dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"neighbor_id", $"rnk", stat($"cos").as("cosine"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** LSH-bucketed ANN (the scale path): random-hyperplane buckets via
+    * BucketedRandomProjectionLSH, candidates meet queries only inside a
+    * bucket. Approx + seed-specific → rows-only; ScalaTest measures recall
+    * against q48. */
+  val q49KnnLsh: GraftQuery = GraftQuery.rowsOnly(
+    "q49_knn_lsh",
+    doc = "BucketedRandomProjectionLSH(bucketLength=2, tables=4, seed=42) euclidean pairs dist<=6 for vec_id<10") { (spark, dir) =>
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", array_to_vector($"embedding").as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs.filter($"vec_id" < 10), vecs, 6.0, "euclid_dist")
+      .select(
+        $"datasetA.vec_id".as("query_id"),
+        $"datasetB.vec_id".as("neighbor_id"),
+        stat($"euclid_dist").as("euclid_dist"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (cosine ≥ 0.4 — this synthetic corpus
+    * tops out at ~0.51): the embedding-space twin of text near-dup. Binned
+    * by no key here (all-pairs at test sf); the 100 TB path routes through
+    * q49's buckets first. */
+  val q50EmbeddingNeardup: GraftQuery = GraftQuery.oracled(
+    "q50_embedding_neardup",
+    """WITH n AS (SELECT vec_id, embedding,
+      |       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      |       FROM embeddings),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, CAST(round(cos, 4) AS DECIMAL(18,4)) AS cosine
+      |FROM p WHERE cos >= 0.4
+      |ORDER BY vec_a, vec_b""") { (spark, dir) =>
+    import spark.implicits._
+    val n = normed(spark, dir)
+    val a = n.toDF("vec_a", "a_emb", "a_nrm")
+    val b = n.toDF("vec_b", "b_emb", "b_nrm")
+    a.crossJoin(b)
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos", dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"))
+      .filter($"cos" >= 0.4)
+      .select($"vec_a", $"vec_b", stat($"cos").as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup)
+}

@@ -1,0 +1,183 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.operators.RelationalCore.stat
+import graft.sources.Tables
+
+/** SURVEY.md §2.10 — text analysis for LLM data curation: language ID,
+  * quality scoring, token counting, fingerprinting, TF-IDF top terms.
+  *
+  * Everything is a single projection or one hash-agg over `documents` —
+  * embarrassingly parallel, no driver-side loops; the TF-IDF query is two
+  * aggregations plus a broadcast of the (vocabulary-sized) DF table. */
+object TextAnalysis {
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "a", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def sqlMarkerList(lang: String): String =
+    langMarkers(lang).map(m => s"'$m'").mkString("[", ", ", "]")
+
+  /** Stopword-marker language ID: hits of per-language marker lists over the
+    * token set, argmax with fixed tie order (de<en<es<fr<zh reversed so the
+    * highest-scoring FIRST language wins via strict `>`). On this synthetic
+    * corpus only 'en' markers fire — the op stays fully exercised and
+    * deterministic. */
+  val q51LangId: GraftQuery = GraftQuery.oracled(
+    "q51_lang_id",
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang AS labeled_lang, string_split(lower(text), ' ') AS t FROM documents
+      |), hits AS (
+      |  SELECT doc_id, labeled_lang,
+      |         len(list_filter(t, x -> list_contains(${sqlMarkerList("de")}, x))) AS s_de,
+      |         len(list_filter(t, x -> list_contains(${sqlMarkerList("en")}, x))) AS s_en,
+      |         len(list_filter(t, x -> list_contains(${sqlMarkerList("es")}, x))) AS s_es,
+      |         len(list_filter(t, x -> list_contains(${sqlMarkerList("fr")}, x))) AS s_fr,
+      |         len(list_filter(t, x -> list_contains(${sqlMarkerList("zh")}, x))) AS s_zh
+      |  FROM scored)
+      |SELECT doc_id, labeled_lang, s_de, s_en, s_es, s_fr, s_zh,
+      |       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |            WHEN s_fr >= s_zh THEN 'fr'
+      |            ELSE 'zh' END AS predicted_lang
+      |FROM hits
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    def score(lang: String) = {
+      val markers = array(langMarkers(lang).map(lit): _*)
+      size(filter($"t", x => array_contains(markers, x))).as(s"s_$lang")
+    }
+    val hits = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang".as("labeled_lang"), split(lower($"text"), " ").as("t"))
+      .select($"doc_id", $"labeled_lang",
+        score("de"), score("en"), score("es"), score("fr"), score("zh"))
+    hits.withColumn("predicted_lang",
+        when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
+          .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_zh", "en")
+          .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
+          .when($"s_fr" >= $"s_zh", "fr")
+          .otherwise("zh"))
+      .orderBy($"doc_id")
+  }
+
+  /** Heuristic quality scoring: token stats, stopword ratio, punctuation
+    * density — the usual pre-training filter features. Single-space token
+    * arithmetic keeps everything integer-exact until the final ratios. */
+  val q52QualityScore: GraftQuery = GraftQuery.oracled(
+    "q52_quality_score",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         length(text) AS n_chars_seen,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(list_filter(string_split(lower(text), ' '),
+      |             x -> list_contains(['the', 'and', 'of', 'a', 'to'], x))) AS n_stop,
+      |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id, n_chars_seen, n_tokens,
+      |       CAST(round((n_chars_seen - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 4) AS DECIMAL(18,4)) AS avg_tok_len,
+      |       CAST(round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS DECIMAL(18,4)) AS stopword_ratio,
+      |       CAST(round(n_punct / CAST(n_chars_seen AS DOUBLE), 4) AS DECIMAL(18,4)) AS punct_ratio,
+      |       (n_tokens >= 20 AND n_stop > 0) AS passes_filter
+      |FROM f
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val stopList = array(Seq("the", "and", "of", "a", "to").map(lit): _*)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length($"text").as("n_chars_seen"),
+        size(split($"text", " ")).as("n_tokens"),
+        size(filter(split(lower($"text"), " "), x => array_contains(stopList, x))).as("n_stop"),
+        (length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).as("n_punct"))
+      .select($"doc_id", $"n_chars_seen", $"n_tokens",
+        stat(($"n_chars_seen" - $"n_tokens" + 1) / $"n_tokens".cast("double")).as("avg_tok_len"),
+        stat($"n_stop" / $"n_tokens".cast("double")).as("stopword_ratio"),
+        stat($"n_punct" / $"n_chars_seen".cast("double")).as("punct_ratio"),
+        ($"n_tokens" >= 20 && $"n_stop" > 0).as("passes_filter"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting, whitespace + BPE-ish regex segmentation (letter runs /
+    * digit runs / single other-symbols — the pre-tokenizer shape real BPE
+    * vocabularies assume). */
+  val q53TokenCount: GraftQuery = GraftQuery.oracled(
+    "q53_token_count",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish_tokens
+      |FROM documents
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("bpe_ish_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: lexicographic min of sha256 over 3-gram shingles
+    * (a 1-permutation MinHash — the winnowing building block). Content-
+    * defined, engine-portable, collision-resistant. */
+  val q54Fingerprint: GraftQuery = GraftQuery.oracled(
+    "q54_fingerprint",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT doc_id,
+      |       list_min(list_transform(generate_series(1, len(t)-2),
+      |         i -> sha256(array_to_string(t[i:i+2], ' ')))) AS fingerprint
+      |FROM toks
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id",
+        array_min(transform(sequence(lit(1), size($"t") - 2),
+          i => sha2(concat_ws(" ", slice($"t", i, lit(3))), 256))).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Relational TF-IDF: top-5 terms per source by tf·idf with
+    * idf = ln((N+1)/(df+1)) + 1. Two hash-aggs + a broadcast of the
+    * vocabulary-sized DF table; ranking ties break on the term itself. */
+  val q55TfidfTopTerms: GraftQuery = GraftQuery.oracled(
+    "q55_tfidf_top_terms",
+    """WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT source, tf.term, tf, df,
+      |         tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1) AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT source, term, tf, df, rnk, CAST(round(tfidf, 4) AS DECIMAL(18,4)) AS tfidf
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY source, rnk""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tok = docs.select($"source", $"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = tok.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val w = Window.partitionBy($"source").orderBy($"tfidf".desc, $"term")
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", $"tf" * (log(($"n_docs" + 1) / ($"df" + 1).cast("double")) + 1))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"source", $"term", $"tf", $"df", $"rnk", stat($"tfidf").as("tfidf"))
+      .orderBy($"source", $"rnk")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms)
+}
