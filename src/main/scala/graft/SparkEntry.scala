@@ -21,7 +21,9 @@ object SparkEntry {
       graft.llm.Dedup.all ++
       graft.llm.Similarity.all ++
       graft.llm.TextAnalysis.all ++
-      graft.llm.Multimodal.all
+      graft.llm.Multimodal.all ++
+      graft.ml.Classification.all ++
+      graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

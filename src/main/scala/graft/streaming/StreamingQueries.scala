@@ -1,0 +1,223 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.engine.GraftQuery
+import graft.operators.RelationalCore.money
+import graft.sources.Tables
+
+/** SURVEY.md §2.8 — Structured Streaming over the replayable `events` table:
+  * tumbling/sliding/session windows, streaming dedup, stream-static join,
+  * and custom `flatMapGroupsWithState` sessionization.
+  *
+  * Verification model (SURVEY.md §5.4): each query replays the batch parquet
+  * through `readStream` + `Trigger.AvailableNow()` into a memory sink, so the
+  * result is a deterministic function of the data — and, for complete-mode
+  * aggregations, *equal to the batch computation*, which makes them
+  * DuckDB-oracle-able like any relational query. Append-mode stateful ops
+  * emit exactly the state a single-batch replay closes; their oracles state
+  * that closure rule explicitly.
+  *
+  * Scale: state lives in the HDFS-backed state store keyed by group; the
+  * shuffle is on the aggregation/group key exactly as in batch. Watermarks
+  * bound state size — no unbounded per-key buffers. */
+object StreamingQueries {
+
+  /** Replay the events parquet as a file-source stream (ns→µs conversion as
+    * in [[Tables.events]]). The file source only accepts directories, so the
+    * single-file table is staged as a symlink under /tmp (idempotent). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = Paths.get(s"$dir/events.parquet")
+    val streamDir = Paths.get("/tmp/graft-stream", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, path)
+    val schema = spark.read.parquet(path.toString).schema // ts arrives as long (ns)
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and return
+    * the sink table. AvailableNow ⇒ terminates once the replay drains. */
+  def runToMemory(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val qn = s"${name}_${System.nanoTime()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
+  /** Tumbling 1-hour windows per event_type, complete mode ⇒ equals the
+    * batch group-by on the hour bucket (epoch-aligned windows ≡ date_trunc). */
+  val q61StreamTumbling: GraftQuery = GraftQuery.oracled(
+    "q61_stream_tumbling",
+    """SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS window_start,
+      |       event_type, count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, OutputMode.Complete(), "q61")
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Sliding 1h/15min windows, complete mode. Every event lands in 4
+    * epoch-aligned windows; the oracle enumerates them. */
+  val q62StreamSliding: GraftQuery = GraftQuery.oracled(
+    "q62_stream_sliding",
+    """WITH e AS (SELECT date_trunc('microseconds', ts) AS ts, event_type FROM events),
+      |x AS (SELECT make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900000000
+      |                            - CAST(k AS BIGINT) * 900000000) AS window_start, event_type
+      |      FROM e, LATERAL (SELECT unnest([0, 1, 2, 3]) AS k))
+      |SELECT window_start, event_type, count(*) AS n
+      |FROM x GROUP BY 1, 2
+      |ORDER BY window_start, event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, OutputMode.Complete(), "q62")
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Native session windows (30-min gap) per user, complete mode ⇒ equals
+    * batch sessionization (q34's gap rule, session_end = last event ts +
+    * nothing — min/max event bounds below). */
+  val q63StreamSessionWindow: GraftQuery = GraftQuery.oracled(
+    "q63_stream_session_window",
+    """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000 THEN 1
+      |              WHEN lag(event_id) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""") { (spark, dir) =>
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+    runToMemory(agg, OutputMode.Complete(), "q63")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Streaming dedup on (user_id, event_type): watermarked
+    * `dropDuplicates` state; the surviving key set equals batch DISTINCT. */
+  val q64StreamDedup: GraftQuery = GraftQuery.oracled(
+    "q64_stream_dedup",
+    """SELECT DISTINCT user_id, event_type
+      |FROM events
+      |ORDER BY user_id, event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val dedup = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(Seq("user_id", "event_type"))
+      .select($"user_id", $"event_type")
+    runToMemory(dedup, OutputMode.Append(), "q64")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Stream-static join: streaming events enriched with the static customer
+    * dim (broadcast — no stream-side shuffle), then a complete-mode rollup
+    * per market segment. */
+  val q65StreamStaticJoin: GraftQuery = GraftQuery.oracled(
+    "q65_stream_static_join",
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |       CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""") { (spark, dir) =>
+    import spark.implicits._
+    val joined = eventsStream(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), money(sum($"value")).as("total_value"))
+    runToMemory(joined, OutputMode.Complete(), "q65")
+      .orderBy($"c_mktsegment")
+  }
+
+  // ---- custom stateful sessionization (flatMapGroupsWithState) ----
+
+  final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Gap-rule session assembly for one user's (sorted) events. */
+  def assembleSessions(events: Seq[Ev], gapMs: Long): Seq[SessionOut] = {
+    if (events.isEmpty) Seq.empty
+    else events.tail.foldLeft(Vector(Vector(events.head))) { (acc, e) =>
+      if (e.ts.getTime - acc.last.last.ts.getTime > gapMs) acc :+ Vector(e)
+      else acc.init :+ (acc.last :+ e)
+    }.map(s => SessionOut(s.head.user_id, s.head.ts, s.last.ts, s.length.toLong))
+  }
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`: emits every
+    * session CLOSED by the gap rule within the replay; each user's final
+    * session stays open in state (a later batch could extend it), so the
+    * oracle excludes each user's last session — exactly the state machine's
+    * contract. */
+  val q66StatefulSessions: GraftQuery = GraftQuery.oracled(
+    "q66_stateful_sessions",
+    """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000 THEN 1
+      |              WHEN lag(event_id) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), agg AS (
+      |  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+      |         count(*) AS n_events,
+      |         max(session_id) OVER (PARTITION BY user_id) AS last_session
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM agg WHERE session_id < last_session
+      |ORDER BY user_id, session_start""") { (spark, dir) =>
+    import spark.implicits._
+    val ds: Dataset[Ev] = eventsStream(spark, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .as[Ev]
+    val fn = (user: Long, it: Iterator[Ev], state: GroupState[Ev]) => {
+      val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = assembleSessions(sorted, gapMs = 30L * 60 * 1000)
+      state.update(sorted.last) // last open session head — held, not emitted
+      sessions.dropRight(1).iterator
+    }
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    runToMemory(out.toDF(), OutputMode.Append(), "q66")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
+    q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions)
+}

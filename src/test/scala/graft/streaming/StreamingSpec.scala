@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** SURVEY.md §5.4 — streaming equivalence + late-data semantics. */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+  import org.apache.spark.sql.functions._
+
+  test("tumbling-window stream replay equals batch aggregation") {
+    import spark.implicits._
+    val streamed = StreamingQueries.q61StreamTumbling.fn(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("stateful sessionization: emitted sessions = batch sessions minus each user's open tail") {
+    import spark.implicits._
+    val emitted = StreamingQueries.q66StatefulSessions.fn(spark, sf)
+    val batchSessions = graft.operators.Windows.q34Sessionize.fn(spark, sf)
+    val perUserEmitted = emitted.groupBy($"user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perUserBatch = batchSessions.groupBy($"user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUserBatch.keySet === perUserEmitted.keySet ++
+      perUserBatch.filter(_._2 == 1).keys) // users with a single (still-open) session emit nothing
+    for ((u, n) <- perUserEmitted) assert(n === perUserBatch(u) - 1)
+  }
+
+  test("watermark drops late events beyond the delay (MemoryStream, update mode)") {
+    import spark.implicits._
+    val source = MemoryStream[(Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Timestamp, String)]], spark)
+    val agg = source.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+    val qn = s"wm_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(qn).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: events at 10:00 and 10:31 → watermark advances to 10:21
+    source.addData((t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 10:31:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: a late event at 10:05 — its window [10:00,10:10) < watermark → dropped
+    source.addData((t("2024-01-01 10:05:00"), "a"))
+    q.processAllAvailable()
+    val rows = spark.table(qn)
+      .select($"window.start".as("ws"), $"n")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toList
+    q.stop()
+    // the 10:00 window must still show n=1 (late row dropped), never n=2
+    assert(rows.contains(t("2024-01-01 10:00:00") -> 1L))
+    assert(!rows.contains(t("2024-01-01 10:00:00") -> 2L))
+  }
+
+  test("assembleSessions: gap rule unit check") {
+    import StreamingQueries.{assembleSessions, Ev}
+    def ev(id: Long, s: String) = Ev(1L, id, Timestamp.valueOf(s))
+    val sessions = assembleSessions(Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
+      ev(3, "2024-01-01 11:00:00"), // 50-min gap → new session
+      ev(4, "2024-01-01 11:29:00")), gapMs = 30 * 60 * 1000)
+    assert(sessions.map(_.n_events) === Seq(2L, 2L))
+    assert(sessions.head.session_end === Timestamp.valueOf("2024-01-01 10:10:00"))
+  }
+}
