@@ -1,19 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run throughput benchmark: per-query `fn(spark, sfDir).count()`
+  * wall time, one JSON line on stdout.
+  *
+  * Each query runs TWICE and reports the MIN: the first pass absorbs JIT /
+  * whole-stage-codegen compilation and page-cache warmup, and min-of-two
+  * suppresses one-off host stalls (observed ±3× per-query noise on the
+  * shared box with identical code). Total = sum of per-query minima. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,15 +26,22 @@ import graft.sources.Tables
   * plumbing with a learned bucketer. */
 object Similarity {
 
-  /** Left-to-right double dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right double dot product of two float arrays — HOF reference
+    * formulation (kept for the bit-equality cross-check in LlmOpsSpec; the
+    * hot path uses the codegen'd [[graft.functions.DotProductDouble]]). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd dot product (same arithmetic, no per-pair allocation). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.graftDot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   private def normed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", l2norm($"embedding").as("nrm"))
   }

@@ -74,6 +74,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("codegen graft_dot is bit-identical to the HOF dot formulation") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("ea")).limit(40)
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("eb")).limit(40)
+    val both = a.crossJoin(b)
+      .select(
+        Similarity.dot($"ea", $"eb").as("native"),
+        Similarity.dotHof($"ea", $"eb").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    // bit-exact: same widening, same fold order
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)
