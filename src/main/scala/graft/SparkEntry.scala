@@ -23,7 +23,12 @@ object SparkEntry {
       graft.llm.TextAnalysis.all ++
       graft.llm.Multimodal.all ++
       graft.ml.Classification.all ++
-      graft.streaming.StreamingQueries.all
+      graft.streaming.StreamingQueries.all ++
+      graft.sources.FileFormats.all ++
+      graft.functions.Aggregators.all ++
+      graft.operators.Skew.all ++
+      graft.ml.Features.all ++
+      graft.ml.MlExtras.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

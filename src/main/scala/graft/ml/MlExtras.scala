@@ -1,0 +1,96 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LinearSVC, NaiveBayes, OneVsRest}
+import org.apache.spark.ml.feature.{CountVectorizer, HashingTF, PCA, StandardScaler, StopWordsRemover, StringIndexer, Tokenizer}
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.operators.RelationalCore.stat
+import graft.sources.Tables
+
+/** SURVEY.md §2.9 — the remaining classifier families (NaiveBayes on
+  * non-negative TF counts, OneVsRest over LinearSVC) and feature stages
+  * (StopWordsRemover, CountVectorizer, StandardScaler, PCA). All seeded /
+  * structurally deterministic; fits stay rows-only (MlSpec + the catalog
+  * determinism suite gate them). */
+object MlExtras {
+
+  /** Multinomial NaiveBayes over HashingTF token counts (non-negative
+    * features — NB's requirement) predicting `documents.lang`. */
+  val q73NbText: GraftQuery = GraftQuery.rowsOnly(
+    "q73_nb_text_confusion",
+    doc = "Tokenizer+HashingTF(2^14)+NaiveBayes(multinomial) on documents.lang; test confusion matrix") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text", $"lang")
+    val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), seed = Classification.Seed)
+    val pipeline = new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol("lang").setOutputCol("label")
+        .setStringOrderType("alphabetAsc").setHandleInvalid("skip"),
+      new Tokenizer().setInputCol("text").setOutputCol("words"),
+      new HashingTF().setInputCol("words").setOutputCol("features").setNumFeatures(1 << 14),
+      new NaiveBayes().setModelType("multinomial")))
+    pipeline.fit(train).transform(test)
+      .groupBy($"label", $"prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"prediction")
+  }
+
+  /** OneVsRest reduction of binary LinearSVC to the 10-class embedding
+    * task — 10 seeded SVM fits (driver loop of E1 jobs, lifecycle E3). */
+  val q74OvrLinearSvc: GraftQuery = GraftQuery.rowsOnly(
+    "q74_ovr_linearsvc_confusion",
+    doc = "OneVsRest(LinearSVC(maxIter=10)) on embeddings 10-class; test confusion matrix") { (spark, dir) =>
+    import spark.implicits._
+    val data = Classification.embeddingFeatures(spark, dir)
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = Classification.Seed)
+    val ovr = new OneVsRest()
+      .setClassifier(new LinearSVC().setMaxIter(10).setRegParam(0.1))
+    ovr.fit(train).transform(test)
+      .groupBy($"label", $"prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"prediction")
+  }
+
+  /** StopWordsRemover + CountVectorizer: the learned vocabulary as rows
+    * (vocabSize exceeds the corpus vocab so the set — and therefore this
+    * sorted output — is deterministic; the spec cross-checks it against the
+    * relational distinct-token computation). */
+  val q75StopwordsCountvec: GraftQuery = GraftQuery.rowsOnly(
+    "q75_stopwords_countvec",
+    doc = "StopWordsRemover(en) + CountVectorizer vocabulary, sorted") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("words"))
+    val removed = new StopWordsRemover()
+      .setInputCol("words").setOutputCol("kept")
+      .transform(toks)
+    val model = new CountVectorizer()
+      .setInputCol("kept").setOutputCol("tf").setVocabSize(100000).setMinDF(1)
+      .fit(removed)
+    model.vocabulary.toSeq.sorted.toDF("term")
+  }
+
+  /** StandardScaler + PCA(k=3): the spectral projection of the embedding
+    * cloud (deterministic for fixed data/code; catalog suite runs it twice). */
+  val q76PcaProjection: GraftQuery = GraftQuery.rowsOnly(
+    "q76_pca_projection",
+    doc = "StandardScaler(withMean) + PCA(k=3) over embeddings; first 3 components per vec_id") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.ml.functions.vector_to_array
+    val data = Classification.embeddingFeatures(spark, dir)
+    val scaler = new StandardScaler()
+      .setInputCol("features").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true)
+    val scaled = scaler.fit(data).transform(data)
+    val pca = new PCA().setInputCol("scaled").setOutputCol("pc").setK(3)
+    pca.fit(scaled).transform(scaled)
+      .select($"vec_id",
+        stat(element_at(vector_to_array($"pc"), 1)).as("pc1"),
+        stat(element_at(vector_to_array($"pc"), 2)).as("pc2"),
+        stat(element_at(vector_to_array($"pc"), 3)).as("pc3"))
+      .orderBy($"vec_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q73NbText, q74OvrLinearSvc, q75StopwordsCountvec, q76PcaProjection)
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.GraftQuery
+
+/** SURVEY.md §2.1 — CSV and JSON sources/sinks (the reference category's
+  * ingest formats), exercised as engine-writer → engine-reader round-trips.
+  * The oracle states the ORIGINAL table's contents: if the engine's CSV/JSON
+  * sink or scan corrupted anything (quoting, types, encoding), the round-trip
+  * result would diverge from the parquet ground truth and hash-mismatch.
+  *
+  * Each invocation writes to a fresh directory so previously returned
+  * readers stay valid (queries may run concurrently/twice — Bench min-of-2).
+  *
+  * Schemas are EXPLICIT on read (SURVEY.md §1.1: schema inference at 100 TB
+  * means a type-guessing scan of petabytes — never acceptable). */
+object FileFormats {
+
+  private def freshDir(tag: String): String = {
+    val p = java.nio.file.Paths.get("/tmp/graft-io", s"${tag}_${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** CSV sink + scan round-trip on `region` (header, explicit schema). */
+  val q67CsvRoundtrip: GraftQuery = GraftQuery.oracled(
+    "q67_csv_roundtrip",
+    """SELECT r_regionkey, r_name FROM region
+      |ORDER BY r_regionkey""") { (spark, dir) =>
+    import spark.implicits._
+    val out = freshDir("region_csv")
+    Tables.region(spark, dir)
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType, nullable = true),
+      StructField("r_name", StringType, nullable = true)))
+    spark.read.option("header", "true").schema(schema).csv(out)
+      .orderBy($"r_regionkey")
+  }
+
+  /** JSON-lines sink + scan round-trip on `nation` (explicit schema). */
+  val q68JsonRoundtrip: GraftQuery = GraftQuery.oracled(
+    "q68_json_roundtrip",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""") { (spark, dir) =>
+    import spark.implicits._
+    val out = freshDir("nation_json")
+    Tables.nation(spark, dir)
+      .coalesce(1)
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType, nullable = true),
+      StructField("n_name", StringType, nullable = true),
+      StructField("n_regionkey", IntegerType, nullable = true)))
+    spark.read.schema(schema).json(out)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .orderBy($"n_nationkey")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q67CsvRoundtrip, q68JsonRoundtrip)
+}

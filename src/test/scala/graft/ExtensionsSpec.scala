@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** Gates for the extension batch: skew tooling, vocab ops, stream sources,
+  * partition-local sort (SURVEY.md §2.1/§2.6/§2.10). */
+class ExtensionsSpec extends AnyFunSuite with SparkFixture {
+  import org.apache.spark.sql.functions._
+
+  test("salted join result equals the plain join (any replica count)") {
+    import spark.implicits._
+    val fact = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+    val build = Tables.orders(spark, sf).select($"o_orderkey", $"o_orderpriority")
+    for (r <- Seq(2, 8)) {
+      val salted = graft.operators.Skew.saltedJoin(fact, build,
+          $"l_orderkey", $"o_orderkey", $"l_linenumber" * 1000000 + $"l_orderkey", r)
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      val plain = fact.join(build, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      assert(salted === plain, s"replicas=$r")
+    }
+  }
+
+  test("CountVectorizer vocabulary equals relational distinct non-stopword tokens") {
+    import spark.implicits._
+    val vocab = graft.ml.MlExtras.q75StopwordsCountvec.fn(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    val stop = new org.apache.spark.ml.feature.StopWordsRemover().getStopWords.toSet
+    val relational = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t"))
+      .filter(!$"t".isin(stop.toSeq: _*)).filter($"t" =!= "")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(vocab === relational)
+  }
+
+  test("rate stream source produces monotonically increasing values") {
+    import spark.implicits._
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+    val qn = s"rate_${System.nanoTime()}"
+    val q = rate.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1200)
+      q.processAllAvailable()
+      val vals = spark.table(qn).select($"value").collect().map(_.getLong(0)).sorted
+      assert(vals.nonEmpty)
+      assert(vals.toSeq === (vals.min to vals.max).toSeq) // contiguous sequence
+    } finally q.stop()
+  }
+
+  test("sortWithinPartitions: each written file is locally sorted (writer pattern)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    Tables.orders(spark, sf)
+      .repartition(4, $"o_custkey")
+      .sortWithinPartitions($"o_orderdate")
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2)
+    for (f <- files) {
+      // o_orderdate reads back as TIMESTAMP_NTZ → java.time.LocalDateTime
+      val ts = spark.read.parquet(f.getAbsolutePath)
+        .select($"o_orderdate").collect()
+        .map(_.getAs[java.time.LocalDateTime](0))
+      assert(ts.zip(ts.tail).forall { case (a, b) => !a.isAfter(b) },
+        s"${f.getName} not locally sorted")
+    }
+  }
+
+  test("Word2Vec trains with fixed seed and single partition (dim check)") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf).limit(100)
+      .select(split($"text", " ").as("words"))
+    val w2v = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol("words").setOutputCol("vec")
+      .setVectorSize(16).setMinCount(1).setSeed(42).setNumPartitions(1).setMaxIter(1)
+    val model = w2v.fit(toks)
+    assert(model.getVectors.count() > 0)
+    val v = model.transform(toks).select($"vec").head.getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size === 16)
+  }
+}
