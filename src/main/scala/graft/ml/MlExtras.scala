@@ -45,6 +45,7 @@ object MlExtras {
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = Classification.Seed)
     val ovr = new OneVsRest()
       .setClassifier(new LinearSVC().setMaxIter(10).setRegParam(0.1))
+      .setParallelism(8) // fit the 10 one-vs-rest SVMs concurrently (driver-side E3 loop)
     ovr.fit(train).transform(test)
       .groupBy($"label", $"prediction")
       .agg(count(lit(1)).as("n"))
