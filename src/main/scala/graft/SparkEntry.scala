@@ -28,7 +28,9 @@ object SparkEntry {
       graft.functions.Aggregators.all ++
       graft.operators.Skew.all ++
       graft.ml.Features.all ++
-      graft.ml.MlExtras.all
+      graft.ml.MlExtras.all ++
+      graft.operators.TypedOps.all ++
+      graft.operators.Subqueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

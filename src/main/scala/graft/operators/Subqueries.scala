@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.engine.GraftQuery
+import graft.sources.Tables
+
+/** SURVEY.md §4 — subquery forms through the SQL entry point (lifecycle E2),
+  * exercising Catalyst's RewriteCorrelatedScalarSubquery and
+  * RewritePredicateSubquery (→ semi/anti join) batches. The oracle runs the
+  * IDENTICAL text in DuckDB — the two planners must agree on semantics. */
+object Subqueries {
+
+  private def sqlQuery(name: String, sql: String): GraftQuery =
+    GraftQuery.oracled(name, sql) { (spark, dir) =>
+      Tables.views(spark, dir)
+      spark.sql(sql.stripMargin)
+    }
+
+  /** Correlated scalar subquery: orders above their customer's average
+    * (decorrelated by Catalyst into an aggregate + join). */
+  val q79CorrelatedScalar: GraftQuery = sqlQuery(
+    "q79_correlated_scalar",
+    """SELECT o_orderkey, o_custkey
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice)
+      |                          FROM orders o2
+      |                          WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""")
+
+  /** Uncorrelated scalar subquery: global-average comparison (a broadcast
+    * scalar at scale — one extra tiny job, no per-row recompute). */
+  val q80UncorrelatedScalar: GraftQuery = sqlQuery(
+    "q80_uncorrelated_scalar",
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) + 4000
+      |ORDER BY c_custkey""")
+
+  /** EXISTS / NOT EXISTS predicate subqueries (rewritten to semi/anti
+    * joins — same physical shape as q16/q17, arrived at from SQL). */
+  val q81ExistsSubquery: GraftQuery = sqlQuery(
+    "q81_exists_subquery",
+    """SELECT s_suppkey, s_name
+      |FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_suppkey = s.s_suppkey
+      |                AND l.l_quantity >= 50 AND l.l_discount >= 0.09)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+      |                  WHERE l2.l_suppkey = s.s_suppkey
+      |                    AND l2.l_quantity <= 1 AND l2.l_discount <= 0.005)
+      |ORDER BY s_suppkey""")
+
+  /** IN-subquery over an aggregated derived table. */
+  val q82InSubquery: GraftQuery = sqlQuery(
+    "q82_in_subquery",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+      |  AND o_orderstatus = 'F'
+      |ORDER BY o_orderkey""")
+
+  def all: Seq[GraftQuery] = Seq(
+    q79CorrelatedScalar, q80UncorrelatedScalar, q81ExistsSubquery, q82InSubquery)
+}

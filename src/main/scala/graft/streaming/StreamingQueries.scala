@@ -217,7 +217,40 @@ object StreamingQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Stream-stream inner join with watermarks on both sides: purchases
+    * within 10 minutes after a click by the same user. Under a single-batch
+    * AvailableNow replay every in-batch match emits, so the result equals
+    * the batch self-join the oracle states. State on both sides is bounded
+    * by the watermark + the join's time-range condition. */
+  val q77StreamStreamJoin: GraftQuery = GraftQuery.oracled(
+    "q77_stream_stream_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND date_trunc('microseconds', p.ts) >= date_trunc('microseconds', c.ts)
+      | AND date_trunc('microseconds', p.ts) <= date_trunc('microseconds', c.ts) + INTERVAL 10 MINUTE
+      |ORDER BY click_id, purchase_id""") { (spark, dir) =>
+    import spark.implicits._
+    val clicks = eventsStream(spark, dir)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTE"))
+    runToMemory(joined.select($"click_id", $"purchase_id", $"user_id"),
+        OutputMode.Append(), "q77")
+      .orderBy($"click_id", $"purchase_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
-    q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions)
+    q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
+    q77StreamStreamJoin)
 }

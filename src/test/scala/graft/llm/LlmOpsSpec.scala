@@ -74,6 +74,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approxNearestNeighbors: single-key ANN recovers most of the exact top-5") {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val vecs = e.select($"vec_id", array_to_vector($"embedding").as("features"))
+    val model = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42)
+      .fit(vecs)
+    val key = vecs.filter($"vec_id" === 0).head.getAs[org.apache.spark.ml.linalg.Vector]("features")
+    val ann = model.approxNearestNeighbors(vecs.filter($"vec_id" =!= 0), key, 5)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    // exact top-5 by euclidean distance
+    val dist = sqrt(aggregate(
+      zip_with($"embedding", lit(key.toArray.map(_.toFloat)),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x))
+    val exact = e.filter($"vec_id" =!= 0).withColumn("d", dist)
+      .orderBy($"d", $"vec_id").limit(5)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ann.size === 5)
+    assert((ann intersect exact).size >= 3, s"ANN recall too low: $ann vs $exact")
+  }
+
   test("codegen graft_dot is bit-identical to the HOF dot formulation") {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)

@@ -62,6 +62,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(!rows.contains(t("2024-01-01 10:00:00") -> 2L))
   }
 
+  test("dropDuplicatesWithinWatermark keeps one row per key across batches") {
+    import spark.implicits._
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long)]], spark)
+    val dedup = source.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("id"))
+    val qn = s"ddww_${System.nanoTime()}"
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      source.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:00:30"), 1L))
+      q.processAllAvailable()
+      source.addData((t("2024-01-01 10:01:00"), 1L), (t("2024-01-01 10:01:00"), 2L))
+      q.processAllAvailable()
+      val ids = spark.table(qn).select($"id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids === Seq(1L, 2L)) // id=1 deduped across rows AND batches within watermark
+    } finally q.stop()
+  }
+
+  test("stream-stream join equals the batch self-join at smoke sf") {
+    import spark.implicits._
+    val streamed = StreamingQueries.q77StreamStreamJoin.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.sources.Tables.events(spark, sf)
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("cts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), $"ts".as("pts"))
+    val batch = c.join(p, $"user_id" === $"pu" &&
+        $"pts" >= $"cts" && $"pts" <= $"cts" + expr("INTERVAL 10 MINUTE"))
+      .select($"click_id", $"purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("assembleSessions: gap rule unit check") {
     import StreamingQueries.{assembleSessions, Ev}
     def ev(id: Long, s: String) = Ev(1L, id, Timestamp.valueOf(s))
