@@ -30,7 +30,9 @@ object SparkEntry {
       graft.ml.Features.all ++
       graft.ml.MlExtras.all ++
       graft.operators.TypedOps.all ++
-      graft.operators.Subqueries.all
+      graft.operators.Subqueries.all ++
+      graft.sources.PartitionedSink.all ++
+      graft.operators.Eda.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
