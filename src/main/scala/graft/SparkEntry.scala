@@ -32,7 +32,8 @@ object SparkEntry {
       graft.operators.TypedOps.all ++
       graft.operators.Subqueries.all ++
       graft.sources.PartitionedSink.all ++
-      graft.operators.Eda.all
+      graft.operators.Eda.all ++
+      graft.operators.NullAndMisc.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

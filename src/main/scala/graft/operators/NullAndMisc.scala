@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.sources.Tables
+
+/** SURVEY.md §2.2/§2.7 fill-ins: the `DataFrameNaFunctions` family
+  * (drop/fill/replace) over manufactured nulls, and the date-arithmetic +
+  * string functions not yet exercised elsewhere. */
+object NullAndMisc {
+
+  /** na.drop / na.fill / na.replace: negative balances → NULL, then each
+    * repair strategy side by side. */
+  val q86NaOps: GraftQuery = GraftQuery.oracled(
+    "q86_na_ops",
+    """WITH d AS (SELECT c_custkey,
+      |                  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+      |                  c_mktsegment
+      |           FROM customer)
+      |SELECT c_custkey,
+      |       CAST(round(coalesce(bal, -1.0), 2) AS DECIMAL(18,2)) AS bal_filled,
+      |       CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTO' ELSE c_mktsegment END AS seg_replaced,
+      |       (bal IS NOT NULL) AS kept_by_drop
+      |FROM d
+      |ORDER BY c_custkey""") { (spark, dir) =>
+    import spark.implicits._
+    val withNulls = Tables.customer(spark, dir)
+      .select($"c_custkey",
+        when($"c_acctbal" < 0, lit(null).cast("double")).otherwise($"c_acctbal").as("bal"),
+        $"c_mktsegment")
+    val dropped = withNulls.na.drop(Seq("bal")).select($"c_custkey").withColumn("kept", lit(true))
+    withNulls
+      .na.fill(-1.0, Seq("bal"))
+      .na.replace("c_mktsegment", Map("AUTOMOBILE" -> "AUTO"))
+      .join(dropped, Seq("c_custkey"), "left_outer")
+      .select($"c_custkey",
+        RelationalCore.money($"bal").as("bal_filled"),
+        $"c_mktsegment".as("seg_replaced"),
+        coalesce($"kept", lit(false)).as("kept_by_drop"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Date arithmetic: interval add/subtract, add_months, last_day,
+    * make_date-style reconstruction. */
+  val q87DateArith: GraftQuery = GraftQuery.oracled(
+    "q87_date_arith",
+    """SELECT o_orderkey,
+      |       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY  AS plus_30d,
+      |       CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS minus_1mo,
+      |       last_day(CAST(o_orderdate AS DATE))          AS month_end,
+      |       make_date(year(o_orderdate), month(o_orderdate), 1) AS month_first
+      |FROM orders
+      |WHERE o_orderkey < 200
+      |ORDER BY o_orderkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" < 200)
+      .select($"o_orderkey",
+        date_add($"o_orderdate".cast("date"), 30).cast("timestamp").as("plus_30d"),
+        add_months($"o_orderdate".cast("date"), -1).cast("timestamp").as("minus_1mo"),
+        last_day($"o_orderdate".cast("date")).cast("timestamp").as("month_end"),
+        make_date(year($"o_orderdate"), month($"o_orderdate"), lit(1)).cast("timestamp").as("month_first"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Remaining string family: initcap, reverse, repeat, translate, left/right. */
+  val q88StringExtra: GraftQuery = GraftQuery.oracled(
+    "q88_string_extra",
+    """SELECT p_partkey,
+      |       array_to_string(list_transform(string_split(p_name, ' '),
+      |         w -> upper(w[1:1]) || w[2:]), ' ') AS name_title,
+      |       reverse(p_brand)                AS brand_rev,
+      |       repeat(p_type, 2)               AS type_twice,
+      |       translate(p_name, 'aeiou', '.....') AS name_dotted,
+      |       left(p_name, 3)                 AS name_l3,
+      |       right(p_name, 3)                AS name_r3
+      |FROM part
+      |WHERE p_partkey < 150
+      |ORDER BY p_partkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_partkey" < 150)
+      .select($"p_partkey",
+        initcap($"p_name").as("name_title"),
+        reverse($"p_brand").as("brand_rev"),
+        repeat($"p_type", 2).as("type_twice"),
+        translate($"p_name", "aeiou", ".....").as("name_dotted"),
+        expr("left(p_name, 3)").as("name_l3"),
+        expr("right(p_name, 3)").as("name_r3"))
+      .orderBy($"p_partkey")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q86NaOps, q87DateArith, q88StringExtra)
+}
