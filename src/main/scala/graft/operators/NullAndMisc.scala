@@ -90,5 +90,42 @@ object NullAndMisc {
       .orderBy($"p_partkey")
   }
 
-  def all: Seq[GraftQuery] = Seq(q86NaOps, q87DateArith, q88StringExtra)
+  /** Right outer join (the §2.3 mirror of q14's left outer): suppliers
+    * right-joined to nation keeps every nation row. */
+  val q89RightOuter: GraftQuery = GraftQuery.oracled(
+    "q89_right_outer",
+    """SELECT n_nationkey, n_name, count(s_suppkey) AS n_suppliers
+      |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_nationkey, n_name
+      |ORDER BY n_nationkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey", "right_outer")
+      .groupBy($"n_nationkey", $"n_name")
+      .agg(count($"s_suppkey").as("n_suppliers"))
+      .orderBy($"n_nationkey")
+  }
+
+  /** unionByName with allowMissingColumns: schema-drift-tolerant union
+    * (SURVEY.md §2.6/§5.6) — columns align by NAME, the missing column
+    * null-fills. */
+  val q90UnionByName: GraftQuery = GraftQuery.oracled(
+    "q90_union_by_name",
+    """SELECT c_custkey AS id, c_mktsegment AS segment, NULL AS priority FROM customer WHERE c_custkey < 50
+      |UNION ALL
+      |SELECT o_orderkey AS id, NULL AS segment, o_orderpriority AS priority FROM orders WHERE o_orderkey < 50
+      |ORDER BY id, segment NULLS FIRST, priority NULLS FIRST""") { (spark, dir) =>
+    import spark.implicits._
+    // deliberately different column ORDER and a missing column on each side
+    val a = Tables.customer(spark, dir).filter($"c_custkey" < 50)
+      .select($"c_mktsegment".as("segment"), $"c_custkey".as("id"))
+    val b = Tables.orders(spark, dir).filter($"o_orderkey" < 50)
+      .select($"o_orderkey".as("id"), $"o_orderpriority".as("priority"))
+    a.unionByName(b, allowMissingColumns = true)
+      .select($"id", $"segment", $"priority".cast("string").as("priority"))
+      .orderBy($"id", $"segment".asc_nulls_first, $"priority".asc_nulls_first)
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName)
 }

@@ -29,6 +29,16 @@ class RelationalCoreSpec extends AnyFunSuite with SparkFixture {
     assert(a1.select($"o_orderkey").collect().toSet === a2.select($"o_orderkey").collect().toSet)
   }
 
+  test("sample(fraction, seed) is reproducible and size-plausible") {
+    val o = Tables.orders(spark, sf)
+    val a = o.sample(withReplacement = false, 0.5, seed = 42)
+    val b = o.sample(withReplacement = false, 0.5, seed = 42)
+    assert(a.count() === b.count())
+    assert(a.collect().toSeq === b.collect().toSeq)
+    val n = o.count().toDouble
+    assert(a.count() > n * 0.35 && a.count() < n * 0.65)
+  }
+
   test("set ops: union/intersect/except algebra on custkeys") {
     import spark.implicits._
     val c = Tables.customer(spark, sf)
