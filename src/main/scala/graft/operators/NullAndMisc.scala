@@ -126,6 +126,47 @@ object NullAndMisc {
       .orderBy($"id", $"segment".asc_nulls_first, $"priority".asc_nulls_first)
   }
 
+  /** posexplode (positional generator, §2.11): first-occurrence position of
+    * each distinct token per document (1-based). */
+  val q91Posexplode: GraftQuery = GraftQuery.oracled(
+    "q91_posexplode",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 100),
+      |pos AS (SELECT doc_id, i AS pos, t[i] AS term
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i))
+      |SELECT doc_id, term, min(pos) AS first_pos
+      |FROM pos GROUP BY doc_id, term
+      |ORDER BY doc_id, term""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 100)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .groupBy($"doc_id", $"col".as("term"))
+      .agg((min($"pos") + 1).as("first_pos")) // posexplode is 0-based; oracle is 1-based
+      .orderBy($"doc_id", $"term")
+  }
+
+  /** named_struct → to_json (§2.7 struct family): struct construction and
+    * JSON serialization agree byte-for-byte across engines. */
+  val q92StructToJson: GraftQuery = GraftQuery.oracled(
+    "q92_struct_to_json",
+    """SELECT event_id,
+      |       CAST(to_json(struct_pack(id := event_id, type := event_type,
+      |                                k := CAST(json_extract(props, '$.k') AS INT))) AS VARCHAR) AS json_repr
+      |FROM events
+      |WHERE event_id < 300
+      |ORDER BY event_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_id" < 300)
+      .select($"event_id",
+        to_json(struct(
+          $"event_id".as("id"),
+          $"event_type".as("type"),
+          get_json_object($"props", "$.k").cast("int").as("k"))).as("json_repr"))
+      .orderBy($"event_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName)
+    q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName,
+    q91Posexplode, q92StructToJson)
 }
