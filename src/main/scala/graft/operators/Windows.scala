@@ -135,7 +135,14 @@ object Windows {
   }
 
   /** Rank-family showcase: dense_rank, ntile, percent_rank over a total
-    * order (unique tie-break ⇒ deterministic deciles). */
+    * order (unique tie-break ⇒ deterministic deciles).
+    *
+    * SCALE CAVEAT: an un-partitioned window funnels all rows through ONE
+    * task — fine for a dimension-sized input like `customer`, wrong for a
+    * fact table. At 100 TB, global ranks come from a two-phase plan instead:
+    * `ntile`-style deciles via approx quantile boundaries + a map-side
+    * bucket assignment, or rank within range-partitioned chunks + offset by
+    * per-chunk counts. */
   val q36RankFamily: GraftQuery = GraftQuery.oracled(
     "q36_rank_family",
     """SELECT c_custkey,
