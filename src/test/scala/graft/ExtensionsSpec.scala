@@ -73,6 +73,29 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bucketed co-located join: no shuffle exchange on either side") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_bucketed")
+    // merge hint: force SMJ so the broadcast path can't mask the bucketing
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("orders_bucketed").hint("merge"),
+        $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey").count()
+    assert(joined.count() === expected)
+  }
+
   test("Word2Vec trains with fixed seed and single partition (dim check)") {
     import spark.implicits._
     val toks = Tables.documents(spark, sf).limit(100)
