@@ -77,6 +77,18 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    // the in-memory catalog forgets managed tables across JVMs but their
+    // directories persist — scrub them or saveAsTable hits LOCATION_ALREADY_EXISTS
+    for (t <- Seq("li_bucketed", "orders_bucketed")) {
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Tables.lineitem(spark, sf)
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
