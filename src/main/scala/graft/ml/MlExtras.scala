@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.{LinearSVC, NaiveBayes, OneVsRest}
+import org.apache.spark.ml.classification.{FMClassifier, LinearSVC, MultilayerPerceptronClassifier, NaiveBayes, OneVsRest}
 import org.apache.spark.ml.feature.{CountVectorizer, HashingTF, PCA, StandardScaler, StopWordsRemover, StringIndexer, Tokenizer}
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.sql.functions._
@@ -92,6 +92,42 @@ object MlExtras {
       .orderBy($"vec_id")
   }
 
+  /** Multilayer perceptron (64 → 32 → 10) on the embedding task — the
+    * neural-family classifier of the §2.9 inventory. */
+  val q93Mlp: GraftQuery = GraftQuery.rowsOnly(
+    "q93_mlp_confusion",
+    doc = "MultilayerPerceptronClassifier(layers=[64,32,10], maxIter=30, seed=42); test confusion matrix") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val data = Classification.embeddingFeatures(spark, dir)
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = Classification.Seed)
+    val mlp = new MultilayerPerceptronClassifier()
+      .setLayers(Array(64, 32, 10)).setMaxIter(30).setSeed(Classification.Seed)
+    mlp.fit(train).transform(test)
+      .groupBy($"label", $"prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"prediction")
+  }
+
+  /** Factorization-machine classifier on the binarized task (binary-only,
+    * like GBT) — the last §2.9 classifier family. */
+  val q94Fm: GraftQuery = GraftQuery.rowsOnly(
+    "q94_fm_confusion",
+    doc = "FMClassifier(factorSize=4, maxIter=20, seed=42) on label>=5; test confusion matrix") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val data = Classification.embeddingFeatures(spark, dir)
+      .withColumn("label", ($"label" >= 5).cast("double"))
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = Classification.Seed)
+    val fm = new FMClassifier()
+      .setFactorSize(4).setMaxIter(20).setSeed(Classification.Seed)
+    fm.fit(train).transform(test)
+      .groupBy($"label", $"prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"prediction")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q73NbText, q74OvrLinearSvc, q75StopwordsCountvec, q76PcaProjection)
+    q73NbText, q74OvrLinearSvc, q75StopwordsCountvec, q76PcaProjection,
+    q93Mlp, q94Fm)
 }
