@@ -9,9 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalog discipline (SURVEY.md §7): SURVEY.md §2 is the checklist, and the
   * assembled catalog in [[graft.SparkEntry]] is its manifest. Every oracle'd
   * query must be output-deterministic: full `ORDER BY` with unique tie-break
-  * keys on BOTH sides, money/stat doubles rounded and cast to
-  * `DECIMAL(18,x)` on BOTH sides (float-summation-order divergence,
-  * SURVEY.md §5.1), and `events.ts` truncated to microseconds on the DuckDB
+  * keys on BOTH sides, money/stat doubles `round(x, k)` on BOTH sides but
+  * kept as DOUBLE — never DECIMAL: the driver's value-hash reads our parquet
+  * via pandas (DECIMAL → `Decimal('1.50')`) and the oracle via DuckDB
+  * (DECIMAL → float `1.5`), so numerically-equal decimals still hash-mismatch
+  * on trailing zeros (round-2 root cause, 24 queries) —
+  * and `events.ts` truncated to microseconds on the DuckDB
   * side (ns parquet vs Spark µs TimestampType, SURVEY.md §5.6).
   */
 final case class GraftQuery(

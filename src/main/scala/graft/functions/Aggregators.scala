@@ -54,7 +54,7 @@ object Aggregators {
   val q69CustomUdaf: GraftQuery = GraftQuery.oracled(
     "q69_custom_udaf_variance",
     """SELECT l_returnflag,
-      |       CAST(round(var_samp(l_extendedprice), 3) AS DECIMAL(18,3)) AS welford_var,
+      |       round(var_samp(l_extendedprice), 3) AS welford_var,
       |       count(*) AS n
       |FROM lineitem
       |GROUP BY l_returnflag
@@ -64,7 +64,7 @@ object Aggregators {
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        round(welford($"l_extendedprice"), 3).cast("decimal(18,3)").as("welford_var"),
+        round(welford($"l_extendedprice"), 3).as("welford_var"),
         count(lit(1)).as("n"))
       .orderBy($"l_returnflag")
   }

@@ -81,13 +81,13 @@ object ScalarFunctions {
   val q39MathFuncs: GraftQuery = GraftQuery.oracled(
     "q39_math_funcs",
     """SELECT l_orderkey, l_linenumber,
-      |       CAST(round(abs(l_extendedprice - 1000), 4) AS DECIMAL(18,4))  AS abs_delta,
+      |       round(abs(l_extendedprice - 1000), 4)  AS abs_delta,
       |       CAST(ceil(l_extendedprice) AS BIGINT)                         AS price_ceil,
       |       CAST(floor(l_extendedprice) AS BIGINT)                        AS price_floor,
-      |       CAST(round(pow(l_quantity, 2), 4) AS DECIMAL(18,4))           AS qty_sq,
-      |       CAST(round(sqrt(l_extendedprice), 4) AS DECIMAL(18,4))        AS price_sqrt,
-      |       CAST(round(ln(l_extendedprice), 4) AS DECIMAL(18,4))          AS price_ln,
-      |       CAST(round(log10(l_extendedprice), 4) AS DECIMAL(18,4))       AS price_log10,
+      |       round(pow(l_quantity, 2), 4)           AS qty_sq,
+      |       round(sqrt(l_extendedprice), 4)        AS price_sqrt,
+      |       round(ln(l_extendedprice), 4)          AS price_ln,
+      |       round(log10(l_extendedprice), 4)       AS price_log10,
       |       l_quantity % 7                                                AS qty_mod
       |FROM lineitem
       |WHERE l_orderkey < 100
@@ -164,10 +164,10 @@ object ScalarFunctions {
     "q42_array_embeddings",
     """SELECT vec_id, label,
       |       len(embedding) AS dim,
-      |       CAST(round(sqrt(list_sum(list_transform(embedding,
-      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DECIMAL(18,4)) AS l2_norm,
-      |       CAST(round(list_sum(list_transform(embedding,
-      |         x -> CAST(x AS DOUBLE))) / len(embedding), 4) AS DECIMAL(18,4))     AS mean_val
+      |       round(sqrt(list_sum(list_transform(embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      |       round(list_sum(list_transform(embedding,
+      |         x -> CAST(x AS DOUBLE))) / len(embedding), 4)     AS mean_val
       |FROM embeddings
       |WHERE vec_id < 200
       |ORDER BY vec_id""") { (spark, dir) =>

@@ -65,7 +65,7 @@ object Dedup {
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
       |SELECT doc_a, doc_b, shared,
-      |       CAST(round(shared / (sa.n + sb.n - shared), 4) AS DECIMAL(18,4)) AS jaccard
+      |       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
       |FROM pairs
       |JOIN sizes sa ON doc_a = sa.doc_id
       |JOIN sizes sb ON doc_b = sb.doc_id

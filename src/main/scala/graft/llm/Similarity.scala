@@ -59,7 +59,7 @@ object Similarity {
       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
       |      WHERE q.vec_id < 10),
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
-      |SELECT query_id, neighbor_id, rnk, CAST(round(cos, 4) AS DECIMAL(18,4)) AS cosine
+      |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cosine
       |FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""") { (spark, dir) =>
     import spark.implicits._
@@ -113,7 +113,7 @@ object Similarity {
       |       list_sum(list_transform(generate_series(1, 64),
       |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
       |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |SELECT vec_a, vec_b, CAST(round(cos, 4) AS DECIMAL(18,4)) AS cosine
+      |SELECT vec_a, vec_b, round(cos, 4) AS cosine
       |FROM p WHERE cos >= 0.4
       |ORDER BY vec_a, vec_b""") { (spark, dir) =>
     import spark.implicits._

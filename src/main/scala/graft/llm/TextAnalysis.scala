@@ -80,9 +80,9 @@ object TextAnalysis {
       |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
       |  FROM documents)
       |SELECT doc_id, n_chars_seen, n_tokens,
-      |       CAST(round((n_chars_seen - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 4) AS DECIMAL(18,4)) AS avg_tok_len,
-      |       CAST(round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS DECIMAL(18,4)) AS stopword_ratio,
-      |       CAST(round(n_punct / CAST(n_chars_seen AS DOUBLE), 4) AS DECIMAL(18,4)) AS punct_ratio,
+      |       round((n_chars_seen - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 4) AS avg_tok_len,
+      |       round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+      |       round(n_punct / CAST(n_chars_seen AS DOUBLE), 4) AS punct_ratio,
       |       (n_tokens >= 20 AND n_stop > 0) AS passes_filter
       |FROM f
       |ORDER BY doc_id""") { (spark, dir) =>
@@ -158,7 +158,7 @@ object TextAnalysis {
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rnk
       |  FROM scored)
-      |SELECT source, term, tf, df, rnk, CAST(round(tfidf, 4) AS DECIMAL(18,4)) AS tfidf
+      |SELECT source, term, tf, df, rnk, round(tfidf, 4) AS tfidf
       |FROM ranked WHERE rnk <= 5
       |ORDER BY source, rnk""") { (spark, dir) =>
     import spark.implicits._

@@ -21,8 +21,8 @@ object Features {
       |       CASE WHEN c_acctbal < 0 THEN 0.0
       |            WHEN c_acctbal < 5000 THEN 1.0
       |            ELSE 2.0 END AS bal_bucket,
-      |       CAST(round((c_acctbal - min(c_acctbal) OVER ()) /
-      |                  (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 4) AS DECIMAL(18,4)) AS bal_scaled
+      |       round((c_acctbal - min(c_acctbal) OVER ()) /
+      |                  (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 4) AS bal_scaled
       |FROM customer
       |ORDER BY c_custkey""") { (spark, dir) =>
     import spark.implicits._
@@ -47,7 +47,7 @@ object Features {
       |                  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
       |           FROM customer)
       |SELECT c_custkey,
-      |       CAST(round(coalesce(bal, (SELECT avg(bal) FROM d)), 4) AS DECIMAL(18,4)) AS bal_imputed
+      |       round(coalesce(bal, (SELECT avg(bal) FROM d)), 4) AS bal_imputed
       |FROM d
       |ORDER BY c_custkey""") { (spark, dir) =>
     import spark.implicits._

@@ -19,7 +19,7 @@ object Aggregates {
   val q22Rollup: GraftQuery = GraftQuery.oracled(
     "q22_rollup",
     """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-      |       CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS total
+      |       round(sum(o_totalprice), 2) AS total
       |FROM orders
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""") { (spark, dir) =>
@@ -34,7 +34,7 @@ object Aggregates {
   val q23Cube: GraftQuery = GraftQuery.oracled(
     "q23_cube",
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
+      |       round(sum(l_quantity), 2) AS sum_qty,
       |       count(*) AS n
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -90,12 +90,12 @@ object Aggregates {
   val q26Stats: GraftQuery = GraftQuery.oracled(
     "q26_stats",
     """SELECT l_returnflag,
-      |       CAST(round(stddev_samp(l_quantity), 4) AS DECIMAL(18,4))            AS sd_qty,
-      |       CAST(round(var_samp(l_discount), 4) AS DECIMAL(18,4))               AS var_disc,
-      |       CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4))  AS corr_qty_price,
-      |       CAST(round(covar_samp(l_quantity, l_tax), 4) AS DECIMAL(18,4))      AS covar_qty_tax,
-      |       CAST(round(min(l_extendedprice), 2) AS DECIMAL(18,2))               AS min_price,
-      |       CAST(round(max(l_extendedprice), 2) AS DECIMAL(18,2))               AS max_price
+      |       round(stddev_samp(l_quantity), 4)            AS sd_qty,
+      |       round(var_samp(l_discount), 4)               AS var_disc,
+      |       round(corr(l_quantity, l_extendedprice), 4)  AS corr_qty_price,
+      |       round(covar_samp(l_quantity, l_tax), 4)      AS covar_qty_tax,
+      |       round(min(l_extendedprice), 2)               AS min_price,
+      |       round(max(l_extendedprice), 2)               AS max_price
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""") { (spark, dir) =>
@@ -117,9 +117,9 @@ object Aggregates {
   val q27Percentiles: GraftQuery = GraftQuery.oracled(
     "q27_percentiles",
     """SELECT o_orderpriority,
-      |       CAST(round(quantile_cont(o_totalprice, 0.25), 4) AS DECIMAL(18,4)) AS p25,
-      |       CAST(round(quantile_cont(o_totalprice, 0.50), 4) AS DECIMAL(18,4)) AS p50,
-      |       CAST(round(quantile_cont(o_totalprice, 0.75), 4) AS DECIMAL(18,4)) AS p75
+      |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""") { (spark, dir) =>
@@ -167,7 +167,7 @@ object Aggregates {
     """SELECT event_type,
       |       count(DISTINCT user_id) AS n_users,
       |       count(*) AS n_events,
-      |       CAST(round(sum(DISTINCT value), 2) AS DECIMAL(18,2)) AS sum_distinct_value
+      |       round(sum(DISTINCT value), 2) AS sum_distinct_value
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""") { (spark, dir) =>

@@ -23,7 +23,7 @@ object Joins {
   val q12StarJoin: GraftQuery = GraftQuery.oracled(
     "q12_star_join",
     """SELECT n_name,
-      |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS revenue,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
       |       count(*) AS n_lines
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -57,7 +57,7 @@ object Joins {
   val q13ShippingPriority: GraftQuery = GraftQuery.oracled(
     "q13_shipping_priority",
     """SELECT l_orderkey,
-      |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS revenue,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
       |       o_orderdate, o_orderpriority
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
@@ -90,7 +90,7 @@ object Joins {
     "q14_left_outer",
     """SELECT n_nationkey, n_name,
       |       count(s_suppkey) AS n_suppliers,
-      |       CAST(round(coalesce(sum(s_acctbal), 0), 2) AS DECIMAL(18,2)) AS total_bal
+      |       round(coalesce(sum(s_acctbal), 0), 2) AS total_bal
       |FROM nation
       |LEFT JOIN supplier ON n_nationkey = s_nationkey
       |GROUP BY n_nationkey, n_name
@@ -180,7 +180,7 @@ object Joins {
     "q19_range_join_binned",
     """SELECT s_suppkey,
       |       count(*) AS n_matches,
-      |       CAST(round(sum(c_acctbal), 2) AS DECIMAL(18,2)) AS matched_bal
+      |       round(sum(c_acctbal), 2) AS matched_bal
       |FROM supplier JOIN customer
       |  ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
       |GROUP BY s_suppkey

@@ -18,7 +18,7 @@ object NullAndMisc {
       |                  c_mktsegment
       |           FROM customer)
       |SELECT c_custkey,
-      |       CAST(round(coalesce(bal, -1.0), 2) AS DECIMAL(18,2)) AS bal_filled,
+      |       round(coalesce(bal, -1.0), 2) AS bal_filled,
       |       CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTO' ELSE c_mktsegment END AS seg_replaced,
       |       (bal IS NOT NULL) AS kept_by_drop
       |FROM d

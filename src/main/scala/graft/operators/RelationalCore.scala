@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.engine.GraftQuery
 import graft.sources.Tables
 
@@ -15,13 +14,13 @@ import graft.sources.Tables
   */
 object RelationalCore {
 
-  /** Money/stat doubles: round then cast to decimal on BOTH sides so
-    * float-summation-order differences between Spark and DuckDB vanish
-    * (SURVEY.md §5.1). Shared by every oracle'd module. */
+  /** Money/stat doubles: round on BOTH sides, kept as DOUBLE (never DECIMAL —
+    * see GraftQuery scaladoc: DECIMAL outputs hash-mismatch in the driver's
+    * pandas-vs-DuckDB compare). Shared by every oracle'd module. */
   def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(c, 2).cast(DecimalType(18, 2))
+    round(c, 2)
   def stat(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(c, 4).cast(DecimalType(18, 4))
+    round(c, 4)
 
   /** TPC-H Q1-shaped pricing summary: scan → pushed filter → hash agg
     * (partial+final, map-side combine for free) → sort. The flagship query
@@ -29,13 +28,13 @@ object RelationalCore {
   val q01PricingSummary: GraftQuery = GraftQuery.oracled(
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
-      |       CAST(round(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS sum_base_price,
-      |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-      |       CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DECIMAL(18,2)) AS sum_charge,
-      |       CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4)) AS avg_qty,
-      |       CAST(round(avg(l_extendedprice), 4) AS DECIMAL(18,4)) AS avg_price,
-      |       CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       round(avg(l_discount), 4) AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -63,7 +62,7 @@ object RelationalCore {
     "q02_project_filter",
     """SELECT p_partkey AS part_id, p_name,
       |       upper(p_brand) AS brand_uc,
-      |       CAST(round(p_retailprice * 1.1, 2) AS DECIMAL(18,2)) AS marked_up
+      |       round(p_retailprice * 1.1, 2) AS marked_up
       |FROM part
       |WHERE p_size BETWEEN 10 AND 20
       |  AND p_type IN ('ECONOMY', 'PROMO')
@@ -91,7 +90,7 @@ object RelationalCore {
       |            WHEN c_acctbal < 5000 THEN 'mid'
       |            ELSE 'rich' END AS bal_bucket,
       |       count(*) AS n,
-      |       CAST(round(sum(c_acctbal), 2) AS DECIMAL(18,2)) AS total_bal
+      |       round(sum(c_acctbal), 2) AS total_bal
       |FROM customer
       |GROUP BY 1, 2
       |ORDER BY c_mktsegment, bal_bucket""") { (spark, dir) =>
@@ -151,7 +150,7 @@ object RelationalCore {
     * at scale → TakeOrderedAndProject here) + unique tie-break key. */
   val q06TopNOffset: GraftQuery = GraftQuery.oracled(
     "q06_topn_offset",
-    """SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price
       |FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 20 OFFSET 5""") { (spark, dir) =>

@@ -40,7 +40,7 @@ object Skew {
   val q70SaltedJoin: GraftQuery = GraftQuery.oracled(
     "q70_salted_join",
     """SELECT o_orderpriority,
-      |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS revenue,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
       |       count(*) AS n_lines
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority

@@ -31,8 +31,8 @@ object TypedOps {
   val q78TypedAgg: GraftQuery = GraftQuery.oracled(
     "q78_typed_agg",
     """SELECT l_returnflag,
-      |       CAST(round(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
-      |       CAST(round(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS sum_price,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_price,
       |       count(*) AS n
       |FROM lineitem
       |GROUP BY l_returnflag

@@ -40,9 +40,9 @@ object Windows {
   val q32RunningSum: GraftQuery = GraftQuery.oracled(
     "q32_running_sum",
     """SELECT o_custkey, o_orderkey,
-      |       CAST(round(sum(o_totalprice) OVER (
+      |       round(sum(o_totalprice) OVER (
       |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DECIMAL(18,2)) AS running_total
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""") { (spark, dir) =>
     import spark.implicits._
@@ -148,7 +148,7 @@ object Windows {
     """SELECT c_custkey,
       |       dense_rank()   OVER w AS dr,
       |       ntile(10)      OVER w AS decile,
-      |       CAST(round(percent_rank() OVER w, 6) AS DECIMAL(18,6)) AS pr
+      |       round(percent_rank() OVER w, 6) AS pr
       |FROM customer
       |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_custkey""") { (spark, dir) =>
@@ -158,7 +158,7 @@ object Windows {
       .select($"c_custkey",
         dense_rank().over(w).as("dr"),
         ntile(10).over(w).as("decile"),
-        round(percent_rank().over(w), 6).cast("decimal(18,6)").as("pr"))
+        round(percent_rank().over(w), 6).as("pr"))
       .orderBy($"c_custkey")
   }
 

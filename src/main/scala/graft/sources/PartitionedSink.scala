@@ -22,7 +22,7 @@ object PartitionedSink {
   val q83PartitionedWrite: GraftQuery = GraftQuery.oracled(
     "q83_partitioned_write",
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      |       CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS total
+      |       round(sum(o_totalprice), 2) AS total
       |FROM orders
       |WHERE o_orderstatus IN ('F', 'O')
       |GROUP BY o_orderstatus, o_orderpriority

@@ -147,7 +147,7 @@ object StreamingQueries {
   val q65StreamStaticJoin: GraftQuery = GraftQuery.oracled(
     "q65_stream_static_join",
     """SELECT c_mktsegment, count(*) AS n_events,
-      |       CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value
+      |       round(sum(value), 2) AS total_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""") { (spark, dir) =>

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Faithful mimic of the driver's DuckDB oracle hash-compare.
+
+Key asymmetry (round-2 discovery): the driver reads OUR parquet via
+pandas/pyarrow (DECIMAL -> decimal.Decimal objects, e.g. Decimal('1.50')) but
+the oracle via duckdb .df() (DECIMAL -> float64 1.5). Any hash over value
+string-forms then mismatches on trailing zeros even when numerically equal.
+This checker reproduces that view: pandas on the engine side, DuckDB on the
+oracle side, sort columns by name, canonicalize every cell to a string, sort
+rows, compare the string matrices. A pass here should imply a driver pass.
+
+Usage: python3 tools/oracle_check_strict.py <sfDir> <verifyOutDir> [only...]
+"""
+import sys, json, glob
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def cell_s(x):
+    if x is None:
+        return "NULL"
+    if isinstance(x, (np.ndarray,)):
+        return "[" + ", ".join(cell_s(v) for v in x.tolist()) + "]"
+    if isinstance(x, (list, tuple)):
+        return "[" + ", ".join(cell_s(v) for v in x) + "]"
+    if isinstance(x, (bytes, bytearray)):
+        return bytes(x).hex()
+    if isinstance(x, (float, np.floating)):
+        if x != x:
+            return "NaN"
+        return repr(float(x))
+    if isinstance(x, (int, np.integer)):
+        return str(int(x))
+    try:
+        if x != x:  # NaT
+            return "NULL"
+    except Exception:
+        pass
+    return str(x)
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    mat = [[cell_s(x) for x in row] for row in df.itertuples(index=False, name=None)]
+    mat.sort()
+    return list(df.columns), mat
+
+
+def main(sf_dir, out_dir, only):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no engine output parquet")
+            failures += 1
+            continue
+        try:
+            mine = pd.read_parquet(f"{out_dir}/{name}")
+            ref = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        mc, mm = canon(mine)
+        rc, rm = canon(ref)
+        if mc != rc:
+            print(f"FAIL {name}: columns {mc} != {rc}")
+            failures += 1
+            continue
+        if len(mm) != len(rm):
+            print(f"FAIL {name}: rows {len(mm)} != {len(rm)}")
+            failures += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(mm, rm)):
+            if a != b:
+                diffs = [(mc[j], a[j], b[j]) for j in range(len(a)) if a[j] != b[j]]
+                bad = f"row {i}: " + "; ".join(f"{c}: {x} vs {y}" for c, x, y in diffs[:3])
+                break
+        if bad:
+            print(f"FAIL {name}: {bad}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(mm)} rows)")
+    n = len(only) if only else len(oracle)
+    print(f"== {n - failures}/{n} strict-match ==")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
