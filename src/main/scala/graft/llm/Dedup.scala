@@ -39,18 +39,37 @@ object Dedup {
       .orderBy($"content_key")
   }
 
-  /** Tokenized view with 3-gram word shingles, shared by the near-dup ops.
+  /** Shingles appearing in more documents than this are dropped before the
+    * q45 pair join — the frequency cap that bounds the inverted-index join's
+    * worst case (a shingle shared by k docs emits k² candidate pairs). */
+  private[llm] val MaxShingleDf = 50
+
+  /** (doc_id, text) → distinct (doc_id, s) 3-gram word shingles.
     * Guard `size(t) >= 3`: Spark's `sequence(1, n)` counts DOWN for n < 1. */
-  private def shingled(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("t"))
-      .filter(size($"t") >= 3)
-      .select($"doc_id", explode(
-        transform(sequence(lit(1), size($"t") - 2),
-          i => concat_ws(" ", slice($"t", i, lit(3))))).as("s"))
+  private[llm] def shingleDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("s"))
       .distinct()
+
+  /** Drop shingles whose document frequency exceeds maxDf. The hot set is
+    * tiny by construction (few shingles occur in >maxDf docs) → broadcast
+    * anti-join; the bulk (doc_id, s) stream never shuffles for the cap. */
+  private[llm] def capShingles(sh: org.apache.spark.sql.DataFrame, maxDf: Int): org.apache.spark.sql.DataFrame = {
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("s"))
+    // usingColumns joins move the key first; restore (doc_id, s) order so
+    // positional renames downstream (toDF) stay correct.
+    sh.join(broadcast(hot), Seq("s"), "left_anti").select(col("doc_id"), col("s"))
   }
+
+  /** Tokenized view with frequency-capped 3-gram shingles, shared by the
+    * near-dup ops. */
+  private def shingled(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
 
   /** Exact n-gram Jaccard near-dup pairs (similarity ≥ 0.8) via inverted
     * index on shingles — the oracle-checkable ground truth the approximate
@@ -58,8 +77,10 @@ object Dedup {
   val q45NeardupJaccard: GraftQuery = GraftQuery.oracled(
     "q45_neardup_jaccard",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -63,17 +63,51 @@ object NullAndMisc {
       .orderBy($"o_orderkey")
   }
 
-  /** Remaining string family: initcap, reverse, repeat, translate, left/right. */
+  /** Spark-compatible soundex as a DuckDB SQL expression (DuckDB 1.0 has no
+    * soundex builtin). Vectorized string ops only — an earlier `list_reduce`
+    * fold hit a DuckDB 1.0 vectorization bug that mixed accumulator state
+    * across rows (same input string, different output per row). Construction:
+    * uppercase; in the tail, map non-letters to '0' (they reset the last-code
+    * like vowels) and DELETE H/W (skipped without clearing the last code, so
+    * duplicate suppression must see through them); translate letters to the
+    * A–Z code map `01230127022455012623017202` with the first letter's code
+    * prepended as the suppression seed; collapse runs of identical digits
+    * (= emit only on code change); strip '0's (resets emit nothing); drop the
+    * surviving seed digit unless the seed was '0' (vowel seeds vanish with the
+    * zero-strip); keep first letter + 3 digits zero-padded. Strings not
+    * starting with a letter pass through unchanged. Verified against Spark on
+    * all 150 q88 rows plus canonical vectors (Robert→R163, Ashcraft→A261,
+    * Tymczak→T522, Pfister→P236, Honeyman→H555, Hholmes→H452) and H/W,
+    * punctuation, vowel-initial edge cases. */
+  private def duckSoundex(col: String): String = {
+    val az = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val mp = "01230127022455012623017202"
+    val seed = s"translate(upper($col[1:1]), '$az', '$mp')"
+    val tail = s"regexp_replace(regexp_replace(upper($col[2:]), '[^A-Z]', '0', 'g'), '[HW]', '', 'g')"
+    val codes = s"$seed || translate($tail, '$az', '$mp')"
+    val collapsed = "01234567".foldLeft(codes)((acc, d) => s"regexp_replace($acc, '$d+', '$d', 'g')")
+    val digits = s"replace($collapsed, '0', '')"
+    s"""CASE
+       |  WHEN length($col) = 0 THEN $col
+       |  WHEN upper($col[1:1]) < 'A' OR upper($col[1:1]) > 'Z' THEN $col
+       |  ELSE upper($col[1:1]) || rpad(
+       |    CASE WHEN $seed = '0' THEN ($digits)[1:3] ELSE ($digits)[2:4] END, 3, '0')
+       |END""".stripMargin
+  }
+
+  /** Remaining string family: initcap, reverse, repeat, translate,
+    * left/right, soundex (SURVEY.md §2.7). */
   val q88StringExtra: GraftQuery = GraftQuery.oracled(
     "q88_string_extra",
-    """SELECT p_partkey,
+    s"""SELECT p_partkey,
       |       array_to_string(list_transform(string_split(p_name, ' '),
       |         w -> upper(w[1:1]) || w[2:]), ' ') AS name_title,
       |       reverse(p_brand)                AS brand_rev,
       |       repeat(p_type, 2)               AS type_twice,
       |       translate(p_name, 'aeiou', '.....') AS name_dotted,
       |       left(p_name, 3)                 AS name_l3,
-      |       right(p_name, 3)                AS name_r3
+      |       right(p_name, 3)                AS name_r3,
+      |       ${duckSoundex("p_name").linesIterator.mkString("\n      |       ")} AS name_soundex
       |FROM part
       |WHERE p_partkey < 150
       |ORDER BY p_partkey""") { (spark, dir) =>
@@ -86,7 +120,8 @@ object NullAndMisc {
         repeat($"p_type", 2).as("type_twice"),
         translate($"p_name", "aeiou", ".....").as("name_dotted"),
         expr("left(p_name, 3)").as("name_l3"),
-        expr("right(p_name, 3)").as("name_r3"))
+        expr("right(p_name, 3)").as("name_r3"),
+        soundex($"p_name").as("name_soundex"))
       .orderBy($"p_partkey")
   }
 

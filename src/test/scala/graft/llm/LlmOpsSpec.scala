@@ -69,7 +69,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     val byQ = knn.collect().groupBy(_.getLong(0))
     for ((_, rows) <- byQ) {
       val sorted = rows.sortBy(_.getInt(2))
-      val cos = sorted.map(_.getDecimal(3).doubleValue())
+      val cos = sorted.map(_.getDouble(3))
       assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
     }
   }

@@ -24,7 +24,7 @@ class EdaSpec extends AnyFunSuite with SparkFixture {
     assert(buckets.forall(b => math.abs(b.getLong(1) - expect) < expect * 0.25),
       s"unbalanced buckets: ${buckets.map(_.getLong(1)).toSeq}")
     // ranges are disjoint and ascending by bucket id
-    val his = buckets.sortBy(_.getDouble(0)).map(_.getDecimal(3).doubleValue())
+    val his = buckets.sortBy(_.getDouble(0)).map(_.getDouble(3))
     assert(his.zip(his.tail).forall { case (a, b) => a <= b })
   }
 }

@@ -41,6 +41,11 @@ def cell_s(x):
             return "NULL"
     except Exception:
         pass
+    # DuckDB .df() widens DATE to datetime64[ns]; pandas reads Spark's date32
+    # as datetime.date. The driver treats these as equal (q04 passed r01/r02
+    # with this exact pairing), so print midnight timestamps in date form.
+    if isinstance(x, pd.Timestamp) and x == x.normalize():
+        return str(x.date())
     return str(x)
 
 
@@ -57,6 +62,10 @@ def main(sf_dir, out_dir, only):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
     failures = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
