@@ -101,9 +101,10 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs (cosine ≥ 0.4 — this synthetic corpus
-    * tops out at ~0.51): the embedding-space twin of text near-dup. Binned
-    * by no key here (all-pairs at test sf); the 100 TB path routes through
-    * q49's buckets first. */
+    * tops out at ~0.51): the embedding-space twin of text near-dup. This
+    * all-pairs formulation is the exact VERIFIER, oracle-able and O(n²) by
+    * construction; the primary at corpus scale is q96's LSH-bucketed
+    * variant, which recall-gates against this one in LlmOpsSpec. */
   val q50EmbeddingNeardup: GraftQuery = GraftQuery.oracled(
     "q50_embedding_neardup",
     """WITH n AS (SELECT vec_id, embedding,
@@ -128,5 +129,36 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  def all: Seq[GraftQuery] = Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup)
+  /** Embedding near-dup with LSH-bucketed pair generation — the
+    * sub-quadratic PRIMARY at corpus scale; q50's all-pairs formulation is
+    * the small-scale verifier. Unit-normalizing first turns the cosine
+    * threshold into a euclidean radius (cos ≥ t ⇔ ‖â−b̂‖ ≤ √(2−2t) on unit
+    * vectors), so `approxSimilarityJoin` generates candidate pairs inside
+    * shared buckets only — never all-pairs. The exact codegen'd dot then
+    * recomputes cosine on survivors, so precision is exact; the only
+    * approximation is bucket recall (gated against q50 in LlmOpsSpec). */
+  val q96EmbeddingNeardupLsh: GraftQuery = GraftQuery.rowsOnly(
+    "q96_embedding_neardup_lsh",
+    doc = "LSH-bucketed cosine>=0.4 near-dup pairs; exact cosine recheck on bucket candidates") { (spark, dir) =>
+    import spark.implicits._
+    val n = normed(spark, dir)
+      .withColumn("unit", array_to_vector(transform($"embedding", x => x.cast("double") / $"nrm")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("unit").setOutputCol("hashes")
+      .setBucketLength(1.0).setNumHashTables(6).setSeed(42)
+    val model = lsh.fit(n)
+    val radius = math.sqrt(2.0 - 2.0 * 0.4) // cosine 0.4 on unit vectors
+    model.approxSimilarityJoin(n, n, radius + 1e-9, "unit_dist")
+      .select(
+        $"datasetA.vec_id".as("vec_a"), $"datasetA.embedding".as("a_emb"), $"datasetA.nrm".as("a_nrm"),
+        $"datasetB.vec_id".as("vec_b"), $"datasetB.embedding".as("b_emb"), $"datasetB.nrm".as("b_nrm"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos", dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"))
+      .filter($"cos" >= 0.4)
+      .select($"vec_a", $"vec_b", stat($"cos").as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh)
 }

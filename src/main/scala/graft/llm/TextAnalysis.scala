@@ -144,7 +144,15 @@ object TextAnalysis {
 
   /** Relational TF-IDF: top-5 terms per source by tf·idf with
     * idf = ln((N+1)/(df+1)) + 1. Two hash-aggs + a broadcast of the
-    * vocabulary-sized DF table; ranking ties break on the term itself. */
+    * vocabulary-sized DF table; ranking ties break on the term itself.
+    *
+    * Broadcast guard: the DF table has one row per distinct term. Natural-
+    * language vocabularies grow ~O(corpus^0.5) (Heaps' law) — tens of
+    * millions of terms at 100 TB, a few hundred MB as (term, count) pairs —
+    * near the practical broadcast ceiling. If the vocabulary outgrows
+    * `spark.sql.autoBroadcastJoinThreshold`, drop the `broadcast()` hint and
+    * let the tf-side shuffle partition by term (both sides are already
+    * term-keyed aggregates, so the sort-merge join reuses that shuffle). */
   val q55TfidfTopTerms: GraftQuery = GraftQuery.oracled(
     "q55_tfidf_top_terms",
     """WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.feature.{Bucketizer, Imputer, MinMaxScaler, VectorAssembler}
+import org.apache.spark.ml.feature.{Bucketizer, Imputer, MinMaxScaler, OneHotEncoder, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.functions._
 import graft.engine.GraftQuery
@@ -61,5 +61,42 @@ object Features {
       .orderBy($"c_custkey")
   }
 
-  def all: Seq[GraftQuery] = Seq(q71BucketizeScale, q72ImputeMean)
+  /** StringIndexer(frequencyDesc) + OneHotEncoder(dropLast=true) over
+    * `c_mktsegment` — the §2.9 Encode row's missing stage. The encoding is
+    * deterministic, so it oracles: StringIndexer's index is
+    * `row_number() OVER (ORDER BY count DESC, value ASC) - 1` (frequency
+    * order, alphabetical tie-break per the spark.ml contract) and each
+    * one-hot slot is an equality indicator; the last category is dropped.
+    * Scale: the fit is one tiny hash-agg over the distinct values; the
+    * transform is a map-side broadcast lookup — no extra shuffle. */
+  val q95OneHotEncode: GraftQuery = GraftQuery.oracled(
+    "q95_onehot_encode",
+    """WITH idx AS (
+      |  SELECT c_mktsegment,
+      |         row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS seg_idx
+      |  FROM customer GROUP BY c_mktsegment)
+      |SELECT c.c_custkey,
+      |       CAST(i.seg_idx AS DOUBLE) AS seg_idx,
+      |       CASE WHEN i.seg_idx = 0 THEN 1.0 ELSE 0.0 END AS seg_0,
+      |       CASE WHEN i.seg_idx = 1 THEN 1.0 ELSE 0.0 END AS seg_1,
+      |       CASE WHEN i.seg_idx = 2 THEN 1.0 ELSE 0.0 END AS seg_2,
+      |       CASE WHEN i.seg_idx = 3 THEN 1.0 ELSE 0.0 END AS seg_3
+      |FROM customer c JOIN idx i ON c.c_mktsegment = i.c_mktsegment
+      |ORDER BY c.c_custkey""") { (spark, dir) =>
+    import spark.implicits._
+    val df = Tables.customer(spark, dir)
+    val indexer = new StringIndexer()
+      .setInputCol("c_mktsegment").setOutputCol("seg_idx")
+      .setStringOrderType("frequencyDesc")
+    val encoder = new OneHotEncoder()
+      .setInputCol("seg_idx").setOutputCol("seg_vec") // dropLast = true (default)
+    val indexed = indexer.fit(df).transform(df)
+    val slots = (0 until 4).map(i =>
+      element_at(vector_to_array($"seg_vec"), i + 1).as(s"seg_$i"))
+    encoder.fit(indexed).transform(indexed)
+      .select(($"c_custkey" +: $"seg_idx" +: slots): _*)
+      .orderBy($"c_custkey")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q71BucketizeScale, q72ImputeMean, q95OneHotEncode)
 }

@@ -16,7 +16,15 @@ object RelationalCore {
 
   /** Money/stat doubles: round on BOTH sides, kept as DOUBLE (never DECIMAL —
     * see GraftQuery scaladoc: DECIMAL outputs hash-mismatch in the driver's
-    * pandas-vs-DuckDB compare). Shared by every oracle'd module. */
+    * pandas-vs-DuckDB compare). Shared by every oracle'd module.
+    *
+    * Residual risk: this assumes Spark's `round` (HALF_UP on the exact
+    * double) and DuckDB's produce bit-identical doubles. A value whose
+    * unrounded sums diverge by 1 ULP across engines (float summation order)
+    * AND lands exactly on a .xxx5 boundary can still round differently and
+    * hash-mismatch via repr(). Empirically green across all oracle'd queries
+    * at sf0.01/sf0.1; `tools/oracle_check_strict.py` is the pre-snapshot
+    * gate that would surface any boundary case immediately. */
   def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c, 2)
   def stat(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -162,7 +162,54 @@ object Windows {
       .orderBy($"c_custkey")
   }
 
+  /** q36's rank family computed two-phase — the 100 TB shape its caveat
+    * promises, with the identical oracle. Phase 1: range-repartition on the
+    * sort key and rank locally (window keyed by the stamped partition id, so
+    * every partition ranks in parallel — no global single-task funnel).
+    * Phase 2: cumulative per-partition counts (a ≤numPartitions-row table —
+    * the only single-task window) broadcast back as offsets; global
+    * row_number = offset + local rank. dense_rank ≡ that row number because
+    * the sort key is unique; ntile(10) and percent_rank are recovered
+    * arithmetically from (rn, N) using ntile's first-buckets-get-the-
+    * remainder rule. Correct under AQE coalescing: merged range partitions
+    * stay key-contiguous and pid order still follows the sort order. */
+  val q97RankTwoPhase: GraftQuery = GraftQuery.oracled(
+    "q97_rank_two_phase",
+    """SELECT c_custkey,
+      |       dense_rank()   OVER w AS dr,
+      |       ntile(10)      OVER w AS decile,
+      |       round(percent_rank() OVER w, 6) AS pr
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_custkey""") { (spark, dir) =>
+    import spark.implicits._
+    val ranged = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_acctbal")
+      .repartitionByRange(8, $"c_acctbal".desc, $"c_custkey")
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy($"pid").orderBy($"c_acctbal".desc, $"c_custkey")
+    val local = ranged.withColumn("lrn", row_number().over(wLocal).cast("long"))
+    val wPid = Window.orderBy($"pid")
+    val offsets = local.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+      .select($"pid",
+        (sum($"cnt").over(wPid) - $"cnt").as("off"),
+        sum($"cnt").over(
+          wPid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("total"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rn", $"off" + $"lrn")
+      .withColumn("base", floor($"total" / 10).cast("long"))
+      .withColumn("rem", $"total" % 10)
+      .withColumn("cut", $"rem" * ($"base" + 1)) // rows covered by the rem larger buckets
+      .select($"c_custkey",
+        $"rn".cast("int").as("dr"),
+        when($"rn" <= $"cut", floor(($"rn" - 1) / ($"base" + 1)) + 1)
+          .otherwise($"rem" + floor(($"rn" - $"cut" - 1) / $"base") + 1)
+          .cast("int").as("decile"),
+        round(($"rn" - 1).cast("double") / ($"total" - 1), 6).as("pr"))
+      .orderBy($"c_custkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
-    q35RangeFrame, q36RankFamily)
+    q35RangeFrame, q36RankFamily, q97RankTwoPhase)
 }

@@ -60,6 +60,43 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(missed.size <= exact.size / 10, s"LSH recall below 90%: missed $missed")
   }
 
+  test("LSH-bucketed near-dup (q96): exact precision, >=90% recall vs all-pairs q50") {
+    import spark.implicits._
+    val exact = Similarity.q50EmbeddingNeardup.fn(spark, sf)
+      .select($"vec_a", $"vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.q96EmbeddingNeardupLsh.fn(spark, sf)
+      .select($"vec_a", $"vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "smoke corpus should contain cosine near-dup pairs")
+    // precision is exact by construction: candidates are re-checked with the
+    // same exact cosine as q50, so every emitted pair must be in the truth set
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val missed = exact -- lsh
+    assert(missed.size <= exact.size / 10, s"bucket recall below 90%: missed $missed")
+  }
+
+  test("shingle frequency cap drops hot shingles and bounds the pair join") {
+    import spark.implicits._
+    // 80 docs sharing one boilerplate sentence: uncapped, each boilerplate
+    // shingle alone emits C(80,2) = 3160 candidate pairs (the quadratic
+    // blowup); capped at maxDf=50 the hot shingles vanish and only the
+    // per-doc-unique tail shingles survive.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (1L to 80L).map(i => (i, s"$boiler unique$i marker$i tail$i"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleDocs(docs).cache()
+    def pairCount(s: org.apache.spark.sql.DataFrame): Long =
+      s.toDF("ida", "sa").join(s.toDF("idb", "sb"), $"sa" === $"sb" && $"ida" < $"idb").count()
+    val uncapped = pairCount(sh)
+    assert(uncapped >= 80L * 79 / 2, s"fixture should blow up uncapped, got $uncapped")
+    val capped = Dedup.capShingles(sh, 50).cache()
+    val cappedPairs = pairCount(capped)
+    assert(cappedPairs < uncapped / 100, s"cap should collapse the join: $cappedPairs vs $uncapped")
+    // no surviving shingle exceeds the document-frequency cap
+    val maxDf = capped.groupBy($"s").agg(count(lit(1)).as("df")).agg(max($"df")).head
+    assert(maxDf.isNullAt(0) || maxDf.getLong(0) <= 50)
+    sh.unpersist(); capped.unpersist()
+  }
+
   test("brute-force kNN: neighbors are the true top-5 by cosine") {
     import spark.implicits._
     val knn = Similarity.q48KnnBruteForce.fn(spark, sf)

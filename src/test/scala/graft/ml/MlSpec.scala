@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
-import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder, TrainValidationSplit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
 
@@ -71,6 +71,27 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(model.avgMetrics.forall(m => m >= 0 && m <= 1))
     val best = model.bestModel.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
     assert(Array(0.001, 0.1).contains(best.getRegParam))
+  }
+
+  test("TrainValidationSplit picks a regParam from the grid, seeded-reproducible") {
+    val lr = new LogisticRegression().setMaxIter(20)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.001, 0.1))
+      .build()
+    val tvs = new TrainValidationSplit()
+      .setEstimator(lr)
+      .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid)
+      .setTrainRatio(0.75)
+      .setSeed(42)
+    val model = tvs.fit(data)
+    assert(model.validationMetrics.length === 2)
+    assert(model.validationMetrics.forall(m => m >= 0 && m <= 1))
+    val best = model.bestModel.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    assert(Array(0.001, 0.1).contains(best.getRegParam))
+    // same seed, same split, same winner and metrics
+    val again = tvs.fit(data)
+    assert(again.validationMetrics.toSeq === model.validationMetrics.toSeq)
   }
 
   test("PipelineModel save/load round-trip preserves predictions (MLWritable)") {
