@@ -163,16 +163,24 @@ object Windows {
   }
 
   /** q36's rank family computed two-phase — the 100 TB shape its caveat
-    * promises, with the identical oracle. Phase 1: range-repartition on the
-    * sort key and rank locally (window keyed by the stamped partition id, so
-    * every partition ranks in parallel — no global single-task funnel).
-    * Phase 2: cumulative per-partition counts (a ≤numPartitions-row table —
-    * the only single-task window) broadcast back as offsets; global
-    * row_number = offset + local rank. dense_rank ≡ that row number because
-    * the sort key is unique; ntile(10) and percent_rank are recovered
-    * arithmetically from (rn, N) using ntile's first-buckets-get-the-
-    * remainder rule. Correct under AQE coalescing: merged range partitions
-    * stay key-contiguous and pid order still follows the sort order. */
+    * promises, with the identical oracle. Phase 1: bin rows by a DETERMINISTIC
+    * monotone function of the sort key (value bucket = floor(acctbal/500),
+    * the same static-binning trick as q19's range join) and rank locally
+    * inside each bin — every bin ranks in parallel, no global single-task
+    * funnel. Phase 2: cumulative per-bin counts (a ≤#bins-row table — the
+    * only single-task window) broadcast back as offsets; global row_number =
+    * offset + local rank. dense_rank ≡ that row number because the sort key
+    * is unique; ntile(10) and percent_rank are recovered arithmetically from
+    * (rn, N) using ntile's first-buckets-get-the-remainder rule.
+    *
+    * Deliberately NOT `repartitionByRange` + `spark_partition_id()`: this
+    * DataFrame is consumed twice (rank branch + counts branch) and Catalyst
+    * recomputes the subtree per consumer — two independently-sampled range
+    * exchanges could pick different boundaries, de-syncing counts from
+    * ranks. A pure per-row bucket function is identical on every
+    * recomputation by construction. At 100 TB the static splits come from a
+    * quantile sketch over a sample instead of a hard-coded width, but stay
+    * constants in the plan, preserving the determinism. */
   val q97RankTwoPhase: GraftQuery = GraftQuery.oracled(
     "q97_rank_two_phase",
     """SELECT c_custkey,
@@ -183,19 +191,18 @@ object Windows {
       |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_custkey""") { (spark, dir) =>
     import spark.implicits._
-    val ranged = Tables.customer(spark, dir)
+    val binned = Tables.customer(spark, dir)
       .select($"c_custkey", $"c_acctbal")
-      .repartitionByRange(8, $"c_acctbal".desc, $"c_custkey")
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy($"pid").orderBy($"c_acctbal".desc, $"c_custkey")
-    val local = ranged.withColumn("lrn", row_number().over(wLocal).cast("long"))
-    val wPid = Window.orderBy($"pid")
-    val offsets = local.groupBy($"pid").agg(count(lit(1)).as("cnt"))
-      .select($"pid",
-        (sum($"cnt").over(wPid) - $"cnt").as("off"),
+      .withColumn("bkt", floor($"c_acctbal" / 500.0)) // monotone, pure → safe to recompute
+    val wLocal = Window.partitionBy($"bkt").orderBy($"c_acctbal".desc, $"c_custkey")
+    val local = binned.withColumn("lrn", row_number().over(wLocal).cast("long"))
+    val wBkt = Window.orderBy($"bkt".desc) // rank order is acctbal DESC → highest bin first
+    val offsets = local.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+      .select($"bkt",
+        (sum($"cnt").over(wBkt) - $"cnt").as("off"),
         sum($"cnt").over(
-          wPid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("total"))
-    local.join(broadcast(offsets), Seq("pid"))
+          wBkt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("total"))
+    local.join(broadcast(offsets), Seq("bkt"))
       .withColumn("rn", $"off" + $"lrn")
       .withColumn("base", floor($"total" / 10).cast("long"))
       .withColumn("rem", $"total" % 10)
