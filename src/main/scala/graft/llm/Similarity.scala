@@ -159,6 +159,60 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** IVF top-k: KMeans coarse quantizer (k cells, seeded) + nProbe-cell
+    * candidate generation + exact cosine rerank. The classic ANN layout:
+    * each query meets only the vectors assigned to its nProbe nearest
+    * centroids instead of the whole corpus — work drops from O(|C|·|Q|) to
+    * O(|C|·|Q|·nProbe/k) for a corpus roughly balanced across cells.
+    *
+    * Plan shape: the (tiny) probe set — |Q|·nProbe (query, cell) rows with
+    * the query vector — broadcasts against the cell-assigned corpus, so the
+    * big side never shuffles for the join; the only wide op is the final
+    * per-query top-k window over candidate rows. With nProbe = k this
+    * degenerates to exact brute force — LlmOpsSpec uses that identity as the
+    * plumbing's correctness gate, plus a recall floor at nProbe < k. */
+  private[llm] def ivfTopK(spark: SparkSession, dir: String, k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vecs = normed(spark, dir)
+      .withColumn("features", array_to_vector($"embedding"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs)
+      .select($"vec_id", $"embedding", $"nrm", $"cell")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    // nProbe nearest cells per query by euclidean distance to the centroid
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")
+    val probes = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", aggregate(
+        zip_with($"q_emb", $"centroid", (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cell_rnk", row_number().over(wProbe))
+      .filter($"cell_rnk" <= nProbe)
+      .select($"query_id", $"q_emb", $"q_nrm", $"cell")
+    val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rnk", stat($"cos").as("cosine"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** IVF ANN top-5 (k=16 cells, nProbe=4) for the query set — the learned-
+    * bucketer twin of q49's LSH path. Approx + seed-specific → rows-only;
+    * LlmOpsSpec gates recall vs q48 and proves nProbe=k ≡ brute force. */
+  val q98KnnIvf: GraftQuery = GraftQuery.rowsOnly(
+    "q98_knn_ivf",
+    doc = "IVF ANN: KMeans(k=16, seed=42) coarse cells, nProbe=4, exact cosine rerank, top-5 per query (vec_id<10)") {
+    (spark, dir) => ivfTopK(spark, dir, k = 16, nProbe = 4)
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh)
+    Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh, q98KnnIvf)
 }

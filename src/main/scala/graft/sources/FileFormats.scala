@@ -59,5 +59,26 @@ object FileFormats {
       .orderBy($"n_nationkey")
   }
 
-  def all: Seq[GraftQuery] = Seq(q67CsvRoundtrip, q68JsonRoundtrip)
+  /** ORC sink + scan round-trip on `supplier` (explicit schema; exercises a
+    * columnar format with its own type system — int32 vs int64, double —
+    * through the writer AND the vectorized ORC reader). */
+  val q99OrcRoundtrip: GraftQuery = GraftQuery.oracled(
+    "q99_orc_roundtrip",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |ORDER BY s_suppkey""") { (spark, dir) =>
+    import spark.implicits._
+    val out = freshDir("supplier_orc")
+    Tables.supplier(spark, dir)
+      .coalesce(1)
+      .write.mode("overwrite").orc(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType, nullable = true),
+      StructField("s_name", StringType, nullable = true),
+      StructField("s_nationkey", IntegerType, nullable = true),
+      StructField("s_acctbal", DoubleType, nullable = true)))
+    spark.read.schema(schema).orc(out)
+      .orderBy($"s_suppkey")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q67CsvRoundtrip, q68JsonRoundtrip, q99OrcRoundtrip)
 }

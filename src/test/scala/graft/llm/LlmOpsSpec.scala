@@ -97,6 +97,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     sh.unpersist(); capped.unpersist()
   }
 
+  test("IVF ANN with nProbe=k is exactly brute force; nProbe=4 keeps recall") {
+    import spark.implicits._
+    val exact = Similarity.q48KnnBruteForce.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every cell degenerates IVF to exact search — the candidate
+    // generation + rerank plumbing must reproduce q48 verbatim
+    val full = Similarity.ivfTopK(spark, sf, k = 8, nProbe = 8)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, s"nProbe=k should equal brute force; diff ${(full -- exact) ++ (exact -- full)}")
+    // the shipped q98 config (k=16, nProbe=4) probes a quarter of the space
+    val ivf = Similarity.q98KnnIvf.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor; missed ${exact -- ivf}")
+  }
+
   test("brute-force kNN: neighbors are the true top-5 by cosine") {
     import spark.implicits._
     val knn = Similarity.q48KnnBruteForce.fn(spark, sf)
