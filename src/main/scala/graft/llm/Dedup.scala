@@ -166,6 +166,88 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Connected components by distributed min-label propagation: every vertex
+    * starts labeled with its own id; each round every vertex takes the min of
+    * its label and its neighbors' labels; fixpoint = per-component min id.
+    * Each round is two distributed ops (edge-label join + min-groupBy); the
+    * driver only checks a converged COUNT per round (the same E3 pattern as
+    * every iterative MLlib fit — no row data ever reaches the driver).
+    * Rounds are bounded by component diameter — near-dup clusters are
+    * shallow clique-ish blobs, so a handful in practice. At 100 TB, swap the
+    * plain propagation for the large-star/small-star alternation (Kiveris et
+    * al., "Connected Components in MapReduce"), which bounds rounds by
+    * O(log n) under adversarial chains; the per-round plan shape is the
+    * same joins. */
+  private[llm] def minLabelComponents(
+      vertices: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val e = pairs.toDF("a", "b")
+    val sym = e.union(e.select($"b", $"a")).toDF("src", "dst").cache()
+    var labels = vertices.toDF("id").select($"id", $"id".as("lbl")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbr = sym
+        .join(labels.select($"id".as("src"), $"lbl".as("slbl")), Seq("src"))
+        .groupBy($"dst".as("id")).agg(min($"slbl").as("nbr"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select($"id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl")).cache()
+      changed = next.join(labels.select($"id", $"lbl".as("prev")), Seq("id"))
+        .filter($"lbl" < $"prev").count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Dedup clustering: connected components over the exact near-dup pair set
+    * (q45), assigning every document a canonical cluster id (the min doc_id
+    * reachable through near-dup edges; singletons are their own cluster) —
+    * the step that turns pairwise near-dup detection into a keep/drop
+    * decision per document. Oracle: a DuckDB recursive CTE computes the same
+    * min-reachable-id fixpoint declaratively. */
+  val q100DedupClusters: GraftQuery = GraftQuery.oracled(
+    "q100_dedup_clusters",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b FROM pairs
+      |         JOIN sizes sa ON doc_a = sa.doc_id
+      |         JOIN sizes sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |          UNION ALL
+      |          SELECT doc_b, doc_a FROM good),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      |)
+      |SELECT id AS doc_id, min(lbl) AS cluster_id,
+      |       CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS is_canonical
+      |FROM reach GROUP BY id
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val pairs = q45NeardupJaccard.fn(spark, dir).select($"doc_a", $"doc_b")
+    val verts = Tables.documents(spark, dir).select($"doc_id")
+    minLabelComponents(verts, pairs)
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"),
+        when($"id" === $"lbl", 1).otherwise(0).as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash)
+    q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
+    q100DedupClusters)
 }

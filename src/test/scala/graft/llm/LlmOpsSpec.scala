@@ -97,6 +97,18 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     sh.unpersist(); capped.unpersist()
   }
 
+  test("min-label propagation: path graph collapses to one cluster, singleton survives") {
+    import spark.implicits._
+    // path 1-2-3-4-5 forces label 1 to travel 4 hops (multi-round
+    // convergence), 6-7 is a separate component, 8 is isolated
+    val verts = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.minLabelComponents(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
   test("IVF ANN with nProbe=k is exactly brute force; nProbe=4 keeps recall") {
     import spark.implicits._
     val exact = Similarity.q48KnnBruteForce.fn(spark, sf)
