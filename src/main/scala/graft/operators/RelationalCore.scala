@@ -244,8 +244,50 @@ object RelationalCore {
       .orderBy($"split")
   }
 
+  /** Stratified (per-class) sampling via `df.stat.sampleBy` — class-balanced
+    * downsampling for training corpora (e.g. cap the dominant language).
+    * Bernoulli per row against the stratum's fraction → fully map-side, no
+    * shuffle before the reporting agg. Seeded but RNG-dependent → rows-only;
+    * ScalaTest gates per-stratum ratios and seed-reproducibility. */
+  val q101StratifiedSample: GraftQuery = GraftQuery.rowsOnly(
+    "q101_stratified_sample",
+    doc = "sampleBy(lang, en->0.5 others->0.25, seed=42) on documents; returns (lang, n_sampled)") { (spark, dir) =>
+    import spark.implicits._
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
+    Tables.documents(spark, dir)
+      .stat.sampleBy("lang", fractions, 42L)
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+      .orderBy($"lang")
+  }
+
+  /** Deterministic hash-bucket sampling/splits: bucket = first 8 hex digits
+    * of md5(key) mod 20; train/valid/test = 80/10/10 by bucket range. The
+    * reproducible, engine-portable alternative to `randomSplit` for corpus
+    * splits — the assignment is a pure function of the key, so it is stable
+    * across runs, partitionings, engines, and data appends (a new doc never
+    * moves an old doc's split), and membership can be re-derived by any
+    * system that can md5. Fully map-side; exactly oracle-able. */
+  val q102HashBucketSplit: GraftQuery = GraftQuery.oracled(
+    "q102_hash_bucket_split",
+    """SELECT doc_id, bucket,
+      |       CASE WHEN bucket < 16 THEN 'train'
+      |            WHEN bucket < 18 THEN 'valid'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long") % 20).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 16, "train").when($"bucket" < 18, "valid").otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02ProjectFilter, q03CaseBuckets, q04CastsNulls,
     q05Distinct, q06TopNOffset, q07UnionAll, q08Intersect, q09Except,
-    q10MultisetOps, q11SampleSplit)
+    q10MultisetOps, q11SampleSplit, q101StratifiedSample, q102HashBucketSplit)
 }

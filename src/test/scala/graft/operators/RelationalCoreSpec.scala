@@ -39,6 +39,38 @@ class RelationalCoreSpec extends AnyFunSuite with SparkFixture {
     assert(a.count() > n * 0.35 && a.count() < n * 0.65)
   }
 
+  test("sampleBy: per-stratum ratios near fractions, seed-reproducible") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
+    val a = docs.stat.sampleBy("lang", fractions, 42L)
+    val b = docs.stat.sampleBy("lang", fractions, 42L)
+    assert(a.select($"doc_id").collect().toSet === b.select($"doc_id").collect().toSet)
+    val totals = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, frac) <- fractions if totals.getOrElse(lang, 0L) >= 20) {
+      val ratio = sampled.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(ratio - frac) < 0.2, s"$lang ratio $ratio vs fraction $frac")
+    }
+  }
+
+  test("hash-bucket split: pure function of key, 80/10/10-ish, append-stable") {
+    import spark.implicits._
+    val full = RelationalCore.q102HashBucketSplit.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val n = full.size.toDouble
+    val shares = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.12, s"train share ${shares("train")}")
+    // append-stability: recomputing on any subset assigns identical splits
+    val subset = Tables.documents(spark, sf).filter($"doc_id" % 3 === 0)
+    val sub = RelationalCore.q102HashBucketSplit.fn(spark, sf)
+      .join(subset.select($"doc_id"), Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sub.forall { case (id, s) => full(id) == s })
+  }
+
   test("set ops: union/intersect/except algebra on custkeys") {
     import spark.implicits._
     val c = Tables.customer(spark, sf)
