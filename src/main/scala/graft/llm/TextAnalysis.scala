@@ -186,6 +186,35 @@ object TextAnalysis {
       .orderBy($"source", $"rnk")
   }
 
+  /** Corpus cleaning / PII masking: strip markup, redact email addresses,
+    * collapse runs of whitespace — the standard pre-tokenization scrub in a
+    * training-data pipeline. Pure per-row regex projections (codegen'd, no
+    * shuffle); patterns kept to the Java∩DuckDB-compatible regex subset so
+    * the op is exactly oracle-able. */
+  val q103TextClean: GraftQuery = GraftQuery.oracled(
+    "q103_text_clean",
+    """SELECT doc_id,
+      |       trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |         '<[^>]*>', ' ', 'g'),
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |         '[ \t]+', ' ', 'g')) AS clean_text,
+      |       len(regexp_extract_all(text,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails_masked
+      |FROM documents
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        trim(regexp_replace(regexp_replace(regexp_replace($"text",
+          "<[^>]*>", " "),
+          email, "<EMAIL>"),
+          "[ \t]+", " ")).as("clean_text"),
+        size(regexp_extract_all($"text", lit(email), lit(0))).as("n_emails_masked"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms)
+    q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
+    q103TextClean)
 }

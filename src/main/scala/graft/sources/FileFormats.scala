@@ -80,5 +80,35 @@ object FileFormats {
       .orderBy($"s_suppkey")
   }
 
-  def all: Seq[GraftQuery] = Seq(q67CsvRoundtrip, q68JsonRoundtrip, q99OrcRoundtrip)
+  /** Parquet schema evolution: batch 1 written with (doc_id, text_len),
+    * batch 2 later adds a `lang` column; `mergeSchema=true` reads both with
+    * NULLs where the old files lack the column — the standard additive-
+    * column story for a long-lived 100 TB lake. (Footer merging costs one
+    * file-listing pass; production layouts record the merged schema in a
+    * catalog instead of re-merging per read — noted, not modeled here.) */
+  val q104SchemaEvolution: GraftQuery = GraftQuery.oracled(
+    "q104_schema_evolution",
+    """SELECT doc_id, text_len, lang FROM (
+      |  SELECT doc_id, length(text) AS text_len, CAST(NULL AS VARCHAR) AS lang
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, length(text) AS text_len, lang
+      |  FROM documents WHERE doc_id % 2 = 1
+      |) ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val out = freshDir("docs_evolving")
+    val docs = Tables.documents(spark, dir)
+    docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", length($"text").as("text_len"))
+      .write.mode("overwrite").parquet(out + "/b1")
+    docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", length($"text").as("text_len"), $"lang")
+      .write.mode("overwrite").parquet(out + "/b2")
+    spark.read.option("mergeSchema", "true").parquet(out + "/b1", out + "/b2")
+      .select($"doc_id", $"text_len", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(q67CsvRoundtrip, q68JsonRoundtrip, q99OrcRoundtrip, q104SchemaEvolution)
 }
