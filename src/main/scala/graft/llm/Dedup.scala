@@ -137,13 +137,10 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** SimHash-64: per token xxhash64, each bit votes ±1, sign of the vote sum
-    * per bit position → 64-bit fingerprint. Pure codegen'd HOFs, single
-    * projection, no shuffle. Near-dups differ in few bits (banded equi-join
-    * downstream). Engine-specific hash → rows-only. */
-  val q47Simhash: GraftQuery = GraftQuery.rowsOnly(
-    "q47_simhash",
-    doc = "64-bit SimHash over whitespace tokens via xxhash64 bit votes") { (spark, dir) =>
+  /** (doc_id, simhash) signatures — shared by q47 (signature dump) and q105
+    * (banded pair join). Pure codegen'd HOFs, single projection, no shuffle,
+    * fully deterministic (safe for multi-consumer recomputation). */
+  private[llm] def simhashes(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
@@ -163,7 +160,49 @@ object Dedup {
                    i -> CASE WHEN votes[i] > 0L THEN shiftleft(1L, i) ELSE 0L END),
                  0L, (acc, b) -> acc | b)"""))
       .select($"doc_id", $"simhash")
-      .orderBy($"doc_id")
+  }
+
+  /** SimHash-64: per token xxhash64, each bit votes ±1, sign of the vote sum
+    * per bit position → 64-bit fingerprint. Near-dups differ in few bits
+    * (q105 does the banded pair join). Engine-specific hash → rows-only. */
+  val q47Simhash: GraftQuery = GraftQuery.rowsOnly(
+    "q47_simhash",
+    doc = "64-bit SimHash over whitespace tokens via xxhash64 bit votes") { (spark, dir) =>
+    import spark.implicits._
+    simhashes(spark, dir).orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup PAIRS via banding: split the 64-bit signature into 4
+    * 16-bit bands, bucket-join on (band, value), verify with bit_count.
+    * Pigeonhole guarantee: a pair within hamming distance 3 differs in ≤3 of
+    * 64 bits, so at least one of the 4 bands is identical — banding recall
+    * for the hamming≤3 set is EXACTLY 1 (LlmOpsSpec asserts set equality
+    * against the all-pairs scan). Sub-quadratic: docs only meet inside
+    * shared band buckets, never all-pairs.
+    *
+    * Band width is the recall-radius vs bucket-selectivity dial, and it
+    * matters: an 8×8-bit variant (hamming≤7 guarantee) measured 723 s at
+    * sf0.1 vs 2 s for this one — template-heavy corpora concentrate simhash
+    * bits, so coarse 256-value buckets go quadratic exactly like uncapped
+    * q45 shingles. Wider radii at scale come from multi-probe (flip ≤r bits
+    * of a 16-bit band), not coarser bands. */
+  val q105SimhashNeardup: GraftQuery = GraftQuery.rowsOnly(
+    "q105_simhash_neardup",
+    doc = "banded simhash join (4x16-bit bands), hamming<=3 verified pairs") { (spark, dir) =>
+    import spark.implicits._
+    val banded = simhashes(spark, dir)
+      .select($"doc_id", $"simhash", explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'v', shiftright(simhash, b*16) & 65535L))")).as("bv"))
+      .select($"doc_id", $"simhash", $"bv.band".as("band"), $"bv.v".as("v"))
+    val a = banded.toDF("doc_a", "sim_a", "band", "v")
+    val b = banded.toDF("doc_b", "sim_b", "band", "v")
+    a.join(b, Seq("band", "v"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b").distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Connected components by distributed min-label propagation: every vertex
@@ -249,5 +288,5 @@ object Dedup {
 
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
-    q100DedupClusters)
+    q100DedupClusters, q105SimhashNeardup)
 }

@@ -97,6 +97,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     sh.unpersist(); capped.unpersist()
   }
 
+  test("banded simhash join returns exactly the hamming<=3 pair set (pigeonhole)") {
+    val sim = Dedup.q47Simhash.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sim.keys.toArray.sorted
+    val exact = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sim(a) ^ sim(b)) <= 3
+    } yield (a, b)).toSet
+    assert(exact.nonEmpty, "smoke corpus should contain hamming<=3 simhash pairs")
+    val banded = Dedup.q105SimhashNeardup.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === exact,
+      s"banding must equal the all-pairs hamming<=3 set; diff ${(banded -- exact) ++ (exact -- banded)}")
+  }
+
   test("min-label propagation: path graph collapses to one cluster, singleton survives") {
     import spark.implicits._
     // path 1-2-3-4-5 forces label 1 to travel 4 hops (multi-round
