@@ -138,9 +138,25 @@ object Dedup {
   }
 
   /** (doc_id, simhash) signatures — shared by q47 (signature dump) and q105
-    * (banded pair join). Pure codegen'd HOFs, single projection, no shuffle,
-    * fully deterministic (safe for multi-consumer recomputation). */
+    * (banded pair join). One codegen'd [[graft.functions.SimHash64]] kernel
+    * call per document: single projection, no shuffle, fully deterministic
+    * (safe for multi-consumer recomputation). */
   private[llm] def simhashes(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.functions.SimHashExpression.register(spark)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.functions.SimHashExpression.simhash64(split($"text", " ")).as("simhash"))
+  }
+
+  /** The declarative HOF formulation of the same signature — KEPT ONLY as the
+    * bit-equality oracle for the [[graft.functions.SimHash64]] kernel
+    * (SimHashSpec). Never use it in a pipeline: the nested
+    * aggregate/zip_with/transform evaluates interpreted and recomputes
+    * `xxhash64(tok)` once per BIT (64× per token) — measured ~270 s for the
+    * signature projection alone at sf0.1, the root cause of round 3's
+    * 552 s q105. */
+  private[llm] def simhashesHof(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
@@ -172,37 +188,115 @@ object Dedup {
     simhashes(spark, dir).orderBy($"doc_id")
   }
 
-  /** SimHash near-dup PAIRS via banding: split the 64-bit signature into 4
-    * 16-bit bands, bucket-join on (band, value), verify with bit_count.
-    * Pigeonhole guarantee: a pair within hamming distance 3 differs in ≤3 of
-    * 64 bits, so at least one of the 4 bands is identical — banding recall
-    * for the hamming≤3 set is EXACTLY 1 (LlmOpsSpec asserts set equality
-    * against the all-pairs scan). Sub-quadratic: docs only meet inside
-    * shared band buckets, never all-pairs.
+  /** Band buckets larger than this re-band on the remaining 48 bits before
+    * pair emission ([[simhashPairs]]) — the analogue of [[MaxShingleDf]] for
+    * the simhash join: a (band, value) bucket shared by k docs would emit k²
+    * candidates unchecked. */
+  private[llm] val MaxBandBucket = 256
+
+  /** SimHash near-dup PAIRS from a (doc_id, simhash) frame via banding: split
+    * the 64-bit signature into 4 16-bit bands, bucket-join on (band, value),
+    * verify with bit_count. Pigeonhole guarantee: a pair within hamming
+    * distance 3 differs in ≤3 of 64 bits, so at least one of the 4 bands is
+    * identical — banding recall for the hamming≤3 set is EXACTLY 1
+    * (SimHashSpec asserts set equality against the all-pairs scan).
+    * Sub-quadratic: docs only meet inside shared band buckets, never
+    * all-pairs.
     *
-    * Band width is the recall-radius vs bucket-selectivity dial, and it
-    * matters: an 8×8-bit variant (hamming≤7 guarantee) measured 723 s at
-    * sf0.1 vs 2 s for this one — template-heavy corpora concentrate simhash
-    * bits, so coarse 256-value buckets go quadratic exactly like uncapped
-    * q45 shingles. Wider radii at scale come from multi-probe (flip ≤r bits
-    * of a 16-bit band), not coarser bands. */
-  val q105SimhashNeardup: GraftQuery = GraftQuery.rowsOnly(
-    "q105_simhash_neardup",
-    doc = "banded simhash join (4x16-bit bands), hamming<=3 verified pairs") { (spark, dir) =>
+    * Two scale guards, both exactness-preserving:
+    *
+    *  1. Hot buckets sub-band. A (band, v) bucket of size > maxBucket
+    *     (template corpora concentrate simhash bits) re-applies the
+    *     pigeonhole: within a matching 16-bit band, a hamming≤3 pair differs
+    *     in ≤3 of the remaining 48 bits, so one of 4 12-bit sub-bands of
+    *     those 48 bits is identical. Hot docs join on (band, v, sub, subv)
+    *     instead of (band, v), splitting a k² bucket into its sub-band
+    *     cells. (A pathological corpus agreeing on 28 bits could recurse —
+    *     12-bit sub-band matched → 4×9-bit sub-sub-bands of the remaining
+    *     36 — but one level covers the observed blowups.)
+    *
+    *  2. No global `distinct()`. A pair matching in several bands (or
+    *     sub-bands) is deduplicated by construction: keep a row only where
+    *     its band is the FIRST band on which the two signatures agree (and,
+    *     within a hot band, the first agreeing sub-band) — a codegen'd
+    *     filter computed from sim_a/sim_b alone, replacing a full shuffle
+    *     of the candidate set.
+    *
+    * Band width is the recall-radius vs bucket-selectivity dial: an 8×8-bit
+    * variant (hamming≤7 guarantee) measured 723 s at sf0.1 because coarse
+    * 256-value buckets go quadratic exactly like uncapped q45 shingles.
+    * Wider radii come from multi-probe (q108: flip ≤1 bit of a 16-bit
+    * band), never from coarser bands. */
+  private[llm] def simhashPairs(
+      sigs: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = MaxBandBucket): org.apache.spark.sql.DataFrame = {
+    val spark = sigs.sparkSession
     import spark.implicits._
-    val banded = simhashes(spark, dir)
+    val banded = sigs
       .select($"doc_id", $"simhash", explode(expr(
         "transform(sequence(0, 3), b -> named_struct('band', b, 'v', shiftright(simhash, b*16) & 65535L))")).as("bv"))
       .select($"doc_id", $"simhash", $"bv.band".as("band"), $"bv.v".as("v"))
-    val a = banded.toDF("doc_a", "sim_a", "band", "v")
-    val b = banded.toDF("doc_b", "sim_b", "band", "v")
-    a.join(b, Seq("band", "v"))
+    // bucket census: the hot key set is tiny by construction → broadcast;
+    // the banded stream itself never shuffles for the split.
+    val hot = banded.groupBy($"band", $"v").agg(count(lit(1)).as("k"))
+      .filter($"k" > maxBucket).select($"band", $"v")
+    val cold = banded.join(broadcast(hot), Seq("band", "v"), "left_anti")
+
+    val coldPairs = cold.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"v")
+      .join(cold.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"band", $"v"),
+        Seq("band", "v"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b").distinct()
+      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b", $"band")
+
+    // hot path: rem = the three non-matching bands packed low-to-high
+    // (48 bits); sub-band s = bits [12s, 12s+12) of rem. shiftrightunsigned
+    // keeps the packing clean; band=3 needs the CASE because a 64-bit shift
+    // is a no-op in two's-complement shift semantics.
+    val rem = expr(
+      """(simhash & (shiftleft(1L, band * 16) - 1L)) |
+        |shiftleft(CASE WHEN band = 3 THEN 0L
+        |               ELSE shiftrightunsigned(simhash, (band + 1) * 16) END,
+        |          band * 16)""".stripMargin)
+    val subbed = banded.join(broadcast(hot), Seq("band", "v"), "left_semi")
+      .withColumn("rem", rem)
+      .select($"doc_id", $"simhash", $"band", $"v", $"rem", explode(expr(
+        "transform(sequence(0, 3), s -> named_struct('sub', s, 'sv', shiftrightunsigned(rem, s*12) & 4095L))")).as("ssv"))
+      .select($"doc_id", $"simhash", $"band", $"v", $"rem",
+        $"ssv.sub".as("sub"), $"ssv.sv".as("sv"))
+    val hotPairs = subbed
+      .select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"rem".as("rem_a"),
+        $"band", $"v", $"sub", $"sv")
+      .join(subbed.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"),
+        $"rem".as("rem_b"), $"band", $"v", $"sub", $"sv"),
+        Seq("band", "v", "sub", "sv"))
+      .filter($"doc_a" < $"doc_b")
+      // within one hot band, keep only the first agreeing sub-band
+      .filter(expr(
+        "sub = filter(sequence(0, 3), s -> (shiftrightunsigned(rem_a, s*12) & 4095L) = (shiftrightunsigned(rem_b, s*12) & 4095L))[0]"))
+      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b", $"band")
+
+    coldPairs.union(hotPairs)
+      // keep only the first band on which the signatures agree — every
+      // hamming<=3 pair is emitted on ALL its agreeing bands (cold always;
+      // hot via the sub-band pigeonhole), so exactly one row survives.
+      .filter(expr(
+        "band = filter(sequence(0, 3), bb -> (shiftright(sim_a ^ sim_b, bb*16) & 65535L) = 0L)[0]"))
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter($"hamming" <= 3)
       .select($"doc_a", $"doc_b", $"hamming")
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash near-dup pairs over `documents`: [[simhashes]] (codegen kernel)
+    * → repartition by doc_id (documents.parquet arrives as few splits; the
+    * banded self-join should fan out across all cores — at cluster scale
+    * you would persist/checkpoint the signature frame instead of relying on
+    * deterministic recomputation) → [[simhashPairs]]. */
+  val q105SimhashNeardup: GraftQuery = GraftQuery.rowsOnly(
+    "q105_simhash_neardup",
+    doc = "banded simhash join (4x16-bit bands + hot-bucket sub-banding), hamming<=3 verified pairs") { (spark, dir) =>
+    import spark.implicits._
+    val sigs = simhashes(spark, dir).repartition(col("doc_id"))
+    simhashPairs(sigs).orderBy($"doc_a", $"doc_b")
   }
 
   /** Connected components by distributed min-label propagation: every vertex
