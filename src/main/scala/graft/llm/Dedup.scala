@@ -318,7 +318,13 @@ object Dedup {
     import spark.implicits._
     val e = pairs.toDF("a", "b")
     val sym = e.union(e.select($"b", $"a")).toDF("src", "dst").cache()
-    var labels = vertices.toDF("id").select($"id", $"id".as("lbl")).cache()
+    // localCheckpoint (eager) per round: each round's frame references the
+    // previous one 2×, so plain cache() grows the LOGICAL plan 2^rounds —
+    // lineage must be truncated, not just memoized. (On a real cluster use
+    // reliable `checkpoint()`: localCheckpoint does not survive executor
+    // loss.)
+    var labels = vertices.toDF("id").select($"id", $"id".as("lbl"))
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
@@ -326,15 +332,93 @@ object Dedup {
         .join(labels.select($"id".as("src"), $"lbl".as("slbl")), Seq("src"))
         .groupBy($"dst".as("id")).agg(min($"slbl").as("nbr"))
       val next = labels.join(nbr, Seq("id"), "left")
-        .select($"id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl")).cache()
+        .select($"id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
+        .localCheckpoint(true)
       changed = next.join(labels.select($"id", $"lbl".as("prev")), Seq("id"))
         .filter($"lbl" < $"prev").count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
     sym.unpersist()
+    // Fail LOUDLY on non-convergence: a component whose diameter exceeds the
+    // round cap would otherwise return silently-wrong labels. Diameter-bound
+    // graphs (near-dup cliques) converge in a handful of rounds; adversarial
+    // chains belong on [[starComponents]], whose rounds are O(log n).
+    require(changed == 0,
+      s"min-label propagation did not converge in $iter rounds; " +
+        "use starComponents (large-star/small-star) for high-diameter graphs")
     labels
+  }
+
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SOCC'14): every node u links each LARGER
+    * neighbor v to m = min(Γ(u) ∪ {u}). Input/output: directed edges
+    * (u > v), deduplicated. One symmetric groupBy-min + one hash join per
+    * round — no adjacency lists are ever collected. */
+  private[llm] def largeStar(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.union(edges.select($"v".as("u"), $"u".as("v")))
+    val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+      .select($"u", least($"mn", $"u").as("m"))
+    sym.filter($"v" > $"u")
+      .join(mins, Seq("u"))
+      .select($"v".as("u"), $"m".as("v")) // v > u ≥ m ⇒ stays directed large→small
+      .filter($"u" =!= $"v")
+      .distinct()
+  }
+
+  /** One small-star round: every node u links each SMALLER-or-self neighbor
+    * (and itself) to m = min of its smaller neighborhood. Keeps edges
+    * directed (u > v). */
+  private[llm] def smallStar(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val mins = edges.groupBy($"u").agg(min($"v").as("m"))
+    val j = edges.join(mins, Seq("u"))
+    j.select($"v".as("u"), $"m".as("v"))         // (v, m) for v ∈ N_small(u)
+      .union(j.select($"u", $"m").distinct())    // (u, m)
+      .filter($"u" =!= $"v")
+      .distinct()
+  }
+
+  /** Connected components by large-star/small-star alternation — the 100 TB
+    * variant of [[minLabelComponents]]: rounds bounded O(log n) even on
+    * adversarial path graphs (where plain propagation needs diameter rounds;
+    * StarComponentsSpec proves ≤⌈log₂⌉+2 rounds on a 64-chain). Fixpoint =
+    * star graphs, every non-root pointing at its component's min id; the
+    * driver sees only two scalar counts per round (edge count + changed
+    * count), never row data. */
+  private[llm] def starComponents(
+      vertices: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = 50): (org.apache.spark.sql.DataFrame, Int) = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    // localCheckpoint (eager) per round: one round references `edges` 4×
+    // (large-star's sym + mins, the convergence diff), so cache() alone
+    // still grows the LOGICAL plan ~4^rounds — truncate lineage instead.
+    // (On a real cluster use reliable `checkpoint()`.)
+    var edges = pairs.toDF("a", "b").filter($"a" =!= $"b")
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      .distinct().localCheckpoint(true)
+    var nEdges = edges.count()
+    var converged = nEdges == 0
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nNext = next.count()
+      // set equality = equal counts + empty difference (both driver scalars)
+      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      edges = next
+      nEdges = nNext
+      iter += 1
+    }
+    require(converged, s"large-star/small-star did not converge in $iter rounds")
+    val roots = edges.groupBy($"u".as("id")).agg(min($"v").as("root"))
+    vertices.toDF("id")
+      .join(roots, Seq("id"), "left")
+      .select($"id", coalesce($"root", $"id").as("lbl")) -> iter
   }
 
   /** Dedup clustering: connected components over the exact near-dup pair set
@@ -380,7 +464,77 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Dedup clustering again, via [[starComponents]] — same answer as q100
+    * (identical oracle), different 100 TB plan: rounds bounded O(log n)
+    * instead of component diameter, so adversarial near-dup chains (doc A ~
+    * doc B ~ doc C ... with no direct A~C edge) cannot stall convergence. */
+  val q109DedupClustersStar: GraftQuery = GraftQuery.oracled(
+    "q109_dedup_clusters_star",
+    q100DedupClusters.oracle.get,
+    doc = "connected components via large-star/small-star alternation (O(log n) rounds)") { (spark, dir) =>
+    import spark.implicits._
+    val pairs = q45NeardupJaccard.fn(spark, dir).select($"doc_a", $"doc_b")
+    val verts = Tables.documents(spark, dir).select($"doc_id")
+    starComponents(verts, pairs)._1
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"),
+        when($"id" === $"lbl", 1).otherwise(0).as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash pairs at hamming radius ≤ 7 via MULTI-PROBE banding — the
+    * promised radius extension beyond q105's ≤3, without coarsening bands
+    * (8-bit bands measured 723 s at sf0.1; see [[simhashPairs]]).
+    *
+    * Pigeonhole at radius 7: ≤7 differing bits over 4 bands means SOME band
+    * differs in ≤1 bit (4 bands × 2 bits each would need ≥8). So one side of
+    * the self-join probes each band's value PLUS its 16 one-bit flips (17
+    * probes), the other side keeps exact values; a pair lands in a shared
+    * (band, value) bucket iff that band's hamming ≤ 1 — recall is exactly 1
+    * for the radius-7 set (MultiprobeSpec asserts set equality vs all-pairs).
+    *
+    * Candidate-volume bound: probe expansion is a fixed 17× on ONE join side
+    * (68 rows/doc), and buckets keep full 16-bit selectivity — multi-probe
+    * trades linear expansion for the quadratic blowup coarser bands cause.
+    * Dedup needs no `distinct()`: within a band, exactly one probe can equal
+    * the other side's value (flip positions are unique), and across bands a
+    * first-agreeing-band filter keeps one row, both codegen'd filters. */
+  private[llm] def simhashPairsMultiprobe(
+      sigs: org.apache.spark.sql.DataFrame,
+      radius: Int = 7): org.apache.spark.sql.DataFrame = {
+    require(radius <= 7, s"radius $radius > 7 needs 2-bit probes or more bands")
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val banded = sigs
+      .select($"doc_id", $"simhash", explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'v', shiftright(simhash, b*16) & 65535L))")).as("bv"))
+      .select($"doc_id", $"simhash", $"bv.band".as("band"), $"bv.v".as("v"))
+    val probed = banded.select($"doc_id", $"simhash", $"band", explode(expr(
+        "transform(sequence(0, 16), p -> CASE WHEN p = 16 THEN v ELSE cast(v ^ shiftleft(1L, p) AS BIGINT) END)")).as("v"))
+    probed.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"v")
+      .join(banded.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"band", $"v"),
+        Seq("band", "v"))
+      .filter($"doc_a" < $"doc_b")
+      // one row per pair: first band whose hamming ≤ 1 (within a band the
+      // matching probe is unique, so no intra-band dupes exist)
+      .filter(expr(
+        "band = filter(sequence(0, 3), bb -> bit_count(shiftright(sim_a ^ sim_b, bb*16) & 65535L) <= 1)[0]"))
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter($"hamming" <= radius)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ 7 over `documents` — q105's
+    * radius-extended sibling (multi-probe banding, same signature frame). */
+  val q108SimhashMultiprobe: GraftQuery = GraftQuery.rowsOnly(
+    "q108_simhash_multiprobe",
+    doc = "multi-probe banded simhash join (17 probes/band), hamming<=7 verified pairs") { (spark, dir) =>
+    import spark.implicits._
+    val sigs = simhashes(spark, dir).repartition(col("doc_id"))
+    simhashPairsMultiprobe(sigs).orderBy($"doc_a", $"doc_b")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
-    q100DedupClusters, q105SimhashNeardup)
+    q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
+    q109DedupClustersStar)
 }
