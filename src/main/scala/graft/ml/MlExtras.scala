@@ -127,7 +127,51 @@ object MlExtras {
       .orderBy($"label", $"prediction")
   }
 
+  /** Word2Vec (§2.9's last un-cataloged stage): skip-gram embeddings of the
+    * documents vocabulary, surfaced as a top-synonyms table — for each of the
+    * 10 most frequent in-vocab terms, the 3 nearest vocabulary neighbors by
+    * cosine over the learned vectors. Deterministic for fixed data:
+    * seed=42 + numPartitions=1 pins the training schedule (the catalog
+    * determinism spec fits it twice). The neighbor search is distributed:
+    * probe vectors broadcast (10 rows), the vocabulary frame never collects,
+    * cosine runs on the codegen'd graft_dot kernel, top-3 via a
+    * per-probe rank window. */
+  val q106Word2vecSynonyms: GraftQuery = GraftQuery.rowsOnly(
+    "q106_word2vec_synonyms",
+    doc = "Word2Vec(dim=32, seed=42, numPartitions=1) over documents tokens; top-3 cosine neighbors of the 10 most frequent terms") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.ml.feature.Word2Vec
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(spark)
+    val dot = graft.functions.VectorExpressions.graftDot _
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("tokens"))
+    val model = new Word2Vec()
+      .setInputCol("tokens").setOutputCol("vec")
+      .setVectorSize(32).setMinCount(5).setMaxIter(1)
+      .setSeed(42).setNumPartitions(1)
+      .fit(toks)
+    val vecs = model.getVectors
+      .select($"word", vector_to_array($"vector").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val topTerms = toks.select(explode($"tokens").as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .join(vecs.select($"word"), Seq("word"), "left_semi")
+      .orderBy(desc("n"), $"word").limit(10)
+    val probes = broadcast(topTerms.join(vecs, Seq("word"))
+      .select($"word".as("term"), $"v".as("pv"), $"nrm".as("pn")))
+    val cos = dot($"v", $"pv") / ($"nrm" * $"pn")
+    val ranked = vecs.join(probes, $"word" =!= $"term")
+      .withColumn("cosine", cos)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"term").orderBy(desc("cosine"), $"word")))
+      .filter($"rk" <= 3)
+    ranked.select($"term", $"word".as("synonym"), $"rk".as("rank"), stat($"cosine").as("cosine"))
+      .orderBy($"term", $"rk")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q73NbText, q74OvrLinearSvc, q75StopwordsCountvec, q76PcaProjection,
-    q93Mlp, q94Fm)
+    q93Mlp, q94Fm, q106Word2vecSynonyms)
 }

@@ -141,6 +141,29 @@ object StreamingQueries {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** Streaming dedup, `dropDuplicatesWithinWatermark` variant (SURVEY §2.8):
+    * unlike q64's `dropDuplicates` (state kept forever), state per key
+    * expires once the watermark passes its event time + delay — the bounded-
+    * state form for 100 TB streams, at the cost of possibly re-emitting a key
+    * whose duplicates arrive farther apart than the delay. Under a
+    * single-batch AvailableNow replay nothing expires mid-batch (the watermark
+    * only advances between batches), so the emitted key set equals batch
+    * DISTINCT — which makes it oracle-able; the cross-batch expiry semantics
+    * are pinned by StreamingSpec's two-batch MemoryStream test. */
+  val q107StreamDedupWithinWm: GraftQuery = GraftQuery.oracled(
+    "q107_stream_dedup_within_wm",
+    """SELECT DISTINCT user_id, event_type
+      |FROM events
+      |ORDER BY user_id, event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val dedup = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .select($"user_id", $"event_type")
+    runToMemory(dedup, OutputMode.Append(), "q107")
+      .orderBy($"user_id", $"event_type")
+  }
+
   /** Stream-static join: streaming events enriched with the static customer
     * dim (broadcast — no stream-side shuffle), then a complete-mode rollup
     * per market segment. */
@@ -252,5 +275,5 @@ object StreamingQueries {
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
-    q77StreamStreamJoin)
+    q77StreamStreamJoin, q107StreamDedupWithinWm)
 }
