@@ -194,6 +194,17 @@ object Dedup {
     * candidates unchecked. */
   private[llm] val MaxBandBucket = 256
 
+  /** The 48 non-band bits of `simhash`, packed low-to-high relative to
+    * `band` — the sub-banding domain for hot-bucket splits.
+    * shiftrightunsigned keeps the packing clean; band=3 needs the CASE
+    * because a 64-bit shift is a no-op in two's-complement shift
+    * semantics. */
+  private[llm] def remExpr: org.apache.spark.sql.Column = expr(
+    """(simhash & (shiftleft(1L, band * 16) - 1L)) |
+      |shiftleft(CASE WHEN band = 3 THEN 0L
+      |               ELSE shiftrightunsigned(simhash, (band + 1) * 16) END,
+      |          band * 16)""".stripMargin)
+
   /** SimHash near-dup PAIRS from a (doc_id, simhash) frame via banding: split
     * the 64-bit signature into 4 16-bit bands, bucket-join on (band, value),
     * verify with bit_count. Pigeonhole guarantee: a pair within hamming
@@ -249,16 +260,9 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"sim_a", $"sim_b", $"band")
 
     // hot path: rem = the three non-matching bands packed low-to-high
-    // (48 bits); sub-band s = bits [12s, 12s+12) of rem. shiftrightunsigned
-    // keeps the packing clean; band=3 needs the CASE because a 64-bit shift
-    // is a no-op in two's-complement shift semantics.
-    val rem = expr(
-      """(simhash & (shiftleft(1L, band * 16) - 1L)) |
-        |shiftleft(CASE WHEN band = 3 THEN 0L
-        |               ELSE shiftrightunsigned(simhash, (band + 1) * 16) END,
-        |          band * 16)""".stripMargin)
+    // (48 bits, [[remExpr]]); sub-band s = bits [12s, 12s+12) of rem
     val subbed = banded.join(broadcast(hot), Seq("band", "v"), "left_semi")
-      .withColumn("rem", rem)
+      .withColumn("rem", remExpr)
       .select($"doc_id", $"simhash", $"band", $"v", $"rem", explode(expr(
         "transform(sequence(0, 3), s -> named_struct('sub', s, 'sv', shiftrightunsigned(rem, s*12) & 4095L))")).as("ssv"))
       .select($"doc_id", $"simhash", $"band", $"v", $"rem",
@@ -492,15 +496,22 @@ object Dedup {
     * (band, value) bucket iff that band's hamming ≤ 1 — recall is exactly 1
     * for the radius-7 set (MultiprobeSpec asserts set equality vs all-pairs).
     *
-    * Candidate-volume bound: probe expansion is a fixed 17× on ONE join side
-    * (68 rows/doc), and buckets keep full 16-bit selectivity — multi-probe
-    * trades linear expansion for the quadratic blowup coarser bands cause.
-    * Dedup needs no `distinct()`: within a band, exactly one probe can equal
-    * the other side's value (flip positions are unique), and across bands a
-    * first-agreeing-band filter keeps one row, both codegen'd filters. */
+    * Candidate-volume bounds: probe expansion is a fixed 17× on ONE join
+    * side (68 rows/doc), buckets keep full 16-bit selectivity — multi-probe
+    * trades linear expansion for the quadratic blowup coarser bands cause —
+    * and oversized (band, value) buckets get the q105 hot-bucket treatment
+    * re-derived for radius 7: a probe match pins that band's hamming to ≤1,
+    * leaving ≤7 differing bits among the remaining 48, so 8 sub-bands of 6
+    * bits force an exact sub-band match (probing never touches `rem`, so
+    * both sides sub-band their original signatures). Dedup needs no
+    * `distinct()`: within a band, exactly one probe can equal the other
+    * side's value (flip positions are unique; hot sub-band dupes collapse
+    * via a first-agreeing-sub-band filter), and across bands a
+    * first-agreeing-band filter keeps one row, all codegen'd filters. */
   private[llm] def simhashPairsMultiprobe(
       sigs: org.apache.spark.sql.DataFrame,
-      radius: Int = 7): org.apache.spark.sql.DataFrame = {
+      radius: Int = 7,
+      maxBucket: Int = MaxBandBucket): org.apache.spark.sql.DataFrame = {
     require(radius <= 7, s"radius $radius > 7 needs 2-bit probes or more bands")
     val spark = sigs.sparkSession
     import spark.implicits._
@@ -510,12 +521,51 @@ object Dedup {
       .select($"doc_id", $"simhash", $"bv.band".as("band"), $"bv.v".as("v"))
     val probed = banded.select($"doc_id", $"simhash", $"band", explode(expr(
         "transform(sequence(0, 16), p -> CASE WHEN p = 16 THEN v ELSE cast(v ^ shiftleft(1L, p) AS BIGINT) END)")).as("v"))
-    probed.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"v")
-      .join(banded.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"band", $"v"),
+
+    // Hot-bucket guard, the q105 pattern at radius 7: census the UNPROBED
+    // side's (band, v) buckets (that is the space probes land in); oversized
+    // buckets re-apply the pigeonhole on the remaining 48 bits. A probe
+    // match pins the band's hamming ≤ 1, so the other 48 bits of a radius-7
+    // pair differ in ≤ 7 — 8 sub-bands of 6 bits force an exact sub-band
+    // match. Probing never alters `rem` (it flips band bits only), so both
+    // sides sub-band their ORIGINAL signatures.
+    val hot = banded.groupBy($"band", $"v").agg(count(lit(1)).as("k"))
+      .filter($"k" > maxBucket).select($"band", $"v")
+    val coldPairs = probed
+      .select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"v")
+      .join(banded.join(broadcast(hot), Seq("band", "v"), "left_anti")
+        .select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"band", $"v"),
         Seq("band", "v"))
       .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b", $"band")
+
+    val sub8 = "transform(sequence(0, 7), s -> named_struct('sub', s, 'sv', shiftrightunsigned(rem, s*6) & 63L))"
+    val probedHot = probed.join(broadcast(hot), Seq("band", "v"), "left_semi")
+      .withColumn("rem", remExpr)
+      .select($"doc_id", $"simhash", $"band", $"v", $"rem", explode(expr(sub8)).as("ssv"))
+      .select($"doc_id", $"simhash", $"band", $"v", $"rem",
+        $"ssv.sub".as("sub"), $"ssv.sv".as("sv"))
+    val exactHot = banded.join(broadcast(hot), Seq("band", "v"), "left_semi")
+      .withColumn("rem", remExpr)
+      .select($"doc_id", $"simhash", $"band", $"v", $"rem", explode(expr(sub8)).as("ssv"))
+      .select($"doc_id", $"simhash", $"band", $"v", $"rem",
+        $"ssv.sub".as("sub"), $"ssv.sv".as("sv"))
+    val hotPairs = probedHot
+      .select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"rem".as("rem_a"),
+        $"band", $"v", $"sub", $"sv")
+      .join(exactHot.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"),
+        $"rem".as("rem_b"), $"band", $"v", $"sub", $"sv"),
+        Seq("band", "v", "sub", "sv"))
+      .filter($"doc_a" < $"doc_b")
+      // within one hot band, keep only the first agreeing 6-bit sub-band
+      .filter(expr(
+        "sub = filter(sequence(0, 7), s -> (shiftrightunsigned(rem_a, s*6) & 63L) = (shiftrightunsigned(rem_b, s*6) & 63L))[0]"))
+      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b", $"band")
+
+    coldPairs.union(hotPairs)
       // one row per pair: first band whose hamming ≤ 1 (within a band the
-      // matching probe is unique, so no intra-band dupes exist)
+      // matching probe is unique — and in a hot band the first-sub-band
+      // filter above already collapsed sub-band dupes)
       .filter(expr(
         "band = filter(sequence(0, 3), bb -> bit_count(shiftright(sim_a ^ sim_b, bb*16) & 65535L) <= 1)[0]"))
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
