@@ -583,8 +583,79 @@ object Dedup {
     simhashPairsMultiprobe(sigs).orderBy($"doc_a", $"doc_b")
   }
 
+  /** Incremental (delta-vs-corpus) dedup — the shape a production ingest
+    * actually runs: classify each document of an incoming batch (source =
+    * 'src0' stands in for the delta) against the existing corpus as
+    * exact_dup (normalized content hash already present), near_dup (shingle
+    * Jaccard ≥ 0.8 with some corpus doc), or unique. Never corpus×corpus:
+    *
+    *  - exact: corpus keys stream map-side against the BROADCAST delta key
+    *    set (semi join), the surviving key set is tiny and broadcasts back —
+    *    the 100 TB corpus is scanned once and never shuffled;
+    *  - near: the delta's (frequency-capped) shingle index broadcasts and
+    *    joins the corpus shingle stream — candidate pairs are delta-keyed,
+    *    so the pair agg and Jaccard filter shuffle O(|delta| · overlap),
+    *    not O(|corpus|²). */
+  val q112DeltaDedup: GraftQuery = GraftQuery.oracled(
+    "q112_delta_dedup",
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s
+      |          WHERE a.source = 'src0' AND b.source <> 'src0'
+      |          GROUP BY 1, 2),
+      |near AS (SELECT DISTINCT da FROM pairs
+      |         JOIN sizes sa ON da = sa.doc_id
+      |         JOIN sizes sb ON db = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |keys AS (SELECT doc_id, source, sha256(lower(trim(text))) AS k FROM documents),
+      |exact AS (SELECT DISTINCT d.doc_id FROM keys d
+      |          JOIN keys c ON d.k = c.k
+      |          WHERE d.source = 'src0' AND c.source <> 'src0')
+      |SELECT d.doc_id,
+      |       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+      |            WHEN nr.da IS NOT NULL THEN 'near_dup'
+      |            ELSE 'unique' END AS status
+      |FROM documents d
+      |LEFT JOIN exact e ON d.doc_id = e.doc_id
+      |LEFT JOIN near nr ON d.doc_id = nr.da
+      |WHERE d.source = 'src0'
+      |ORDER BY d.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val deltaIds = docs.filter($"source" === "src0").select($"doc_id")
+    val sh = shingled(spark, dir)
+    val shD = sh.join(broadcast(deltaIds), Seq("doc_id"), "left_semi").toDF("da", "s")
+    val shC = sh.join(broadcast(deltaIds), Seq("doc_id"), "left_anti").toDF("db", "s")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val near = broadcast(shD).join(shC, Seq("s"))
+      .groupBy($"da", $"db").agg(count(lit(1)).as("shared"))
+      .join(sizes.toDF("da", "na"), Seq("da"))
+      .join(sizes.toDF("db", "nb"), Seq("db"))
+      .filter($"shared" / ($"na" + $"nb" - $"shared") >= 0.8)
+      .select($"da".as("doc_id")).distinct()
+    val key = sha2(lower(trim($"text")), 256)
+    val deltaKeys = docs.filter($"source" === "src0").select($"doc_id", key.as("k"))
+    val dupKeys = docs.filter($"source" =!= "src0").select(key.as("k"))
+      .join(broadcast(deltaKeys.select($"k").distinct()), Seq("k"), "left_semi")
+      .distinct()
+    val exact = deltaKeys.join(broadcast(dupKeys), Seq("k"), "left_semi").select($"doc_id")
+    deltaIds
+      .join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"is_exact" === 1, "exact_dup")
+          .when($"is_near" === 1, "near_dup")
+          .otherwise("unique").as("status"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
-    q109DedupClustersStar)
+    q109DedupClustersStar, q112DeltaDedup)
 }

@@ -214,7 +214,69 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Boilerplate-span mining: 5-gram shingles recurring across ≥3 distinct
+    * documents — the candidate table a cleaning pass strips (header/footer/
+    * license text at web scale; the corpus has no newlines, so spans stand
+    * in for lines). One explode + one hash-agg: partial aggregation
+    * map-side, only (shingle, counts) pairs shuffle, never documents; the
+    * df filter cuts the output to the (tiny) recurring tail. */
+  val q110BoilerplateSpans: GraftQuery = GraftQuery.oracled(
+    "q110_boilerplate_spans",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i))
+      |SELECT s AS shingle, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+      |FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 3
+      |ORDER BY shingle""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 5)
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"t") - 4),
+          i => concat_ws(" ", slice($"t", i, lit(5))))).as("shingle"))
+      .groupBy($"shingle")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("n_occ"))
+      .filter($"df" >= 3)
+      .orderBy($"shingle")
+  }
+
+  /** Intra-document repetition scoring (the Gopher-style duplicate-n-gram
+    * filter): fraction of a document's bigrams that are repeats of an
+    * earlier bigram in the same document. Pure per-row array arithmetic —
+    * no explode, no shuffle, codegen'd end to end; the 100 TB plan is a
+    * bare projection over the scan. */
+  val q111DocRepetition: GraftQuery = GraftQuery.oracled(
+    "q111_doc_repetition",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(1, len(t)-1),
+      |                        i -> array_to_string(t[i:i+1], ' ')) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 2))
+      |SELECT doc_id, len(bg) AS n_bigrams, len(list_distinct(bg)) AS n_distinct,
+      |       round(1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 4) AS dup_fraction,
+      |       (1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)) > 0.2 AS flagged
+      |FROM b
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val dupFrac = lit(1) - $"n_distinct" / $"n_bigrams".cast("double")
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id",
+        transform(sequence(lit(1), size($"t") - 1),
+          i => concat_ws(" ", slice($"t", i, lit(2)))).as("bg"))
+      .select($"doc_id", size($"bg").as("n_bigrams"),
+        size(array_distinct($"bg")).as("n_distinct"))
+      .select($"doc_id", $"n_bigrams", $"n_distinct",
+        stat(dupFrac).as("dup_fraction"),
+        (dupFrac > 0.2).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
-    q103TextClean)
+    q103TextClean, q110BoilerplateSpans, q111DocRepetition)
 }
