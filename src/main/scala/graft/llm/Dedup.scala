@@ -626,9 +626,20 @@ object Dedup {
       |WHERE d.source = 'src0'
       |ORDER BY d.doc_id""") { (spark, dir) =>
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val deltaIds = docs.filter($"source" === "src0").select($"doc_id")
-    val sh = shingled(spark, dir)
+    deltaDedup(Tables.documents(spark, dir), $"source" === "src0")
+  }
+
+  /** The q112 classification core over any (doc_id, text, …) frame —
+    * factored out so the fixture spec can plant all three statuses (the
+    * driver corpus happens to contain no cross-source exact duplicate, so
+    * the exact_dup arm would otherwise only be validated vacuously). */
+  private[llm] def deltaDedup(
+      docs: org.apache.spark.sql.DataFrame,
+      isDelta: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val deltaIds = docs.filter(isDelta).select($"doc_id")
+    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
     val shD = sh.join(broadcast(deltaIds), Seq("doc_id"), "left_semi").toDF("da", "s")
     val shC = sh.join(broadcast(deltaIds), Seq("doc_id"), "left_anti").toDF("db", "s")
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -639,8 +650,8 @@ object Dedup {
       .filter($"shared" / ($"na" + $"nb" - $"shared") >= 0.8)
       .select($"da".as("doc_id")).distinct()
     val key = sha2(lower(trim($"text")), 256)
-    val deltaKeys = docs.filter($"source" === "src0").select($"doc_id", key.as("k"))
-    val dupKeys = docs.filter($"source" =!= "src0").select(key.as("k"))
+    val deltaKeys = docs.filter(isDelta).select($"doc_id", key.as("k"))
+    val dupKeys = docs.filter(!isDelta).select(key.as("k"))
       .join(broadcast(deltaKeys.select($"k").distinct()), Seq("k"), "left_semi")
       .distinct()
     val exact = deltaKeys.join(broadcast(dupKeys), Seq("k"), "left_semi").select($"doc_id")

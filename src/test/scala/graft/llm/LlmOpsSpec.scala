@@ -197,6 +197,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("delta dedup classifies exact_dup, near_dup and unique (with exact > near precedence)") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"w$i").mkString(" ")       // 30 distinct tokens
+    val wNear = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
+    // 1 changed mid token alters 3 of 28 shingles: jaccard 25/31 ≈ 0.806 ≥ 0.8
+    val u = (1 to 30).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, w, "corpus"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "corpus"),
+      (101L, w, "delta"),                           // identical text: exact AND near both fire → exact wins
+      (102L, wNear, "delta"),                       // near-dup of doc 1
+      (103L, u, "delta"))                           // unique
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.deltaDedup(docs, col("source") === "delta")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(101L -> "exact_dup", 102L -> "near_dup", 103L -> "unique"))
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)
