@@ -240,6 +240,61 @@ object StreamingQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** [[q113StreamTransformWithState]]'s processor: a per-user running event
+    * count in a `ValueState[Long]`, emitted once per key per input batch —
+    * Spark 4's `transformWithState` arbitrary-state API (typed state
+    * handles + timers on the RocksDB state store), the successor surface to
+    * q66's `flatMapGroupsWithState`. */
+  final class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Long)] {
+    @transient private var countState: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(n)
+      Iterator.single(key -> n)
+    }
+  }
+
+  /** Per-user event counts via `transformWithState` (SURVEY §2.8 stateful
+    * map — the Spark 4 API alongside q66's `flatMapGroupsWithState`).
+    * Requires the RocksDB state store provider (set for this query,
+    * restored after); under a single-batch AvailableNow replay each key
+    * emits its final count exactly once, so the result equals the batch
+    * group-by the oracle states. */
+  val q113StreamTransformWithState: GraftQuery = GraftQuery.oracled(
+    "q113_stream_transform_with_state",
+    """SELECT user_id, count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds: Dataset[Ev] = eventsStream(spark, dir)
+        .select($"user_id", $"event_id", $"ts")
+        .as[Ev]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new RunningCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "n_events")
+      runToMemory(out, OutputMode.Append(), "q113")
+        .orderBy($"user_id")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   /** Stream-stream inner join with watermarks on both sides: purchases
     * within 10 minutes after a click by the same user. Under a single-batch
     * AvailableNow replay every in-batch match emits, so the result equals
@@ -275,5 +330,5 @@ object StreamingQueries {
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
-    q77StreamStreamJoin, q107StreamDedupWithinWm)
+    q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState)
 }
