@@ -203,7 +203,34 @@ object ScalarFunctions {
       .orderBy($"doc_id")
   }
 
+  /** Semi-structured props through Spark 4's VariantType (`parse_json` →
+    * `variant_get`/`try_variant_get`) — the modern shredded-binary encoding
+    * of q40's string-path extraction. At rest a variant column beats JSON
+    * strings at scale (typed access without re-parsing per query, columnar
+    * shredding of common paths); DuckDB has no variant, so the oracle states
+    * the same paths via plain JSON extraction — the VALUES must agree even
+    * though the encodings differ. */
+  val q118VariantJson: GraftQuery = GraftQuery.oracled(
+    "q118_variant_json",
+    """SELECT event_id,
+      |       CAST(json_extract(props, '$.k') AS INT)    AS k_int,
+      |       CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+      |       json_extract_string(props, '$.missing')    AS missing_str
+      |FROM events
+      |WHERE event_id < 500
+      |ORDER BY event_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_id" < 500)
+      .withColumn("v", parse_json($"props"))
+      .select($"event_id",
+        variant_get($"v", "$.k", "int").as("k_int"),
+        variant_get($"v", "$.k", "double").as("k_dbl"),
+        try_variant_get($"v", "$.missing", "string").as("missing_str"))
+      .orderBy($"event_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q37StringFuncs, q38DateFuncs, q39MathFuncs, q40JsonFuncs,
-    q41ArrayText, q42ArrayEmbeddings, q43HashFuncs)
+    q41ArrayText, q42ArrayEmbeddings, q43HashFuncs, q118VariantJson)
 }

@@ -665,8 +665,127 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Test-set contamination check (decontamination, the Brown et al. GPT-3
+    * appendix-C shape): flag training documents sharing any 5-gram with a
+    * held-out eval set — here the deterministic `doc_id % 50 = 0` slice
+    * stands in for the benchmark suite. Reports, per contaminated train doc,
+    * how many distinct eval 5-grams it contains and how many eval docs those
+    * hit.
+    *
+    * 100 TB plan: the eval side is tiny by definition (benchmarks are
+    * thousands of docs, not billions) — its shingle set BROADCASTS; the
+    * corpus side explodes 5-grams map-side and hash-joins the broadcast
+    * in-place, so the corpus is scanned once and only the (train_doc, eval
+    * shingle) HITS — a near-empty stream on clean data — ever shuffle for
+    * the per-doc aggregation. */
+  val q114Contamination: GraftQuery = GraftQuery.oracled(
+    "q114_contamination",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i)),
+      |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+      |SELECT tr.doc_id,
+      |       count(DISTINCT tr.s) AS n_hit_shingles,
+      |       count(DISTINCT ev.eval_id) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.s = ev.s
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    contamination(Tables.documents(spark, dir), $"doc_id" % 50 === 0)
+  }
+
+  /** The q114 core over any (doc_id, text, …) frame — factored out for the
+    * fixture spec (planted contaminated/clean docs).
+    *
+    * Within-doc shingle dedup is `array_distinct` BEFORE the explode — a
+    * per-row projection — never a global `distinct()`: the latter would
+    * shuffle the entire corpus shingle stream just to collapse duplicates
+    * that the final `countDistinct` ignores anyway (plan-audited: the train
+    * side is scan → explode → broadcast-join with zero pre-join exchanges). */
+  private[llm] def contamination(
+      docs: org.apache.spark.sql.DataFrame,
+      isEval: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs
+      .select(col("doc_id"), isEval.as("is_eval"), split($"text", " ").as("t"))
+      .filter(size($"t") >= 5)
+      .select($"doc_id", $"is_eval", explode(array_distinct(
+        transform(sequence(lit(1), size($"t") - 4),
+          i => concat_ws(" ", slice($"t", i, lit(5)))))).as("s"))
+    val ev = sh.filter($"is_eval").select($"doc_id".as("eval_id"), $"s")
+    val tr = sh.filter(!$"is_eval").select($"doc_id", $"s")
+    tr.join(broadcast(ev), Seq("s"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"s").as("n_hit_shingles"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
+  /** Passage-level (sub-document) dedup — the CCNet/RefinedWeb granularity:
+    * chunk each document into 10-token passages, find passages recurring
+    * across documents, and report per document how much of it is duplicated
+    * material owned by an earlier doc (owner = min doc_id per passage — the
+    * keep/strip decision a cleaning pass applies before document-level
+    * near-dup even runs).
+    *
+    * 100 TB plan: chunking is a map-side projection (no explode blowup —
+    * passages PARTITION the token stream, sum of chunk sizes = doc size, so
+    * the exploded stream is the corpus itself, once); ownership is one
+    * hash-agg keyed by passage hash (only (hash, owner, df) pairs shuffle,
+    * never text), and the ownership table joins back keyed on the same
+    * hash — two shuffles total regardless of corpus size. */
+  val q115PassageDedup: GraftQuery = GraftQuery.oracled(
+    "q115_passage_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ch AS (SELECT doc_id, array_to_string(t[i:i+9], ' ') AS passage
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t), 10)) AS i)),
+      |own AS (SELECT passage, min(doc_id) AS owner, count(DISTINCT doc_id) AS n_docs
+      |        FROM ch GROUP BY passage)
+      |SELECT c.doc_id,
+      |       count(*) AS n_passages,
+      |       CAST(sum(CASE WHEN o.n_docs > 1 AND c.doc_id <> o.owner THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+      |       round(sum(CASE WHEN o.n_docs > 1 AND c.doc_id <> o.owner THEN 1 ELSE 0 END)
+      |             / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
+      |FROM ch c JOIN own o ON c.passage = o.passage
+      |GROUP BY c.doc_id
+      |ORDER BY doc_id""") { (spark, dir) =>
+    passageDedup(Tables.documents(spark, dir))
+  }
+
+  /** The q115 core over any (doc_id, text, …) frame — factored out for the
+    * fixture spec (planted shared/unique passages).
+    *
+    * Duplication status is WINDOW aggregates over the passage key, not an
+    * ownership-table join-back (the join formulation — which the oracle SQL
+    * still states — costs a third exchange and tempts the optimizer into
+    * broadcasting the fact side at smoke scale): `min≠max(doc_id) over
+    * (partition by passage)` ⇔ `count(DISTINCT doc_id) > 1`, and
+    * `owner = min(doc_id) over (...)`. Exactly two shuffles at any corpus
+    * size — one by passage, one by doc for the final profile. */
+  private[llm] def passageDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ch = docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"t"), lit(10)),
+          i => concat_ws(" ", slice($"t", i, lit(10))))).as("passage"))
+    val w = Window.partitionBy($"passage")
+    val isDup = (min($"doc_id").over(w) =!= max($"doc_id").over(w)) &&
+      $"doc_id" =!= min($"doc_id").over(w)
+    ch.withColumn("is_dup", isDup.cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_passages"), sum($"is_dup").as("n_dup_passages"))
+      .select($"doc_id", $"n_passages", $"n_dup_passages",
+        stat($"n_dup_passages" / $"n_passages".cast("double")).as("dup_fraction"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
-    q109DedupClustersStar, q112DeltaDedup)
+    q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup)
 }

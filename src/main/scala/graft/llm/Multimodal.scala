@@ -65,5 +65,50 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(q56MultimodalMeta)
+  /** Raw-file multimodal ingest via Spark's `binaryFile` source — the edge
+    * where media blobs actually enter a lake (an external system drops
+    * `<id>.bin` files; Spark lists + reads them distributed, one row per
+    * file with path/length/content). Here each document's UTF-8 bytes stand
+    * in for a media blob: a `foreachPartition` task fan-out materializes the
+    * files (distributed, no driver loop), then the binaryFile scan reads
+    * them back, parses the id from the path, and verifies content integrity
+    * (length + sha) against the parquet ground truth via the oracle.
+    *
+    * 100 TB notes: binaryFile is the INGEST format only — one row per file
+    * means the file listing, not the data, becomes the bottleneck at
+    * billions of blobs. The at-rest form is q56's parquet binary column
+    * (thousands of blobs per columnar file); this query is the edge that
+    * feeds it. Files larger than `spark.sql.files.maxPartitionBytes` still
+    * land in one task (binary rows don't split) — shard oversized media
+    * upstream. */
+  val q116BinaryFileIngest: GraftQuery = GraftQuery.oracled(
+    "q116_binaryfile_ingest",
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       sha256(text) AS sha
+      |FROM documents
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val out = java.nio.file.Paths.get("/tmp/graft-io", s"blobs_${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(out)
+    val outStr = out.toString
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .foreachPartition { rows: Iterator[(Long, String)] =>
+        rows.foreach { case (id, text) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outStr, s"$id.bin"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    spark.read.format("binaryFile").load(outStr)
+      .select(
+        regexp_extract($"path", "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        $"length".as("n_bytes"),
+        sha2($"content", 256).as("sha"))
+      .orderBy($"doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q56MultimodalMeta, q116BinaryFileIngest)
 }

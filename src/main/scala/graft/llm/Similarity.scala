@@ -213,6 +213,42 @@ object Similarity {
     (spark, dir) => ivfTopK(spark, dir, k = 16, nProbe = 4)
   }
 
+  /** Semantic clustering of the embedding corpus (seeded KMeans, k=10) —
+    * the curation primitive behind topic balancing, cluster-stratified
+    * sampling, and semantic dedup (SemDeDup-style: near-dups concentrate
+    * inside cells, so the expensive pair search runs per-cell, never
+    * corpus-wide). Output is the per-cluster profile; labels are
+    * canonicalized to each cluster's min member vec_id so the result is
+    * insensitive to KMeans' arbitrary cell numbering. Seed-specific floats →
+    * rows-only; LlmOpsSpec gates partition laws + determinism across fits.
+    *
+    * 100 TB plan: the fit is E3 (driver-looped treeAggregate rounds, only
+    * k×64 doubles cross the driver boundary per round — at corpus scale you
+    * fit on a sample, which changes nothing here); transform + profile is
+    * one broadcast of k centroids and one hash-agg keyed by cell. */
+  val q117KmeansClusters: GraftQuery = GraftQuery.rowsOnly(
+    "q117_kmeans_clusters",
+    doc = "KMeans(k=10, seed=42) cluster profile: size + RMS centroid distance, labels canonicalized by min member id") { (spark, dir) =>
+    import spark.implicits._
+    val vecs = normed(spark, dir).withColumn("features", array_to_vector($"embedding"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(10).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    model.transform(vecs)
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("sqdist", aggregate(
+        zip_with($"embedding", $"centroid", (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy($"cell")
+      .agg(min($"vec_id").as("cluster_key"), count(lit(1)).as("n_members"),
+        stat(sqrt(avg($"sqdist"))).as("rms_dist"))
+      .select($"cluster_key", $"n_members", $"rms_dist")
+      .orderBy($"cluster_key")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh, q98KnnIvf)
+    Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
+      q98KnnIvf, q117KmeansClusters)
 }

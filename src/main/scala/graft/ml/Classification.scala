@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.feature.{HashingTF, IDF, IndexToString, StringIndexer, Tokenizer}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -115,6 +115,18 @@ object Classification {
     confusion(gbt.fit(train).transform(test))
   }
 
+  /** Single decision tree (the §2.9 classifier family q59's forest
+    * generalizes — cataloged in its own right: the interpretable baseline a
+    * notebook fits first). Deterministic given the seed-split. */
+  val q121DtEmbeddings: GraftQuery = GraftQuery.rowsOnly(
+    "q121_dt_confusion",
+    doc = "DecisionTreeClassifier(depth 5, seed=42) on embeddings.label; test confusion matrix") { (spark, dir) =>
+    val (train, test) = trainTest(embeddingFeatures(spark, dir))
+    val dt = new DecisionTreeClassifier().setMaxDepth(5).setSeed(Seed)
+    confusion(dt.fit(train).transform(test))
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q57LrEmbeddings, q58TextPipeline, q59RfEmbeddings, q60GbtBinary)
+    q57LrEmbeddings, q58TextPipeline, q59RfEmbeddings, q60GbtBinary,
+    q121DtEmbeddings)
 }

@@ -181,7 +181,43 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Argmax/argmin + conditional and boolean aggregates: `max_by`/`min_by`
+    * (which row's key wins), `count_if`, `bool_or`/`bool_and`. All one
+    * hash-agg — same map-side-partial shape as q01.
+    *
+    * Determinism under ties: a bare max_by(arg, v) is free to return ANY
+    * arg sharing the max v — unacceptable under hash-compare. The by-key is
+    * therefore a (value, ±orderkey) STRUCT (lexicographic struct ordering
+    * breaks ties on the unique key; negation flips the tie direction so both
+    * arms prefer the LOWEST orderkey), mirrored in the oracle by DuckDB's
+    * ordered-aggregate `first(arg ORDER BY v DESC, key)` form. */
+  val q120ArgAggs: GraftQuery = GraftQuery.oracled(
+    "q120_arg_aggs",
+    """SELECT o_orderpriority,
+      |       count(*) AS n_orders,
+      |       first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey) AS top_order,
+      |       first(o_orderkey ORDER BY o_totalprice, o_orderkey)      AS bottom_order,
+      |       CAST(count_if(o_totalprice > 300000) AS BIGINT)          AS n_big,
+      |       bool_or(o_orderstatus = 'F')                             AS any_final,
+      |       bool_and(o_totalprice > 0)                               AS all_positive
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max_by($"o_orderkey", struct($"o_totalprice", -$"o_orderkey")).as("top_order"),
+        min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("bottom_order"),
+        count_if($"o_totalprice" > 300000).as("n_big"),
+        bool_or($"o_orderstatus" === "F").as("any_final"),
+        bool_and($"o_totalprice" > 0).as("all_positive"))
+      .orderBy($"o_orderpriority")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
-    q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg)
+    q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
+    q120ArgAggs)
 }

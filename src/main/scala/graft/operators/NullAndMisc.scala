@@ -201,7 +201,34 @@ object NullAndMisc {
       .orderBy($"event_id")
   }
 
+  /** Unpivot (wide→long reshaping, the inverse of q25's pivot): per-flag
+    * money aggregates melt into (flag, metric, val) rows via the native
+    * `Dataset.unpivot` — an Expand node, pure map-side 1→3 row expansion
+    * after the aggregate, no extra shuffle. Metrics are rounded BEFORE the
+    * melt on both sides (the values must be one comparable type). */
+  val q119Unpivot: GraftQuery = GraftQuery.oracled(
+    "q119_unpivot",
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |         round(sum(l_quantity), 2)      AS sum_qty,
+      |         round(sum(l_extendedprice), 2) AS sum_price,
+      |         round(sum(l_discount), 2)      AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT * FROM (UNPIVOT agg ON sum_qty, sum_price, sum_disc INTO NAME metric VALUE val)
+      |ORDER BY l_returnflag, metric""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        RelationalCore.money(sum($"l_quantity")).as("sum_qty"),
+        RelationalCore.money(sum($"l_extendedprice")).as("sum_price"),
+        RelationalCore.money(sum($"l_discount")).as("sum_disc"))
+      .unpivot(Array($"l_returnflag"), Array($"sum_qty", $"sum_price", $"sum_disc"),
+        "metric", "val")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName,
-    q91Posexplode, q92StructToJson)
+    q91Posexplode, q92StructToJson, q119Unpivot)
 }

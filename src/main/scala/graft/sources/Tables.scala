@@ -42,7 +42,17 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` queries (lifecycle E2,
-    * SURVEY.md §3) resolve the same names the DuckDB oracle uses. Idempotent. */
-  def views(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    * SURVEY.md §3) resolve the same names the DuckDB oracle uses. Idempotent.
+    *
+    * `events` registers through [[events]] (µs-truncated TimestampType), not
+    * the raw reader: the raw ns schema only resolves after the nanosAsLong
+    * conf is set, so registering it raw made view setup depend on whether an
+    * events-reading query happened to run earlier in the session (a latent
+    * catalog-order bug), and µs semantics are what the oracle's
+    * `date_trunc('microseconds', ts)` twin states anyway. */
+  def views(spark: SparkSession, dir: String): Unit = {
+    (star ++ Seq("documents", "embeddings"))
+      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
 }

@@ -37,6 +37,61 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(vocab === relational)
   }
 
+  test("observe(): pipeline-instrumentation metrics equal a direct aggregate") {
+    import spark.implicits._
+    // observe() rides the existing pass over the data — the zero-extra-job
+    // way to count rows/nulls/totals in a 100 TB pipeline, vs a second scan.
+    val observed = Tables.lineitem(spark, sf)
+      .observe("li_metrics",
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").as("total_qty"),
+        count_if($"l_discount" > 0.05).as("n_discounted"))
+    observed.collect() // run THIS dataset's execution; metrics attach to it
+    val row = observed.queryExecution.observedMetrics("li_metrics")
+    val direct = Tables.lineitem(spark, sf)
+      .agg(count(lit(1)), sum($"l_quantity"), count_if($"l_discount" > 0.05)).head
+    assert(row.getLong(0) === direct.getLong(0))
+    assert(row.getDouble(1) === direct.getDouble(1))
+    assert(row.getLong(2) === direct.getLong(2))
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import spark.implicits._
+    // The runtime-filter optimization Spark applies at 100 TB: a selective
+    // filter on the dim side injects a bloom/semi filter into the fact scan
+    // so most fact rows drop before the shuffle. Assert the rewrite fires
+    // (plan-level), and that results are unchanged with it disabled.
+    val run = { (bloomOn: Boolean) =>
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", bloomOn)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // smoke-sf tables are far below the 10GB production default — drop the
+      // size gates so the rewrite is decided by shape, not byte counts
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", false)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force a shuffle join so the filter matters
+      try {
+        val dim = Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT")
+        val fact = Tables.lineitem(spark, sf)
+        val joined = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        (joined.queryExecution.optimizedPlan.toString, joined.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      } finally {
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val (planOn, resOn) = run(true)
+    val (planOff, resOff) = run(false)
+    def hasBloom(p: String) =
+      p.toLowerCase.contains("might_contain") || p.toLowerCase.contains("bloomfilter")
+    assert(hasBloom(planOn), s"expected an injected bloom filter in:\n$planOn")
+    assert(!hasBloom(planOff))
+    assert(resOn === resOff)
+  }
+
   test("rate stream source produces monotonically increasing values") {
     import spark.implicits._
     val rate = spark.readStream.format("rate")

@@ -215,6 +215,61 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got === Map(101L -> "exact_dup", 102L -> "near_dup", 103L -> "unique"))
   }
 
+  test("contamination check flags exactly the train docs sharing an eval 5-gram") {
+    import spark.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"    // 4 5-grams
+    val contaminated = "intro words then alpha beta gamma delta epsilon closing remarks" // shares 1 eval 5-gram
+    val clean = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, evalText, true),
+      (1L, contaminated, false),
+      (2L, clean, false),
+      (3L, evalText, false))  // full copy of the eval doc: all 4 shingles hit
+      .toDF("doc_id", "text", "is_eval")
+    val got = Dedup.contamination(docs, $"is_eval")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, 1L), (3L, 4L, 1L)),
+      s"expected doc 1 (1 shingle) and doc 3 (4 shingles) flagged, got ${got.toSeq}")
+  }
+
+  test("passage dedup: owner keeps its passage, copies count as dup, uniques don't") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"p$i").mkString(" ")      // exactly one 10-token passage
+    val docs = Seq(
+      (1L, shared + " " + (1 to 10).map(i => s"a$i").mkString(" ")),  // owner: 2 passages, 0 dup
+      (2L, shared + " " + (1 to 10).map(i => s"b$i").mkString(" ")),  // copy: 2 passages, 1 dup
+      (3L, (1 to 10).map(i => s"c$i").mkString(" ")))                 // unique: 1 passage, 0 dup
+      .toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 0L, 0.0), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("binaryFile ingest round-trips every document's bytes (length + sha)") {
+    import spark.implicits._
+    val viaFiles = Multimodal.q116BinaryFileIngest.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", length($"text".cast("binary")).cast("long"), sha2($"text".cast("binary"), 256))
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(viaFiles.nonEmpty && viaFiles.toSeq === direct.toSeq)
+  }
+
+  test("kmeans cluster profile: partition laws + deterministic across fits") {
+    import spark.implicits._
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    val p1 = Similarity.q117KmeansClusters.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(p1.map(_._2).sum === total, "every vector assigned to exactly one cluster")
+    assert(p1.length <= 10 && p1.length >= 2, s"expected 2..10 non-empty clusters, got ${p1.length}")
+    assert(p1.map(_._1).distinct.length === p1.length, "canonical labels are distinct")
+    assert(p1.forall(_._3 >= 0.0))
+    val p2 = Similarity.q117KmeansClusters.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(p1.toSeq === p2.toSeq, "seeded fit must be reproducible in-session")
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)

@@ -42,6 +42,17 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(a === b)
   }
 
+  test("decision tree confusion matrix covers the test set and is reproducible") {
+    import spark.implicits._
+    val m = Classification.q121DtEmbeddings.fn(spark, sf).collect()
+    val testN = data.randomSplit(Array(0.8, 0.2), seed = 42)(1).count()
+    assert(m.map(_.getLong(2)).sum === testN, "confusion cells must partition the test set")
+    assert(m.forall(r => r.getDouble(0) >= 0 && r.getDouble(0) <= 9
+      && r.getDouble(1) >= 0 && r.getDouble(1) <= 9))
+    val again = Classification.q121DtEmbeddings.fn(spark, sf).collect()
+    assert(m.toSeq === again.toSeq)
+  }
+
   test("binary evaluator: GBT AUC within [0,1] and above 0.5 coin-flip") {
     import spark.implicits._
     val binary = data.withColumn("label", ($"label" >= 5).cast("double"))
