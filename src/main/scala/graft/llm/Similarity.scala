@@ -248,7 +248,36 @@ object Similarity {
       .orderBy($"cluster_key")
   }
 
+  /** Cluster-stratified downsampling — the topic-balancing step after
+    * q117's clustering: cap every semantic cluster at a row budget so
+    * dominant topics can't swamp the training mix. Per-cell fraction =
+    * min(1, cap/size), drawn map-side with per-stratum Bernoulli
+    * (`sampleBy`, seeded) — the corpus never shuffles; only the (tiny)
+    * cell-size census and the k×64 centroids cross the driver. Seeded-RNG +
+    * seed-specific KMeans cells → rows-only; LlmOpsSpec gates the cap,
+    * subset and determinism laws. */
+  val q122ClusterSample: GraftQuery = GraftQuery.rowsOnly(
+    "q122_cluster_stratified_sample",
+    doc = "KMeans(k=10, seed=42) cells capped at 30 rows each via sampleBy(seed=42); sampled (vec_id, cluster_key)") { (spark, dir) =>
+    import spark.implicits._
+    val cap = 30.0
+    val vecs = normed(spark, dir).withColumn("features", array_to_vector($"embedding"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(10).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs).select($"vec_id", $"cell")
+    val census = assigned.groupBy($"cell")
+      .agg(min($"vec_id").as("cluster_key"), count(lit(1)).as("n"))
+      .collect() // k rows — a scalar census, not row data
+    val fractions = census.map(r => r.getInt(0) -> math.min(1.0, cap / r.getLong(2))).toMap
+    val keys = census.map(r => (r.getInt(0), r.getLong(1))).toSeq.toDF("cell", "cluster_key")
+    assigned.stat.sampleBy("cell", fractions, 42L)
+      .join(broadcast(keys), Seq("cell"))
+      .select($"vec_id", $"cluster_key")
+      .orderBy($"vec_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
-      q98KnnIvf, q117KmeansClusters)
+      q98KnnIvf, q117KmeansClusters, q122ClusterSample)
 }

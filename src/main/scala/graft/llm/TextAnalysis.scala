@@ -276,7 +276,40 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Character-level Shannon entropy per document — the gibberish/encoded-
+    * blob detector in a quality-filter stack (natural language sits ~3.5–4.5
+    * bits/char; base64 or repeated filler falls far outside). One explode +
+    * two hash-aggs keyed by (doc, char) then doc: the shuffled stream is
+    * per-doc character COUNTS (≤ alphabet-size rows per doc), not text. */
+  val q123CharEntropy: GraftQuery = GraftQuery.oracled(
+    "q123_char_entropy",
+    """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+      |f AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2),
+      |t AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_tot, count(*) AS n_distinct_chars
+      |      FROM f GROUP BY 1)
+      |SELECT f.doc_id,
+      |       round(-sum((n / CAST(n_chars_tot AS DOUBLE))
+      |                  * log2(n / CAST(n_chars_tot AS DOUBLE))), 4) AS entropy_bits,
+      |       n_chars_tot, n_distinct_chars
+      |FROM f JOIN t ON f.doc_id = t.doc_id
+      |GROUP BY f.doc_id, n_chars_tot, n_distinct_chars
+      |ORDER BY f.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val f = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .filter($"c" =!= "")
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("n"))
+    val t = f.groupBy($"doc_id")
+      .agg(sum($"n").as("n_chars_tot"), count(lit(1)).as("n_distinct_chars"))
+    val p = $"n" / $"n_chars_tot".cast("double")
+    f.join(t, Seq("doc_id"))
+      .groupBy($"doc_id", $"n_chars_tot", $"n_distinct_chars")
+      .agg(stat(-sum(p * log2(p))).as("entropy_bits"))
+      .select($"doc_id", $"entropy_bits", $"n_chars_tot", $"n_distinct_chars")
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
-    q103TextClean, q110BoilerplateSpans, q111DocRepetition)
+    q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy)
 }

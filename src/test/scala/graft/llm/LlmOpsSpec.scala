@@ -270,6 +270,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(p1.toSeq === p2.toSeq, "seeded fit must be reproducible in-session")
   }
 
+  test("cluster-stratified sample: subset of corpus, per-cluster cap respected") {
+    import spark.implicits._
+    val sampled = Similarity.q122ClusterSample.fn(spark, sf).collect()
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(sampled.nonEmpty)
+    assert(sampled.map(_.getLong(0)).toSet.subsetOf(corpus))
+    // Bernoulli draws target 30/cluster; allow generous binomial slack but
+    // catch a broken fraction (e.g. sampling everything from a big cell)
+    val perCluster = sampled.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(perCluster.values.forall(_ <= 60), s"cluster over cap: ${perCluster.toMap}")
+    // clusters bigger than the cap must actually be downsampled
+    val sizes = Similarity.q117KmeansClusters.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((k, n) <- sizes if n > 60)
+      assert(perCluster.getOrElse(k, 0) < n, s"cluster $k (size $n) not downsampled")
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)
