@@ -327,8 +327,50 @@ object StreamingQueries {
       .orderBy($"click_id", $"purchase_id")
   }
 
+  /** Durable streaming sink: watermarked tumbling windows written to a
+    * PARQUET file sink with a checkpoint — the production shape (memory
+    * sinks are test fixtures; real pipelines land on object storage with
+    * exactly-once file-manifest commits and recover from the checkpoint).
+    * Append mode ⇒ a window emits only once the watermark (max event time −
+    * 10 min) passes its end, so the AvailableNow replay finalizes every
+    * window except the trailing ones — the closure rule the oracle states.
+    * Reading the sink back through a fresh parquet scan also proves the
+    * committed files are complete and readable, not just the in-memory
+    * result. */
+  val q124StreamFileSink: GraftQuery = GraftQuery.oracled(
+    "q124_stream_file_sink",
+    """WITH e AS (SELECT date_trunc('microseconds', ts) AS ts, event_type FROM events),
+      |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e),
+      |agg AS (SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+      |        FROM e GROUP BY 1, 2)
+      |SELECT window_start, event_type, n
+      |FROM agg, wm
+      |WHERE window_start + INTERVAL 1 HOUR <= w
+      |ORDER BY window_start, event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val base = java.nio.file.Paths.get("/tmp/graft-io", s"stream_sink_${System.nanoTime()}")
+    val out = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .orderBy($"window_start", $"event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
-    q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState)
+    q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState,
+    q124StreamFileSink)
 }
