@@ -216,8 +216,29 @@ object Aggregates {
       .orderBy($"o_orderpriority")
   }
 
+  /** Ordered string aggregation (Spark 4 `listagg` / ANSI `WITHIN GROUP`):
+    * nations per region as one delimited string. The WITHIN GROUP ordering
+    * is what makes a string agg hash-comparable at all — an unordered
+    * listagg is free to concatenate in any partition arrival order. */
+  val q126StringAgg: GraftQuery = GraftQuery.oracled(
+    "q126_string_agg",
+    """SELECT n_regionkey,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |       count(*) AS n
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.nation(spark, dir)
+      .groupBy($"n_regionkey")
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy($"n_regionkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
-    q120ArgAggs)
+    q120ArgAggs, q126StringAgg)
 }

@@ -58,6 +58,21 @@ object Subqueries {
       |  AND o_orderstatus = 'F'
       |ORDER BY o_orderkey""")
 
+  /** Correlated LATERAL subquery — top-3 orders per customer as a lateral
+    * ORDER BY + LIMIT, the SQL twin of q31's window top-k. Catalyst
+    * decorrelates the lateral into a ranked join (DecorrelateInnerQuery),
+    * so the physical plan is one shuffle + per-group limit, never a
+    * per-customer re-scan of orders; both engines run the IDENTICAL text. */
+  val q125LateralTopk: GraftQuery = sqlQuery(
+    "q125_lateral_topk",
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |                          WHERE o.o_custkey = c.c_custkey
+      |                          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+      |WHERE c_custkey < 100
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+
   def all: Seq[GraftQuery] = Seq(
-    q79CorrelatedScalar, q80UncorrelatedScalar, q81ExistsSubquery, q82InSubquery)
+    q79CorrelatedScalar, q80UncorrelatedScalar, q81ExistsSubquery, q82InSubquery,
+    q125LateralTopk)
 }
