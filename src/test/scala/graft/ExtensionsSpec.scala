@@ -92,6 +92,50 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(resOn === resOff)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    // One hot key owning ~90% of the probe side — the shape that stalls a
+    // 1000-executor job on one straggler reducer. With the skew thresholds
+    // scaled down to smoke size, AQE must re-plan the sort-merge join and
+    // split the hot partition (the runtime complement to Skew.saltedJoin,
+    // which handles the cases AQE can't re-plan).
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // pad = md5 hex: incompressible, so the hot partition's COMPRESSED
+      // shuffle size (what AQE's MapStatus reports) actually reflects skew —
+      // a constant-key shuffle of bare longs compresses to almost nothing
+      val fact = spark.range(0, 200000)
+        .select((when($"id" % 2 === 0, 7L).otherwise($"id")).as("k"),
+          md5($"id".cast("string")).as("pad"))
+      val dim = spark.range(0, 5000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = fact.join(dim, Seq("k"))
+        .groupBy().agg(count(lit(1)).as("n"), sum(length($"pad")).as("pad_bytes"))
+      // collect() (not head()) so THIS dataset's adaptive plan executes and
+      // finalizes — head() wraps a new limited plan whose AQE state we can't see
+      val row = joined.collect()(0)
+      // every fact row with k < 5000 matches exactly one dim row
+      val expected = fact.filter($"k" < 5000).count()
+      assert(row.getLong(0) === expected)
+      assert(row.getLong(1) === expected * 32)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skewed"),
+        s"AQE skew split did not fire:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("rate stream source produces monotonically increasing values") {
     import spark.implicits._
     val rate = spark.readStream.format("rate")
