@@ -22,6 +22,7 @@ object SparkEntry {
       graft.llm.Similarity.all ++
       graft.llm.TextAnalysis.all ++
       graft.llm.Multimodal.all ++
+      graft.llm.Curation.all ++
       graft.ml.Classification.all ++
       graft.streaming.StreamingQueries.all ++
       graft.sources.FileFormats.all ++

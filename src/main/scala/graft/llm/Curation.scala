@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.GraftQuery
+import graft.sources.Tables
+
+/** The capstone LLM-data-curation pipeline: every document gets ONE verdict
+  * composing the individual operators the catalog ships piecemeal —
+  * eval-holdout exclusion, quality filtering (q52's rule), exact dedup
+  * (q44's content key), near-dup clustering (q45 pairs → q100 components),
+  * and test-set contamination (q114's 5-gram overlap). This is the query a
+  * user of the engine actually runs before training: the output is the
+  * corpus manifest (doc_id → keep / drop_reason).
+  *
+  * Verdict precedence (first match wins): eval_holdout > low_quality >
+  * exact_dup > near_dup > contaminated > keep. Each signal is computed
+  * independently over ALL documents (not the post-filter survivors), which
+  * keeps every stage a pure function of the corpus — re-runnable, cacheable,
+  * and exactly stateable in SQL for the oracle.
+  *
+  * 100 TB plan: no stage adds a new shape — quality is a projection, the
+  * exact key is one window over the content hash, near-dup reuses the capped
+  * inverted-index pairs + min-label components (driver sees only scalar
+  * convergence counts), contamination is a broadcast semi-join, and the
+  * final verdict is a series of doc_id-keyed left joins that AQE plans as
+  * one shuffle stage chain. */
+object Curation {
+
+  val q127CurationPipeline: GraftQuery = GraftQuery.oracled(
+    "q127_curation_pipeline",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b FROM pairs
+      |         JOIN sizes sa ON doc_a = sa.doc_id
+      |         JOIN sizes sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |          UNION ALL SELECT doc_b, doc_a FROM good),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      |quality AS (
+      |  SELECT doc_id,
+      |         (len(string_split(text, ' ')) >= 20
+      |          AND len(list_filter(string_split(lower(text), ' '),
+      |                x -> list_contains(['the', 'and', 'of', 'a', 'to'], x))) > 0) AS q_ok
+      |  FROM documents),
+      |keys AS (SELECT doc_id, sha256(lower(trim(text))) AS ck FROM documents),
+      |exact_keep AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ck) AS keep_id FROM keys),
+      |sh5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+      |       FROM sh5, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i)),
+      |contaminated AS (
+      |  SELECT DISTINCT tr.doc_id
+      |  FROM (SELECT doc_id, s FROM g5 WHERE doc_id % 50 <> 0) tr
+      |  JOIN (SELECT s FROM g5 WHERE doc_id % 50 = 0) ev ON tr.s = ev.s)
+      |SELECT d.doc_id,
+      |       CASE WHEN d.doc_id % 50 = 0        THEN 'eval_holdout'
+      |            WHEN NOT q.q_ok               THEN 'low_quality'
+      |            WHEN ek.keep_id <> d.doc_id   THEN 'exact_dup'
+      |            WHEN cl.cluster_id <> d.doc_id THEN 'near_dup'
+      |            WHEN ct.doc_id IS NOT NULL    THEN 'contaminated'
+      |            ELSE 'keep' END AS verdict
+      |FROM documents d
+      |JOIN quality q      ON d.doc_id = q.doc_id
+      |JOIN exact_keep ek  ON d.doc_id = ek.doc_id
+      |JOIN clusters cl    ON d.doc_id = cl.doc_id
+      |LEFT JOIN contaminated ct ON d.doc_id = ct.doc_id
+      |ORDER BY d.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    curate(Tables.documents(spark, dir), $"doc_id" % 50 === 0)
+  }
+
+  /** The q127 core over any (doc_id, text, …) frame — factored out for the
+    * fixture spec, which plants one document per verdict (the driver corpus
+    * contains no cross-doc exact duplicate, so the exact_dup arm would only
+    * be validated vacuously against the oracle). */
+  private[llm] def curate(
+      docs: org.apache.spark.sql.DataFrame,
+      isEval: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stopList = array(Seq("the", "and", "of", "a", "to").map(lit): _*)
+    val quality = docs.select($"doc_id",
+      (size(split($"text", " ")) >= 20 &&
+        size(filter(split(lower($"text"), " "), x => array_contains(stopList, x))) > 0).as("q_ok"))
+    val exactKeep = docs
+      .select($"doc_id", sha2(lower(trim($"text")), 256).as("ck"))
+      .select($"doc_id", min($"doc_id").over(Window.partitionBy($"ck")).as("keep_id"))
+    val clusters = Dedup.minLabelComponents(
+        docs.select($"doc_id"),
+        Dedup.neardupPairs(docs).select($"doc_a", $"doc_b"))
+      .toDF("doc_id", "cluster_id")
+    val contaminated = Dedup.contamination(docs, isEval)
+      .select($"doc_id", lit(1).as("is_contam"))
+    docs.select($"doc_id", isEval.as("is_eval"))
+      .join(quality, Seq("doc_id"))
+      .join(exactKeep, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"is_eval", "eval_holdout")
+          .when(!$"q_ok", "low_quality")
+          .when($"keep_id" =!= $"doc_id", "exact_dup")
+          .when($"cluster_id" =!= $"doc_id", "near_dup")
+          .when($"is_contam" === 1, "contaminated")
+          .otherwise("keep").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q127CurationPipeline)
+}

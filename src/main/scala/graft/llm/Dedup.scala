@@ -66,11 +66,6 @@ object Dedup {
     sh.join(broadcast(hot), Seq("s"), "left_anti").select(col("doc_id"), col("s"))
   }
 
-  /** Tokenized view with frequency-capped 3-gram shingles, shared by the
-    * near-dup ops. */
-  private def shingled(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
-
   /** Exact n-gram Jaccard near-dup pairs (similarity ≥ 0.8) via inverted
     * index on shingles — the oracle-checkable ground truth the approximate
     * ops are judged against. */
@@ -93,7 +88,16 @@ object Dedup {
       |WHERE shared / (sa.n + sb.n - shared) >= 0.8
       |ORDER BY doc_a, doc_b""") { (spark, dir) =>
     import spark.implicits._
-    val sh = shingled(spark, dir)
+    neardupPairs(Tables.documents(spark, dir)).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q45's core over any (doc_id, text, …) frame: exact shingle-Jaccard
+    * near-dup pairs (≥ 0.8), frequency-capped inverted index. Shared by the
+    * q100/q109 clustering queries and the q127 curation capstone. */
+  private[llm] def neardupPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "s")
     val b = sh.toDF("doc_b", "s")
@@ -105,7 +109,6 @@ object Dedup {
       .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
       .filter(jac >= 0.8)
       .select($"doc_a", $"doc_b", $"shared", stat(jac).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** MinHash+LSH near-dup (MLlib): shingles → binary HashingTF (2^18) →

@@ -288,6 +288,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       assert(perCluster.getOrElse(k, 0) < n, s"cluster $k (size $n) not downsampled")
   }
 
+  test("curation pipeline: every verdict arm fires with correct precedence") {
+    import spark.implicits._
+    val eval20 = "the " + (1 to 19).map(i => s"e$i").mkString(" ")        // eval doc
+    val contam = "the " + (1 to 14).map(i => s"a$i").mkString(" ") +
+      " e5 e6 e7 e8 e9"                                                   // shares ONE eval 5-gram
+    val k20 = "the " + (1 to 19).map(i => s"k$i").mkString(" ")           // exact-dup pair text
+    val n30 = "the " + (1 to 29).map(i => s"n$i").mkString(" ")           // near-dup pair base
+    val n30x = n30.replace(" n15 ", " CHANGED ")                          // jaccard 25/31 ≈ 0.806
+    val docs = Seq(
+      (1L, contam, false),                         // contaminated (not near-dup: 3 of ~18 shingles)
+      (2L, "too short", false),                    // low_quality (< 20 tokens)
+      (3L, k20, false),                            // keep (min of the exact pair)
+      (4L, k20, false),                            // exact_dup (before near_dup despite jaccard=1)
+      (5L, n30, false),                            // keep (cluster min)
+      (6L, n30x, false),                           // near_dup
+      (7L, "the " + (1 to 19).map(i => s"u$i").mkString(" "), false), // keep
+      (10L, eval20, true))                         // eval_holdout (before everything)
+      .toDF("doc_id", "text", "is_eval")
+    val got = Curation.curate(docs, $"is_eval")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "contaminated", 2L -> "low_quality", 3L -> "keep", 4L -> "exact_dup",
+      5L -> "keep", 6L -> "near_dup", 7L -> "keep", 10L -> "eval_holdout"))
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)
