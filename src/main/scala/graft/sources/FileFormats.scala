@@ -109,6 +109,37 @@ object FileFormats {
       .orderBy($"doc_id")
   }
 
+  /** Small-file compaction — the lake-maintenance op that follows any
+    * fine-grained ingest (q116's one-file-per-blob edge, streaming sinks,
+    * hourly partitions): a 64-fragment copy of `documents` is rewritten into
+    * few right-sized files. At 100 TB small files are a listing/scheduling
+    * tax (one task + one footer read each) and an object-store request-rate
+    * tax; the fix is exactly this rewrite, sized by bytes-per-file targets
+    * (`repartition(n)` here; `maxRecordsPerFile` caps the other direction).
+    * The oracle states the ORIGINAL table: compaction must be content-
+    * preserving, and the row-count/file-count invariants are asserted
+    * in-query via the re-read. */
+  val q128Compaction: GraftQuery = GraftQuery.oracled(
+    "q128_compaction",
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val frag = freshDir("docs_fragmented")
+    val compact = freshDir("docs_compacted")
+    val docs = Tables.documents(spark, dir)
+    docs.repartition(64).write.mode("overwrite").parquet(frag) // the ingest debris
+    val nFrag = new java.io.File(frag).listFiles().count(_.getName.endsWith(".parquet"))
+    spark.read.parquet(frag)
+      .repartition(2) // target size: whole table in 2 files at this sf
+      .write.mode("overwrite").parquet(compact)
+    val nCompact = new java.io.File(compact).listFiles().count(_.getName.endsWith(".parquet"))
+    require(nFrag > 32 && nCompact <= 2, s"compaction shape: $nFrag -> $nCompact files")
+    spark.read.parquet(compact)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(q67CsvRoundtrip, q68JsonRoundtrip, q99OrcRoundtrip, q104SchemaEvolution)
+    Seq(q67CsvRoundtrip, q68JsonRoundtrip, q99OrcRoundtrip, q104SchemaEvolution,
+      q128Compaction)
 }
