@@ -309,7 +309,79 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Language-model quality scoring, CCNet-style: train a corpus unigram LM
+    * (token → count, one hash-agg), then score every document by its
+    * cross-entropy under that LM — bits per token = avg(−log2 p(tok)).
+    * High-bits docs are "surprising" (gibberish, rare-token soup); low-bits
+    * docs are boilerplate-ish. CCNet does this with a 5-gram KenLM; the
+    * unigram version is the same pipeline shape with a model Spark can
+    * train in-query.
+    *
+    * 100 TB plan: the LM table is vocab-sized (Heaps' law, same broadcast
+    * ceiling note as q55 — swap to a shuffle join past ~100M types), so
+    * scoring is scan → explode → BROADCAST join → per-doc hash-agg: the
+    * token stream never shuffles; only (token, count) pairs and the final
+    * per-doc rows do. The N normalizer rides the same broadcast (1-row
+    * cross join), not a driver collect. */
+  val q132UnigramPerplexity: GraftQuery = GraftQuery.oracled(
+    "q132_unigram_perplexity",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tot AS (SELECT count(*) AS n FROM toks),
+      |lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+      |SELECT t.doc_id,
+      |       count(*) AS n_tokens,
+      |       round(avg(-log2(lm.c / CAST(tot.n AS DOUBLE))), 4) AS bits_per_token
+      |FROM toks t JOIN lm USING (tok) CROSS JOIN tot
+      |GROUP BY t.doc_id
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val lm = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    toks
+      .join(broadcast(lm), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        stat(avg(-log2($"c" / $"n".cast("double")))).as("bits_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Heavy-hitter token frequencies via Count-Min Sketch — the mergeable
+    * frequency summary for hot-token detection (stopword discovery,
+    * boilerplate markers, tokenizer hot-path tuning). `count_min_sketch` is
+    * a partial-aggregatable function: each partition sketches its token
+    * stream into a fixed eps×confidence grid and the grids MERGE
+    * associatively — so at 100 TB the exact-count shuffle of billions of
+    * (token, 1) pairs collapses to a few-KB blob per partition; only the
+    * sketch travels. The query probes the sketch for the exact top-10
+    * tokens (derived once here for the report; production probes a fixed
+    * watch-list): estimates are biased high by ≤ eps·N with prob ≥
+    * confidence — the spec gates exact ≤ est ≤ exact + eps·N. The collected
+    * sketch is a driver-sized summary (the E3 scalar pattern), never row
+    * data. */
+  val q136CmsHeavyHitters: GraftQuery = GraftQuery.rowsOnly(
+    "q136_cms_heavy_hitters",
+    doc = "count_min_sketch(tok, eps=1e-4, conf=0.99) over document tokens, probed at the exact top-10") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+    val skBytes = toks
+      .agg(count_min_sketch($"tok", lit(1e-4), lit(0.99), lit(42)).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok").limit(10).collect()
+    val probed = top.map(r =>
+      (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    spark.createDataFrame(probed.toSeq).toDF("tok", "exact_n", "cms_est")
+      .orderBy($"exact_n".desc, $"tok")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
-    q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy)
+    q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
+    q132UnigramPerplexity, q136CmsHeavyHitters)
 }

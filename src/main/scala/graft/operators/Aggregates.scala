@@ -237,8 +237,31 @@ object Aggregates {
       .orderBy($"n_regionkey")
   }
 
+  /** Re-aggregatable distinct-count sketches (Apache DataSketches HLL):
+    * build one binary sketch per (day, event_type) — the cube a 100 TB
+    * pipeline precomputes ONCE per ingest day — then answer the
+    * per-event-type question by UNIONING the daily sketches, never
+    * re-touching raw data. This is what `approx_count_distinct` (q29)
+    * cannot do: its estimate is final, while `hll_sketch_agg` materializes
+    * the mergeable state, making distinct counts roll up like sums across
+    * any slice (days → months, per-partition → global). Sketch bytes are
+    * engine-specific → rows-only; AggregatesSpec gates the merged estimate
+    * within 5% of exact and proves sketch-merge == direct-sketch. */
+  val q133SketchMergeDistinct: GraftQuery = GraftQuery.rowsOnly(
+    "q133_sketch_merge_distinct",
+    doc = "daily hll_sketch_agg(user_id) per event_type, hll_union_agg rollup, lgK=14") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"), $"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_daily_sketches"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
-    q120ArgAggs, q126StringAgg)
+    q120ArgAggs, q126StringAgg, q133SketchMergeDistinct)
 }

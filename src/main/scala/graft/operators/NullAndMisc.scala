@@ -228,7 +228,41 @@ object NullAndMisc {
       .orderBy($"l_returnflag", $"metric")
   }
 
+  /** In-flight pipeline metrics via `Dataset.observe` — data-quality
+    * counters (row count, null count, control totals) accumulated DURING the
+    * main job, not by a second scan. At 100 TB a separate validation pass
+    * doubles the bill; observe() rides the existing scan as accumulator
+    * traffic (driver receives a handful of scalars per named observation).
+    * The in-query `require` gates the contract a production job would page
+    * on: zero null prices, and the observed row count reconciling with the
+    * aggregate's own group counts (observation metrics are exposed after an
+    * action, so the frame is materialized once to a noop sink first — the
+    * returned frame recomputes deterministically for the driver's action). */
+  val q134ObserveMetrics: GraftQuery = GraftQuery.oracled(
+    "q134_observe_metrics",
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (spark, dir) =>
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation(s"q134_${System.nanoTime()}")
+    val out = Tables.lineitem(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        count(when($"l_extendedprice".isNull, 1)).as("null_prices"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        RelationalCore.money(sum($"l_extendedprice")).as("revenue"))
+      .orderBy($"l_returnflag")
+    out.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val groupTotal = out.agg(sum($"n")).head.getLong(0)
+    require(m("null_prices") == 0L && m("rows_seen") == groupTotal,
+      s"observe metrics breached: $m vs group total $groupTotal")
+    out
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName,
-    q91Posexplode, q92StructToJson, q119Unpivot)
+    q91Posexplode, q92StructToJson, q119Unpivot, q134ObserveMetrics)
 }

@@ -139,7 +139,32 @@ object FileFormats {
       .orderBy($"doc_id")
   }
 
+  /** Raw-lines TEXT source/sink round-trip — the plain-text ingest shape a
+    * web-corpus pipeline starts from (WET files: one record per line, no
+    * schema). Written as tab-delimited `doc_id\ttext` lines, read back with
+    * `spark.read.text` and re-split with a limit-2 split (text may contain
+    * any character except the delimiter and newlines — asserted clean for
+    * this corpus; a production ingest would length-prefix or JSON-escape).
+    * The text source is splittable by line boundary, so a 100 TB directory
+    * scans with full parallelism like CSV; the oracle states the original
+    * table, proving the round-trip is byte-preserving. */
+  val q129TextRoundtrip: GraftQuery = GraftQuery.oracled(
+    "q129_text_roundtrip",
+    """SELECT doc_id, text FROM documents
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val out = freshDir("docs_text")
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t", $"doc_id", $"text").as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(split($"value", "\t", 2).as("kv"))
+      .select($"kv".getItem(0).cast("long").as("doc_id"),
+        $"kv".getItem(1).as("text"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q67CsvRoundtrip, q68JsonRoundtrip, q99OrcRoundtrip, q104SchemaEvolution,
-      q128Compaction)
+      q128Compaction, q129TextRoundtrip)
 }

@@ -368,9 +368,121 @@ object StreamingQueries {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Run an update-mode streaming aggregate through a `foreachBatch` upsert
+    * log: every micro-batch appends its CHANGED rows stamped with the batch
+    * id (append-only — object stores don't rewrite), and the compact read
+    * takes the latest row per key — last-writer-wins. foreachBatch is the
+    * escape hatch for sinks with no native streaming writer (JDBC, key-value
+    * stores, MERGE-capable table formats); the batch id makes retried
+    * batches idempotent: a replayed batch re-appends the same rows with the
+    * same id, and the compact view is unchanged. */
+  private[streaming] def foreachBatchUpsert(
+      agg: DataFrame, keys: Seq[String], tag: String): DataFrame =
+    foreachBatchUpsert(agg, keys,
+      java.nio.file.Paths.get("/tmp/graft-io", s"${tag}_${System.nanoTime()}"))
+
+  private[streaming] def foreachBatchUpsert(
+      agg: DataFrame, keys: Seq[String], base: java.nio.file.Path): DataFrame = {
+    val spark = agg.sparkSession
+    import spark.implicits._
+    val out = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy($"batch_id".desc)
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn", "batch_id")
+  }
+
+  /** Streaming upsert via foreachBatch: a running per-event-type aggregate
+    * lands in an append-only versioned log whose compact view is the live
+    * table. The single-file replay closes in one batch, so the final compact
+    * view EQUALS the batch aggregation — the oracle; StreamingSpec drives
+    * the same helper through a multi-file, one-file-per-trigger replay to
+    * prove last-writer-wins across batches. */
+  val q130ForeachBatchUpsert: GraftQuery = GraftQuery.oracled(
+    "q130_foreach_batch_upsert",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+    foreachBatchUpsert(agg, Seq("event_type"), "upsert")
+      .select($"event_type", $"n", money($"total").as("total"))
+      .orderBy($"event_type")
+  }
+
+  /** Stream-stream LEFT OUTER join — q77's inner join plus the unmatched
+    * side: a click with no purchase in its 10-minute window emits a
+    * null-padded row, but only once the watermark proves no matching
+    * purchase can still arrive (state eviction is what makes outer stream
+    * joins bounded-memory at scale). Closure rule the oracle states:
+    * matched pairs emit always; a null row emits iff the click's join
+    * window [click_ts, click_ts+10min] is entirely below the final QUERY
+    * watermark. The query watermark is the MIN across both input branches —
+    * each `withWatermark` tracks only its own filtered stream — so
+    * w = least(max click_ts, max purchase_ts) − 10 min, NOT the global max
+    * event time (empirically pinned at sf0.001: the globally-last event
+    * being a click holds the click branch's watermark back, keeping that
+    * click open in state). Trailing clicks above w − 10 min emit nothing —
+    * exactly the rows the oracle's predicate excludes. */
+  val q135StreamStreamOuter: GraftQuery = GraftQuery.oracled(
+    "q135_stream_stream_outer",
+    """WITH e AS (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(click_ts) FROM c), (SELECT max(purchase_ts) FROM p)) - INTERVAL 10 MINUTE AS w),
+      |matched AS (
+      |  SELECT c.click_id, p.purchase_id, c.user_id
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |   AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE),
+      |unmatched AS (
+      |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+      |  FROM c, wm
+      |  WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+      |    AND c.click_ts + INTERVAL 10 MINUTE < wm.w)
+      |SELECT click_id, purchase_id, user_id FROM matched
+      |UNION ALL
+      |SELECT click_id, purchase_id, user_id FROM unmatched
+      |ORDER BY click_id, purchase_id""") { (spark, dir) =>
+    import spark.implicits._
+    val clicks = eventsStream(spark, dir)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTE"),
+      "left_outer")
+    runToMemory(joined.select($"click_id", $"purchase_id", $"user_id"),
+        OutputMode.Append(), "q135")
+      .orderBy($"click_id", $"purchase_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
     q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState,
-    q124StreamFileSink)
+    q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter)
 }

@@ -8,6 +8,20 @@ import graft.SparkFixture
 class LlmOpsSpec extends AnyFunSuite with SparkFixture {
   import org.apache.spark.sql.functions._
 
+  test("count-min sketch estimates bound the exact counts (one-sided eps*N error)") {
+    import spark.implicits._
+    val rows = TextAnalysis.q136CmsHeavyHitters.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 10)
+    val n = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok")).count()
+    val slack = (1e-4 * n).ceil.toLong
+    for ((tok, exact, est) <- rows) {
+      assert(est >= exact, s"$tok: CMS never underestimates, got $est < $exact")
+      assert(est <= exact + slack, s"$tok: $est exceeds $exact + eps*N ($slack)")
+    }
+  }
+
   test("MinHashLSH recovers every exact-jaccard near-dup pair (recall = 1 at smoke sf)") {
     import spark.implicits._
     val exact = Dedup.q45NeardupJaccard.fn(spark, sf)

@@ -22,6 +22,27 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hll sketch union: daily-merged estimate tracks exact and the unpartitioned sketch") {
+    import spark.implicits._
+    val merged = Aggregates.q133SketchMergeDistinct.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    for ((k, e) <- exact) {
+      assert(math.abs(merged(k).toDouble - e) / e <= 0.05,
+        s"$k: merged sketch ${merged(k)} vs exact $e")
+      // union of same-lgK partials must agree with the one-shot sketch
+      assert(math.abs(merged(k).toDouble - direct(k)) / direct(k) <= 0.005,
+        s"$k: merged ${merged(k)} vs direct ${direct(k)}")
+    }
+  }
+
   test("sessionize: session event counts sum to total events, gaps respected") {
     import spark.implicits._
     val sessions = Windows.q34Sessionize.fn(spark, sf).cache()

@@ -147,6 +147,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(written === graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("foreachBatch upsert: last-writer-wins across micro-batches") {
+    import spark.implicits._
+    // 3 files replayed one per trigger → keys recur across batches, so the
+    // upsert log holds several versions per key and only the latest may win.
+    val src = java.nio.file.Files.createTempDirectory("graft-upsert-src").toString
+    Seq(("a", 1L), ("b", 1L), ("a", 1L), ("c", 1L), ("a", 1L), ("b", 1L))
+      .toDF("k", "v").repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("k STRING, v LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val agg = stream.groupBy($"k").agg(count(lit(1)).as("n"))
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val compact = StreamingQueries.foreachBatchUpsert(agg, Seq("k"), base)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val log = spark.read.parquet(base.resolve("data").toString)
+    assert(log.select($"batch_id").distinct().count() >= 3,
+      "replay should have run one micro-batch per file")
+    assert(log.count() > compact.size, "log keeps superseded versions")
+    assert(compact === Map("a" -> 3L, "b" -> 2L, "c" -> 1L),
+      s"compact view must equal the full batch aggregation: $compact")
+  }
+
   test("assembleSessions: gap rule unit check") {
     import StreamingQueries.{assembleSessions, Ev}
     def ev(id: Long, s: String) = Ev(1L, id, Timestamp.valueOf(s))
