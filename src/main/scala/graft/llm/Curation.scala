@@ -119,5 +119,80 @@ object Curation {
       .orderBy($"doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(q127CurationPipeline)
+  /** Training-sequence packing, GPT-style: per source, documents are
+    * concatenated in doc_id order and the token stream is cut at exact
+    * B-token boundaries (docs SPLIT across sequences — the standard
+    * pre-training packing; greedy no-split first-fit is inherently
+    * sequential and packs worse). Pure prefix-sum formulation: each doc's
+    * global token offset is a running sum, and the doc overlaps sequences
+    * floor(start/B)..floor((end-1)/B) — one window pass + one bounded
+    * explode (a doc of n tokens spans ≤ n/B+1 sequences, so the exploded
+    * stream is ≤ corpus + #seqs rows, never quadratic).
+    *
+    * 100 TB plan: the cumsum window partitions by source, so sources fill
+    * in parallel and state per task is one running long. A single gigantic
+    * source would serialize its window into one task — the q97 two-phase
+    * split (per-partition subtotals, broadcast offsets) is the documented
+    * fix; per-source is the natural packing unit here (mixture weights are
+    * per-source anyway). */
+  val q137SequencePacking: GraftQuery = GraftQuery.oracled(
+    "q137_sequence_packing",
+    """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents),
+      |o AS (SELECT doc_id, source, n,
+      |             coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+      |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |      FROM d)
+      |SELECT doc_id, source, CAST(seq_id AS BIGINT) AS seq_id,
+      |       CAST(least(start + n, (seq_id + 1) * 512) - greatest(start, seq_id * 512) AS BIGINT) AS n_toks_in_seq
+      |FROM o, LATERAL (SELECT unnest(generate_series(CAST(start // 512 AS BIGINT), CAST((start + n - 1) // 512 AS BIGINT))) AS seq_id)
+      |ORDER BY source, doc_id, seq_id""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("start", coalesce(sum($"n").over(w), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        expr("start DIV 512"), expr("(start + n - 1) DIV 512"))))
+      .select($"doc_id", $"source", $"seq_id",
+        (least($"start" + $"n", ($"seq_id" + 1) * 512) -
+          greatest($"start", $"seq_id" * 512)).as("n_toks_in_seq"))
+      .orderBy($"source", $"doc_id", $"seq_id")
+  }
+
+  /** Source-mixture downsampling to a uniform target: the largest sources
+    * are thinned so every source contributes ≈ the smallest source's doc
+    * count — the mixture-reweighting step every multi-corpus pre-training
+    * run applies (no upsampling: keep_prob = min_n / n_s ≤ 1). Selection is
+    * the engine-portable md5 coin from q102 (hash(doc_id) mod 1e6 < p·1e6),
+    * so the EXACT kept set is oracle-able, not just the rates.
+    *
+    * 100 TB plan: per-source counts are one tiny agg (broadcast back); the
+    * keep decision is a map-side projection — the corpus is scanned once
+    * and never shuffled. */
+  val q138SourceMixing: GraftQuery = GraftQuery.oracled(
+    "q138_source_mixing",
+    """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |target AS (SELECT min(n) AS min_n FROM counts),
+      |probs AS (SELECT source, n, CAST(min_n AS DOUBLE) / n AS keep_prob FROM counts, target)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN probs USING (source)
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      < CAST(floor(keep_prob * 1000000) AS BIGINT)
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val probs = counts.crossJoin(broadcast(counts.agg(min($"n").as("min_n"))))
+      .select($"source", ($"min_n".cast("double") / $"n").as("keep_prob"))
+    val coin = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    docs.join(broadcast(probs), Seq("source"))
+      .filter(coin < floor($"keep_prob" * 1000000L).cast("long"))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q127CurationPipeline, q137SequencePacking, q138SourceMixing)
 }

@@ -277,7 +277,101 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Product-quantization ANN: the memory-bound scale path the IVF/LSH
+    * variants don't cover. The 64-dim space splits into M=8 8-dim
+    * sub-spaces; each gets its own KMeans codebook (k=32, seeded), and every
+    * corpus vector compresses to 8 code bytes — a 32× memory reduction that
+    * is what makes 100 TB embedding stores scannable at all. Queries never
+    * decode the corpus: each query precomputes an 8×32 lookup table of
+    * (sub-space → centroid) squared distances (ADC), so a candidate's
+    * approximate distance is EIGHT array lookups + adds instead of a 64-dim
+    * dot product. A shortlist by approximate distance is reranked with the
+    * exact codegen'd cosine.
+    *
+    * Plan shape: codebooks (8×32×8 doubles) and per-query LUTs broadcast;
+    * encoding is a bounded 16×-per-sub broadcast join + min_by (at
+    * production scale a codegen'd argmin kernel, same play as `graft_dot`);
+    * the scan side carries only (vec_id, 4 codes) rows, no shuffle until
+    * the per-query top-k windows. Unit-normalizing first makes L2² order-
+    * equivalent to cosine (cos = 1 − d²/2), the q96 trick.
+    *
+    * Seeded KMeans codebooks → rows-only; LlmOpsSpec proves
+    * shortlist ≥ corpus reduces EXACTLY to q48 brute force (the plumbing
+    * gate) and gates recall@5 at the production shortlist. */
+  private[llm] def pqTopK(
+      spark: SparkSession, dir: String, shortlist: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val subDim = 8; val kCodes = 32
+    val vecs = normed(spark, dir)
+      .withColumn("unit", transform($"embedding", x => x.cast("double") / $"nrm"))
+    // per sub-space training set: (vec_id, sub, 8-dim unit sub-vector)
+    val subs = vecs.select($"vec_id", $"embedding", $"nrm", explode(expr(
+        s"transform(sequence(0, ${M - 1}), s -> named_struct('sub', s, 'svec', slice(unit, s * $subDim + 1, $subDim)))")).as("ss"))
+      .select($"vec_id", $"ss.sub".as("sub"), $"ss.svec".as("svec"))
+    // one codebook per sub-space (E3: M tiny fits; only k×16 doubles each)
+    val codebooks = (0 until M).map { s =>
+      // codebooks don't need converged centroids (any fixed quantizer works;
+      // rerank fixes ordering) — cap the E3 fit rounds, 8 fits run back-to-back
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(kCodes).setSeed(42L + s).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(subs.filter($"sub" === s).select(array_to_vector($"svec").as("features")))
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (s, i, c.toArray) }.toSeq
+        .toDF("sub", "code", "centroid")
+    }.reduce(_ union _)
+    def sqdist = aggregate(
+      zip_with($"svec", $"centroid", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    // encode: nearest code per (vector, sub-space); min_by struct tie-break
+    val assigned = subs.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("sqdist", sqdist)
+      .groupBy($"vec_id", $"sub")
+      .agg(min_by($"code", struct($"sqdist", $"code")).as("code"))
+    val codes = assigned.groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"code"))),
+        x => x("code")).as("codes"))
+    // ADC lookup tables for the query set: lut[sub][code] = sq dist
+    val luts = subs.join(broadcast(vecs.filter($"vec_id" < 10)
+        .select($"vec_id", $"embedding".as("q_emb"), $"nrm".as("q_nrm"))),
+        Seq("vec_id"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("sqdist", sqdist)
+      .groupBy($"vec_id", $"q_emb", $"q_nrm", $"sub")
+      .agg(transform(array_sort(collect_list(struct($"code", $"sqdist"))),
+        x => x("sqdist")).as("lrow"))
+      .groupBy($"vec_id".as("query_id"), $"q_emb", $"q_nrm")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"lrow"))),
+        x => x("lrow")).as("lut"))
+    // approximate distance = 4 LUT lookups; shortlist per query
+    val wShort = Window.partitionBy($"query_id").orderBy($"approx_d2", $"vec_id")
+    val short = codes.crossJoin(broadcast(luts))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("approx_d2", expr(
+        "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), 0D, (a, x) -> a + x)"))
+      .withColumn("srnk", row_number().over(wShort))
+      .filter($"srnk" <= shortlist)
+      .select($"query_id", $"q_emb", $"q_nrm", $"vec_id")
+    // exact rerank of the shortlist
+    val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    short.join(normed(spark, dir), Seq("vec_id"))
+      .withColumn("cos", dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rnk", stat($"cos").as("cosine"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** PQ ANN top-5 (M=8 sub-spaces × 32 codes, shortlist=50, exact rerank)
+    * for the query set (vec_id < 10). */
+  val q140KnnPq: GraftQuery = GraftQuery.rowsOnly(
+    "q140_knn_pq",
+    doc = "product-quantization ANN: 8x8-dim codebooks (KMeans k=32, seeded), ADC lookup tables, shortlist=50, exact cosine rerank, top-5 per query (vec_id<10)") {
+    (spark, dir) => pqTopK(spark, dir, shortlist = 50)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
-      q98KnnIvf, q117KmeansClusters, q122ClusterSample)
+      q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq)
 }

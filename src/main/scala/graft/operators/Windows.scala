@@ -216,7 +216,50 @@ object Windows {
       .orderBy($"c_custkey")
   }
 
+  /** Time-series resampling to a regular grid with forward-fill — the
+    * gap-repair op every metrics/feature pipeline needs before windowed
+    * models: per user, an hourly grid spans [first, last] event hour; each
+    * bucket takes its LAST observation (arg-max by the unique event_id —
+    * deterministic on both engines), and empty buckets carry the previous
+    * value forward (`last(v, ignoreNulls)` over an unbounded-preceding
+    * frame).
+    *
+    * 100 TB plan: grid generation is one tiny per-user bounds agg + a
+    * bounded explode (hours between first/last activity — output-sized,
+    * never a cross join against a global calendar); the fill is one window
+    * shuffle on user_id, high-cardinality by construction. Nothing touches
+    * the driver. */
+  val q139ResampleFfill: GraftQuery = GraftQuery.oracled(
+    "q139_resample_ffill",
+    """WITH e AS (SELECT user_id, event_id, value,
+      |                  date_trunc('hour', date_trunc('microseconds', ts)) AS h
+      |           FROM events),
+      |hourly AS (SELECT user_id, h, arg_max(value, event_id) AS v FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM e GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds)
+      |SELECT g.user_id, g.h,
+      |       round(last_value(hv.v IGNORE NULLS) OVER (
+      |         PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING), 2) AS v,
+      |       CASE WHEN hv.v IS NULL THEN 0 ELSE 1 END AS observed
+      |FROM grid g LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
+      |ORDER BY g.user_id, g.h""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"value", date_trunc("hour", $"ts").as("h"))
+    val hourly = e.groupBy($"user_id", $"h")
+      .agg(max_by($"value", $"event_id").as("v"))
+    val grid = e.groupBy($"user_id").agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select($"user_id", explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h",
+        money(last($"v", ignoreNulls = true).over(w)).as("v"),
+        when($"v".isNull, 0).otherwise(1).as("observed"))
+      .orderBy($"user_id", $"h")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
-    q35RangeFrame, q36RankFamily, q97RankTwoPhase)
+    q35RangeFrame, q36RankFamily, q97RankTwoPhase, q139ResampleFfill)
 }

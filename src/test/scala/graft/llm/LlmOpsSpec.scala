@@ -8,6 +8,26 @@ import graft.SparkFixture
 class LlmOpsSpec extends AnyFunSuite with SparkFixture {
   import org.apache.spark.sql.functions._
 
+  test("PQ ANN: full shortlist reduces exactly to brute force; shortlist=50 recall holds") {
+    import spark.implicits._
+    val exact = Similarity.q48KnnBruteForce.fn(spark, sf)
+      .select($"query_id", $"neighbor_id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // shortlist >= corpus size => rerank over everything == brute force
+    val n = graft.sources.Tables.embeddings(spark, sf).count().toInt
+    val full = Similarity.pqTopK(spark, sf, shortlist = n)
+      .select($"query_id", $"neighbor_id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === exact, "full-shortlist PQ must equal exact brute force")
+    // production shortlist: recall@5 of the exact top-5 set
+    val pq = Similarity.q140KnnPq.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case (q, nb, _) => (q, nb) }
+    val recall = (pq intersect exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"PQ recall@5 = $recall below 0.8")
+  }
+
   test("count-min sketch estimates bound the exact counts (one-sided eps*N error)") {
     import spark.implicits._
     val rows = TextAnalysis.q136CmsHeavyHitters.fn(spark, sf)
