@@ -309,18 +309,31 @@ object Similarity {
     val subs = vecs.select($"vec_id", $"embedding", $"nrm", explode(expr(
         s"transform(sequence(0, ${M - 1}), s -> named_struct('sub', s, 'svec', slice(unit, s * $subDim + 1, $subDim)))")).as("ss"))
       .select($"vec_id", $"ss.sub".as("sub"), $"ss.svec".as("svec"))
-    // one codebook per sub-space (E3: M tiny fits; only k×16 doubles each)
-    val codebooks = (0 until M).map { s =>
-      // codebooks don't need converged centroids (any fixed quantizer works;
-      // rerank fixes ordering) — cap the E3 fit rounds, 8 fits run back-to-back
-      val model = new org.apache.spark.ml.clustering.KMeans()
-        .setK(kCodes).setSeed(42L + s).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("code")
-        .fit(subs.filter($"sub" === s).select(array_to_vector($"svec").as("features")))
-      model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (s, i, c.toArray) }.toSeq
-        .toDF("sub", "code", "centroid")
-    }.reduce(_ union _)
+    // one codebook per sub-space (E3: M tiny fits; only k×16 doubles each).
+    // The M fits are independent, and each is driver-round-trip-bound (a few
+    // treeAggregate rounds over ~2k sub-vectors), so they run CONCURRENTLY —
+    // Spark schedules jobs from multiple submitter threads (the same play as
+    // CrossValidator's parallelism param); subs is persisted across the fits
+    // so the scan + explode runs once, not M×. Codebooks don't need converged
+    // centroids (any fixed quantizer works; rerank fixes ordering) — maxIter
+    // caps the rounds.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(M)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    subs.persist().count()
+    val codebooks =
+      try Await.result(Future.sequence((0 until M).map { s => Future {
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(kCodes).setSeed(42L + s).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("code")
+          .fit(subs.filter($"sub" === s).select(array_to_vector($"svec").as("features")))
+        model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (s, i, c.toArray) }.toSeq
+          .toDF("sub", "code", "centroid")
+      } }), Duration.Inf).reduce(_ union _)
+      finally { subs.unpersist(); pool.shutdown() }
     def sqdist = aggregate(
       zip_with($"svec", $"centroid", (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)

@@ -380,8 +380,75 @@ object TextAnalysis {
       .orderBy($"exact_n".desc, $"tok")
   }
 
+  /** Per-source top-5 tokens — GROUPED heavy hitters, the per-domain
+    * vocabulary profile that q136's global sketch can't answer. Exact
+    * formulation: token hash-agg (map-side combinable) then a top-k window
+    * per source with a unique token tie-break.
+    *
+    * 100 TB plan: the (source, token) agg is Heaps'-law bounded per source
+    * and partial-aggregates before the shuffle; the window shuffles the
+    * already-aggregated count table (vocabulary-sized, not corpus-sized) on
+    * `source`. If sources were few and vocabularies huge, the two-phase
+    * q97 pattern (per-partition top-k, then merge) bounds the window
+    * partitions. */
+  val q143SourceTopTokens: GraftQuery = GraftQuery.oracled(
+    "q143_source_top_tokens",
+    """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      |      FROM t WHERE tok <> '' GROUP BY 1, 2),
+      |r AS (SELECT source, tok, n,
+      |             CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS INT) AS rnk
+      |      FROM c)
+      |SELECT source, tok, n, rnk FROM r WHERE rnk <= 5
+      |ORDER BY source, rnk""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(spark, dir)
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"source").orderBy($"n".desc, $"tok")
+    c.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .orderBy($"source", $"rnk")
+  }
+
+  /** One BPE training round: the pair-frequency table that drives a
+    * byte-pair-encoding merge step. Classic formulation — count each
+    * distinct word once (weighted by its corpus frequency), explode its
+    * adjacent character pairs, and rank total pair frequency; the top pair
+    * is the next merge. Output is the top-20 merge candidates.
+    *
+    * 100 TB plan: the word census collapses the corpus to its
+    * Heaps'-law-bounded vocabulary BEFORE any per-character work — the
+    * expensive explode runs over distinct words, not running text (the
+    * same census trick production BPE trainers use). Both aggs are
+    * map-side combinable; iterating merges re-runs this query over the
+    * re-tokenized vocabulary, never the corpus. */
+  val q144BpePairs: GraftQuery = GraftQuery.oracled(
+    "q144_bpe_pairs",
+    """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w WHERE len(w) >= 2 GROUP BY 1),
+      |p AS (SELECT substr(w, i, 2) AS pair, n
+      |      FROM wc, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i))
+      |SELECT pair, CAST(sum(n) AS BIGINT) AS freq
+      |FROM p GROUP BY 1
+      |ORDER BY freq DESC, pair
+      |LIMIT 20""") { (spark, dir) =>
+    import spark.implicits._
+    val wc = Tables.documents(spark, dir)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    wc.select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")).as("pair"), $"n")
+      .groupBy($"pair").agg(sum($"n").cast("long").as("freq"))
+      .orderBy($"freq".desc, $"pair")
+      .limit(20)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
-    q132UnigramPerplexity, q136CmsHeavyHitters)
+    q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs)
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.sources.Tables
+
+/** SURVEY.md §2 (events surface) — sequential/behavioral analytics over the
+  * `events` stream table: funnel conversion and cohort retention, the two
+  * queries every product-analytics engine ships as first-class operators.
+  *
+  * Scale discipline: both queries key every join and aggregation on
+  * `user_id` — one high-cardinality hash partitioning that Spark reuses
+  * across the stages (co-partitioned joins add no exchange), and the
+  * `event_type` predicates push into the parquet scan. Nothing is ever
+  * collected; the only small data is the final per-stage / per-cohort
+  * aggregate. */
+object EventAnalytics {
+
+  /** Ordered funnel conversion view → click → purchase: a user advances to a
+    * stage only with an event STRICTLY AFTER their earliest prior-stage
+    * event (min-ts semantics, the standard strict-ordering funnel). Output
+    * is the per-stage surviving-user count.
+    *
+    * 100 TB plan: three filtered min-aggs + two joins, all keyed on
+    * `user_id` — one shuffle partitioning reused end-to-end; each stage's
+    * `event_type` filter reaches the scan, so the funnel reads each event
+    * row once. The anti-pattern this avoids is per-user event-list
+    * collection (collect_list + UDF walk), which materializes the whole
+    * history per user. */
+  val q141Funnel: GraftQuery = GraftQuery.oracled(
+    "q141_funnel",
+    """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t1 FROM e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+      |SELECT stage, n_users FROM (
+      |  SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM c
+      |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM p)
+      |ORDER BY stage""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t0"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"t0")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    def stageCount(df: DataFrame, s: Int): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(s).as("stage"), $"n_users")
+    stageCount(v, 1).unionByName(stageCount(c, 2)).unionByName(stageCount(p, 3))
+      .orderBy($"stage")
+  }
+
+  /** Cohort retention matrix: users are cohorted by first-activity day, and
+    * each (cohort, week-offset) cell counts the distinct users of that
+    * cohort active in that week — the table behind every retention curve.
+    *
+    * 100 TB plan: the cohort table is one `user_id`-keyed min-agg joined
+    * back on the same key (co-partitioned, no second exchange); the final
+    * distinct-count agg is over (cohort, week, user) — exact, partial-agg
+    * friendly because (user → cohort) is functional. At production scale
+    * the cohort frame is the thing to persist/bucket; the events scan
+    * reads (user_id, ts) only. */
+  val q142CohortRetention: GraftQuery = GraftQuery.oracled(
+    "q142_cohort_retention",
+    """WITH e AS (SELECT user_id,
+      |                  CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d
+      |           FROM events),
+      |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+      |SELECT cohort_d, week_off, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      |FROM (SELECT e.user_id, f.cohort_d,
+      |             CAST(date_diff('day', f.cohort_d, e.d) // 7 AS BIGINT) AS week_off
+      |      FROM e JOIN f USING (user_id))
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("d"))
+    val f = e.groupBy($"user_id").agg(min($"d").as("cohort_d"))
+    e.join(f, "user_id")
+      .select($"user_id", $"cohort_d",
+        expr("CAST(datediff(d, cohort_d) DIV 7 AS BIGINT)").as("week_off"))
+      .groupBy($"cohort_d", $"week_off")
+      .agg(countDistinct($"user_id").cast("long").as("n_active"))
+      .orderBy($"cohort_d", $"week_off")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q141Funnel, q142CohortRetention)
+}
