@@ -193,6 +193,69 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Weighted sampling WITHOUT replacement, Efraimidis–Spirakis: top-10
+    * docs per source drawn with probability proportional to weight
+    * (n_chars here — in production the quality score). Each doc gets key
+    * ln(u)/w for a uniform u; the k LARGEST keys are an exact weighted
+    * sample without replacement — one projection + one top-k window, no
+    * rejection loop, no sequential pass. The uniform draw is the portable
+    * md5 coin (q102's trick) and the key is rounded with a doc_id
+    * tie-break, so the EXACT sampled set is deterministic and oracle-able
+    * cross-engine.
+    *
+    * 100 TB plan: keys are map-side; the window shuffles on `source` and
+    * top-k short-circuits via WindowGroupLimit. A skewed giant source goes
+    * through the q97 two-phase split (per-partition top-k, then merge). */
+  val q146WeightedSample: GraftQuery = GraftQuery.oracled(
+    "q146_weighted_sample",
+    """WITH u AS (SELECT doc_id, source, n_chars,
+      |                  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 + 1) / 1000000.0 AS coin
+      |           FROM documents),
+      |k AS (SELECT doc_id, source, round(ln(coin) / n_chars, 9) AS skey FROM u),
+      |r AS (SELECT doc_id, source,
+      |             CAST(row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS INT) AS rnk
+      |      FROM k)
+      |SELECT source, doc_id, rnk FROM r WHERE rnk <= 10
+      |ORDER BY source, rnk""") { (spark, dir) =>
+    import spark.implicits._
+    val coin = (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L + 1L) / lit(1000000.0)
+    val k = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        round(log(coin) / $"n_chars", 9).as("skey"))
+    val w = Window.partitionBy($"source").orderBy($"skey".desc, $"doc_id")
+    k.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"source", $"doc_id", $"rnk")
+      .orderBy($"source", $"rnk")
+  }
+
+  /** Per-source quantile normalization of a quality signal: percent_rank
+    * maps every source's score distribution onto [0,1], making scores
+    * COMPARABLE across sources before a global quality cutoff — without it
+    * a verbose source's raw lengths would dominate a terse one's. Unique
+    * (score, doc_id) ordering makes the rank — and hence the output —
+    * exactly deterministic on both engines (ranks are integer arithmetic,
+    * no float divergence).
+    *
+    * 100 TB plan: one window shuffle on `source`; a giant source becomes
+    * the q97 two-phase global-rank shape (per-partition counts, broadcast
+    * offsets). */
+  val q147QuantileNorm: GraftQuery = GraftQuery.oracled(
+    "q147_quantile_norm",
+    """SELECT doc_id, source,
+      |       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id), 6) AS qnorm
+      |FROM documents
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        round(percent_rank().over(w), 6).as("qnorm"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q127CurationPipeline, q137SequencePacking, q138SourceMixing)
+    q127CurationPipeline, q137SequencePacking, q138SourceMixing,
+    q146WeightedSample, q147QuantileNorm)
 }

@@ -260,8 +260,35 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Rolling 7-day active users from re-aggregatable daily HLL sketches —
+    * the DAU/WAU query at 100 TB. The corpus-sized work happens ONCE:
+    * events collapse to one sketch row per day with map-side partial
+    * aggregation; the rolling union is then a RANGE window over the
+    * days-sized sketch table (365 rows/year — the unpartitioned window is
+    * deliberate and safe at that cardinality), never re-touching row data.
+    * The exact-rolling-distinct alternative replays every event row into 7
+    * windows and shuffles the full (day, user) stream — this replaces that
+    * with a few-KB sketch per day. lgK=14 ≈ 0.8% rse; AggWindowSpec gates
+    * WAU ≤5% of exact rolling distinct. */
+  val q145RollingActives: GraftQuery = GraftQuery.rowsOnly(
+    "q145_rolling_actives",
+    doc = "daily hll_sketch_agg(user_id, lgK=14) -> hll_union_agg over RANGE -6..0 day window: exact DAU + approx rolling WAU") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(countDistinct($"user_id").as("dau"),
+        hll_sketch_agg($"user_id", lit(14)).as("sk"))
+      .withColumn("epoch_d", datediff($"d", lit("1970-01-01").cast("date")))
+    val w = Window.orderBy($"epoch_d").rangeBetween(-6, 0)
+    daily
+      .withColumn("wau_approx", hll_sketch_estimate(hll_union_agg($"sk").over(w)))
+      .select($"d", $"dau", $"wau_approx")
+      .orderBy($"d")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
-    q120ArgAggs, q126StringAgg, q133SketchMergeDistinct)
+    q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives)
 }

@@ -92,5 +92,36 @@ object EventAnalytics {
       .orderBy($"cohort_d", $"week_off")
   }
 
-  def all: Seq[GraftQuery] = Seq(q141Funnel, q142CohortRetention)
+  /** Exponentially time-decayed engagement: per user, sum of event values
+    * weighted by exp(−age/τ) with τ = 7 days, anchored at the corpus-max
+    * timestamp — the recency-weighted feature every ranking/churn model
+    * consumes. Age is computed in exact microsecond integer arithmetic
+    * before ONE float division, so both engines weigh identical ages.
+    *
+    * 100 TB plan: the anchor is a 1-row broadcast; the decay weight is a
+    * map-side projection and the sum partial-aggregates — one scan, one
+    * shuffle of per-user partials. An incremental variant folds in new
+    * days by multiplying the stored aggregate by exp(−Δ/τ) (decay is
+    * multiplicative), so the history is never re-scanned. */
+  val q148DecayedEngagement: GraftQuery = GraftQuery.oracled(
+    "q148_decayed_engagement",
+    """WITH m AS (SELECT max(date_trunc('microseconds', ts)) AS tmax FROM events),
+      |e AS (SELECT user_id, value,
+      |             date_diff('microsecond', date_trunc('microseconds', ts), tmax) / 86400000000.0 AS age_d
+      |      FROM events, m)
+      |SELECT user_id, round(sum(value * exp(-age_d / 7.0)), 2) AS decayed_value
+      |FROM e GROUP BY 1
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"value", $"ts")
+    val anchor = ev.agg(max($"ts").as("tmax"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age_d",
+        (unix_micros($"tmax") - unix_micros($"ts")) / lit(86400000000.0))
+      .groupBy($"user_id")
+      .agg(round(sum($"value" * exp(-$"age_d" / 7.0)), 2).as("decayed_value"))
+      .orderBy($"user_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q141Funnel, q142CohortRetention, q148DecayedEngagement)
 }

@@ -77,4 +77,24 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
     val got = binned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === naive)
   }
+
+  test("rolling 7-day actives: sketch-window WAU within 5% of exact rolling distinct") {
+    import spark.implicits._
+    val rolled = Aggregates.q145RollingActives.fn(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // exact rolling distinct: day grid x distinct (day, user) pairs in range
+    val pairs = Tables.events(spark, sf)
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+    val exact = pairs.select($"d".as("d0")).distinct()
+      .join(pairs, datediff($"d0", $"d").between(0, 6))
+      .groupBy($"d0").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(rolled.map(_._1).toSet === exact.keySet)
+    for ((d, dau, wau) <- rolled) {
+      val e = exact(d)
+      assert(math.abs(wau.toDouble - e) / e <= 0.05,
+        s"$d: sketch WAU $wau vs exact rolling distinct $e")
+      assert(wau >= dau * 95 / 100, s"$d: WAU $wau implausibly below DAU $dau")
+    }
+  }
 }
