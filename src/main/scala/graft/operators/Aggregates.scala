@@ -287,8 +287,41 @@ object Aggregates {
       .orderBy($"d")
   }
 
+  /** EXACT re-aggregatable distinct via Roaring-style bitmaps — the exact
+    * twin of q133's HLL rollup, for when the count must be right, not
+    * ±1%: per (event_type, day, bucket) the user ids collapse into a
+    * bitmap (`bitmap_construct_agg` over bit positions; buckets span 2^15
+    * ids so bitmaps stay bounded), daily partials OR together
+    * (`bitmap_or_agg` — union is the bitmap merge, losslessly
+    * associative), and the distinct count is the sum of per-bucket
+    * popcounts. The final number is plain COUNT(DISTINCT) to DuckDB — the
+    * whole rollup is SQL-oracle'd END TO END, unlike any approx variant.
+    *
+    * 100 TB plan: the shuffle carries fixed-size bitmap blobs per
+    * (key, day, bucket), not user ids; incremental days OR into stored
+    * partials without re-scanning history. Ids must be dense-ish for
+    * bucket efficiency (ours are); sparse ids go through a dictionary. */
+  val q150BitmapDistinct: GraftQuery = GraftQuery.oracled(
+    "q150_bitmap_distinct",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("d"),
+        bitmap_bucket_number($"user_id").as("bkt"),
+        bitmap_bit_position($"user_id").as("pos"))
+      .groupBy($"event_type", $"d", $"bkt")
+      .agg(bitmap_construct_agg($"pos").as("bm"))
+      .groupBy($"event_type", $"bkt")
+      .agg(bitmap_or_agg($"bm").as("bm"))
+      .groupBy($"event_type")
+      .agg(sum(bitmap_count($"bm")).cast("long").as("n_users"))
+      .orderBy($"event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
-    q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives)
+    q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
+    q150BitmapDistinct)
 }

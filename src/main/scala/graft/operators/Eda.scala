@@ -42,5 +42,61 @@ object Eda {
       .orderBy($"bucket")
   }
 
-  def all: Seq[GraftQuery] = Seq(q84Describe, q85QuantileDiscretize)
+  /** Population-stability-index (PSI) drift report between two
+    * deterministic halves of `orders` — the train/serve distribution-shift
+    * monitor every ML platform runs. The split is the portable md5 coin
+    * (so both engines cut identical halves), `o_totalprice` is binned into
+    * 10 equal-width buckets over the observed range, and each bucket
+    * contributes (pA−pB)·ln(pA/pB) with add-one smoothing so empty cells
+    * stay finite. The bucket index is computed with the SAME arithmetic
+    * expression on both engines (DuckDB lacks width_bucket).
+    *
+    * 100 TB plan: one tiny range agg broadcast back, then a single scan
+    * into a 2×10-cell count grid — the report is constant-size no matter
+    * the input; production pins the bucket edges instead of deriving
+    * them, dropping the extra scan. */
+  val q152DriftPsi: GraftQuery = GraftQuery.oracled(
+    "q152_drift_psi",
+    """WITH s AS (SELECT o_totalprice AS x,
+      |                  CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |                       THEN 'a' ELSE 'b' END AS split
+      |           FROM orders),
+      |r AS (SELECT min(x) AS lo, max(x) + 0.01 AS hi FROM s),
+      |b AS (SELECT split, CAST(floor((x - lo) * 10.0 / (hi - lo)) AS BIGINT) + 1 AS bkt FROM s, r),
+      |c AS (SELECT split, bkt, count(*) AS n FROM b GROUP BY 1, 2),
+      |t AS (SELECT split, sum(n) AS tot FROM c GROUP BY 1),
+      |p AS (SELECT g.bkt,
+      |             (coalesce(ca.n, 0) + 1.0) / (ta.tot + 10) AS pa,
+      |             (coalesce(cb.n, 0) + 1.0) / (tb.tot + 10) AS pb
+      |      FROM (SELECT DISTINCT bkt FROM c) g
+      |      LEFT JOIN (SELECT bkt, n FROM c WHERE split = 'a') ca USING (bkt)
+      |      LEFT JOIN (SELECT bkt, n FROM c WHERE split = 'b') cb USING (bkt),
+      |      (SELECT tot FROM t WHERE split = 'a') ta,
+      |      (SELECT tot FROM t WHERE split = 'b') tb)
+      |SELECT bkt, round(pa, 6) AS pa, round(pb, 6) AS pb,
+      |       round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
+      |FROM p ORDER BY bkt""") { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.orders(spark, dir).select($"o_totalprice".as("x"),
+      when(conv(substring(md5($"o_orderkey".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2 === 0, "a").otherwise("b").as("split"))
+    val r = s.agg(min($"x").as("lo"), (max($"x") + 0.01).as("hi"))
+    val c = s.crossJoin(broadcast(r))
+      .select($"split",
+        (floor(($"x" - $"lo") * 10.0 / ($"hi" - $"lo")).cast("long") + 1).as("bkt"))
+      .groupBy($"split", $"bkt").agg(count(lit(1)).as("n"))
+    val t = c.groupBy($"split").agg(sum($"n").as("tot"))
+    c.select($"bkt").distinct()
+      .join(c.filter($"split" === "a").select($"bkt", $"n".as("na")), Seq("bkt"), "left")
+      .join(c.filter($"split" === "b").select($"bkt", $"n".as("nb")), Seq("bkt"), "left")
+      .crossJoin(broadcast(t.filter($"split" === "a").select($"tot".as("tota"))))
+      .crossJoin(broadcast(t.filter($"split" === "b").select($"tot".as("totb"))))
+      .withColumn("pa", (coalesce($"na", lit(0L)) + 1.0) / ($"tota" + 10))
+      .withColumn("pb", (coalesce($"nb", lit(0L)) + 1.0) / ($"totb" + 10))
+      .select($"bkt", round($"pa", 6).as("pa"), round($"pb", 6).as("pb"),
+        round(($"pa" - $"pb") * log($"pa" / $"pb"), 6).as("psi_contrib"))
+      .orderBy($"bkt")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q84Describe, q85QuantileDiscretize, q152DriftPsi)
 }

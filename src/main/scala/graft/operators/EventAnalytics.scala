@@ -123,5 +123,57 @@ object EventAnalytics {
       .orderBy($"user_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(q141Funnel, q142CohortRetention, q148DecayedEngagement)
+  /** State-interval compression (gaps-and-islands → SCD-2 build): each
+    * user's event stream collapses to validity intervals — a new interval
+    * starts only when `event_type` CHANGES; consecutive repeats merge.
+    * Output is the slowly-changing-dimension history row:
+    * (user, state, valid_from, valid_to, n_events, is_current). The
+    * change-flag → running-sum group-id → per-group min/count → lead()
+    * chain is the canonical relational run-length encoding.
+    *
+    * 100 TB plan: three window passes and one agg, ALL on the same
+    * user_id partitioning — Spark plans one shuffle and reuses the sort.
+    * No self-join against shifted copies (the naive SCD build), no
+    * per-user collect. */
+  val q149StateIntervals: GraftQuery = GraftQuery.oracled(
+    "q149_state_intervals",
+    """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts, event_id FROM events),
+      |m AS (SELECT user_id, event_type, ts, event_id,
+      |             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |      FROM e),
+      |g AS (SELECT user_id, event_type, ts, event_id,
+      |             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS grp
+      |      FROM m),
+      |iv AS (SELECT user_id, event_type, grp, min(ts) AS valid_from,
+      |              CAST(count(*) AS BIGINT) AS n_events
+      |       FROM g GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+      |       n_events,
+      |       CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+      |            THEN 1 ELSE 0 END AS is_current
+      |FROM iv
+      |ORDER BY user_id, valid_from""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, 0)
+    val wIv = Window.partitionBy($"user_id").orderBy($"valid_from")
+    val iv = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("chg",
+        when(!(lag($"event_type", 1).over(wSeq) <=> $"event_type"), 1).otherwise(0))
+      .withColumn("grp", sum($"chg").over(wRun))
+      .groupBy($"user_id", $"event_type", $"grp")
+      .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+    iv.select($"user_id", $"event_type", $"valid_from",
+        lead($"valid_from", 1).over(wIv).as("valid_to"), $"n_events",
+        when(lead($"valid_from", 1).over(wIv).isNull, 1).otherwise(0).as("is_current"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals)
 }

@@ -262,7 +262,52 @@ object NullAndMisc {
     out
   }
 
+  /** Referential-integrity audit: orphan counts for every foreign key in
+    * the star schema in one constraint report — the data-quality gate a
+    * warehouse runs after each load. Each constraint is a LEFT ANTI join
+    * (null-safe: a NULL FK is not an orphan under SQL FK semantics, so
+    * NOT EXISTS and left_anti agree).
+    *
+    * 100 TB plan: small dimension targets broadcast their key set, so
+    * five of the six checks are shuffle-free scans; the one fact-to-fact
+    * check (lineitem→orders) shuffles on the join key once. Each audit
+    * emits a single count — nothing row-sized leaves the executors. */
+  val q151RiAudit: GraftQuery = GraftQuery.oracled(
+    "q151_ri_audit",
+    """SELECT fk, n_orphans FROM (
+      |  SELECT 'customer.nationkey' AS fk, CAST(count(*) AS BIGINT) AS n_orphans
+      |    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+      |  UNION ALL SELECT 'lineitem.orderkey', CAST(count(*) AS BIGINT)
+      |    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL SELECT 'lineitem.partkey', CAST(count(*) AS BIGINT)
+      |    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |  UNION ALL SELECT 'lineitem.suppkey', CAST(count(*) AS BIGINT)
+      |    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      |  UNION ALL SELECT 'orders.custkey', CAST(count(*) AS BIGINT)
+      |    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL SELECT 'supplier.nationkey', CAST(count(*) AS BIGINT)
+      |    FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+      |ORDER BY fk""") { (spark, dir) =>
+    import spark.implicits._
+    def orphans(fk: String, child: org.apache.spark.sql.DataFrame, childKey: String,
+        parent: org.apache.spark.sql.DataFrame, parentKey: String) =
+      child.join(parent, child(childKey) === parent(parentKey), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_orphans"))
+        .select(lit(fk).as("fk"), $"n_orphans")
+    val (c, o, l, p, s, n) = (Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir), Tables.part(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir))
+    orphans("customer.nationkey", c, "c_nationkey", broadcast(n), "n_nationkey")
+      .unionByName(orphans("lineitem.orderkey", l, "l_orderkey", o, "o_orderkey"))
+      .unionByName(orphans("lineitem.partkey", l, "l_partkey", p, "p_partkey"))
+      .unionByName(orphans("lineitem.suppkey", l, "l_suppkey", broadcast(s), "s_suppkey"))
+      .unionByName(orphans("orders.custkey", o, "o_custkey", c, "c_custkey"))
+      .unionByName(orphans("supplier.nationkey", s, "s_nationkey", broadcast(n), "n_nationkey"))
+      .orderBy($"fk")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName,
-    q91Posexplode, q92StructToJson, q119Unpivot, q134ObserveMetrics)
+    q91Posexplode, q92StructToJson, q119Unpivot, q134ObserveMetrics,
+    q151RiAudit)
 }
