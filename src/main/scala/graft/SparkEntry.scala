@@ -35,7 +35,8 @@ object SparkEntry {
       graft.sources.PartitionedSink.all ++
       graft.operators.Eda.all ++
       graft.operators.NullAndMisc.all ++
-      graft.operators.EventAnalytics.all
+      graft.operators.EventAnalytics.all ++
+      graft.operators.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

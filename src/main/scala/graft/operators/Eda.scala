@@ -98,5 +98,43 @@ object Eda {
       .orderBy($"bkt")
   }
 
-  def all: Seq[GraftQuery] = Seq(q84Describe, q85QuantileDiscretize, q152DriftPsi)
+  /** Tukey-fence (1.5·IQR) outlier detection per event_type over the
+    * right-skewed `events.value` — the robust-stats anomaly flag that,
+    * unlike z-scores, is not itself dragged by the outliers it hunts.
+    * Exact quartiles (`percentile` ≡ `quantile_cont`, the q27 identity);
+    * fences are ROUNDED on both engines before the comparison so the
+    * predicate is cross-engine stable at the boundary, making the exact
+    * flagged row set oracle-able.
+    *
+    * 100 TB plan: one grouped percentile agg (5 groups → a broadcast
+    * fence table) and one scan with a map-side predicate; at extreme
+    * cardinality the exact percentile swaps for approx_percentile and the
+    * same fences — the plan shape is unchanged. */
+  val q153IqrOutliers: GraftQuery = GraftQuery.oracled(
+    "q153_iqr_outliers",
+    """WITH q AS (SELECT event_type,
+      |                  quantile_cont(value, 0.25) AS q1,
+      |                  quantile_cont(value, 0.75) AS q3
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+      |       round(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi_fence
+      |FROM events e JOIN q USING (event_type)
+      |WHERE e.value > round(q.q3 + 1.5 * (q.q3 - q.q1), 4)
+      |   OR e.value < round(q.q1 - 1.5 * (q.q3 - q.q1), 4)
+      |ORDER BY e.event_id""") { (spark, dir) =>
+    import spark.implicits._
+    val q = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+    Tables.events(spark, dir).join(broadcast(q), Seq("event_type"))
+      .filter($"value" > round($"q3" + ($"q3" - $"q1") * 1.5, 4) ||
+        $"value" < round($"q1" - ($"q3" - $"q1") * 1.5, 4))
+      .select($"event_id", $"event_type", round($"value", 2).as("value"),
+        round($"q3" + ($"q3" - $"q1") * 1.5, 4).as("hi_fence"))
+      .orderBy($"event_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers)
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.sources.Tables
+
+/** Graph analytics over the co-order part graph: two parts are adjacent when
+  * some order contains both (restricted to heavy lineitems, l_quantity ≥ 40,
+  * which keeps the clique explosion per order bounded and the graph
+  * interesting — ~58k edges / 17k triangles at sf0.1). Relational graph ops
+  * — triangle counting and PageRank — expressed as joins/aggs so Catalyst
+  * plans the shuffles.
+  */
+object Graph {
+
+  /** Oriented edge list a<b of the co-order part graph; `distinct` collapses
+    * parallel edges from parts co-occurring in many orders. */
+  private[operators] def coOrderEdges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 40)
+      .select($"l_orderkey".as("k"), $"l_partkey")
+    li.as("x").join(li.as("y"), $"x.k" === $"y.k" && $"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
+      .distinct()
+  }
+
+  /** Triangle counting via the compact-forward wedge join: with every edge
+    * oriented a<b, each triangle {x<y<z} is counted EXACTLY once as
+    * e(x,y)⋈e(y,z)⋈e(x,z) — no ÷6 correction, no symmetric blowup. Output
+    * is the graph summary (nodes, edges, triangles).
+    *
+    * 100 TB plan: the wedge join shuffles oriented edges on the middle
+    * vertex; wedge count is Σ deg²_out, and ordering edges by DEGREE
+    * instead of id (the production refinement) caps out-degree at O(√m) so
+    * hub vertices can't explode the wedge stage. The per-order pair
+    * generation is bounded by (items/order choose 2) — order sizes are
+    * capped in any real schema — and `distinct` collapses multiplicity
+    * before the quadratic stage. */
+  val q154Triangles: GraftQuery = GraftQuery.oracled(
+    "q154_triangles",
+    """WITH li AS (SELECT l_orderkey AS k, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM (SELECT a AS v FROM e UNION SELECT b FROM e)) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      |       (SELECT CAST(count(*) AS BIGINT)
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""") { (spark, dir) =>
+    import spark.implicits._
+    val e = coOrderEdges(spark, dir)
+    val nodes = e.select($"a".as("v")).union(e.select($"b")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+    val edges = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    val tris = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+      .join(e.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    nodes.crossJoin(edges).crossJoin(tris)
+  }
+
+  /** PageRank, 5 fixed power iterations (damping 0.85) on the symmetrized
+    * co-order graph — top-20 parts by rank. The loop is driver-side ONLY in
+    * its trip count: each iteration is one join (rank/deg onto edges) plus
+    * one sum-agg keyed by destination, exactly the message-passing shape;
+    * no rank vector ever reaches the driver. Symmetrization guarantees
+    * out-degree ≥ 1, so there are no dangling-mass corrections.
+    *
+    * 100 TB plan: edges and ranks co-shuffle on vertex id each round —
+    * production pre-partitions both once and reuses the partitioning
+    * (bucketed edge table); iteration results checkpoint every ~5 rounds
+    * to cut lineage (same discipline as q100/q109's components loop).
+    * Float-sum order varies across engines → rows-only; GraphSpec pins a
+    * closed-form star-graph fixture and mass conservation. */
+  val q155PageRank: GraftQuery = GraftQuery.rowsOnly(
+    "q155_pagerank",
+    doc = "5-iteration damped (0.85) PageRank on the symmetrized co-order part graph; top-20 (part, round(rank,6))") { (spark, dir) =>
+    import spark.implicits._
+    pageRank(coOrderEdges(spark, dir), iters = 5)
+      .orderBy($"rank".desc, $"v")
+      .limit(20)
+      .select($"v".as("part"), round($"rank", 6).as("rank"))
+  }
+
+  /** Power iteration on an oriented edge list (symmetrized internally). */
+  private[operators] def pageRank(oriented: DataFrame, iters: Int): DataFrame = {
+    val spark = oriented.sparkSession
+    import spark.implicits._
+    val edges = oriented.select($"a".as("src"), $"b".as("dst"))
+      .union(oriented.select($"b", $"a")).cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").cache()
+    withDeg.count()
+    var ranks = deg.select($"src".as("v"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(ranks, $"src" === $"v")
+        .select($"dst", ($"rank" / $"deg").as("c"))
+      ranks = contrib.groupBy($"dst".as("v"))
+        .agg((lit(0.15) + lit(0.85) * sum($"c")).as("rank"))
+    }
+    val out = ranks
+    edges.unpersist()
+    out
+  }
+
+  def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank)
+}

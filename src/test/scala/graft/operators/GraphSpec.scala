@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Non-oracle gates for the graph ops (q154 is SQL-oracle'd; q155 PageRank
+  * is float-iterative → fixture-pinned here). */
+class GraphSpec extends AnyFunSuite with SparkFixture {
+  import org.apache.spark.sql.functions._
+
+  test("PageRank: star-graph fixture converges to the closed form; mass is conserved") {
+    import spark.implicits._
+    // K_{1,3}: center 0, leaves 1..3. Closed form (damping 0.85, n=4):
+    // C = 0.15 + 0.85*3L, L = 0.15 + 0.85*C/3  =>  C = 1.91892, L = 0.69369
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val converged = Graph.pageRank(star, iters = 40)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(converged(0L) - 1.91892) < 5e-3,
+      s"center rank ${converged(0L)} != closed form 1.91892")
+    for (v <- 1L to 3L)
+      assert(math.abs(converged(v) - 0.69369) < 5e-3,
+        s"leaf $v rank ${converged(v)} != closed form 0.69369")
+    // 5-iteration catalog config: total mass stays n on a dangling-free graph
+    val five = Graph.pageRank(star, iters = 5)
+      .agg(sum($"rank")).head.getDouble(0)
+    assert(math.abs(five - 4.0) < 1e-6, s"5-iter mass $five != 4.0")
+  }
+
+  test("PageRank on the co-order graph: deterministic across runs, ranks positive") {
+    val a = Graph.q155PageRank.fn(spark, sf).collect()
+    val b = Graph.q155PageRank.fn(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "q155 must be run-to-run deterministic")
+    assert(a.nonEmpty && a.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("triangle count: compact-forward join equals brute-force closed forms on fixtures") {
+    import spark.implicits._
+    // triangle + pendant edge: {1,2,3} closed, 3-4 open => exactly 1 triangle
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val one = tri.as("e1").join(tri.as("e2"), $"e1.b" === $"e2.a")
+      .join(tri.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .count()
+    assert(one === 1L)
+    // K4 has C(4,3)=4 triangles
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)).toDF("a", "b")
+    val four = k4.as("e1").join(k4.as("e2"), $"e1.b" === $"e2.a")
+      .join(k4.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .count()
+    assert(four === 4L)
+  }
+}
