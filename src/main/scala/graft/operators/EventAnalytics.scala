@@ -174,6 +174,99 @@ object EventAnalytics {
       .orderBy($"user_id", $"valid_from")
   }
 
+  /** Temporal point-in-interval join: each `error` event is enriched with
+    * the state interval (q149's SCD-2 build over the NON-error stream) it
+    * falls inside — "what was the user doing when the error hit", the
+    * history-join every temporal warehouse ships. Intervals partition each
+    * user's timeline, so every error matches AT MOST one interval; errors
+    * before a user's first non-error event drop (inner semantics).
+    *
+    * 100 TB plan: the join is an EQUI join on user_id with the interval
+    * bounds as a residual filter — never a BroadcastNestedLoop — and the
+    * interval build reuses the probe side's user_id partitioning. Matches
+    * per user are bounded by intervals/user (state changes, not events). */
+  val q156TemporalJoin: GraftQuery = GraftQuery.oracled(
+    "q156_temporal_join",
+    """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts, event_id
+      |           FROM events WHERE event_type <> 'error'),
+      |m AS (SELECT user_id, event_type, ts, event_id,
+      |             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |      FROM e),
+      |g AS (SELECT user_id, event_type, ts, event_id,
+      |             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS grp
+      |      FROM m),
+      |iv0 AS (SELECT user_id, event_type AS state, grp, min(ts) AS valid_from
+      |        FROM g GROUP BY 1, 2, 3),
+      |iv AS (SELECT user_id, state, valid_from,
+      |              lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+      |       FROM iv0),
+      |err AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+      |        FROM events WHERE event_type = 'error')
+      |SELECT err.event_id, err.user_id, iv.state, iv.valid_from
+      |FROM err JOIN iv ON err.user_id = iv.user_id
+      |               AND iv.valid_from <= err.ts
+      |               AND (err.ts < iv.valid_to OR iv.valid_to IS NULL)
+      |ORDER BY err.event_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, 0)
+    val wIv = Window.partitionBy($"user_id").orderBy($"valid_from")
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val iv = ev.filter($"event_type" =!= "error")
+      .withColumn("chg",
+        when(!(lag($"event_type", 1).over(wSeq) <=> $"event_type"), 1).otherwise(0))
+      .withColumn("grp", sum($"chg").over(wRun))
+      .groupBy($"user_id", $"event_type".as("state"), $"grp")
+      .agg(min($"ts").as("valid_from"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(wIv))
+      .select($"user_id", $"state", $"valid_from", $"valid_to")
+    val err = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id", $"ts")
+    err.join(iv,
+        err("user_id") === iv("user_id") &&
+          iv("valid_from") <= err("ts") &&
+          (err("ts") < iv("valid_to") || iv("valid_to").isNull))
+      .select(err("event_id"), err("user_id"), $"state", $"valid_from")
+      .orderBy($"event_id")
+  }
+
+  /** Rolling 7-day correlation between the daily click and purchase value
+    * series — the co-movement signal behind every metrics-anomaly monitor.
+    * One conditional-sum day rollup, then `corr` as a windowed aggregate
+    * over ROWS 6 PRECEDING.
+    *
+    * 100 TB plan: the day rollup partial-aggregates the event stream to
+    * one row per day; the correlation window then runs over the
+    * days-sized series (the same deliberate tiny-global-window shape as
+    * q145 — 365 rows/year, not row data). */
+  val q157RollingCorr: GraftQuery = GraftQuery.oracled(
+    "q157_rolling_corr",
+    """WITH d AS (SELECT CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d,
+      |                  sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS clicks,
+      |                  sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS purchases
+      |           FROM events GROUP BY 1)
+      |SELECT d, round(clicks, 2) AS clicks, round(purchases, 2) AS purchases,
+      |       round(corr(clicks, purchases) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) + 0.0 AS corr7
+      |FROM d ORDER BY d""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", $"value").otherwise(0)).as("clicks"),
+        sum(when($"event_type" === "purchase", $"value").otherwise(0)).as("purchases"))
+    val w = Window.orderBy($"d").rowsBetween(-6, 0)
+    daily.select($"d", round($"clicks", 2).as("clicks"),
+        round($"purchases", 2).as("purchases"),
+        // + 0.0 canonicalizes IEEE negative zero so both engines emit 0.0
+        (round(corr($"clicks", $"purchases").over(w), 2) + 0.0).as("corr7"))
+      .orderBy($"d")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals)
+    q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
+    q156TemporalJoin, q157RollingCorr)
 }
