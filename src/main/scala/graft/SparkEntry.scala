@@ -36,7 +36,9 @@ object SparkEntry {
       graft.operators.Eda.all ++
       graft.operators.NullAndMisc.all ++
       graft.operators.EventAnalytics.all ++
-      graft.operators.Graph.all
+      graft.operators.Graph.all ++
+      graft.llm.Search.all ++
+      graft.llm.FuzzyJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -69,5 +69,62 @@ object Aggregators {
       .orderBy($"l_returnflag")
   }
 
-  def all: Seq[GraftQuery] = Seq(q69CustomUdaf)
+  final case class TopItem(price: Double, okey: Long, lnum: Int)
+  final case class TopBuf(items: Seq[TopItem])
+
+  /** Bounded top-k typed `Aggregator`: keeps the k best (price DESC,
+    * okey ASC, lnum ASC) items per group in a k-element buffer.
+    *
+    * This is the scale alternative to `row_number() OVER (PARTITION BY g
+    * ORDER BY …) <= k`: the window formulation shuffles EVERY row to its
+    * group's partition and sorts the whole group; this aggregator's partial
+    * buffers cap at k items per (map task, group), so the shuffle carries at
+    * most k·tasks rows per group and the reduce side merges tiny sorted
+    * lists. At 100 TB with k=3 that is the difference between shuffling the
+    * fact table and shuffling a few KB per group. */
+  final class TopKByPrice(k: Int) extends Aggregator[TopItem, TopBuf, TopBuf] {
+    private val ord: Ordering[TopItem] =
+      Ordering.by((t: TopItem) => (-t.price, t.okey, t.lnum.toLong))
+
+    override def zero: TopBuf = TopBuf(Nil)
+    override def reduce(b: TopBuf, x: TopItem): TopBuf =
+      TopBuf((x +: b.items).sorted(ord).take(k))
+    override def merge(a: TopBuf, b: TopBuf): TopBuf =
+      TopBuf((a.items ++ b.items).sorted(ord).take(k))
+    override def finish(r: TopBuf): TopBuf = r
+    override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+    override def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+  }
+
+  /** Grouped top-3 lineitems per supplier by extended price, computed with
+    * the bounded partial aggregator (no per-group full sort, no whole-table
+    * window shuffle) — oracle'd against the exact `row_number()` window
+    * formulation in DuckDB. Tie-break (price DESC, orderkey, linenumber) is
+    * total, so the k-sets are identical. */
+  val q158GroupedTopK: GraftQuery = GraftQuery.oracled(
+    "q158_grouped_topk_agg",
+    """WITH r AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |         row_number() OVER (PARTITION BY l_suppkey
+      |                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem)
+      |SELECT l_suppkey, rk, l_orderkey, l_linenumber, l_extendedprice
+      |FROM r WHERE rk <= 3
+      |ORDER BY l_suppkey, rk""") { (spark, dir) =>
+    import spark.implicits._
+    val topk = udaf(new TopKByPrice(3))
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(topk($"l_extendedprice", $"l_orderkey", $"l_linenumber").as("top"))
+      .select($"l_suppkey", posexplode($"top.items"))
+      .select(
+        $"l_suppkey",
+        ($"pos" + 1).cast("long").as("rk"),
+        $"col.okey".as("l_orderkey"),
+        $"col.lnum".as("l_linenumber"),
+        $"col.price".as("l_extendedprice"))
+      .orderBy($"l_suppkey", $"rk")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q69CustomUdaf, q158GroupedTopK)
 }

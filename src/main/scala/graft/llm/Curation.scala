@@ -255,7 +255,54 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Dictionary-encode the corpus to dense token ids: build a vocabulary
+    * with contiguous ids ranked by (frequency DESC, token), then rewrite
+    * every document as its id sequence — the tokenize-to-ints step every
+    * training pipeline runs before batching, oracle'd end-to-end (DuckDB
+    * reproduces the exact id arrays).
+    *
+    * 100 TB plan: the vocabulary is Heaps-law-bounded (≈ millions of rows
+    * for a 100 TB corpus — square-root-ish growth), so the global
+    * `row_number` ranking it is a single-task window over a VOCAB-sized
+    * input, not a corpus-sized one (were the vocab itself huge, q97's
+    * two-phase rank is the drop-in). The vocab then broadcasts; encoding is
+    * a map-side join plus one `doc_id`-keyed aggregation whose
+    * `sort_array(collect_list(struct(pos, id)))` restores token order
+    * without a window. Positions index the RAW split array on both sides,
+    * so empty-token filtering cannot desynchronize the sequences. */
+  val q162DictEncode: GraftQuery = GraftQuery.oracled(
+    "q162_dict_encode",
+    """WITH tok0 AS (
+      |  SELECT doc_id, i - 1 AS pos, l[i] AS t
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+      |        FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS g(i)),
+      |tok AS (SELECT * FROM tok0 WHERE t <> ''),
+      |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+      |vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) AS id FROM cnt)
+      |SELECT doc_id, list(id ORDER BY pos) AS ids, CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM tok JOIN vocab USING (t)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split(lower($"text"), "[^a-z]+")))
+      .withColumnRenamed("col", "t")
+      .filter($"t" =!= "")
+    val vocab = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+      .withColumn("id", row_number()
+        .over(Window.orderBy($"c".desc, $"t")).cast("long"))
+      .select($"t", $"id")
+    tok.join(broadcast(vocab), "t")
+      .groupBy($"doc_id")
+      .agg(
+        transform(sort_array(collect_list(struct($"pos", $"id"))),
+          x => x.getField("id")).as("ids"),
+        count(lit(1)).cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing,
-    q146WeightedSample, q147QuantileNorm)
+    q146WeightedSample, q147QuantileNorm, q162DictEncode)
 }

@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.sources.Tables
+
+/** String-similarity self-join: all pairs within edit distance 1, found via
+  * the deletion-neighborhood blocking scheme (FastSS; Bocek et al. 2007,
+  * "Fast Similarity Search in Large Dictionaries") instead of the O(n²)
+  * all-pairs `levenshtein` scan.
+  *
+  * Losslessness of the blocking (why no true pair is missed): for strings
+  * s ≠ t with edit distance ≤ 1, either (a) t substitutes one character of
+  * s at position p — then deleting position p from each yields the SAME
+  * string, so both emit that variant; or (b) t inserts one character into
+  * s — then deleting the inserted character from t yields s itself, which s
+  * emits as its identity variant. Every true pair therefore collides on at
+  * least one variant key; the exact `levenshtein ≤ 1` re-check removes the
+  * false candidates, so the result equals the all-pairs formulation — which
+  * is exactly what the DuckDB oracle computes.
+  *
+  * Scale shape: each string of length L emits L+1 variant keys, so the
+  * candidate join is over ~(L+1)·n rows hashed on the variant — linear
+  * fan-out, equi-join, no cross product. Hot variant keys (many strings one
+  * deletion apart from the same core) behave like q45's hot shingles; at
+  * corpus scale the same maxDf-style bucket cap applies before pairing
+  * (here buckets are ≤ alphabet-size and need no cap). */
+object FuzzyJoin {
+
+  /** Edit-distance-≤1 pairs among the first 2000 customer names (the
+    * deterministic cap keeps the oracle's all-pairs check tractable at
+    * every SF; the Spark side never goes quadratic regardless). */
+  val q160EditDistanceJoin: GraftQuery = GraftQuery.oracled(
+    "q160_edit_distance_join",
+    """WITH v AS (SELECT DISTINCT c_name FROM customer ORDER BY c_name LIMIT 2000)
+      |SELECT a.c_name AS name_a, b.c_name AS name_b
+      |FROM v a, v b
+      |WHERE a.c_name < b.c_name
+      |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY name_a, name_b""") { (spark, dir) =>
+    import spark.implicits._
+    val vocab = Tables.customer(spark, dir)
+      .select($"c_name").distinct()
+      .orderBy($"c_name").limit(2000)
+    // i = -1 marks the identity variant; i in [0, len) deletes char i+1.
+    val variants = vocab
+      .select($"c_name",
+        explode(concat(array(lit(-1)),
+          sequence(lit(0), length($"c_name") - 1))).as("i"))
+      .select($"c_name",
+        when($"i" === -1, $"c_name")
+          .otherwise(concat(
+            expr("substring(c_name, 1, i)"),
+            expr("substring(c_name, i + 2)"))).as("v"))
+    variants.as("a")
+      .join(variants.as("b"),
+        $"a.v" === $"b.v" && $"a.c_name" < $"b.c_name")
+      .select($"a.c_name".as("name_a"), $"b.c_name".as("name_b"))
+      .distinct()
+      .filter(levenshtein($"name_a", $"name_b") <= 1)
+      .orderBy($"name_a", $"name_b")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin)
+}

@@ -135,6 +135,53 @@ object Eda {
       .orderBy($"event_id")
   }
 
+  /** Two-sample A/B test: users are assigned to arms by the engine-portable
+    * md5 coin (q102's trick — assignment survives re-runs and engine swaps),
+    * and the arms' mean event values are compared with a Welch z statistic
+    * (unequal variances, z = Δmean / √(s²_a/n_a + s²_b/n_b)) — the
+    * experimentation-platform primitive, oracle'd float-for-float.
+    *
+    * 100 TB plan: one scan, one conditional aggregate — the CASE projection
+    * is map-side, every moment partial-aggregates (count/avg/var_samp all
+    * carry mergeable buffers, q69's Welford shape), and the output is one
+    * row. No shuffle of raw rows at all beyond the final 1-row combine. */
+  val q163AbZTest: GraftQuery = GraftQuery.oracled(
+    "q163_ab_ztest",
+    """WITH e AS (
+      |  SELECT value,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |              THEN 'A' ELSE 'B' END AS variant
+      |  FROM events)
+      |SELECT CAST(count(CASE WHEN variant = 'A' THEN 1 END) AS BIGINT) AS n_a,
+      |       CAST(count(CASE WHEN variant = 'B' THEN 1 END) AS BIGINT) AS n_b,
+      |       round(avg(CASE WHEN variant = 'A' THEN value END), 4) AS mean_a,
+      |       round(avg(CASE WHEN variant = 'B' THEN value END), 4) AS mean_b,
+      |       round((avg(CASE WHEN variant = 'A' THEN value END)
+      |              - avg(CASE WHEN variant = 'B' THEN value END))
+      |             / sqrt(var_samp(CASE WHEN variant = 'A' THEN value END)
+      |                      / count(CASE WHEN variant = 'A' THEN 1 END)
+      |                    + var_samp(CASE WHEN variant = 'B' THEN value END)
+      |                      / count(CASE WHEN variant = 'B' THEN 1 END)), 4) AS z
+      |FROM e""") { (spark, dir) =>
+    import spark.implicits._
+    val coin = conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") % 2L
+    val e = Tables.events(spark, dir)
+      .select($"value", when(coin === 0L, "A").otherwise("B").as("variant"))
+    val a = when($"variant" === "A", $"value")
+    val b = when($"variant" === "B", $"value")
+    val cntA = count(when($"variant" === "A", 1))
+    val cntB = count(when($"variant" === "B", 1))
+    e.agg(
+      cntA.cast("long").as("n_a"),
+      cntB.cast("long").as("n_b"),
+      round(avg(a), 4).as("mean_a"),
+      round(avg(b), 4).as("mean_b"),
+      round((avg(a) - avg(b)) /
+        sqrt(var_samp(a) / cntA + var_samp(b) / cntB), 4).as("z"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers)
+    q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
+    q163AbZTest)
 }

@@ -266,7 +266,91 @@ object EventAnalytics {
       .orderBy($"d")
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands pattern: distinct active days, `row_number` per user,
+    * and `day − row_number` is constant exactly within a consecutive run,
+    * so one more group-by yields run lengths.
+    *
+    * 100 TB plan: everything after the distinct is keyed on `user_id` — the
+    * window and both aggregations reuse one hash partitioning, and the
+    * per-user sort is over distinct DAYS (≤ a few thousand rows/user), not
+    * raw events. No self-join against a calendar, no per-user collect. */
+  val q161ActivityStreaks: GraftQuery = GraftQuery.oracled(
+    "q161_activity_streaks",
+    """WITH d AS (SELECT DISTINCT user_id,
+      |                  CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d
+      |           FROM events),
+      |r AS (SELECT user_id, d,
+      |             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM d),
+      |s AS (SELECT user_id, d - CAST(rn AS INTEGER) AS grp,
+      |             CAST(count(*) AS BIGINT) AS streak
+      |      FROM r GROUP BY 1, 2)
+      |SELECT user_id, max(streak) AS max_streak
+      |FROM s GROUP BY 1 ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    days.withColumn("rn", row_number().over(w))
+      .withColumn("grp", expr("date_sub(d, rn)"))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).cast("long").as("streak"))
+      .groupBy($"user_id")
+      .agg(max($"streak").as("max_streak"))
+      .orderBy($"user_id")
+  }
+
+  /** Linear multi-touch attribution: each purchase's value is split evenly
+    * across that user's click events in the preceding 7 days, and the
+    * credit is rolled up by channel (the click's `props.k mod 10`) — the
+    * marketing-analytics staple that generalizes last-touch (q20's as-of
+    * shape) to fractional credit.
+    *
+    * 100 TB plan: the purchase×click touch join and the per-purchase touch
+    * count are both keyed on `user_id` (bounded by the 7-day window, so
+    * per-user fan-out is capped by click frequency, not history length),
+    * and the touch frame is reused for the count and the credit roll-up —
+    * one shuffle partitioning end-to-end, then a 10-row aggregate. */
+  val q164Attribution: GraftQuery = GraftQuery.oracled(
+    "q164_linear_attribution",
+    """WITH e AS (SELECT user_id, event_type, value, date_trunc('microseconds', ts) AS ts,
+      |                  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS channel
+      |           FROM events),
+      |p AS (SELECT user_id, ts AS pts, value FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS cts, channel FROM e WHERE event_type = 'click'),
+      |touch AS (SELECT p.user_id, p.pts, p.value, c.channel
+      |          FROM p JOIN c ON p.user_id = c.user_id
+      |                       AND c.cts < p.pts
+      |                       AND c.cts >= p.pts - INTERVAL 7 DAY),
+      |n AS (SELECT user_id, pts, CAST(count(*) AS DOUBLE) AS n_touch
+      |      FROM touch GROUP BY 1, 2)
+      |SELECT t.channel, round(sum(t.value / n.n_touch), 2) AS attributed
+      |FROM touch t JOIN n ON t.user_id = n.user_id AND t.pts = n.pts
+      |GROUP BY 1 ORDER BY channel""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"value", $"ts",
+        (get_json_object($"props", "$.k").cast("long") % 10).as("channel"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"ts".as("pts"), $"value")
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_uid"), $"ts".as("cts"), $"channel")
+    val touch = p.join(c,
+      $"p_uid" === $"c_uid" &&
+        $"cts" < $"pts" &&
+        $"cts" >= $"pts" - expr("INTERVAL 7 DAY"))
+      .select($"p_uid".as("user_id"), $"pts", $"value", $"channel")
+    val n = touch.groupBy($"user_id", $"pts")
+      .agg(count(lit(1)).cast("double").as("n_touch"))
+    touch.join(n, Seq("user_id", "pts"))
+      .groupBy($"channel")
+      .agg(round(sum($"value" / $"n_touch"), 2).as("attributed"))
+      .orderBy($"channel")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
-    q156TemporalJoin, q157RollingCorr)
+    q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution)
 }
