@@ -73,5 +73,38 @@ object Search {
       .orderBy($"doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(q159Bm25)
+  /** Conjunctive (AND) boolean retrieval: documents containing EVERY query
+    * term, via inverted-index intersection — distinct postings grouped by
+    * doc with a `count = |terms|` gate, the streamable form of k-way list
+    * intersection (no join chain, no per-term pass).
+    *
+    * Scale shape: one tokenize scan → distinct (doc, term) postings for the
+    * query's terms only (the `isin` prunes before the distinct's shuffle) →
+    * one doc-keyed count. Adding terms changes the gate constant, not the
+    * plan depth. */
+  val q166BooleanRetrieval: GraftQuery = GraftQuery.oracled(
+    "q166_boolean_retrieval",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+      |    FROM documents)
+      |  WHERE t IN ('spark', 'window', 'merge')),
+      |hit AS (SELECT doc_id FROM tok GROUP BY doc_id HAVING count(*) = 3)
+      |SELECT h.doc_id AS doc_id, d.n_chars
+      |FROM hit h JOIN documents d USING (doc_id)
+      |ORDER BY h.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val postings = docs
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("t"))
+      .filter($"t".isin(terms: _*))
+      .distinct()
+    val hits = postings.groupBy($"doc_id").count()
+      .filter($"count" === terms.size)
+      .select($"doc_id")
+    hits.join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q159Bm25, q166BooleanRetrieval)
 }

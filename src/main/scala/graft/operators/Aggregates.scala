@@ -319,9 +319,44 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Incremental aggregate maintenance: the per-user (count, sum) state is
+    * maintained as BASE (history before the latest day) merged with DELTA
+    * (the latest day only) — partials re-aggregated with `sum`, never a
+    * history rescan. The oracle recomputes from scratch; matching it proves
+    * the merge is exact, which is the materialized-view contract.
+    *
+    * 100 TB plan: this is THE pattern that makes daily metric tables
+    * affordable — the nightly job scans one day, not the corpus, because
+    * count/sum/min/max (and q69's Welford M2, and q133's HLL sketches)
+    * carry mergeable partial state. Both branches and the merge key on
+    * `user_id`, so the union re-agg adds one co-partitioned shuffle of
+    * per-user partials. The cutoff derives from the data (max event day)
+    * via a 1-row broadcast — no driver round-trip. */
+  val q170IncrementalAgg: GraftQuery = GraftQuery.oracled(
+    "q170_incremental_agg",
+    """SELECT user_id,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 2) AS total
+      |FROM events GROUP BY 1 ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"value", to_date(date_trunc("day", $"ts")).as("d"))
+    val cutoff = ev.agg(max($"d").as("cutoff_d"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"user_id").agg(
+        count(lit(1)).cast("long").as("pn"), sum($"value").as("ps"))
+    val base = partials(tagged.filter($"d" < $"cutoff_d"))
+    val delta = partials(tagged.filter($"d" >= $"cutoff_d"))
+    base.unionByName(delta)
+      .groupBy($"user_id")
+      .agg(sum($"pn").as("n"), round(sum($"ps"), 2).as("total"))
+      .orderBy($"user_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
-    q150BitmapDistinct)
+    q150BitmapDistinct, q170IncrementalAgg)
 }

@@ -181,7 +181,50 @@ object Eda {
         sqrt(var_samp(a) / cntA + var_samp(b) / cntB), 4).as("z"))
   }
 
+  /** Winsorized per-segment statistics: clamp `value` to its segment's
+    * exact [p05, p95] band before averaging — the outlier-robust
+    * mean every metrics pipeline reports next to the raw one. Percentiles
+    * are EXACT (linear interpolation; Spark `percentile` ≡ DuckDB
+    * `quantile_cont` definitionally), so the whole report is oracle'd
+    * float-for-float.
+    *
+    * 100 TB plan: two passes keyed on `event_type` — one exact-percentile
+    * aggregation (Spark's `percentile` partial-aggregates per group; for
+    * heavy segments `percentile_approx` is the documented swap), then the
+    * tiny per-segment band broadcasts back for a map-side clamp + one
+    * partial-agg mean. No global sort, no collect. */
+  val q167Winsorize: GraftQuery = GraftQuery.oracled(
+    "q167_winsorized_stats",
+    """WITH q AS (SELECT event_type,
+      |                  quantile_cont(value, 0.05) AS p05,
+      |                  quantile_cont(value, 0.95) AS p95
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_type AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(e.value), 4) AS mean_raw,
+      |       round(avg(least(greatest(e.value, q.p05), q.p95)), 4) AS mean_winsor,
+      |       round(q.p05, 4) AS p05,
+      |       round(q.p95, 4) AS p95
+      |FROM events e JOIN q USING (event_type)
+      |GROUP BY e.event_type, q.p05, q.p95
+      |ORDER BY e.event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"value")
+    val bands = ev.groupBy($"event_type").agg(
+      expr("percentile(value, 0.05D)").as("p05"),
+      expr("percentile(value, 0.95D)").as("p95"))
+    ev.join(broadcast(bands), "event_type")
+      .groupBy($"event_type", $"p05", $"p95")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        round(avg($"value"), 4).as("mean_raw"),
+        round(avg(least(greatest($"value", $"p05"), $"p95")), 4).as("mean_winsor"))
+      .select($"event_type", $"n", $"mean_raw", $"mean_winsor",
+        round($"p05", 4).as("p05"), round($"p95", 4).as("p95"))
+      .orderBy($"event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
-    q163AbZTest)
+    q163AbZTest, q167Winsorize)
 }

@@ -350,7 +350,102 @@ object EventAnalytics {
       .orderBy($"channel")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next = cur | prev), the empirical transition table behind
+    * next-action prediction and behavioral anomaly scoring. One `lag`
+    * window per user gives the (prev, cur) bigrams; normalization is a
+    * window-sum over the tiny (|types|²) count table.
+    *
+    * 100 TB plan: the only big-data operation is the user-keyed sequence
+    * window (per-user sort, bounded by session length); everything after
+    * operates on an event-type² table. This is the event-sequence analog of
+    * q144's BPE pair census. */
+  val q168MarkovTransitions: GraftQuery = GraftQuery.oracled(
+    "q168_markov_transitions",
+    """WITH s AS (SELECT user_id, event_type AS cur,
+      |                  lag(event_type) OVER (PARTITION BY user_id
+      |                    ORDER BY date_trunc('microseconds', ts), event_id) AS prev
+      |           FROM events),
+      |c AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+      |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev, cur, n,
+      |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 6) AS p
+      |FROM c ORDER BY prev, cur""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bigrams = Tables.events(spark, dir)
+      .select($"user_id", $"event_type".as("cur"), $"ts", $"event_id")
+      .withColumn("prev", lag($"cur", 1).over(wSeq))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev", $"cur")
+      .agg(count(lit(1)).cast("long").as("n"))
+    bigrams
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"prev")), 6))
+      .orderBy($"prev", $"cur")
+  }
+
+  /** Hourly OHLC bars over the event value stream: open/high/low/close plus
+    * mean per hour bucket — the time-series compaction every market-data /
+    * metrics store runs. Open and close are pinned by the total
+    * (ts, event_id) order via two `row_number` windows, so ties cannot
+    * diverge between engines.
+    *
+    * 100 TB plan: windows and the final aggregate all partition on the hour
+    * bucket — embarrassingly parallel across buckets, one shuffle; per-
+    * bucket sort is bounded by events/hour. A `min_by`/`max_by` single-agg
+    * variant would halve the window passes but DuckDB's `arg_min` cannot
+    * take a composite tie-break key, so the catalog keeps the portable
+    * formulation.
+    *
+    * Determinism: `value` carries exactly 2 decimals, so the bar mean is
+    * computed over exact integer cents — `sum(long)` is summation-order
+    * independent, and the single final division is IEEE-identical in both
+    * engines. A float `avg(value)` here strict-mismatched at sf0.01 (one
+    * bar's mean ties exactly at the 4th decimal; partial-agg order decided
+    * the rounding). Open/high/low/close are single values, not sums — safe
+    * to round directly. */
+  val q169OhlcBars: GraftQuery = GraftQuery.oracled(
+    "q169_ohlc_bars",
+    """WITH e AS (SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS h,
+      |                  value, CAST(round(value * 100) AS BIGINT) AS cents,
+      |                  date_trunc('microseconds', ts) AS ts, event_id
+      |           FROM events),
+      |r AS (SELECT h, value, cents,
+      |             row_number() OVER (PARTITION BY h ORDER BY ts, event_id) AS ra,
+      |             row_number() OVER (PARTITION BY h ORDER BY ts DESC, event_id DESC) AS rd
+      |      FROM e)
+      |SELECT h, CAST(count(*) AS BIGINT) AS n_events,
+      |       round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+      |       round(max(value), 4) AS high,
+      |       round(min(value), 4) AS low,
+      |       round(max(CASE WHEN rd = 1 THEN value END), 4) AS close,
+      |       round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 4) AS mean_val
+      |FROM r GROUP BY h ORDER BY h""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(date_trunc("hour", $"ts").as("h"), $"value",
+        round($"value" * 100).cast("long").as("cents"), $"ts", $"event_id")
+    val wa = Window.partitionBy($"h").orderBy($"ts", $"event_id")
+    val wd = Window.partitionBy($"h").orderBy($"ts".desc, $"event_id".desc)
+    e.withColumn("ra", row_number().over(wa))
+      .withColumn("rd", row_number().over(wd))
+      .groupBy($"h")
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        round(max(when($"ra" === 1, $"value")), 4).as("open"),
+        round(max($"value"), 4).as("high"),
+        round(min($"value"), 4).as("low"),
+        round(max(when($"rd" === 1, $"value")), 4).as("close"),
+        round(sum($"cents").cast("double") / 100.0 / count(lit(1)), 4)
+          .as("mean_val"))
+      .orderBy($"h")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
-    q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution)
+    q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
+    q168MarkovTransitions, q169OhlcBars)
 }

@@ -266,8 +266,48 @@ object Joins {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Bloom-pruned semi-join: build a 1%-fpp Bloom filter over the URGENT
+    * orders' keys (driver-built KB-sized sketch, one pass over the small
+    * side), probe it MAP-SIDE on lineitem via the codegen'd
+    * `graft_bloom_contains` expression, then finish with the exact semi
+    * join — the filter only prunes, false positives die in the join, so the
+    * result is byte-identical to the plain semi join the oracle runs.
+    *
+    * 100 TB plan: this is the shuffle-volume cutter for selective
+    * fact-to-dim semi joins — with ~20% of orders URGENT, ~80% of the fact
+    * table is dropped at the scan side and never enters the exchange.
+    * Spark's adaptive `runtime.bloomFilter` rewrite does this only when
+    * stats clear its thresholds; the explicit operator guarantees it. */
+  val q165BloomSemiJoin: GraftQuery = GraftQuery.oracled(
+    "q165_bloom_semi_join",
+    """SELECT l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.BloomExpression
+    BloomExpression.register(spark)
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val bytes = BloomExpression.buildLongFilter(urgent, "o_orderkey",
+      expected = urgent.count())
+    Tables.lineitem(spark, dir)
+      .filter(BloomExpression.bloomContains(bytes, $"l_orderkey"))
+      .join(urgent, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        round(sum($"l_extendedprice"), 2).as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12StarJoin, q13ShippingPriority, q14LeftOuter, q15FullOuter,
     q16SemiJoin, q17AntiJoin, q18CrossJoin, q19RangeJoinBinned,
-    q20AsofJoin, q21SelfJoinBand)
+    q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin)
 }
