@@ -38,7 +38,8 @@ object SparkEntry {
       graft.operators.EventAnalytics.all ++
       graft.operators.Graph.all ++
       graft.llm.Search.all ++
-      graft.llm.FuzzyJoin.all
+      graft.llm.FuzzyJoin.all ++
+      graft.ml.Recommender.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

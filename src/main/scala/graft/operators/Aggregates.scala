@@ -354,9 +354,33 @@ object Aggregates {
       .orderBy($"user_id")
   }
 
+  /** Sketch-based percentiles (`percentile_approx`, accuracy 10000) per
+    * event_type — the mergeable quantile sketch that replaces q27's exact
+    * `percentile` once a segment no longer fits the exact aggregation
+    * comfortably. No SQL oracle (DuckDB's `approx_quantile` is a different
+    * sketch with different answers); AggWindowSpec gates it against the
+    * exact percentile with a 1%-of-range error bound.
+    *
+    * 100 TB story: the sketch buffer is bounded (~accuracy entries) and
+    * merges associatively across partitions — the same contract as q29's
+    * HLL and q69's Welford buffer. Exact per-group percentile sorts each
+    * group; this never does. */
+  val q173ApproxPercentile: GraftQuery = GraftQuery.rowsOnly(
+    "q173_approx_percentile",
+    doc = "percentile_approx(value, [0.5, 0.95], 10000) per event_type") {
+    (spark, dir) =>
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          expr("percentile_approx(value, 0.5D, 10000)").as("p50_approx"),
+          expr("percentile_approx(value, 0.95D, 10000)").as("p95_approx"))
+        .orderBy($"event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
-    q150BitmapDistinct, q170IncrementalAgg)
+    q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile)
 }

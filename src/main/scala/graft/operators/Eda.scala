@@ -224,7 +224,42 @@ object Eda {
       .orderBy($"event_type")
   }
 
+  /** Decile lift / calibration table: rank orders into exact deciles of
+    * total price (ntile over a total order) and report each decile's
+    * positive rate (status F) — the model-evaluation staple (calibration
+    * curves, uplift decile charts) expressed relationally.
+    *
+    * Scale note: `ntile` over a global ORDER BY is a single-task window at
+    * the limit; the q97 two-phase global-rank pattern is the drop-in once
+    * the scored table outgrows one task. Kept direct here because the
+    * decile table input is orders-sized, and the oracle must see identical
+    * tile boundaries. */
+  val q175DecileLift: GraftQuery = GraftQuery.oracled(
+    "q175_decile_lift",
+    """WITH r AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+      |                  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |           FROM orders)
+      |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(pos) AS BIGINT) AS n_pos,
+      |       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS rate
+      |FROM r GROUP BY decile
+      |ORDER BY decile""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select(
+        when($"o_orderstatus" === "F", 1).otherwise(0).as("pos"),
+        ntile(10).over(w).as("decile"))
+      .groupBy($"decile")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum($"pos").cast("long").as("n_pos"),
+        round(sum($"pos").cast("double") / count(lit(1)), 6).as("rate"))
+      .orderBy($"decile")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
-    q163AbZTest, q167Winsorize)
+    q163AbZTest, q167Winsorize, q175DecileLift)
 }

@@ -444,8 +444,96 @@ object EventAnalytics {
       .orderBy($"h")
   }
 
+  /** Seasonal-naive forecast backtest: predict each hour's mean value with
+    * the value 24 hours earlier and report the per-day MAE — the baseline
+    * every real forecaster must beat, and the shape of every backtest
+    * harness (join actuals to lagged forecasts, aggregate the error).
+    *
+    * Hourly means are computed over exact integer cents (q169's
+    * determinism trick), so the joined series is bit-identical in both
+    * engines before the error aggregation. The lag is a self-JOIN on the
+    * shifted hour, not a window `lag` — a gap hour must yield no forecast
+    * row, not the previous row's value.
+    *
+    * 100 TB plan: the raw scan collapses to an hour-keyed aggregate first
+    * (tiny output), and the shifted self-join + day roll-up run on that
+    * compacted series. Error metrics never touch raw events. */
+  val q171SeasonalBacktest: GraftQuery = GraftQuery.oracled(
+    "q171_seasonal_backtest",
+    """WITH hb AS (SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS h,
+      |                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |                     / 100.0 / count(*) AS m
+      |            FROM events GROUP BY 1),
+      |j AS (SELECT a.h AS h, a.m AS actual, b.m AS fc
+      |      FROM hb a JOIN hb b ON b.h = a.h - INTERVAL 24 HOUR)
+      |SELECT CAST(date_trunc('day', h) AS DATE) AS d,
+      |       CAST(count(*) AS BIGINT) AS n_hours,
+      |       round(avg(abs(actual - fc)), 4) AS mae
+      |FROM j GROUP BY 1 ORDER BY d""") { (spark, dir) =>
+    import spark.implicits._
+    val hb = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg((sum(round($"value" * 100).cast("long")).cast("double") /
+        100.0 / count(lit(1))).as("m"))
+    val fc = hb.select(($"h" + expr("INTERVAL 24 HOUR")).as("h"), $"m".as("fc"))
+    hb.join(fc, "h")
+      .groupBy(to_date(date_trunc("day", $"h")).as("d"))
+      .agg(
+        count(lit(1)).cast("long").as("n_hours"),
+        round(avg(abs($"m" - $"fc")), 4).as("mae"))
+      .orderBy($"d")
+  }
+
+  /** Market-basket co-occurrence with lift: which item pairs are clicked by
+    * the same users more often than independence predicts —
+    * lift(a,b) = P(a,b) / (P(a)·P(b)) over per-user item sets. The
+    * association-rule primitive (Agrawal & Srikant 1994's support
+    * counting, with lift instead of confidence).
+    *
+    * 100 TB plan: the per-user distinct item set is bounded by the catalog
+    * (here |items| = 20), so the within-user pair explode is O(|items|²)
+    * per user, NOT O(events²) — the classic trick that keeps basket
+    * analysis linear in users. One user-keyed self-join (co-partitioned),
+    * then everything is item²-sized. */
+  val q172BasketLift: GraftQuery = GraftQuery.oracled(
+    "q172_basket_lift",
+    """WITH ui AS (SELECT DISTINCT user_id,
+      |                   CAST(json_extract(props, '$.k') AS BIGINT) % 20 AS item
+      |            FROM events WHERE event_type = 'click'),
+      |n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS nu FROM ui),
+      |ic AS (SELECT item, CAST(count(*) AS DOUBLE) AS c FROM ui GROUP BY 1),
+      |pc AS (SELECT a.item AS item_a, b.item AS item_b,
+      |              CAST(count(*) AS BIGINT) AS n_ab
+      |       FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      |       GROUP BY 1, 2)
+      |SELECT pc.item_a, pc.item_b, pc.n_ab,
+      |       round(CAST(pc.n_ab AS DOUBLE) * n.nu / (ca.c * cb.c), 6) AS lift
+      |FROM pc JOIN ic ca ON ca.item = pc.item_a
+      |        JOIN ic cb ON cb.item = pc.item_b, n
+      |ORDER BY item_a, item_b""") { (spark, dir) =>
+    import spark.implicits._
+    val ui = Tables.events(spark, dir)
+      .filter($"event_type" === "click")
+      .select($"user_id",
+        (get_json_object($"props", "$.k").cast("long") % 20).as("item"))
+      .distinct()
+    val nu = ui.agg(countDistinct($"user_id").cast("double").as("nu"))
+    val ic = ui.groupBy($"item").agg(count(lit(1)).cast("double").as("c"))
+    val a = ui.select($"user_id", $"item".as("item_a"))
+    val b = ui.select($"user_id".as("uid_b"), $"item".as("item_b"))
+    val pc = a.join(b, $"user_id" === $"uid_b" && $"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b")
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+    pc.join(broadcast(ic.select($"item".as("item_a"), $"c".as("ca"))), "item_a")
+      .join(broadcast(ic.select($"item".as("item_b"), $"c".as("cb"))), "item_b")
+      .crossJoin(broadcast(nu))
+      .select($"item_a", $"item_b", $"n_ab",
+        round($"n_ab".cast("double") * $"nu" / ($"ca" * $"cb"), 6).as("lift"))
+      .orderBy($"item_a", $"item_b")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
-    q168MarkovTransitions, q169OhlcBars)
+    q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift)
 }

@@ -119,6 +119,38 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(a === b)
   }
 
+  test("q174 ALS: reconstruction beats the global-mean baseline; recs well-formed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ratings = Recommender.interactions(spark, sf).cache()
+    try {
+      val als = new org.apache.spark.ml.recommendation.ALS()
+        .setRank(8).setMaxIter(10).setRegParam(0.01).setSeed(42L)
+        .setUserCol("user").setItemCol("item").setRatingCol("strength")
+        .setColdStartStrategy("drop")
+      val model = als.fit(ratings)
+      val pred = model.transform(ratings)
+      val rmse = math.sqrt(pred
+        .select(pow($"prediction" - $"strength", 2).as("se"))
+        .agg(avg($"se")).head().getDouble(0))
+      val mean = ratings.agg(avg($"strength")).head().getDouble(0)
+      val baseline = math.sqrt(ratings
+        .select(pow($"strength" - mean, 2).as("se"))
+        .agg(avg($"se")).head().getDouble(0))
+      assert(rmse < baseline,
+        s"ALS train RMSE $rmse must beat global-mean baseline $baseline")
+      // catalog entry shape: 3 recs per user, ranks 1..3, no duplicates
+      val recs = Recommender.q174AlsRecommend.fn(spark, sf).cache()
+      try {
+        val perUser = recs.groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), countDistinct($"item").as("ni"),
+            min($"rec_rank").as("lo"), max($"rec_rank").as("hi"))
+        assert(perUser.filter($"n" =!= 3 || $"ni" =!= 3 ||
+          $"lo" =!= 1 || $"hi" =!= 3).count() === 0)
+      } finally recs.unpersist()
+    } finally ratings.unpersist()
+  }
+
   test("text pipeline produces a full confusion matrix over the 5 langs") {
     import spark.implicits._
     val cm = Classification.q58TextPipeline.fn(spark, sf)

@@ -97,4 +97,27 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
       assert(wau >= dau * 95 / 100, s"$d: WAU $wau implausibly below DAU $dau")
     }
   }
+
+  test("q173 approx percentile: returned values sit within 1% of target rank") {
+    import spark.implicits._
+    // The sketch guarantee is on RANK, not value: percentile_approx returns
+    // an actual data value whose rank is within accuracy⁻¹ of the target —
+    // in a sparse tail adjacent values can be far apart, so a value-distance
+    // gate would be testing the data, not the sketch.
+    val approx = Aggregates.q173ApproxPercentile.fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ev = Tables.events(spark, sf).select($"event_type", $"value").cache()
+    try {
+      for ((k, (a50, a95)) <- approx; (q, a) <- Seq(0.5 -> a50, 0.95 -> a95)) {
+        val grp = ev.filter($"event_type" === k)
+        val n = grp.count().toDouble
+        val atOrBelow = grp.filter($"value" <= a).count().toDouble
+        val below = grp.filter($"value" < a).count().toDouble
+        // the target rank must fall within the value's rank span, ±1%
+        assert(below / n - 0.01 <= q && q <= atOrBelow / n + 0.01,
+          s"$k p$q: approx value $a covers rank [${below / n}, ${atOrBelow / n}]")
+      }
+    } finally ev.unpersist()
+  }
 }
