@@ -27,6 +27,16 @@ import graft.sources.Tables
   * (here buckets are ≤ alphabet-size and need no cap). */
 object FuzzyJoin {
 
+  /** The capped name vocabulary shared by q160/q177: first 2000 distinct
+    * customer names in lexical order (deterministic at every SF). */
+  def nameVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_name").distinct()
+      .orderBy($"c_name").limit(2000)
+  }
+
   /** Edit-distance-≤1 pairs among the first 2000 customer names (the
     * deterministic cap keeps the oracle's all-pairs check tractable at
     * every SF; the Spark side never goes quadratic regardless). */
@@ -40,9 +50,7 @@ object FuzzyJoin {
       |  AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY name_a, name_b""") { (spark, dir) =>
     import spark.implicits._
-    val vocab = Tables.customer(spark, dir)
-      .select($"c_name").distinct()
-      .orderBy($"c_name").limit(2000)
+    val vocab = nameVocab(spark, dir)
     // i = -1 marks the identity variant; i in [0, len) deletes char i+1.
     val variants = vocab
       .select($"c_name",
@@ -60,6 +68,17 @@ object FuzzyJoin {
       .distinct()
       .filter(levenshtein($"name_a", $"name_b") <= 1)
       .orderBy($"name_a", $"name_b")
+  }
+
+  /** Directed edge list (both orientations) of the ED-≤1 name graph —
+    * q160's pair set symmetrized, for graph algorithms over the similarity
+    * graph (q177 BFS). */
+  def ed1Edges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val pairs = q160EditDistanceJoin.fn(spark, dir)
+    pairs.select($"name_a".as("s"), $"name_b".as("t"))
+      .unionByName(pairs.select($"name_b".as("s"), $"name_a".as("t")))
   }
 
   def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin)

@@ -102,5 +102,58 @@ object Graph {
     out
   }
 
-  def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank)
+  /** BFS shortest hop counts from a seed vertex over the ED-1 name
+    * similarity graph (q160's edges): 8 fixed rounds of frontier-join +
+    * min-distance fold — the distributed BFS primitive (label propagation
+    * carrying distance instead of component id, q100's shape). The DuckDB
+    * oracle walks the SAME capped-depth expansion as a recursive CTE, so
+    * the fixed horizon is part of the spec on both sides, not a Spark
+    * shortcut.
+    *
+    * 100 TB plan: each round is one edge join keyed on the frontier vertex
+    * + one min-groupBy — no driver data motion at all (the loop count is a
+    * constant, not a convergence read-back); at web-graph scale the same
+    * loop runs with the distance table bucketed on vertex so every round
+    * reuses one partitioning. Unreached vertices simply never enter the
+    * distance table (no sentinel rows to carry). */
+  val q177BfsHops: GraftQuery = GraftQuery.oracled(
+    "q177_bfs_hops",
+    """WITH RECURSIVE v AS (SELECT DISTINCT c_name FROM customer ORDER BY c_name LIMIT 2000),
+      |e AS (SELECT a.c_name AS s, b.c_name AS t FROM v a, v b
+      |      WHERE a.c_name <> b.c_name
+      |        AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |        AND levenshtein(a.c_name, b.c_name) <= 1),
+      |bfs AS (
+      |  SELECT (SELECT min(c_name) FROM v) AS name, 0 AS d
+      |  UNION
+      |  SELECT e.t, bfs.d + 1 FROM bfs JOIN e ON e.s = bfs.name WHERE bfs.d < 8
+      |)
+      |SELECT name, CAST(min(d) AS BIGINT) AS hops
+      |FROM bfs GROUP BY name ORDER BY name""") { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.llm.FuzzyJoin.ed1Edges(spark, dir).cache()
+    val seed = graft.llm.FuzzyJoin.nameVocab(spark, dir)
+      .agg(min($"c_name").as("name"))
+      .withColumn("d", lit(0L))
+    // Truncate lineage every round with an eager localCheckpoint: `dist`
+    // appears twice in each step (union + join), so an unmaterialized loop
+    // doubles the logical tree per round (2⁸ scan copies by round 8), and a
+    // cache-chain variant OOMs — each round's InMemoryRelation retains its
+    // parent's plan, and unpersisting the parent re-derives through the
+    // freed chain. Checkpointed rounds hold rows, not plans.
+    var dist = seed.localCheckpoint()
+    for (_ <- 1 to 8) {
+      val next = dist.join(edges, $"name" === $"s")
+        .select($"t".as("name"), ($"d" + 1).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy($"name").agg(min($"d").as("d"))
+        .localCheckpoint()
+    }
+    val out = dist.select($"name", $"d".as("hops")).orderBy($"name")
+    out.count() // materialize before releasing the edge cache
+    edges.unpersist()
+    out
+  }
+
+  def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops)
 }

@@ -72,5 +72,76 @@ object PartitionedSink {
       .orderBy($"o_orderkey")
   }
 
-  def all: Seq[GraftQuery] = Seq(q83PartitionedWrite, q131ClusteredWrite)
+  /** Interleave the low 16 bits of two non-negative int columns into a
+    * Z-order (Morton) key — pure built-in bit ops, fully inside
+    * whole-stage codegen. Locality property: a file holding a contiguous
+    * z range covers a bounded sub-RECTANGLE of (a, b) space, so parquet
+    * min/max stats prune on BOTH dimensions. */
+  def zorder16(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Scale a column onto the 0..255 grid given its min/max. Interleaving
+    * RAW columns of unequal bit width degenerates: the wide column's high
+    * bits own every high z bit and the curve collapses to single-column
+    * clustering (measured: with 200 partkeys × 10 suppkeys the per-file
+    * suppkey span stayed at 0.99 of range). Production Z-ORDER
+    * (Delta/Iceberg) rank- or range-normalizes each column first for
+    * exactly this reason. */
+  def grid8(c: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(255), floor((c - lo) * 256.0 / (hi - lo + 1))).cast("int")
+
+  /** Z-order clustered write: lineitem laid out on the Morton interleave of
+    * (l_partkey, l_suppkey), then a two-dimensional box query read back
+    * with file-level pruning REQUIRED — the space-filling-curve layout
+    * behind Delta/Iceberg Z-ORDER (Morton 1966). q131's range clustering
+    * prunes one dimension and smears the other across every file; the
+    * z-curve bounds each file in both.
+    *
+    * 100 TB plan: layout cost is one range repartition on the z key (a
+    * shuffle you pay once at write time); every 2-D box query afterwards
+    * skips row groups on both predicates. The requirement below asserts the
+    * skip actually happens (≤ half the files touched), not just that the
+    * values survive; PartitionedSinkSpec proves the per-file bounding-box
+    * areas beat single-column clustering. */
+  val q176ZorderWrite: GraftQuery = GraftQuery.oracled(
+    "q176_zorder_write",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 16 AND 47 AND l_suppkey BETWEEN 2 AND 5
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (spark, dir) =>
+    import spark.implicits._
+    val out = writeDir("lineitem_zorder")
+    val li = Tables.lineitem(spark, dir)
+    val mm = li.agg(
+      min($"l_partkey").as("p_lo"), max($"l_partkey").as("p_hi"),
+      min($"l_suppkey").as("s_lo"), max($"l_suppkey").as("s_hi"))
+    li.crossJoin(broadcast(mm))
+      .withColumn("z", zorder16(
+        grid8($"l_partkey", $"p_lo", $"p_hi"),
+        grid8($"l_suppkey", $"s_lo", $"s_hi")))
+      .repartitionByRange(16, $"z")
+      .sortWithinPartitions($"z")
+      .drop("z", "p_lo", "p_hi", "s_lo", "s_hi")
+      .write.mode("overwrite").parquet(out)
+    val nTotal = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    val hit = spark.read.parquet(out)
+      .filter($"l_partkey".between(16, 47) && $"l_suppkey".between(2, 5))
+    val nHit = hit.select(input_file_name()).distinct().count()
+    require(nTotal >= 8 && nHit <= nTotal / 2,
+      s"z-order layout: box query touched $nHit of $nTotal files")
+    hit.groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum($"l_extendedprice"), 2).as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q83PartitionedWrite, q131ClusteredWrite,
+    q176ZorderWrite)
 }

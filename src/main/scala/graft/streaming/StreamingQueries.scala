@@ -480,9 +480,75 @@ object StreamingQueries {
       .orderBy($"click_id", $"purchase_id")
   }
 
+  final case class ValEv(user_id: Long, value: Double)
+
+  /** [[q178StreamVariance]]'s processor: per-user streaming variance in a
+    * `ValueState[VarBuf]` — the Welford/Chan buffer from q69's batch UDAF
+    * carried as arbitrary stream state. Chunk-merge is ORDER-INSENSITIVE
+    * (Chan's parallel combine), so the emitted moments are exact no matter
+    * how the replay batches or orders rows — which is what makes this
+    * oracle-able where an EWMA (order-sensitive) would not be. */
+  final class RunningVarianceProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ValEv, (Long, Long, Double)] {
+    import graft.functions.Aggregators.VarBuf
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[VarBuf] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[VarBuf]("moments",
+        org.apache.spark.sql.Encoders.product[VarBuf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[ValEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      val agg = graft.functions.Aggregators.WelfordVariance
+      val chunk = rows.foldLeft(agg.zero)((b, e) => agg.reduce(b, e.value))
+      val merged = agg.merge(
+        if (state.exists()) state.get() else agg.zero, chunk)
+      state.update(merged)
+      Iterator.single((key, merged.n, agg.finish(merged)))
+    }
+  }
+
+  /** Per-user streaming variance via `transformWithState` (RocksDB state
+    * store): the q69 Welford buffer as live stream state, oracle'd against
+    * batch `var_samp` — replay ≡ batch on the exact second moment.
+    *
+    * 100 TB story: this is the streaming-feature-store pattern — bounded
+    * per-key state (24 bytes), associative merges, no retained rows; the
+    * same buffer serves count/mean/variance reads. */
+  val q178StreamVariance: GraftQuery = GraftQuery.oracled(
+    "q178_stream_variance",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |       round(var_samp(value), 3) AS var_val
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds: Dataset[ValEv] = eventsStream(spark, dir)
+        .select($"user_id", $"value").as[ValEv]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new RunningVarianceProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "n", "var_raw")
+      runToMemory(out, OutputMode.Append(), "q178")
+        .select($"user_id", $"n", round($"var_raw", 3).as("var_val"))
+        .orderBy($"user_id")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
     q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState,
-    q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter)
+    q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
+    q178StreamVariance)
 }
