@@ -39,7 +39,9 @@ object SparkEntry {
       graft.operators.Graph.all ++
       graft.llm.Search.all ++
       graft.llm.FuzzyJoin.all ++
-      graft.ml.Recommender.all
+      graft.ml.Recommender.all ++
+      graft.ml.Patterns.all ++
+      graft.operators.Profiler.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -259,7 +259,53 @@ object Eda {
       .orderBy($"decile")
   }
 
+  /** Per-segment OLS trendline (value vs. hours since corpus start) from
+    * the closed-form normal equations — slope = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²) — computed over EXACT integer sums (x = whole hours, y =
+    * integer cents), converted to double only for the final arithmetic.
+    * Every input to the float expression is an exactly-represented
+    * integer (< 2⁵³), so both engines produce bit-identical slopes —
+    * regression as a one-pass aggregate, no iterative fit.
+    *
+    * 100 TB plan: five partial-aggregable integer sums per segment, one
+    * shuffle of 5-number partials — the textbook "sufficient statistics"
+    * pattern; this is how OLS/corr/cov run at any scale. */
+  val q181OlsTrend: GraftQuery = GraftQuery.oracled(
+    "q181_ols_trendline",
+    """WITH t0 AS (SELECT min(date_trunc('microseconds', ts)) AS tmin FROM events),
+      |e AS (SELECT event_type,
+      |             (epoch_us(date_trunc('microseconds', ts)) - epoch_us(t0.tmin)) // 3600000000 AS x,
+      |             CAST(round(value * 100) AS BIGINT) AS y
+      |      FROM events, t0),
+      |s AS (SELECT event_type,
+      |             CAST(count(*) AS DOUBLE) AS n,
+      |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |             CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy
+      |      FROM e GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |       round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 6) AS slope_per_hour,
+      |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100.0, 6) AS intercept
+      |FROM s ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val t0 = ev.agg(min($"ts").as("tmin"))
+    val e = ev.crossJoin(broadcast(t0))
+      .select($"event_type",
+        expr("(unix_micros(ts) - unix_micros(tmin)) DIV 3600000000").as("x"),
+        round($"value" * 100).cast("long").as("y"))
+    val s = e.groupBy($"event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"x").cast("double").as("sx"), sum($"y").cast("double").as("sy"),
+      sum($"x" * $"x").cast("double").as("sxx"),
+      sum($"x" * $"y").cast("double").as("sxy"))
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+    s.select($"event_type", $"n".cast("long").as("n"),
+      round(slope / 100.0, 6).as("slope_per_hour"),
+      round(($"sy" - slope * $"sx") / $"n" / 100.0, 6).as("intercept"))
+      .orderBy($"event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
-    q163AbZTest, q167Winsorize, q175DecileLift)
+    q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend)
 }

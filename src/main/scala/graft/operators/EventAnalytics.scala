@@ -532,8 +532,68 @@ object EventAnalytics {
       .orderBy($"item_a", $"item_b")
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes: duration = active
+    * span in days; a user "dies" (churns) when their last activity is ≥3
+    * days before the corpus horizon, else they are right-CENSORED (still
+    * alive when observation ends) — the estimator that handles censoring
+    * correctly, which a naive churn-rate-by-duration table cannot
+    * (Kaplan & Meier 1958).
+    *
+    * Determinism: S(t) = Π(1 − d/n) is computed as exp of an ORDERED
+    * window cumsum of logs — the addition order is pinned by the window's
+    * ORDER BY in both engines, so the floats agree bit-for-bit before
+    * rounding. The 1e-12 clamp covers the final total-death step (Spark's
+    * `log` yields NULL at 0, DuckDB −inf).
+    *
+    * 100 TB plan: raw events collapse to one per-user min/max aggregation;
+    * the survival table itself is duration-sized (hundreds of rows). The
+    * reverse-cumulative risk set is a window over that tiny table. */
+  val q180KaplanMeier: GraftQuery = GraftQuery.oracled(
+    "q180_kaplan_meier",
+    """WITH d AS (SELECT user_id,
+      |                  CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d
+      |           FROM events),
+      |g AS (SELECT max(d) AS gmax FROM d),
+      |u AS (SELECT user_id,
+      |             CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS t,
+      |             CASE WHEN date_diff('day', max(d), (SELECT gmax FROM g)) >= 3
+      |                  THEN 1 ELSE 0 END AS died
+      |      FROM d GROUP BY user_id),
+      |s AS (SELECT t, CAST(count(*) AS BIGINT) AS leaving,
+      |             CAST(sum(died) AS BIGINT) AS d_t
+      |      FROM u GROUP BY t),
+      |r AS (SELECT t, d_t,
+      |             CAST(sum(leaving) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+      |      FROM s)
+      |SELECT t, n_at_risk, d_t,
+      |       round(exp(sum(ln(greatest(1.0 - CAST(d_t AS DOUBLE) / n_at_risk, 1e-12)))
+      |                 OVER (ORDER BY t)), 4) AS survival
+      |FROM r ORDER BY t""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("d"))
+    val gmax = days.agg(max($"d").as("gmax"))
+    val u = days.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .crossJoin(broadcast(gmax))
+      .select(
+        (datediff($"d1", $"d0") + 1).cast("long").as("t"),
+        when(datediff($"gmax", $"d1") >= 3, 1).otherwise(0).as("died"))
+    val s = u.groupBy($"t").agg(
+      count(lit(1)).cast("long").as("leaving"),
+      sum($"died").cast("long").as("d_t"))
+    val r = s.withColumn("n_at_risk",
+      sum($"leaving").over(Window.orderBy($"t".desc)).cast("long"))
+    r.select($"t", $"n_at_risk", $"d_t",
+      round(exp(sum(log(greatest(lit(1.0) - $"d_t".cast("double") / $"n_at_risk",
+        lit(1e-12)))).over(Window.orderBy($"t"))), 4).as("survival"))
+      .orderBy($"t")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
-    q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift)
+    q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
+    q180KaplanMeier)
 }
