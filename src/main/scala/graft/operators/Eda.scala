@@ -305,7 +305,152 @@ object Eda {
       .orderBy($"event_type")
   }
 
+  /** Chi-square test of independence on the event_type × channel
+    * contingency table: X² = Σ (observed − expected)²/expected with
+    * expected = row·col/total — the categorical-association workhorse
+    * (complements q163's two-sample z). All inputs are exact integer
+    * counts; expected values and the statistic derive from them through
+    * one fixed expression tree, so the oracle matches float-for-float.
+    *
+    * 100 TB plan: one count aggregation over (type, channel) — the
+    * contingency table is catalog-sized; margins broadcast back. The sum
+    * over cells is ordered by the final ORDER BY-free aggregation… of ≤50
+    * summands of similar magnitude, rounded to 4; the per-cell table is
+    * also emitted so the statistic is auditable. */
+  val q184ChiSquare: GraftQuery = GraftQuery.oracled(
+    "q184_chisq_independence",
+    """WITH c AS (SELECT event_type,
+      |                  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS channel,
+      |                  CAST(count(*) AS BIGINT) AS o
+      |           FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n FROM c GROUP BY 1),
+      |k AS (SELECT channel, CAST(sum(o) AS BIGINT) AS col_n FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM c)
+      |SELECT c.event_type, c.channel, c.o,
+      |       round(CAST(m.row_n AS DOUBLE) * k.col_n / t.total, 4) AS expected,
+      |       round(pow(c.o - CAST(m.row_n AS DOUBLE) * k.col_n / t.total, 2)
+      |             / (CAST(m.row_n AS DOUBLE) * k.col_n / t.total), 6) AS cell_chi2
+      |FROM c JOIN m USING (event_type) JOIN k USING (channel), t
+      |ORDER BY event_type, channel""") { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        (get_json_object($"props", "$.k").cast("long") % 10).as("channel"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val m = c.groupBy($"event_type").agg(sum($"o").cast("long").as("row_n"))
+    val k = c.groupBy($"channel").agg(sum($"o").cast("long").as("col_n"))
+    val t = c.agg(sum($"o").cast("long").as("total"))
+    val e = $"row_n".cast("double") * $"col_n" / $"total"
+    c.join(broadcast(m), "event_type")
+      .join(broadcast(k), "channel")
+      .crossJoin(broadcast(t))
+      .select($"event_type", $"channel", $"o",
+        round(e, 4).as("expected"),
+        round(pow($"o" - e, 2) / e, 6).as("cell_chi2"))
+      .orderBy($"event_type", $"channel")
+  }
+
+  /** Benford first-significant-digit audit of order totals: observed digit
+    * shares vs the Benford expectation log10(1 + 1/d) — the forensic
+    * data-quality screen for fabricated or truncated numeric columns.
+    * (A synthetic uniform price column will NOT follow Benford — the point
+    * of the report is the deviation, which the oracle reproduces exactly.)
+    *
+    * 100 TB plan: the digit projection is map-side string arithmetic on
+    * the scan; the report is 9 rows. */
+  val q185Benford: GraftQuery = GraftQuery.oracled(
+    "q185_benford_digits",
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |           FROM orders WHERE o_totalprice >= 1),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT digit, n,
+      |       round(CAST(n AS DOUBLE) / t.total, 6) AS observed,
+      |       round(log10(1 + 1.0 / digit), 6) AS benford
+      |FROM c, t ORDER BY digit""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.orders(spark, dir)
+      .filter($"o_totalprice" >= 1)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val c = d.groupBy($"digit").agg(count(lit(1)).cast("long").as("n"))
+    val t = c.agg(sum($"n").cast("long").as("total"))
+    c.crossJoin(broadcast(t))
+      .select($"digit", $"n",
+        round($"n".cast("double") / $"total", 6).as("observed"),
+        round(log10(lit(1) + lit(1.0) / $"digit"), 6).as("benford"))
+      .orderBy($"digit")
+  }
+
+  /** Autocorrelation function of the hourly mean-value series at lags
+    * 1..24 — the seasonality diagnostic behind q171's choice of a 24-hour
+    * naive forecast.
+    *
+    * Determinism: the series value is the per-hour mean rounded to WHOLE
+    * cents — an exact integer derived identically in both engines — so
+    * every sufficient statistic (Σx, Σx², Σxy over pairs at offset k) is an
+    * exact integer < 2⁵³ and the correlation formula consumes identical
+    * doubles: q181's discipline applied to a lagged self-join. (Raw
+    * per-hour SUMS would blow the 2⁵³ exactness budget once squared;
+    * unrounded double means would reintroduce summation-order noise.)
+    *
+    * 100 TB plan: raw events collapse to the hourly table first; 24
+    * lagged self-joins on a series of thousands of rows are trivial, and
+    * all 24 lags come from ONE join on (hour, hour−lag) after a lag
+    * explode — one shuffle, not 24. */
+  val q186Acf: GraftQuery = GraftQuery.oracled(
+    "q186_hourly_acf",
+    """WITH t0 AS (SELECT min(date_trunc('microseconds', ts)) AS tmin FROM events),
+      |hb AS (SELECT (epoch_us(date_trunc('microseconds', ts)) - epoch_us(t0.tmin)) // 3600000000 AS h,
+      |              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+      |              CAST(count(*) AS BIGINT) AS c
+      |       FROM events, t0 GROUP BY 1),
+      |p AS (SELECT l.lag, a.h,
+      |             CAST(round(CAST(a.sc AS DOUBLE) / a.c) AS BIGINT) AS x,
+      |             CAST(round(CAST(b.sc AS DOUBLE) / b.c) AS BIGINT) AS y
+      |      FROM (SELECT unnest(generate_series(1, 24)) AS lag) l
+      |      JOIN hb a ON true
+      |      JOIN hb b ON b.h = a.h - l.lag),
+      |s AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+      |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |             CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |             CAST(sum(y * y) AS DOUBLE) AS syy,
+      |             CAST(sum(x * y) AS DOUBLE) AS sxy
+      |      FROM p GROUP BY lag)
+      |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+      |       round((n * sxy - sx * sy)
+      |             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+      |FROM s ORDER BY lag""") { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val t0 = ev.agg(min($"ts").as("tmin"))
+    val hb = ev.crossJoin(broadcast(t0))
+      .groupBy(expr("(unix_micros(ts) - unix_micros(tmin)) DIV 3600000000").as("h"))
+      .agg(sum(round($"value" * 100).cast("long")).cast("long").as("sc"),
+        count(lit(1)).cast("long").as("c"))
+    val lags = spark.range(1, 25).select($"id".as("lag"))
+    val a = hb.crossJoin(broadcast(lags))
+      .select($"lag", $"h",
+        round($"sc".cast("double") / $"c").cast("long").as("x"),
+        ($"h" - $"lag").as("h_prev"))
+    val b = hb.select($"h".as("h_prev"),
+      round($"sc".cast("double") / $"c").cast("long").as("y"))
+    val p = a.join(b, Seq("h_prev"))
+    val s = p.groupBy($"lag").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"x").cast("double").as("sx"), sum($"y").cast("double").as("sy"),
+      sum($"x" * $"x").cast("double").as("sxx"),
+      sum($"y" * $"y").cast("double").as("syy"),
+      sum($"x" * $"y").cast("double").as("sxy"))
+    s.select($"lag", $"n".cast("long").as("n_pairs"),
+      round(($"n" * $"sxy" - $"sx" * $"sy") /
+        sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+          ($"n" * $"syy" - $"sy" * $"sy")), 6).as("acf"))
+      .orderBy($"lag")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
-    q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend)
+    q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
+    q184ChiSquare, q185Benford, q186Acf)
 }

@@ -591,9 +591,66 @@ object EventAnalytics {
       .orderBy($"t")
   }
 
+  /** Interval-overlap join (interval × interval, not q156's point-in-
+    * interval): per-user activity ISLANDS (q161's consecutive-day runs as
+    * [start, end] intervals) overlap-joined with a deterministic campaign
+    * grid (5-day windows every 11 days), reporting islands touched and
+    * total overlapping days per campaign — the temporal-database overlap
+    * operator (s₁ ≤ e₂ ∧ s₂ ≤ e₁).
+    *
+    * 100 TB plan: the campaign side is calendar-sized → broadcast range
+    * join, zero shuffle of the island side beyond its construction. Were
+    * BOTH interval sets large, the q19 discipline applies to intervals
+    * too: explode each interval to the 11-day buckets it covers, equi-join
+    * per bucket, dedup pairs, verify the exact overlap predicate as a
+    * residual. */
+  val q187IntervalOverlap: GraftQuery = GraftQuery.oracled(
+    "q187_interval_overlap",
+    """WITH d AS (SELECT DISTINCT user_id,
+      |                  CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d
+      |           FROM events),
+      |r AS (SELECT user_id, d,
+      |             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM d),
+      |isl AS (SELECT user_id, min(d) AS s, max(d) AS e
+      |        FROM (SELECT user_id, d, d - CAST(rn AS INTEGER) AS grp FROM r)
+      |        GROUP BY user_id, grp),
+      |g AS (SELECT min(d) AS gmin, max(d) AS gmax FROM d),
+      |camp AS (SELECT CAST(i AS BIGINT) AS campaign_id,
+      |                gmin + CAST(11 * i AS INTEGER) AS cs,
+      |                gmin + CAST(11 * i + 4 AS INTEGER) AS ce
+      |         FROM g, UNNEST(generate_series(0, CAST(date_diff('day', gmin, gmax) // 11 AS BIGINT))) AS t(i))
+      |SELECT campaign_id, CAST(count(*) AS BIGINT) AS n_islands,
+      |       CAST(sum(date_diff('day', greatest(s, cs), least(e, ce)) + 1) AS BIGINT) AS overlap_days
+      |FROM isl JOIN camp ON s <= ce AND cs <= e
+      |GROUP BY campaign_id ORDER BY campaign_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val isl = days.withColumn("rn", row_number().over(w))
+      .withColumn("grp", expr("date_sub(d, rn)"))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"d").as("s"), max($"d").as("e"))
+    val g = days.agg(min($"d").as("gmin"), max($"d").as("gmax"))
+    val camp = g
+      .select($"gmin", explode(sequence(lit(0L),
+        (datediff($"gmax", $"gmin") / 11).cast("long"))).as("campaign_id"))
+      .select($"campaign_id",
+        date_add($"gmin", ($"campaign_id" * 11).cast("int")).as("cs"),
+        date_add($"gmin", ($"campaign_id" * 11 + 4).cast("int")).as("ce"))
+    isl.join(broadcast(camp), $"s" <= $"ce" && $"cs" <= $"e")
+      .groupBy($"campaign_id")
+      .agg(count(lit(1)).cast("long").as("n_islands"),
+        sum(datediff(least($"e", $"ce"), greatest($"s", $"cs")) + 1)
+          .cast("long").as("overlap_days"))
+      .orderBy($"campaign_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
-    q180KaplanMeier)
+    q180KaplanMeier, q187IntervalOverlap)
 }
