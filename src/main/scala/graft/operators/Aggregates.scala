@@ -378,9 +378,93 @@ object Aggregates {
         .orderBy($"event_type")
   }
 
+  /** Hierarchical revenue shares down the full star chain (lineitem →
+    * orders → customer → nation → region): per-nation revenue with its
+    * share of region and of world — the drill-down report every BI layer
+    * renders as a treemap. Shares divide ROUNDED subtotals, so the
+    * percentages are deterministic given the subtotal oracle identity.
+    *
+    * 100 TB plan: the fact scan aggregates AFTER the key-chain joins, but
+    * the three dim joins (customer, nation, region) are all broadcast —
+    * one fact shuffle total for the (nation) rollup; region and world
+    * levels re-aggregate the 25-row nation table. */
+  val q189RevenueShares: GraftQuery = GraftQuery.oracled(
+    "q189_revenue_shares",
+    """WITH rev AS (SELECT c.c_nationkey,
+      |                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS nrev
+      |             FROM lineitem l
+      |             JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |             JOIN customer c ON o.o_custkey = c.c_custkey
+      |             GROUP BY 1),
+      |j AS (SELECT r.r_name, n.n_name, rev.nrev
+      |      FROM rev JOIN nation n ON rev.c_nationkey = n.n_nationkey
+      |               JOIN region r ON n.n_regionkey = r.r_regionkey),
+      |reg AS (SELECT r_name, round(sum(nrev), 2) AS rrev FROM j GROUP BY 1),
+      |tot AS (SELECT round(sum(nrev), 2) AS grev FROM j)
+      |SELECT j.r_name, j.n_name, j.nrev,
+      |       round(j.nrev / reg.rrev, 6) AS pct_of_region,
+      |       round(j.nrev / tot.grev, 6) AS pct_global
+      |FROM j JOIN reg USING (r_name), tot
+      |ORDER BY r_name, n_name""") { (spark, dir) =>
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("nrev"))
+    val j = rev
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"n_name", $"nrev")
+    val reg = j.groupBy($"r_name").agg(round(sum($"nrev"), 2).as("rrev"))
+    val tot = j.agg(round(sum($"nrev"), 2).as("grev"))
+    j.join(broadcast(reg), "r_name")
+      .crossJoin(broadcast(tot))
+      .select($"r_name", $"n_name", $"nrev",
+        round($"nrev" / $"rrev", 6).as("pct_of_region"),
+        round($"nrev" / $"grev", 6).as("pct_global"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Manual aggregate pushdown below a join: revenue per nation computed by
+    * PRE-aggregating the fact table per supplier BEFORE the dim joins —
+    * exact because the join key (s_suppkey) functionally determines the
+    * group (nation). The oracle states the naive join-then-aggregate; the
+    * engine runs the pushed-down plan and must produce identical totals.
+    *
+    * 100 TB plan: this is the transform that turns "shuffle 6B fact rows
+    * through a join, then aggregate" into "aggregate to |suppliers| partial
+    * rows, then broadcast-join the partials" — the single biggest manual
+    * win on fact-to-dim rollups, and one Catalyst does NOT do for you
+    * (no eager-aggregation rule in stock Spark). */
+  val q191AggPushdown: GraftQuery = GraftQuery.oracled(
+    "q191_agg_pushdown_join",
+    """SELECT n.n_name,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""") { (spark, dir) =>
+    import spark.implicits._
+    val partials = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("pn"),
+        sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("prev"))
+    partials
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"pn").cast("long").as("n_items"),
+        round(sum($"prev"), 2).as("revenue"))
+      .orderBy($"n_name")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
-    q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile)
+    q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
+    q189RevenueShares, q191AggPushdown)
 }

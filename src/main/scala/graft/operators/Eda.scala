@@ -449,8 +449,51 @@ object Eda {
       .orderBy($"lag")
   }
 
+  /** Modified-z-score (MAD) outliers per event_type: robust z =
+    * 0.6745·(x − median)/MAD with the |z| > 3.5 Iglewicz–Hoaglin cut —
+    * the median-based sibling of q153's IQR fences, preferred when even
+    * the quartiles are contaminated. Median and MAD are exact percentiles
+    * ROUNDED to 4 decimals on both engines before z is formed (the q153
+    * fence discipline against last-ulp interpolation skew), and z itself
+    * is emitted as FLOOR(z·10⁴) basis points — `round` is the one
+    * operation the engines implement differently (Spark: decimal-string
+    * HALF_UP; DuckDB: binary-double rounding), so a z landing exactly on
+    * a half-boundary — which 4-decimal rational inputs make possible —
+    * rounds apart while flooring the identical double cannot.
+    *
+    * 100 TB plan: two grouped percentile passes (the second over a
+    * derived |x − med| projection with the 5-row median table broadcast),
+    * then one map-side flag scan — same shape as q153 with one extra
+    * broadcast round. */
+  val q188MadOutliers: GraftQuery = GraftQuery.oracled(
+    "q188_mad_outliers",
+    """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+      |            FROM events GROUP BY 1),
+      |mad AS (SELECT e.event_type, round(quantile_cont(abs(e.value - med.med), 0.5), 4) AS mad
+      |        FROM events e JOIN med USING (event_type) GROUP BY 1)
+      |SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+      |       CAST(floor(0.6745 * (e.value - med.med) / mad.mad * 10000) AS BIGINT) AS z_bp
+      |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+      |WHERE abs(0.6745 * (e.value - med.med) / mad.mad) > 3.5
+      |ORDER BY e.event_id""") { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.5D)"), 4).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(round(expr("percentile(abs(value - med), 0.5D)"), 4).as("mad"))
+    val z = lit(0.6745) * ($"value" - $"med") / $"mad"
+    ev.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .filter(abs(z) > 3.5)
+      .select($"event_id", $"event_type", round($"value", 2).as("value"),
+        floor(z * 10000).cast("long").as("z_bp"))
+      .orderBy($"event_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
-    q184ChiSquare, q185Benford, q186Acf)
+    q184ChiSquare, q185Benford, q186Acf, q188MadOutliers)
 }

@@ -259,7 +259,44 @@ object Windows {
       .orderBy($"user_id", $"h")
   }
 
+  /** Positional window values over a full-partition ROWS frame: each
+    * supplier's 1st/2nd/3rd shipment price in strict (shipdate, orderkey,
+    * linenumber) order via `first_value`/`nth_value` with UNBOUNDED
+    * PRECEDING..UNBOUNDED FOLLOWING — the frame shape q31–q36 don't
+    * exercise (nth_value needs the whole partition visible, unlike the
+    * running frames). Collapsed to one row per supplier.
+    *
+    * 100 TB note: a full-partition frame materializes each partition in
+    * the window operator — fine keyed by supplier (bounded group size);
+    * the q158 bounded-heap aggregator is the swap if the positional read
+    * is only needed for small k, which avoids the frame entirely. */
+  val q190NthValue: GraftQuery = GraftQuery.oracled(
+    "q190_nth_value_frame",
+    """SELECT DISTINCT l_suppkey,
+      |       round(first_value(l_extendedprice) OVER w, 2) AS first_price,
+      |       round(nth_value(l_extendedprice, 2) OVER w, 2) AS second_price,
+      |       round(nth_value(l_extendedprice, 3) OVER w, 2) AS third_price
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_suppkey""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, dir)
+      .select($"l_suppkey",
+        round(first($"l_extendedprice").over(w), 2).as("first_price"),
+        round(nth_value($"l_extendedprice", 2).over(w), 2).as("second_price"),
+        round(nth_value($"l_extendedprice", 3).over(w), 2).as("third_price"))
+      .distinct()
+      .orderBy($"l_suppkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
-    q35RangeFrame, q36RankFamily, q97RankTwoPhase, q139ResampleFfill)
+    q35RangeFrame, q36RankFamily, q97RankTwoPhase, q139ResampleFfill,
+    q190NthValue)
 }
