@@ -648,9 +648,60 @@ object EventAnalytics {
       .orderBy($"campaign_id")
   }
 
+  /** Session path analysis: the census of 3-step event-type paths WITHIN
+    * gap-sessions (30-minute rule) — q168's Markov bigrams extended to
+    * trigram paths that cannot cross a session boundary, the "top user
+    * journeys" table of product analytics.
+    *
+    * 100 TB plan: session assembly and both lag windows share ONE
+    * user-keyed partitioning (the session id is a running sum over the
+    * same window ordering); the trigram census is an event-type³-sized
+    * aggregate. Same anti-pattern avoided as q141: no per-user event-list
+    * collection. */
+  val q193SessionPaths: GraftQuery = GraftQuery.oracled(
+    "q193_session_paths",
+    """WITH e AS (SELECT user_id, event_type,
+      |                  date_trunc('microseconds', ts) AS ts, event_id
+      |           FROM events),
+      |s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |                     THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |         FROM s),
+      |tri AS (SELECT lag(event_type, 2) OVER w2 AS t1,
+      |               lag(event_type, 1) OVER w2 AS t2,
+      |               event_type AS t3
+      |        FROM sess WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+      |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      |FROM tri WHERE t1 IS NOT NULL
+      |GROUP BY t1, t2, t3
+      |ORDER BY t1, t2, t3""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val prevTs = lag($"ts", 1).over(w)
+    val sess = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("brk",
+        when(prevTs.isNull ||
+          $"ts" > prevTs + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+      .withColumn("sid", sum($"brk").over(w))
+    val w2 = Window.partitionBy($"user_id", $"sid").orderBy($"ts", $"event_id")
+    sess
+      .select(
+        lag($"event_type", 2).over(w2).as("t1"),
+        lag($"event_type", 1).over(w2).as("t2"),
+        $"event_type".as("t3"))
+      .filter($"t1".isNotNull)
+      .groupBy($"t1", $"t2", $"t3")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy($"t1", $"t2", $"t3")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
-    q180KaplanMeier, q187IntervalOverlap)
+    q180KaplanMeier, q187IntervalOverlap, q193SessionPaths)
 }

@@ -286,8 +286,47 @@ object RelationalCore {
       .orderBy($"doc_id")
   }
 
+  /** Explicit null-ordering semantics + cume_dist: a nullable projection
+    * sorted with DESC NULLS LAST and ASC NULLS FIRST spelled out on BOTH
+    * engines — load-bearing because the defaults DISAGREE (Spark: NULLS
+    * FIRST on ASC; DuckDB: NULLS LAST), so any query sorting a nullable
+    * key portably must pin them. cume_dist completes q36's rank family.
+    *
+    * Scale note: same single window shuffle as any ranking query; the
+    * nullable keys change comparator behavior, not the plan. */
+  val q192NullOrdering: GraftQuery = GraftQuery.oracled(
+    "q192_null_ordering",
+    """WITH e AS (SELECT event_id,
+      |                  CASE WHEN event_type = 'view' THEN NULL ELSE value END AS val_n,
+      |                  CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 THEN NULL
+      |                       ELSE CAST(json_extract(props, '$.k') AS BIGINT) % 5 END AS chan
+      |           FROM events WHERE event_id < 2000)
+      |SELECT event_id, round(val_n, 2) AS val_n, chan,
+      |       round(cume_dist() OVER (ORDER BY val_n DESC NULLS LAST, event_id), 6) AS cd,
+      |       row_number() OVER (ORDER BY val_n DESC NULLS LAST,
+      |                                   chan ASC NULLS FIRST, event_id) AS rn
+      |FROM e
+      |ORDER BY rn""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val chanRaw = get_json_object($"props", "$.k").cast("long")
+    val e = Tables.events(spark, dir)
+      .filter($"event_id" < 2000)
+      .select($"event_id",
+        when($"event_type" === "view", lit(null)).otherwise($"value").as("val_n"),
+        when(chanRaw % 7 === 0, lit(null)).otherwise(chanRaw % 5).as("chan"))
+    val wCd = Window.orderBy($"val_n".desc_nulls_last, $"event_id")
+    val wRn = Window.orderBy($"val_n".desc_nulls_last,
+      $"chan".asc_nulls_first, $"event_id")
+    e.select($"event_id", round($"val_n", 2).as("val_n"), $"chan",
+      round(cume_dist().over(wCd), 6).as("cd"),
+      row_number().over(wRn).as("rn"))
+      .orderBy($"rn")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02ProjectFilter, q03CaseBuckets, q04CastsNulls,
     q05Distinct, q06TopNOffset, q07UnionAll, q08Intersect, q09Except,
-    q10MultisetOps, q11SampleSplit, q101StratifiedSample, q102HashBucketSplit)
+    q10MultisetOps, q11SampleSplit, q101StratifiedSample, q102HashBucketSplit,
+    q192NullOrdering)
 }
