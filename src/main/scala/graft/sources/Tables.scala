@@ -27,16 +27,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as a raw nanosecond long
-    * (legacy conf) and truncate to a µs TimestampType — bit-identical to
-    * DuckDB's `date_trunc('microseconds', ts)` for the oracle (SURVEY.md
-    * §5.6). */
+  /** `events.ts` has shipped in two physical encodings across driver data
+    * generations: TIMESTAMP(NANOS) — which Spark 4 refuses outright
+    * (PARQUET_TYPE_ILLEGAL), so it is read as a raw nanosecond long (legacy
+    * conf) and truncated to µs — and native TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. Both are
+    * normalized to a µs `TimestampType` here: the session timezone is pinned
+    * to UTC in every entrypoint, so the NTZ→LTZ cast is value-identical, and
+    * either path lands bit-identical to DuckDB's
+    * `date_trunc('microseconds', ts)` oracle twin (SURVEY.md §5.6). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw // already a µs TimestampType
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

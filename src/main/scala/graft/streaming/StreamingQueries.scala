@@ -26,20 +26,27 @@ import graft.sources.Tables
   * bound state size — no unbounded per-key buffers. */
 object StreamingQueries {
 
-  /** Replay the events parquet as a file-source stream (ns→µs conversion as
-    * in [[Tables.events]]). The file source only accepts directories, so the
-    * single-file table is staged as a symlink under /tmp (idempotent). */
+  /** Replay the events parquet as a file-source stream (ts normalized to a
+    * µs TimestampType exactly as in [[Tables.events]] — both physical
+    * encodings the driver has shipped are handled). The file source only
+    * accepts directories, so the single-file table is staged as a symlink
+    * under /tmp (idempotent). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = Paths.get(s"$dir/events.parquet")
     val streamDir = Paths.get("/tmp/graft-stream", dir.replaceAll("[^A-Za-z0-9.]", "_"))
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
     if (!Files.exists(link)) Files.createSymbolicLink(link, path)
-    val schema = spark.read.parquet(path.toString).schema // ts arrives as long (ns)
-    spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val schema = spark.read.parquet(path.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and return
