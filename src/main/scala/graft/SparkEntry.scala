@@ -33,12 +33,14 @@ object SparkEntry {
       graft.operators.TypedOps.all ++
       graft.operators.Subqueries.all ++
       graft.sources.PartitionedSink.all ++
+      graft.sources.Warehouse.all ++
       graft.operators.Eda.all ++
       graft.operators.NullAndMisc.all ++
       graft.operators.EventAnalytics.all ++
       graft.operators.Graph.all ++
       graft.llm.Search.all ++
       graft.llm.FuzzyJoin.all ++
+      graft.llm.Chunking.all ++
       graft.ml.Recommender.all ++
       graft.ml.Patterns.all ++
       graft.operators.Profiler.all

@@ -1,0 +1,199 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+import graft.sources.Tables
+
+/** LLM-pipeline chunking + substring-level dedup (builder mandate: ops a
+  * large-scale training-data pipeline needs).
+  *
+  * q197: RAG-style overlapping chunking — every retrieval/embedding pipeline
+  * starts by windowing documents into fixed-size overlapping pieces.
+  * q199: cross-document repeated-span mining at k-gram granularity — the
+  * exact-substring dedup of Lee et al., "Deduplicating Training Data Makes
+  * Language Models Better" (arXiv:2107.06499), re-expressed relationally:
+  * instead of a suffix array (pointer-chasing, single-machine), hash every
+  * k-gram, keep grams seen in ≥2 documents, and merge adjacent duplicated
+  * positions per doc into maximal spans with one gaps-and-islands window.
+  * q203: exact Jaccard similarity self-join via PREFIX FILTERING (PPJoin
+  * family, Xiao et al. WWW'08) — a second exactness-preserving sub-quadratic
+  * route complementing q45's frequency-capped inverted index: order each
+  * doc's shingles by global rarity; two sets with Jaccard ≥ t MUST share a
+  * token inside their first (1-t)·|s|+1 rarest tokens, so only prefix
+  * collisions become candidates.
+  *
+  * 100 TB plan: all three are hash-partitioned relational pipelines — grams/
+  * shingles shuffle on their hash once (map-side combined), positions rejoin
+  * by key, windows partition by doc_id. No driver loops, no all-pairs blowup:
+  * q199 needs only a per-gram distinct-doc count (never a pair join); q203's
+  * candidate space is bounded by prefix collisions instead of full postings.
+  */
+object Chunking {
+
+  private val ChunkWords = 32
+  private val ChunkStride = 24
+  private val GramK = 8
+
+  /** Overlapping word-window chunking: 32-word chunks every 24 words
+    * (8-word overlap), emitted as (doc_id, chunk_start, n_words, md5).
+    * The md5 stands in for the chunk payload so the result stays narrow;
+    * a real pipeline would keep the text and feed the embedder.
+    *
+    * Scale: one projection + bounded explode (≤ |words|/stride rows per
+    * doc) — no shuffle until the final presentation sort. */
+  val q197RagChunks: GraftQuery = GraftQuery.oracled(
+    "q197_rag_chunks",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |c AS (SELECT doc_id, CAST(st AS BIGINT) AS chunk_start,
+       |             array_to_string(w[st + 1:least(st + $ChunkWords, len(w))], ' ') AS chunk,
+       |             least(st + $ChunkWords, len(w)) - st AS n_words
+       |      FROM d, UNNEST(generate_series(0, len(w) - 1, $ChunkStride)) AS t(st))
+       |SELECT doc_id, chunk_start, CAST(n_words AS BIGINT) AS n_words,
+       |       md5(chunk) AS chunk_md5
+       |FROM c
+       |ORDER BY doc_id, chunk_start""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", $"w", size($"w").as("nw"))
+      .select($"doc_id", $"w", $"nw",
+        explode(sequence(lit(0), greatest($"nw" - 1, lit(0)), lit(ChunkStride)))
+          .as("chunk_start"))
+      .select($"doc_id", $"chunk_start".cast("long").as("chunk_start"),
+        (least($"chunk_start" + ChunkWords, $"nw") - $"chunk_start")
+          .cast("long").as("n_words"),
+        md5(concat_ws(" ",
+          slice($"w", $"chunk_start" + 1,
+            least($"chunk_start" + ChunkWords, $"nw") - $"chunk_start")))
+          .as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_start")
+  }
+
+  /** Maximal cross-document duplicated spans at 8-gram granularity.
+    * A position p in a doc is "duplicated" when its 8-gram also occurs in
+    * some OTHER document; runs of consecutive duplicated positions merge
+    * into one span covering [span_start, span_start + span_words). Emits
+    * spans of ≥ 2 consecutive duplicated grams (≥ 9 words) — the
+    * single-gram hits are noise at this vocabulary size.
+    *
+    * Scale: |grams| rows shuffle once on the gram hash for the
+    * distinct-doc count (map-side combined); duplicated-gram flags rejoin
+    * positions by hash (shuffle semi-join — the duplicated set is NOT
+    * assumed broadcastable at corpus scale); islands are one window over
+    * (doc_id, pos). Nothing is quadratic in docs or grams. */
+  val q199GramSpanDedup: GraftQuery = GraftQuery.oracled(
+    "q199_gram_span_dedup",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |           WHERE len(string_split(text, ' ')) >= $GramK),
+       |g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       |             md5(array_to_string(w[p + 1:p + $GramK], ' ')) AS gh
+       |      FROM d, UNNEST(generate_series(0, len(w) - $GramK, 1)) AS t(p)),
+       |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM hits),
+       |spans AS (SELECT doc_id, min(pos) AS span_start,
+       |                 max(pos) - min(pos) + $GramK AS span_words,
+       |                 count(*) AS n_grams
+       |          FROM isl GROUP BY doc_id, grp)
+       |SELECT doc_id, span_start, CAST(span_words AS BIGINT) AS span_words,
+       |       CAST(n_grams AS BIGINT) AS n_grams
+       |FROM spans WHERE n_grams >= 2
+       |ORDER BY doc_id, span_start""") { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= GramK)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), size($"w") - GramK),
+          p => md5(concat_ws(" ", slice($"w", p + 1, lit(GramK)))))))
+      .toDF("doc_id", "pos", "gh")
+    val dup = g.groupBy($"gh")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"gh")
+    val hits = g.join(dup, Seq("gh"), "left_semi")
+    val grp = $"pos" - row_number().over(
+      Window.partitionBy($"doc_id").orderBy($"pos"))
+    hits
+      .withColumn("grp", grp)
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").cast("long").as("span_start"),
+        (max($"pos") - min($"pos") + GramK).cast("long").as("span_words"),
+        count(lit(1)).as("n_grams"))
+      .filter($"n_grams" >= 2)
+      .select($"doc_id", $"span_start", $"span_words", $"n_grams")
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  /** Exact shingle-Jaccard self-join (≥ 0.8) via PPJoin-style prefix
+    * filtering, oracle'd against the same all-pairs SQL shape as q45 (no
+    * frequency cap here — the prefix bound itself tames the hot shingles:
+    * a stop-shingle sits at the POPULAR end of the rarity order, so it is
+    * almost never inside anyone's prefix).
+    *
+    * Correctness of the filter (Chaudhuri et al. ICDE'06): with shingles
+    * globally ordered by (df, shingle), J(A,B) ≥ t ⇒ |A∩B| ≥ t/(1+t)·(|A|+|B|)
+    * ⇒ A and B must collide within their first |·| − ⌈t·|·|⌉ + 1 ordered
+    * tokens. Candidates = prefix collisions only; each candidate pair is
+    * then verified with the full exact intersection count.
+    *
+    * Scale: df ranks broadcast-join back onto shingles; prefix postings
+    * (≈ 29% of all postings at t=0.8) self-join on the shingle; the exact
+    * verify joins full postings ONLY for surviving candidate pairs. */
+  val q203PrefixJaccardJoin: GraftQuery = GraftQuery.oracled(
+    "q203_prefix_jaccard_join",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared,
+      |       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE shared / (sa.n + sb.n - shared) >= 0.8
+      |ORDER BY doc_a, doc_b""") { (spark, dir) =>
+    import spark.implicits._
+    val t = 0.8
+    val sh = Dedup.shingleDocs(Tables.documents(spark, dir)) // (doc_id, s)
+    // Global rarity order: (df, s) — ties broken by the shingle text so the
+    // order (and therefore the prefix) is deterministic on both engines.
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(broadcast(df), Seq("s"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"s")))
+    val sized = ranked.withColumn("n", count(lit(1)).over(
+      Window.partitionBy($"doc_id")))
+    // Prefix = first |s| - ceil(t|s|) + 1 rarest shingles of each doc.
+    val prefix = sized.filter($"r" <= $"n" - ceil(lit(t) * $"n") + 1)
+      .select($"doc_id", $"s")
+    val cand = prefix.toDF("doc_a", "s")
+      .join(prefix.toDF("doc_b", "s"), Seq("s"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    // Exact verify: full intersection count for candidate pairs only.
+    val a = sh.toDF("doc_a", "s")
+    val b = sh.toDF("doc_b", "s")
+    val shared = a.join(b, Seq("s")).filter($"doc_a" < $"doc_b")
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val jac = $"shared" / ($"na" + $"nb" - $"shared")
+    shared
+      .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
+      .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
+      .filter(jac >= t)
+      .select($"doc_a", $"doc_b", $"shared", round(jac, 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q197RagChunks, q199GramSpanDedup,
+    q203PrefixJaccardJoin)
+}

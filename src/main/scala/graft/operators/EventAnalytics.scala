@@ -699,9 +699,56 @@ object EventAnalytics {
       .orderBy($"t1", $"t2", $"t3")
   }
 
+  /** Per-user EWMA of event value (α = 0.9) over the 8 most-recent events —
+    * the smoothed-engagement score, computed in EXACT integer arithmetic so
+    * the oracle matches bit-for-bit: α^j = 9^j/10^j over a common 10⁷
+    * denominator gives weight_j = 9^j·10^(7−j) as an exact BIGINT, values
+    * enter as floor-cents (floor of the identical double — portable, unlike
+    * round's HALF_UP/half-even divergence), and the result is emitted in
+    * integer micro-units via true integer division (Spark `div`, DuckDB
+    * `//`) — num·10⁴ ≤ ~5·10¹⁶ stays in int64. q148's decayed engagement
+    * weights by event AGE (continuous exp); this weights by RECENCY RANK —
+    * the two canonical decay conventions.
+    *
+    * Scale note: one row_number window on (user_id, ts desc) + one hash agg
+    * — the same single user_id shuffle every other per-user query reuses. */
+  val q202EwmaMicro: GraftQuery = GraftQuery.oracled(
+    "q202_ewma_micro",
+    """WITH r AS (SELECT user_id,
+      |                  CAST(floor(value * 100) AS BIGINT) AS cents,
+      |                  row_number() OVER (PARTITION BY user_id
+      |                                     ORDER BY date_trunc('microseconds', ts) DESC,
+      |                                              event_id DESC) AS rn
+      |           FROM events),
+      |k AS (SELECT user_id, cents, rn - 1 AS j FROM r WHERE rn <= 8),
+      |w AS (SELECT user_id,
+      |             sum(cents * CAST(pow(9, j) * pow(10, 7 - j) AS BIGINT)) AS num,
+      |             sum(CAST(pow(9, j) * pow(10, 7 - j) AS BIGINT)) AS den,
+      |             CAST(count(*) AS BIGINT) AS n_used
+      |      FROM k GROUP BY user_id)
+      |SELECT user_id, n_used, CAST((num * 10000) // den AS BIGINT) AS ewma_micro
+      |FROM w
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .select($"user_id", floor($"value" * 100).cast("long").as("cents"),
+        row_number().over(w).as("rn"))
+      .filter($"rn" <= 8)
+      .withColumn("j", $"rn" - 1)
+      .withColumn("wt", (pow(lit(9), $"j") * pow(lit(10), lit(7) - $"j")).cast("long"))
+      .groupBy($"user_id")
+      .agg(sum($"cents" * $"wt").as("num"), sum($"wt").as("den"),
+        count(lit(1)).as("n_used"))
+      .select($"user_id", $"n_used",
+        expr("(num * 10000) div den").as("ewma_micro"))
+      .orderBy($"user_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
-    q180KaplanMeier, q187IntervalOverlap, q193SessionPaths)
+    q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro)
 }

@@ -306,8 +306,49 @@ object NullAndMisc {
       .orderBy($"fk")
   }
 
+  /** Map higher-order functions (§2.7): per event type, roll the hour-of-day
+    * histogram into a MAP<hour, n> (`map_from_entries`), total it with
+    * `aggregate` over `map_values`, keep above-uniform hours with
+    * `map_filter`, derive exact ppm shares with `transform_values`, stitch
+    * count+share together with `map_zip_with`, and explode back to rows.
+    * Shares are floor(n·10⁶/total) on INTEGER inputs — numerator < 2⁵³, so
+    * the double division is exact on both engines. The oracle states the
+    * flat-relational equivalent; the map pipeline must round-trip to it.
+    *
+    * Scale note: the maps live per GROUP (24 entries max), built after the
+    * hash aggregation — never a per-row collection; the lambdas are
+    * Catalyst HOF expressions evaluated without serialization. */
+  val q201MapHofs: GraftQuery = GraftQuery.oracled(
+    "q201_map_hofs",
+    """WITH h AS (SELECT event_type,
+      |                  CAST(extract(hour FROM date_trunc('microseconds', ts)) AS BIGINT) AS hour,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(n) AS total FROM h GROUP BY 1)
+      |SELECT h.event_type, h.hour, CAST(h.n AS BIGINT) AS n,
+      |       CAST(floor(h.n * 1000000.0 / t.total) AS BIGINT) AS ppm
+      |FROM h JOIN t USING (event_type)
+      |WHERE h.n * 48 >= t.total
+      |ORDER BY event_type, hour""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", hour($"ts").cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(map_from_entries(collect_list(struct($"hour", $"n"))).as("m"))
+      .withColumn("total", aggregate(map_values($"m"), lit(0L), (a, v) => a + v))
+      .withColumn("keep", map_filter($"m", (_, v) => v * 48 >= col("total")))
+      .withColumn("sh", transform_values($"keep",
+        (_, v) => floor(v * lit(1000000.0) / col("total")).cast("long")))
+      .withColumn("z", map_zip_with($"keep", $"sh",
+        (_, n, p) => struct(n.as("n"), p.as("ppm"))))
+      .select($"event_type", explode($"z").as(Seq("hour", "s")))
+      .select($"event_type", $"hour", $"s.n".as("n"), $"s.ppm".as("ppm"))
+      .orderBy($"event_type", $"hour")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName,
     q91Posexplode, q92StructToJson, q119Unpivot, q134ObserveMetrics,
-    q151RiAudit)
+    q151RiAudit, q201MapHofs)
 }

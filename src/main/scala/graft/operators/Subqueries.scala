@@ -72,7 +72,32 @@ object Subqueries {
       |WHERE c_custkey < 100
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): generate the
+    * 84-month calendar spine 1995-01..2001-12 recursively, then left-join
+    * order totals onto it — the calendar-spine idiom that reports empty
+    * months as zeros, with the spine built by the engine instead of a
+    * staged dimension table. IDENTICAL text runs in DuckDB.
+    *
+    * Scale note: the recursion materializes 84 rows on the driver side of
+    * the plan (bounded by the WHERE, far under the recursion depth limit);
+    * the join broadcasts the spine against the fact scan — recursion depth
+    * is independent of fact size. */
+  val q198RecursiveCte: GraftQuery = sqlQuery(
+    "q198_recursive_cte",
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT CAST('1995-01-01' AS DATE) AS m
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m FROM months
+      |  WHERE m < CAST('2001-12-01' AS DATE)
+      |)
+      |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |       round(coalesce(sum(o_totalprice), 0.0), 2) AS total
+      |FROM months LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m
+      |ORDER BY m""")
+
   def all: Seq[GraftQuery] = Seq(
     q79CorrelatedScalar, q80UncorrelatedScalar, q81ExistsSubquery, q82InSubquery,
-    q125LateralTopk)
+    q125LateralTopk, q198RecursiveCte)
 }

@@ -295,8 +295,44 @@ object Windows {
       .orderBy($"l_suppkey")
   }
 
+  /** Native `session_window` in BATCH mode — the same merging-session
+    * operator q63 exercises on a stream, applied to the static table. The
+    * gap rule differs from q34's lag-gap sessionization on the boundary:
+    * a session spans [first_ts, last_ts + gap), so an event landing EXACTLY
+    * gap after its predecessor starts a NEW session (>=, where q34 uses >) —
+    * the oracle's CASE spells the >= out. session_end = last event + gap,
+    * per Spark's session-window contract.
+    *
+    * Scale note: plans as one hash-partition shuffle on user_id plus a
+    * partition-local sort-merge of overlapping windows (UpdatingSessionsExec)
+    * — identical shape to the lag-gap formulation, arrived at declaratively. */
+  val q200SessionWindowBatch: GraftQuery = GraftQuery.oracled(
+    "q200_session_window_batch",
+    """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 30 * 60 * 1000000
+      |                  THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM m)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
     q35RangeFrame, q36RankFamily, q97RankTwoPhase, q139ResampleFfill,
-    q190NthValue)
+    q190NthValue, q200SessionWindowBatch)
 }

@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.engine.GraftQuery
+
+/** SURVEY.md §2.1/§2.3/§2.6 — warehouse-layout operators: bucketed tables
+  * (shuffle-free co-located joins), dynamic partition pruning, and dynamic
+  * partition overwrite. These are the three layout levers that matter most
+  * at 100 TB: a fact table bucketed on its join key never shuffles for that
+  * join again; a partitioned fact joined to a filtered dim reads only the
+  * partitions the dim selects (decided at RUNTIME, not parse time); and an
+  * incremental rewrite touches only the partitions present in the new batch.
+  * Each query asserts its plan property in-line (no-Exchange / dynamic
+  * pruning present / sibling partitions preserved) so a layout regression
+  * fails correctness, not just the bench.
+  */
+object Warehouse {
+
+  import PartitionedSink.writeDir
+
+  /** Bucketed co-located join: both fact tables written `bucketBy(8, key)`
+    * + `sortBy(key)` via `saveAsTable` (external, /tmp path), then sort-merge
+    * joined on the bucket key. Spark's bucketed-scan reports the hash
+    * clustering to the planner, so the SMJ's distribution requirement is
+    * already satisfied — the in-query `require` proves ZERO shuffle
+    * exchanges in the join subplan. The `merge` hint pins SMJ (orders would
+    * otherwise broadcast at test SF and hide the property being proven).
+    *
+    * 100 TB plan: bucketing is the pay-once answer to the repeated
+    * fact-to-fact join — both 100 TB sides are written clustered ONCE, and
+    * every subsequent join on that key runs with no Exchange at all (the
+    * dominant cost of a fact-fact join at scale). Local per-bucket sorts
+    * remain (multiple files per bucket), but those never cross the network. */
+  val q194BucketedJoin: GraftQuery = GraftQuery.oracled(
+    "q194_bucketed_join",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", writeDir("b_lineitem")).saveAsTable("graft_b_lineitem")
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", writeDir("b_orders")).saveAsTable("graft_b_orders")
+    val li = spark.table("graft_b_lineitem")
+    val ord = spark.table("graft_b_orders").filter($"o_orderstatus" === "F")
+    val joined = li.hint("merge").join(ord, $"l_orderkey" === $"o_orderkey")
+    val exchanges = joined.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    require(exchanges.isEmpty,
+      s"bucketed join must be shuffle-free, found ${exchanges.size} exchange(s)")
+    joined.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Dynamic partition pruning: orders laid out `partitionBy(o_orderpriority)`,
+    * joined to a filtered dim on the partition column. The partitions to read
+    * are only known after evaluating the dim filter — DPP injects the dim's
+    * key set into the fact scan's PartitionFilters at runtime (reusing the
+    * broadcast exchange), so the 'cold' directories are never opened. The
+    * in-query `require` proves the dynamicpruning expression is in the plan.
+    *
+    * 100 TB plan: this is the star-schema idiom — fact partitioned on the
+    * dim FK (or a date key), dims filtered by the business predicate. Static
+    * pruning can't help (the predicate is on the DIM's column); DPP turns the
+    * broadcast build side into a partition filter, cutting the fact scan from
+    * 100 TB to the selected slice before any row group is read. */
+  val q195DppPrune: GraftQuery = GraftQuery.oracled(
+    "q195_dpp_prune",
+    """WITH dim AS (SELECT * FROM (VALUES
+      |        ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'cold'),
+      |        ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold'))
+      |        AS d(o_orderpriority, klass))
+      |SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+      |WHERE d.klass = 'hot'
+      |GROUP BY o.o_orderstatus
+      |ORDER BY o.o_orderstatus""") { (spark, dir) =>
+    import spark.implicits._
+    val out = writeDir("orders_dpp")
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    val fact = spark.read.parquet(out)
+    // A genuine file-backed dim TABLE (the priority domain is fixed and
+    // documented in FIXTURES.md). Two designs DON'T trigger DPP and are
+    // deliberately avoided: deriving the dim from the fact's own scan
+    // (the pruning-benefit heuristic weighs fact bytes saved against build
+    // bytes scanned — a same-table derivation costs as much as it saves)
+    // and a literal LocalRelation dim (ConvertToLocalRelation folds the
+    // selective Filter away before the PartitionPruning batch runs, and no
+    // Filter on the build side means no pruning filter to inject).
+    val dimPath = writeDir("priority_dim")
+    Seq(
+      ("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "cold"),
+      ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+      .toDF("o_orderpriority", "klass")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"klass" === "hot")
+    val joined = fact.join(broadcast(dim), "o_orderpriority")
+    require(joined.queryExecution.sparkPlan.toString
+        .toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a dynamic partition pruning filter")
+    joined.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("total_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Dynamic partition overwrite: full partitioned write, then a second
+    * write in `partitionOverwriteMode=dynamic` carrying ONLY the 'P' rows
+    * (re-priced) — static overwrite mode would truncate the whole table;
+    * dynamic replaces exactly the partitions present in the incoming batch
+    * and leaves siblings untouched. Asserted in-query: 'F'/'O' row counts
+    * survive the rewrite. The oracle recomputes the expected merged state
+    * from the raw table.
+    *
+    * 100 TB plan: the nightly-restate idiom — a 100 TB date-partitioned
+    * fact gets yesterday's partition rewritten by writing just that slice;
+    * the job's cost scales with the DELTA, not the table. The per-write
+    * option (not a session conf) keeps the mode from leaking into other
+    * writers in the same session. */
+  val q196DynamicOverwrite: GraftQuery = GraftQuery.oracled(
+    "q196_dynamic_overwrite",
+    // The oracle's 'P' branch mirrors the engine's repricing chain STEP FOR
+    // STEP (cents floor → ×9 integer div 10 → /100.0 → cents floor): each
+    // step maps identical doubles through identical IEEE ops on both
+    // engines, so the match is exact — round()'s HALF_UP/half-even
+    // divergence and float-sum ordering never enter (totals are BIGINT
+    // cent sums; DuckDB's HUGEINT sum is cast back down).
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'P'
+      |                     THEN CAST(floor(((CAST(floor(o_totalprice * 100) AS BIGINT) * 9) // 10) / CAST(100 AS DOUBLE) * 100 + 0.5) AS BIGINT)
+      |                     ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS total_cents
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""") { (spark, dir) =>
+    import spark.implicits._
+    val out = writeDir("orders_dynover")
+    val orders = Tables.orders(spark, dir)
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val before = spark.read.parquet(out)
+      .filter($"o_orderstatus" =!= "P").count()
+    orders.filter($"o_orderstatus" === "P")
+      .withColumn("o_totalprice",
+        expr("((CAST(floor(o_totalprice * 100) AS BIGINT) * 9) div 10) / CAST(100 AS DOUBLE)"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(out)
+    val back = spark.read.parquet(out)
+    val after = back.filter($"o_orderstatus" =!= "P").count()
+    require(before == after,
+      s"dynamic overwrite must preserve sibling partitions ($before -> $after)")
+    back.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("total_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q194BucketedJoin, q195DppPrune,
+    q196DynamicOverwrite)
+}
