@@ -230,7 +230,66 @@ object ScalarFunctions {
       .orderBy($"event_id")
   }
 
+  /** XML functions (§2.7, native in Spark 4 after the spark-xml merge,
+    * SPARK-44265): `to_xml` renders each order struct to an XML payload,
+    * `from_xml` parses it back against an explicit DDL schema, and the
+    * recovered fields must equal the source columns — the oracle reads them
+    * straight off the raw table, so any serialization loss (type mangling,
+    * double formatting, escaping) breaks the hash. Doubles survive because
+    * to_xml renders Java's shortest-round-trip decimal form.
+    *
+    * Scale note: both functions are per-row codegen-adjacent expressions in
+    * one projection — no shuffle, no UDF; the XML column is the same opaque
+    * payload shape a feed-ingest pipeline would carry. */
+  val q204XmlRoundtrip: GraftQuery = GraftQuery.oracled(
+    "q204_xml_roundtrip",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey < 500
+      |ORDER BY o_orderkey""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" < 500)
+      .select($"o_orderkey", to_xml(struct($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"), $"o_totalprice".as("tp"))).as("x"))
+      .select($"o_orderkey", from_xml($"x",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, st STRING, tp DOUBLE")).as("r"))
+      .select($"o_orderkey", $"r.st".as("o_orderstatus"),
+        $"r.tp".as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Collation-aware grouping (Spark 4 collations, SPARK-46830): a
+    * deterministically case-mangled segment column grouped under
+    * UTF8_LCASE collation — 'building' and 'BUILDING' are ONE group under
+    * the collated comparison without rewriting the data. The emitted
+    * representative is the BINARY min of the raw strings (collated group
+    * keys surface an arbitrary member's case, so the key itself is never
+    * output); the oracle groups by lower() — the two must agree exactly.
+    *
+    * Scale note: the collated group-by hashes the collation key — same
+    * single-shuffle plan as any hash aggregate; collation changes the
+    * comparator, not the plan shape. */
+  val q205CollatedGroup: GraftQuery = GraftQuery.oracled(
+    "q205_collated_group",
+    """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+      |                       ELSE c_mktsegment END AS seg
+      |           FROM customer)
+      |SELECT min(seg) AS segment, CAST(count(*) AS BIGINT) AS n
+      |FROM m GROUP BY lower(seg)
+      |ORDER BY segment""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select(when($"c_custkey" % 2 === 0, lower($"c_mktsegment"))
+        .otherwise($"c_mktsegment").as("seg"))
+      .groupBy(collate($"seg", "UTF8_LCASE").as("k"))
+      .agg(min($"seg").as("segment"), count(lit(1)).as("n"))
+      .select($"segment", $"n")
+      .orderBy($"segment")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q37StringFuncs, q38DateFuncs, q39MathFuncs, q40JsonFuncs,
-    q41ArrayText, q42ArrayEmbeddings, q43HashFuncs, q118VariantJson)
+    q41ArrayText, q42ArrayEmbeddings, q43HashFuncs, q118VariantJson,
+    q204XmlRoundtrip, q205CollatedGroup)
 }

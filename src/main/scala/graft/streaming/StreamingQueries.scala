@@ -552,10 +552,123 @@ object StreamingQueries {
     }
   }
 
+  /** [[q206StreamSessionTimers]]'s processor: gap-sessionize each user's
+    * batch, park every closed-or-open session in a `ListState`, and register
+    * an EVENT-TIME TIMER at session_end + 30 min + 500 ms; sessions are
+    * emitted ONLY from `handleExpiredTimer` when the watermark overtakes the
+    * timer — the inactivity-timeout emission pattern (q66 emits inline and
+    * never exercises timers). Event times are second-truncated and the timer
+    * offset is +500 ms, so a timer can never EQUAL the watermark and the
+    * strict-vs-inclusive expiry boundary is unreachable by construction. */
+  final class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
+    private val GapMs = 30L * 60 * 1000
+    @transient private var sessions: ListState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sessions = getHandle.getListState[(Long, Long, Long)]("sessions",
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+      var acc = Vector.empty[(Long, Long, Long)] // (start_ms, end_ms, n)
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        acc.lastOption match {
+          case Some((s0, e0, n0)) if t - e0 <= GapMs =>
+            acc = acc.init :+ ((s0, t, n0 + 1))
+          case _ => acc = acc :+ ((t, t, 1L))
+        }
+      }
+      sessions.put(acc.toArray)
+      acc.foreach { case (_, end, _) =>
+        getHandle.registerTimer(end + GapMs + 500L)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long)] = {
+      val expiry = expiredTimerInfo.getExpiryTimeInMs()
+      val (fire, keep) = sessions.get().toVector
+        .partition { case (_, end, _) => end + GapMs + 500L == expiry }
+      if (keep.isEmpty) sessions.clear() else sessions.put(keep.toArray)
+      fire.iterator.map { case (start, _, n) => (key, start, n) }
+    }
+  }
+
+  /** Inactivity-timeout session emission via `transformWithState` EVENT-TIME
+    * TIMERS (SURVEY §2.8): a session fires only when the watermark passes
+    * its last event + 30 min — the streaming-native way to close sessions
+    * without waiting for the key's next event (q66's fMGWS emits on the next
+    * batch instead). Under the AvailableNow replay, batch 1 ingests and
+    * registers timers, the watermark advances to max(ts), and the engine
+    * schedules the extra timer batch (IncrementalExecution's
+    * shouldRunAnotherBatch) where expired sessions emit. The oracle keeps
+    * exactly the gap-sessions ending > 30 min before the corpus max —
+    * sessions still inside the timeout horizon stay open, matching the
+    * streaming semantics.
+    *
+    * Scale note: state is per-user session summaries (three longs each) +
+    * one timer per session on the RocksDB store; emission is watermark-
+    * driven, so state drains continuously instead of accumulating. */
+  val q206StreamSessionTimers: GraftQuery = GraftQuery.oracled(
+    "q206_stream_session_timers",
+    """WITH e AS (SELECT user_id, event_id,
+      |                  date_trunc('second', date_trunc('microseconds', ts)) AS ts
+      |           FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1
+      |              WHEN lag(event_id) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), agg AS (
+      |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |         count(*) AS n_events
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, session_start, CAST(n_events AS BIGINT) AS n_events
+      |FROM agg
+      |WHERE epoch(session_end) + 1800 < (SELECT max(epoch(ts)) FROM e)
+      |ORDER BY user_id, session_start""") { (spark, dir) =>
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds: Dataset[Ev] = eventsStream(spark, dir)
+        .select($"user_id", $"event_id", date_trunc("second", $"ts").as("ts"))
+        .withWatermark("ts", "0 seconds")
+        .as[Ev]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "start_ms", "n_events")
+        .select($"user_id", timestamp_millis($"start_ms").as("session_start"),
+          $"n_events")
+      runToMemory(out, OutputMode.Append(), "q206")
+        .orderBy($"user_id", $"session_start")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
     q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState,
     q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
-    q178StreamVariance)
+    q178StreamVariance, q206StreamSessionTimers)
 }
