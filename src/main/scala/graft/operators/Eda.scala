@@ -492,8 +492,44 @@ object Eda {
       .orderBy($"event_id")
   }
 
+  /** `df.stat.crosstab` — the contingency-table EDA primitive
+    * (status × priority counts, one column per priority value). Column
+    * names are sanitized (space → _) because parquet rejects them raw,
+    * and the oracle states the same table as conditional aggregates with
+    * matching names — crosstab's cell math must agree exactly.
+    *
+    * Scale note: crosstab plans as one pair-count hash aggregate + a
+    * driver-side pivot of the DISTINCT COLUMN VALUES only (bounded by the
+    * category domain, 5 here) — the row space never collects. */
+  val q208Crosstab: GraftQuery = GraftQuery.oracled(
+    "q208_crosstab",
+    """SELECT o_orderstatus AS status,
+      |       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+      |       CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+      |       CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+      |       CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+      |       CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY status""") { (spark, dir) =>
+    import spark.implicits._
+    val ct = Tables.orders(spark, dir)
+      .stat.crosstab("o_orderstatus", "o_orderpriority")
+    val renames = Map(
+      "o_orderstatus_o_orderpriority" -> "status",
+      "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+      "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+      "5-LOW" -> "p5_low")
+    ct.columns.foldLeft(ct) { (d, c) =>
+      d.withColumnRenamed(c, renames.getOrElse(c, c))
+    }
+      .select($"status", $"p1_urgent", $"p2_high", $"p3_medium",
+        $"p4_not_specified", $"p5_low")
+      .orderBy($"status")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
-    q184ChiSquare, q185Benford, q186Acf, q188MadOutliers)
+    q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab)
 }

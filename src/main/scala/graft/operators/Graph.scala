@@ -155,5 +155,54 @@ object Graph {
     out
   }
 
-  def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops)
+  /** Community detection via SYNCHRONIZED label propagation (Raghavan et
+    * al. 2007), 3 fixed rounds on the symmetrized co-order graph, made
+    * fully deterministic: every node starts labeled with its own id, and
+    * each round adopts the smallest among its neighbors' most-frequent
+    * labels (count DESC, label ASC) — the tie rule that makes sync-LPA
+    * reproducible across engines, so the oracle can unroll the same three
+    * rounds as CTEs and match exactly. Output is the community size
+    * census after round 3.
+    *
+    * Scale note: each round is one join (labels onto edge destinations,
+    * both sides hash-partitioned on vertex id) + one two-key count agg +
+    * one per-node argmin — the same message-passing shape as q155's
+    * PageRank; the trip count alone is driver-side. Production LPA
+    * pre-partitions the edge list once and reuses it every round. */
+  val q207LabelPropagation: GraftQuery = GraftQuery.oracled(
+    "q207_label_propagation",
+    """WITH li AS (SELECT l_orderkey AS k, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |       FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+      |r1 AS (SELECT e.src AS v, l.lbl, count(*) AS c FROM e JOIN l0 l ON e.dst = l.v GROUP BY 1, 2),
+      |l1 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM r1) WHERE rn = 1),
+      |r2 AS (SELECT e.src AS v, l.lbl, count(*) AS c FROM e JOIN l1 l ON e.dst = l.v GROUP BY 1, 2),
+      |l2 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM r2) WHERE rn = 1),
+      |r3 AS (SELECT e.src AS v, l.lbl, count(*) AS c FROM e JOIN l2 l ON e.dst = l.v GROUP BY 1, 2),
+      |l3 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM r3) WHERE rn = 1)
+      |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+      |FROM l3 GROUP BY lbl
+      |ORDER BY community""") { (spark, dir) =>
+    import spark.implicits._
+    val e0 = coOrderEdges(spark, dir)
+    val e = e0.select($"a".as("src"), $"b".as("dst"))
+      .union(e0.select($"b".as("src"), $"a".as("dst")))
+    var labels = e.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("lbl"))
+    for (_ <- 1 to 3) {
+      labels = e.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
+        .groupBy($"src")
+        .agg(min_by($"lbl", struct((-$"c").as("nc"), $"lbl")).as("lbl"))
+        .select($"src".as("v"), $"lbl")
+    }
+    labels.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .orderBy($"community")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
+    q207LabelPropagation)
 }
