@@ -447,8 +447,55 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Bigram language model with add-1 (Laplace) smoothing — the n-gram step
+    * up from q132's unigram LM: P(w₂|w₁) = (c₁₂+1)/(c₁+V) over the whole
+    * corpus, emitted for the top-50 bigrams in exact parts-per-million
+    * (numerator (c₁₂+1)·10⁶ < 2⁵³, so the floored double division is
+    * identical on both engines). The oracle rebuilds the same counts from
+    * adjacent-token pairs in SQL.
+    *
+    * Scale note: the corpus is scanned ONCE; bigrams explode from a
+    * per-doc adjacent-pair transform (no self-join on position), then two
+    * hash aggregates (bigram, left-unigram) and a broadcast of the scalar
+    * vocab size. Top-k is the standard rank-truncate. */
+  val q211BigramLm: GraftQuery = GraftQuery.oracled(
+    "q211_bigram_lm",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+      |       FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+      |c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS vocab
+      |      FROM (SELECT unnest(w) AS tok FROM toks))
+      |SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+      |       CAST(floor((n12 + 1) * 1000000.0 / (n1 + vocab)) AS BIGINT) AS p_ppm
+      |FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+      |ORDER BY n12 DESC, w1, w2
+      |LIMIT 50""") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(split($"text", " ").as("w"))
+    val bg = toks
+      .filter(size($"w") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"w") - 1),
+        i => struct(element_at($"w", i).as("w1"),
+          element_at($"w", i + 1).as("w2")))).as("b"))
+      .select($"b.w1", $"b.w2")
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"n12").as("n1"))
+    val vocab = toks.select(explode($"w").as("tok"))
+      .agg(countDistinct($"tok").as("vocab"))
+    c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select($"w1", $"w2", $"n12",
+        floor(($"n12" + 1) * lit(1000000.0) / ($"n1" + $"vocab"))
+          .cast("long").as("p_ppm"))
+      .orderBy($"n12".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
-    q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs)
+    q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
+    q211BigramLm)
 }

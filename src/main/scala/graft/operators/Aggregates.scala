@@ -461,10 +461,44 @@ object Aggregates {
       .orderBy($"n_name")
   }
 
+  /** `DataFrame.transpose` (Spark 4, SPARK-47081): flip a per-status metric
+    * table so metrics become rows and statuses become columns — the
+    * presentation pivot for narrow summary tables. All metric columns share
+    * LONG type (transpose requires a common value type); the index column's
+    * VALUES become column names. Oracle: the transposed table stated
+    * directly as a VALUES-shaped union of conditional aggregates.
+    *
+    * Scale note: transpose collects only the DISTINCT INDEX VALUES to name
+    * the output columns (3 here); the metric matrix itself is the result of
+    * an ordinary hash aggregate — never a wide-data collect. */
+  val q209Transpose: GraftQuery = GraftQuery.oracled(
+    "q209_transpose",
+    """WITH m AS (SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n_orders,
+      |                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      |           FROM orders GROUP BY o_orderstatus)
+      |SELECT 'n_orders' AS key,
+      |       (SELECT n_orders FROM m WHERE st = 'F') AS F,
+      |       (SELECT n_orders FROM m WHERE st = 'O') AS O,
+      |       (SELECT n_orders FROM m WHERE st = 'P') AS P
+      |UNION ALL
+      |SELECT 'total_cents',
+      |       (SELECT total_cents FROM m WHERE st = 'F'),
+      |       (SELECT total_cents FROM m WHERE st = 'O'),
+      |       (SELECT total_cents FROM m WHERE st = 'P')
+      |ORDER BY key""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("total_cents"))
+      .transpose($"o_orderstatus")
+      .orderBy($"key")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q22Rollup, q23Cube, q24GroupingSets, q25Pivot, q26Stats,
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
     q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
-    q189RevenueShares, q191AggPushdown)
+    q189RevenueShares, q191AggPushdown, q209Transpose)
 }

@@ -746,9 +746,58 @@ object EventAnalytics {
       .orderBy($"user_id")
   }
 
+  /** Time-weighted average value per user (TWAP): each event's value holds
+    * until the user's next event, so the average weights by HOLDING TIME,
+    * not event count — the convention for position/price series with
+    * irregular sampling. Exact integer arithmetic throughout: durations in
+    * whole minutes (integer µs division), values in floor-cents, result in
+    * integer micro-units via true integer division — num·10⁴ stays under
+    * ~10¹⁶. The final interval has no successor and drops out (lead is
+    * NULL), as does any user whose events all fall inside one minute
+    * (den = 0 would divide by zero — filtered on both engines).
+    *
+    * Scale note: one lead() window + one hash agg, both on the user_id
+    * partitioning every other per-user query shares. */
+  val q210Twap: GraftQuery = GraftQuery.oracled(
+    "q210_twap",
+    """WITH e AS (SELECT user_id,
+      |                  CAST(floor(value * 100) AS BIGINT) AS cents,
+      |                  epoch_us(date_trunc('microseconds', ts)) AS us,
+      |                  event_id
+      |           FROM events),
+      |d AS (SELECT user_id, cents,
+      |             (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+      |               // 60000000 AS dur_min
+      |      FROM e),
+      |w AS (SELECT user_id,
+      |             sum(cents * dur_min) AS num, sum(dur_min) AS den,
+      |             CAST(count(*) AS BIGINT) AS n_intervals
+      |      FROM d WHERE dur_min IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_intervals,
+      |       CAST((num * 10000) // den AS BIGINT) AS twap_micro
+      |FROM w WHERE den > 0
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", floor($"value" * 100).cast("long").as("cents"),
+        unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("next_us", lead($"us", 1).over(w))
+      .withColumn("dur_min", expr("(next_us - us) div 60000000"))
+      .filter($"dur_min".isNotNull)
+      .groupBy($"user_id")
+      .agg(sum($"cents" * $"dur_min").as("num"), sum($"dur_min").as("den"),
+        count(lit(1)).as("n_intervals"))
+      .filter($"den" > 0)
+      .select($"user_id", $"n_intervals", expr("(num * 10000) div den").as("twap_micro"))
+      .orderBy($"user_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
-    q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro)
+    q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
+    q210Twap)
 }
