@@ -97,7 +97,35 @@ object Subqueries {
       |GROUP BY m
       |ORDER BY m""")
 
+  /** SQL pipe syntax (Spark 4, SPARK-49555): the same pricing rollup
+    * written as a |> pipeline — FROM |> WHERE |> EXTEND |> AGGREGATE
+    * ... GROUP BY |> ORDER BY. The oracle states the classic-SQL
+    * equivalent (DuckDB has no pipe syntax), so the two surface forms
+    * must plan to the same result. Revenue is exact cent integers.
+    *
+    * Scale note: pipe syntax is pure surface — it parses to the identical
+    * logical plan (filter → project → hash agg → sort) as the classic
+    * form; nothing about execution changes. */
+  val q213PipeSyntax: GraftQuery = GraftQuery.oracled(
+    "q213_pipe_syntax",
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM lineitem
+      |WHERE l_quantity >= 30
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""") { (spark, dir) =>
+    Tables.views(spark, dir)
+    spark.sql(
+      """FROM lineitem
+        ||> WHERE l_quantity >= 30
+        ||> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(floor(disc_price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q79CorrelatedScalar, q80UncorrelatedScalar, q81ExistsSubquery, q82InSubquery,
-    q125LateralTopk, q198RecursiveCte)
+    q125LateralTopk, q198RecursiveCte, q213PipeSyntax)
 }

@@ -164,6 +164,70 @@ object Warehouse {
       .orderBy($"o_orderstatus")
   }
 
+  /** Batch CDC merge (the MERGE INTO shape, expressed relationally because
+    * the v1 parquet source has no MERGE): a deterministic changelog —
+    * keys ≡3 (mod 10) re-priced +10% in exact cents, keys ≡7 deleted, every
+    * key ≡1 re-inserted under key+10⁹ — full-outer-joins the snapshot;
+    * matched-update takes the new payload, matched-delete drops, unmatched
+    * changelog inserts, everything else carries over. Output is the merged
+    * state's per-status census in exact cents; the oracle applies the same
+    * rules with CASE arithmetic.
+    *
+    * 100 TB plan: one full-outer join keyed on the merge key — snapshot and
+    * changelog both hash-partition on it; with the snapshot bucketed on the
+    * key (q194's layout) the nightly merge never shuffles the big side.
+    * Deletes/updates are row-local decisions; nothing collects. */
+  val q212BatchMerge: GraftQuery = GraftQuery.oracled(
+    "q212_batch_merge",
+    """WITH up AS (SELECT o_orderkey,
+      |                   (CAST(floor(o_totalprice * 100) AS BIGINT) * 11) // 10 AS new_cents
+      |            FROM orders WHERE o_orderkey % 10 = 3),
+      |ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus,
+      |               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |        FROM orders WHERE o_orderkey % 10 = 1),
+      |merged AS (
+      |  SELECT o.o_orderstatus,
+      |         CASE WHEN up.o_orderkey IS NOT NULL THEN up.new_cents
+      |              ELSE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END AS cents
+      |  FROM orders o LEFT JOIN up ON o.o_orderkey = up.o_orderkey
+      |  WHERE o.o_orderkey % 10 <> 7
+      |  UNION ALL
+      |  SELECT o_orderstatus, cents FROM ins)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM merged
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""") { (spark, dir) =>
+    import spark.implicits._
+    val snap = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val changelog = Tables.orders(spark, dir)
+      .filter($"o_orderkey" % 10 === 3)
+      .select($"o_orderkey", lit("U").as("op"),
+        expr("(CAST(floor(o_totalprice * 100) AS BIGINT) * 11) div 10").as("new_cents"),
+        lit(null).cast("string").as("new_status"))
+      .unionByName(Tables.orders(spark, dir)
+        .filter($"o_orderkey" % 10 === 7)
+        .select($"o_orderkey", lit("D").as("op"),
+          lit(null).cast("long").as("new_cents"),
+          lit(null).cast("string").as("new_status")))
+      .unionByName(Tables.orders(spark, dir)
+        .filter($"o_orderkey" % 10 === 1)
+        .select(($"o_orderkey" + 1000000000L).as("o_orderkey"), lit("I").as("op"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("new_cents"),
+          $"o_orderstatus".as("new_status")))
+    val merged = snap.join(changelog, Seq("o_orderkey"), "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select(
+        coalesce($"o_orderstatus", $"new_status").as("o_orderstatus"),
+        when($"op" === "U" || $"op" === "I", $"new_cents")
+          .otherwise($"cents").as("cents"))
+    merged.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n"), sum($"cents").as("total_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
   def all: Seq[GraftQuery] = Seq(q194BucketedJoin, q195DppPrune,
-    q196DynamicOverwrite)
+    q196DynamicOverwrite, q212BatchMerge)
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: queries whose scale story depends on a join being
+  * keyed (hash/sort-merge/broadcast-hash) must never plan a cartesian
+  * product or a broadcast nested-loop join — at 100 TB those are the
+  * difference between one shuffle and an unbounded pair blowup. The
+  * warehouse queries additionally self-assert (zero-Exchange / DPP) inside
+  * their own bodies; this spec covers the rest of the catalog's join-shaped
+  * newcomers. q50/q18 are exempt BY DESIGN (documented exact verifier /
+  * the cross-join operator itself). */
+class PlanAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private val audited = Seq(
+    "q197_rag_chunks", "q199_gram_span_dedup", "q203_prefix_jaccard_join",
+    "q200_session_window_batch", "q201_map_hofs", "q202_ewma_micro",
+    "q207_label_propagation", "q210_twap", "q211_bigram_lm",
+    "q212_batch_merge", "q198_recursive_cte")
+
+  // q211 broadcast-crossjoins a ONE-ROW aggregate (the scalar vocab size) —
+  // the standard scalar-broadcast pattern, bounded by construction; its
+  // BNLJ build side can never grow with the data.
+  private val scalarBroadcastExempt = Set("q211_bigram_lm")
+
+  test("audited queries plan no cartesian product and no broadcast nested loop") {
+    for (name <- audited) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!scalarBroadcastExempt(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+}
