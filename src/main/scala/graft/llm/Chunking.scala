@@ -194,6 +194,47 @@ object Chunking {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS
+    * algorithm): hash every 3-gram, slide a w=4 window over the gram-hash
+    * sequence, keep each window's MINIMUM hash; the distinct selected
+    * hashes are the document's fingerprint set. Winnowing guarantees at
+    * least one fingerprint per w consecutive grams (bounded gap), so any
+    * shared substring of length ≥ w+k−1 words leaves a shared fingerprint —
+    * the position-robust complement to q54's whole-document 1-perm MinHash.
+    * Output: per-doc fingerprint density + lexicographic min (the anchor
+    * hash).
+    *
+    * Scale: one projection of nested HOFs per doc (no shuffle until the
+    * final per-doc agg); md5 keeps the hash portable across engines. */
+  val q215Winnowing: GraftQuery = GraftQuery.oracled(
+    "q215_winnowing",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 6),
+      |g AS (SELECT doc_id,
+      |             list_transform(generate_series(1, len(t) - 2),
+      |               i -> md5(array_to_string(t[i:i+2], ' '))) AS gh
+      |      FROM toks),
+      |sel AS (SELECT doc_id, list_min(gh[j:j+3]) AS fp
+      |        FROM g, UNNEST(generate_series(1, len(gh) - 3)) AS w(j)),
+      |d AS (SELECT DISTINCT doc_id, fp FROM sel)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+      |       min(fp) AS anchor_fp
+      |FROM d GROUP BY doc_id
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 6)
+      .select($"doc_id", transform(sequence(lit(1), size($"t") - 2),
+        i => md5(concat_ws(" ", slice($"t", i, lit(3))))).as("gh"))
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"gh") - 3),
+        j => array_min(slice($"gh", j, lit(4))))).as("fp"))
+      .distinct()
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"), min($"fp").as("anchor_fp"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(q197RagChunks, q199GramSpanDedup,
-    q203PrefixJaccardJoin)
+    q203PrefixJaccardJoin, q215Winnowing)
 }

@@ -125,7 +125,21 @@ object Subqueries {
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (Spark 4 ergonomics, SPARK-44346): every
+    * non-aggregate select item groups implicitly, and the sort covers the
+    * whole select list — IDENTICAL text runs in DuckDB (which pioneered the
+    * syntax). Semantics, not just sugar: both planners must infer the same
+    * grouping set. */
+  val q214GroupByAll: GraftQuery = sqlQuery(
+    "q214_group_by_all",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""")
+
   def all: Seq[GraftQuery] = Seq(
     q79CorrelatedScalar, q80UncorrelatedScalar, q81ExistsSubquery, q82InSubquery,
-    q125LateralTopk, q198RecursiveCte, q213PipeSyntax)
+    q125LateralTopk, q198RecursiveCte, q213PipeSyntax, q214GroupByAll)
 }
