@@ -665,10 +665,55 @@ object StreamingQueries {
     }
   }
 
+  /** CHAINED stateful aggregations in one streaming query (multiple
+    * stateful operators, SPARK-40925): hourly tumbling counts per event
+    * type feed a SECOND windowed aggregation taking the daily MAX of the
+    * hourly counts — the streaming rollup cascade (hour → day) that
+    * pre-3.4 Spark forced into two queries with an intermediate sink.
+    * Append mode is mandatory for chained stateful ops, so only windows
+    * the final watermark (max ts, 0s delay) has CLOSED emit: the oracle
+    * keeps hour buckets ending ≤ the corpus max and day buckets ending ≤
+    * it likewise — the batch restatement of the two-level closure rule.
+    *
+    * Scale note: both aggregation levels hash-partition on (type, window);
+    * watermark propagates THROUGH the first agg (its output event-time is
+    * the window end), bounding both state stores — no unbounded buffering
+    * anywhere in the cascade. */
+  val q216StreamChainedAggs: GraftQuery = GraftQuery.oracled(
+    "q216_stream_chained_aggs",
+    """WITH e AS (SELECT event_type, date_trunc('microseconds', ts) AS ts FROM events),
+      |mx AS (SELECT max(ts) AS wm FROM e),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events
+      |  FROM e GROUP BY 1, 2),
+      |closed_hours AS (
+      |  SELECT * FROM hourly WHERE h + INTERVAL 1 HOUR <= (SELECT wm FROM mx)),
+      |daily AS (
+      |  SELECT event_type, date_trunc('day', h) AS day_start,
+      |         max(n_events) AS max_hourly
+      |  FROM closed_hours GROUP BY 1, 2)
+      |SELECT event_type, day_start, CAST(max_hourly AS BIGINT) AS max_hourly
+      |FROM daily
+      |WHERE day_start + INTERVAL 1 DAY <= (SELECT wm FROM mx)
+      |ORDER BY event_type, day_start""") { (spark, dir) =>
+    import spark.implicits._
+    val hourly = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy($"event_type", window($"ts", "1 hour").as("hw"))
+      .agg(count(lit(1)).as("n_events"))
+    val daily = hourly
+      .groupBy($"event_type", window($"hw", "1 day").as("dw"))
+      .agg(max($"n_events").as("max_hourly"))
+      .select($"event_type", $"dw.start".as("day_start"),
+        $"max_hourly".cast("long").as("max_hourly"))
+    runToMemory(daily, OutputMode.Append(), "q216")
+      .orderBy($"event_type", $"day_start")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
     q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState,
     q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
-    q178StreamVariance, q206StreamSessionTimers)
+    q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs)
 }
