@@ -493,9 +493,57 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** The fixed BPE merge table q217 applies, in application order (a real
+    * tokenizer ships its ranked merge list exactly like this). */
+  private[llm] val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r",
+    "s" -> "t", "a" -> "n", "o" -> "r", "st" -> "r")
+
+  /** BPE tokenizer APPLY (the inference-side counterpart to q144's
+    * pair-frequency training round): every char becomes a marked token
+    * `@c␣`, then the ranked merge list is applied as ordered string
+    * replaces — `@x @y` → `@xy`. The marker anchors token STARTS, so a
+    * merge can never match a token suffix, never cross the (marked) space
+    * between words, and left-to-right non-overlapping `replace` gives the
+    * same greedy result on both engines — the whole tokenizer is exact,
+    * portable string algebra. Emits per-doc char-level vs post-merge token
+    * counts (the compression the merge table buys).
+    *
+    * Scale: a pure per-row projection chain (1 regex + 8 replaces + 2
+    * lengths) inside whole-stage codegen; nothing shuffles until the
+    * presentation sort. */
+  val q217BpeApply: GraftQuery = GraftQuery.oracled(
+    "q217_bpe_apply", {
+      val applied = BpeMerges.foldLeft("regexp_replace(text, '(.)', '@\\1 ', 'g')") {
+        case (acc, (x, y)) => s"replace($acc, '@$x @$y', '@$x$y')"
+      }
+      s"""WITH m AS (SELECT doc_id,
+         |                  CAST(length(replace(text, ' ', '')) AS BIGINT) AS char_tokens,
+         |                  length(text) - length(replace(text, ' ', '')) AS n_spaces,
+         |                  $applied AS s
+         |           FROM documents)
+         |SELECT doc_id, char_tokens,
+         |       CAST(length(s) - length(replace(s, '@', '')) - n_spaces AS BIGINT) AS bpe_tokens
+         |FROM m
+         |ORDER BY doc_id"""
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val applied = BpeMerges.foldLeft(
+      regexp_replace($"text", "(.)", "@$1 ")) { case (acc, (x, y)) =>
+      replace(acc, lit(s"@$x @$y"), lit(s"@$x$y"))
+    }
+    val nSpaces = length($"text") - length(replace($"text", lit(" "), lit("")))
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length(replace($"text", lit(" "), lit(""))).cast("long").as("char_tokens"),
+        (length(applied) - length(replace(applied, lit("@"), lit(""))) - nSpaces)
+          .cast("long").as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
-    q211BigramLm)
+    q211BigramLm, q217BpeApply)
 }

@@ -87,6 +87,25 @@ class ChunkingSpec extends AnyFunSuite with SparkFixture {
       "candidates must not cross into the unrelated block")
   }
 
+  test("q217: BPE apply reproduces known greedy tokenizations exactly") {
+    import spark.implicits._
+    // 'the' -> @th e -> @the (1 token); 'stream' -> @st r e a m -> @str e a m
+    // (4 tokens: st merge then str merge; e/a/m stay single).
+    val docs = Seq((1L, "the stream")).toDF("doc_id", "text")
+    val applied = TextAnalysis.BpeMerges.foldLeft(
+      regexp_replace($"text", "(.)", "@$1 ")) { case (acc, (x, y)) =>
+      replace(acc, lit(s"@$x @$y"), lit(s"@$x$y"))
+    }
+    val row = docs.select(applied.as("s")).head()
+    val s = row.getString(0)
+    val tokens = s.split("\\s+").filter(_.nonEmpty).toSeq
+    // the bare "@" is the marked original space between the two words
+    assert(tokens === Seq("@the", "@", "@str", "@e", "@a", "@m"),
+      s"unexpected tokenization: $tokens from '$s'")
+    val nAt = s.count(_ == '@')
+    assert(nAt - 1 === 5, s"expected 5 bpe tokens + 1 marked space, got $nAt markers")
+  }
+
   test("q197: chunk grid covers every word and respects the 32/24 geometry") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 80).map(i => s"t$i").mkString(" ")),
