@@ -331,8 +331,50 @@ object Windows {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** q31's workload through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.TopKPerGroup]]): same top-3-per-customer result, but
+    * the plan is Exchange → TopKPerGroupExec — per-partition bounded heaps
+    * instead of Exchange → Sort → Window → Filter. The in-query requires
+    * prove the operator planned (TopKPerGroupExec present), that NO sort
+    * was inserted before it, and that exactly one shuffle feeds it. Output
+    * drops the rank (heaps don't number rows) and re-sorts for
+    * presentation; cents are exact.
+    *
+    * 100 TB plan: O(n log k) heap pushes, k·groups resident rows, no
+    * sort-spill — the asymptotic win over the window formulation that
+    * q158's typed Aggregator achieves at the API level, here expressed as
+    * a first-class Catalyst operator (strategy registered via
+    * `spark.experimental.extraStrategies`). */
+  val q218TopkNative: GraftQuery = GraftQuery.oracled(
+    "q218_topk_native",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, cents DESC, o_orderkey""") { (spark, dir) =>
+    import spark.implicits._
+    val top = graft.plans.TopKPerGroup.topK(
+      Tables.orders(spark, dir),
+      groupCols = Seq("o_custkey"),
+      sort = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+      k = 3)
+    // executedPlan = after EnsureRequirements (sparkPlan predates the
+    // Exchange insertion); string checks see through the AQE wrapper.
+    val phys = top.queryExecution.executedPlan.toString
+    require(phys.contains("TopKPerGroup"), "custom TopKPerGroupExec must plan")
+    require(!phys.contains("Sort"),
+      "no SortExec may appear — the heap replaces the sort")
+    require("Exchange hashpartitioning".r.findAllIn(phys).size == 1,
+      "exactly one hash Exchange must feed the operator")
+    top.select($"o_custkey", $"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .orderBy($"o_custkey", $"cents".desc, $"o_orderkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
     q35RangeFrame, q36RankFamily, q97RankTwoPhase, q139ResampleFfill,
-    q190NthValue, q200SessionWindowBatch)
+    q190NthValue, q200SessionWindowBatch, q218TopkNative)
 }
