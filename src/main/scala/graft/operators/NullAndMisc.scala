@@ -347,8 +347,52 @@ object NullAndMisc {
       .orderBy($"event_type", $"hour")
   }
 
+  /** Error-safe `try_*` arithmetic (§2.7, ANSI-adjacent surface):
+    * `try_divide` nulls on zero divisors, `try_to_number` nulls on parse
+    * failure, `try_add` nulls on BIGINT overflow — each oracle'd against
+    * the CASE-guarded classic expression, so the NULL-on-error contract is
+    * exact (no exceptions, no sentinel values). Divisors/parse failures
+    * are derived deterministically from the props payload.
+    *
+    * Scale note: pure row-local projections; try_* keeps dirty-data
+    * pipelines inside whole-stage codegen instead of driver-side
+    * exception handling. */
+  val q220TryArithmetic: GraftQuery = GraftQuery.oracled(
+    "q220_try_arithmetic",
+    """WITH e AS (SELECT event_id,
+      |                  CAST(floor(value * 100) AS BIGINT) AS cents,
+      |                  CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS d,
+      |                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |           FROM events WHERE event_id < 3000),
+      |s AS (SELECT event_id, cents, d, k,
+      |             CASE WHEN k % 7 = 0 THEN 'x' || CAST(k AS VARCHAR)
+      |                  ELSE CAST(k AS VARCHAR) END AS k_str
+      |      FROM e)
+      |SELECT event_id,
+      |       CASE WHEN d = 0 THEN NULL ELSE cents / CAST(d AS DOUBLE) END AS safe_div,
+      |       TRY_CAST(k_str AS BIGINT) AS parsed_k,
+      |       CASE WHEN k > 0 THEN NULL ELSE 9223372036854775807 END AS overflow_sum
+      |FROM s
+      |ORDER BY event_id""") { (spark, dir) =>
+    import spark.implicits._
+    val k = get_json_object($"props", "$.k").cast("long")
+    Tables.events(spark, dir)
+      .filter($"event_id" < 3000)
+      .select($"event_id",
+        floor($"value" * 100).cast("long").as("cents"),
+        (k % 5).as("d"), k.as("k"))
+      .withColumn("k_str",
+        when($"k" % 7 === 0, concat(lit("x"), $"k".cast("string")))
+          .otherwise($"k".cast("string")))
+      .select($"event_id",
+        try_divide($"cents", $"d".cast("double")).as("safe_div"),
+        try_to_number($"k_str", lit("999999999")).cast("long").as("parsed_k"),
+        try_add(lit(Long.MaxValue), $"k").as("overflow_sum"))
+      .orderBy($"event_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName,
     q91Posexplode, q92StructToJson, q119Unpivot, q134ObserveMetrics,
-    q151RiAudit, q201MapHofs)
+    q151RiAudit, q201MapHofs, q220TryArithmetic)
 }

@@ -373,8 +373,53 @@ object Windows {
       .orderBy($"o_custkey", $"cents".desc, $"o_orderkey")
   }
 
+  /** `session_window` with a DYNAMIC per-event gap (purchases hold a
+    * session open 60 min, everything else 30 min) — the per-event-type
+    * timeout every product-analytics stack eventually needs. Dynamic-gap
+    * sessions are INTERVAL MERGING, not lag-gap: each event spans
+    * [ts, ts+gap(e)) and a new session starts only when ts clears the
+    * RUNNING MAX of all previous ends — the oracle states exactly that
+    * (running max over a 1-PRECEDING frame, break on >=, the same
+    * boundary q200 pins for the fixed-gap case).
+    *
+    * Scale note: same single user_id shuffle + partition-local merge as
+    * fixed-gap session windows; the gap expression is evaluated per row
+    * inside the session operator — no extra pass. */
+  val q219SessionDynamicGap: GraftQuery = GraftQuery.oracled(
+    "q219_session_dynamic_gap",
+    """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+      |                  CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS gap_s
+      |           FROM events),
+      |x AS (SELECT user_id, event_id, ts,
+      |             epoch_us(ts) + CAST(gap_s AS BIGINT) * 1000000 AS end_us FROM e),
+      |r AS (SELECT user_id, event_id, ts, end_us,
+      |             max(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+      |      FROM x),
+      |f AS (SELECT user_id, event_id, ts,
+      |             CASE WHEN prev_max_end IS NULL OR epoch_us(ts) >= prev_max_end
+      |                  THEN 1 ELSE 0 END AS brk
+      |      FROM r),
+      |s AS (SELECT user_id, ts,
+      |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM f)
+      |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts",
+        when($"event_type" === "purchase", "1 hour").otherwise("30 minutes"))
+        .as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
     q35RangeFrame, q36RankFamily, q97RankTwoPhase, q139ResampleFfill,
-    q190NthValue, q200SessionWindowBatch, q218TopkNative)
+    q190NthValue, q200SessionWindowBatch, q218TopkNative,
+    q219SessionDynamicGap)
 }
