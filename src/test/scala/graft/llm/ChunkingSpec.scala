@@ -129,4 +129,46 @@ class ChunkingSpec extends AnyFunSuite with SparkFixture {
     val doc2 = rows.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq
     assert(doc2 === Seq((0, 3)), "short doc yields one whole-doc chunk")
   }
+
+  test("prefix filtering is lossless on seeded random corpora (q203 law)") {
+    import spark.implicits._
+    // Random corpora with planted near-dups: vocab small enough for real
+    // shingle collisions, each seed a fresh corpus. The LAW: the prefix
+    // candidate set must contain EVERY pair the exact all-pairs join
+    // qualifies at t=0.8 — losslessness under arbitrary token mixes, not
+    // just the crafted fixture in ChunkingSpec.
+    val t = 0.8
+    for (seed <- Seq(11L, 42L, 97L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 12).map(i => s"v$i")
+      def doc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (0 until 25).map(i => (i.toLong, doc(20 + rnd.nextInt(10))))
+      val dups = base.take(8).map { case (id, text) =>
+        (100L + id, if (rnd.nextBoolean()) text else text + " " + vocab(rnd.nextInt(vocab.size)))
+      }
+      val docs = (base ++ dups).toDF("doc_id", "text")
+      val sh = Dedup.shingleDocs(docs)
+      val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+      val ranked = sh.join(broadcast(df), Seq("s"))
+        .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"df", $"s")))
+        .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      val prefix = ranked.filter($"r" <= $"n" - ceil(lit(t) * $"n") + 1)
+        .select($"doc_id", $"s")
+      val cand = prefix.toDF("doc_a", "s").join(prefix.toDF("doc_b", "s"), Seq("s"))
+        .filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val exact = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+        .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+        .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+        .filter($"shared" / ($"na" + $"nb" - $"shared") >= t)
+        .select($"doc_a", $"doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.subsetOf(cand),
+        s"seed=$seed: prefix filter dropped ${exact -- cand}")
+    }
+  }
+
 }
