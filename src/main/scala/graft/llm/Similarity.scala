@@ -299,7 +299,8 @@ object Similarity {
     * shortlist ≥ corpus reduces EXACTLY to q48 brute force (the plumbing
     * gate) and gates recall@5 at the production shortlist. */
   private[llm] def pqTopK(
-      spark: SparkSession, dir: String, shortlist: Int): DataFrame = {
+      spark: SparkSession, dir: String, shortlist: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val M = 8; val subDim = 8; val kCodes = 32
@@ -357,9 +358,17 @@ object Similarity {
       .groupBy($"vec_id".as("query_id"), $"q_emb", $"q_nrm")
       .agg(transform(array_sort(collect_list(struct($"sub", $"lrow"))),
         x => x("lrow")).as("lut"))
-    // approximate distance = 4 LUT lookups; shortlist per query
+    // approximate distance = M LUT lookups; shortlist per query. With a
+    // candidate restriction (IVF-PQ composition), only the probed cells'
+    // vectors are scored — the crossJoin collapses to a keyed join.
     val wShort = Window.partitionBy($"query_id").orderBy($"approx_d2", $"vec_id")
-    val short = codes.crossJoin(broadcast(luts))
+    val scored = candidates match {
+      case Some(cand) =>
+        codes.join(cand, Seq("vec_id"))
+          .join(broadcast(luts), Seq("query_id"))
+      case None => codes.crossJoin(broadcast(luts))
+    }
+    val short = scored
       .filter($"vec_id" =!= $"query_id")
       .withColumn("approx_d2", expr(
         "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), 0D, (a, x) -> a + x)"))
@@ -384,7 +393,56 @@ object Similarity {
     (spark, dir) => pqTopK(spark, dir, shortlist = 50)
   }
 
+  /** (query_id, vec_id) candidate pairs from IVF coarse probing: corpus
+    * vectors living in each query's nProbe nearest KMeans cells. Shared by
+    * the IVF-PQ composite. */
+  private[llm] def ivfCandidates(
+      spark: SparkSession, dir: String, kCells: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vecs = normed(spark, dir)
+      .withColumn("features", array_to_vector($"embedding"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(kCells).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs).select($"vec_id", $"cell")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")
+    val probes = normed(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", aggregate(
+        zip_with($"q_emb", $"centroid", (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cell_rnk", row_number().over(wProbe))
+      .filter($"cell_rnk" <= nProbe)
+      .select($"query_id", $"cell")
+    assigned.join(broadcast(probes), Seq("cell"))
+      .select($"query_id", $"vec_id")
+  }
+
+  /** IVF-PQ composite ANN (the faiss-standard two-level index): IVF coarse
+    * cells bound WHICH vectors are scored (nProbe of 16 KMeans cells), PQ
+    * ADC lookup tables bound HOW each is scored (M·1 lookups instead of a
+    * 64-dim float op), and the exact cosine rerank on the 50-vector
+    * shortlist restores true ordering. Composes q98's bucketer with q140's
+    * compressor — disable both knobs (nProbe = k, shortlist = corpus) and
+    * the spec proves it reduces EXACTLY to brute force.
+    *
+    * 100 TB plan: candidate generation is a keyed join (cell → probes
+    * broadcast), ADC scoring touches ~nProbe/k of the corpus with byte
+    * codes instead of raw vectors (8 B/vector here vs 256 B raw), and only
+    * the shortlist ever loads full embeddings for rerank. */
+  val q221KnnIvfPq: GraftQuery = GraftQuery.rowsOnly(
+    "q221_knn_ivfpq",
+    doc = "IVF-PQ ANN: KMeans(16) cells nProbe=6 x PQ(8x32) ADC shortlist=100, exact cosine rerank, top-5 per query (vec_id<10)") {
+    (spark, dir) =>
+      pqTopK(spark, dir, shortlist = 100,
+        candidates = Some(ivfCandidates(spark, dir, kCells = 16, nProbe = 6)))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
-      q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq)
+      q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq)
 }

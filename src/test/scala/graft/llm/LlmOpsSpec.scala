@@ -28,6 +28,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"PQ recall@5 = $recall below 0.8")
   }
 
+  test("IVF-PQ: both knobs disabled reduces exactly to brute force; production recall holds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val exact = Similarity.q48KnnBruteForce.fn(spark, sf)
+      .select($"query_id", $"neighbor_id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val n = graft.sources.Tables.embeddings(spark, sf).count().toInt
+    // nProbe = k (every cell probed) + shortlist = corpus (no ADC cut):
+    // the composite must reproduce brute force EXACTLY.
+    val full = Similarity.pqTopK(spark, sf, shortlist = n,
+      candidates = Some(Similarity.ivfCandidates(spark, sf, kCells = 16, nProbe = 16)))
+      .select($"query_id", $"neighbor_id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === exact, "nProbe=k + full shortlist must equal brute force")
+    // production knobs: recall@5 floor vs exact
+    val prod = Similarity.q221KnnIvfPq.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case (q, nb, _) => (q, nb) }
+    val recall = (prod intersect exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.7, s"IVF-PQ recall@5 = $recall below 0.7")
+  }
+
   test("count-min sketch estimates bound the exact counts (one-sided eps*N error)") {
     import spark.implicits._
     val rows = TextAnalysis.q136CmsHeavyHitters.fn(spark, sf)
