@@ -528,8 +528,54 @@ object Eda {
       .orderBy($"status")
   }
 
+  /** Exact Gini coefficient of order value per market segment — the
+    * inequality summary (rank formula: G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ),
+    * x ascending). All moments are exact BIGINT cent sums (tie order
+    * cannot change Σi·xᵢ — permuting ranks among EQUAL x leaves the sum
+    * invariant, so no tie-break is even needed for determinism); the one
+    * double division at the end divides the same two int64s on both
+    * engines, and the result is floored to ppm. DuckDB's HUGEINT sums are
+    * cast back down before the arithmetic.
+    *
+    * Scale note: one window rank + one hash agg per segment — the same
+    * two-exchange shape as every ranked aggregate; no driver math. */
+  val q222Gini: GraftQuery = GraftQuery.oracled(
+    "q222_gini",
+    """WITH j AS (SELECT c.c_mktsegment AS segment,
+      |                  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |r AS (SELECT segment, cents,
+      |             row_number() OVER (PARTITION BY segment ORDER BY cents) AS i
+      |      FROM j),
+      |m AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(cents) AS BIGINT) AS s,
+      |             CAST(sum(i * cents) AS BIGINT) AS w
+      |      FROM r GROUP BY segment)
+      |SELECT segment, n,
+      |       CAST(floor(CAST(2 * w - (n + 1) * s AS DOUBLE) * 1000000
+      |                  / CAST(n * s AS DOUBLE)) AS BIGINT) AS gini_ppm
+      |FROM m
+      |ORDER BY segment""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val j = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy($"segment").orderBy($"cents")
+    j.withColumn("i", row_number().over(w))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        sum($"i" * $"cents").as("w"))
+      .select($"segment", $"n",
+        floor((lit(2) * $"w" - ($"n" + 1) * $"s").cast("double") * 1000000
+          / ($"n" * $"s").cast("double")).cast("long").as("gini_ppm"))
+      .orderBy($"segment")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
-    q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab)
+    q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,
+    q222Gini)
 }
