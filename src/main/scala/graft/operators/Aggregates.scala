@@ -500,5 +500,50 @@ object Aggregates {
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
     q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
-    q189RevenueShares, q191AggPushdown, q209Transpose)
+    q189RevenueShares, q191AggPushdown, q209Transpose, q223WeightedMedian)
+
+  /** Exact WEIGHTED median: the price at which half the shipped QUANTITY
+    * sits on each side, per return flag — the weighted complement of q27's
+    * unweighted percentiles. Pure integer rule: first cents value whose
+    * inclusive running weight doubles past the total (2·cumw ≥ W), with a
+    * unique tie-break order; rows tied on cents can straddle the boundary
+    * in any order and still select the same VALUE, so the rule is
+    * deterministic by construction.
+    *
+    * Scale note: one window (partition flag, running sum) + one hash agg —
+    * no sort beyond the window's, no driver math. */
+  val q223WeightedMedian: GraftQuery = GraftQuery.oracled(
+    "q223_weighted_median",
+    """WITH j AS (SELECT l_returnflag AS flag,
+      |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |                  CAST(floor(l_quantity) AS BIGINT) AS qty,
+      |                  l_orderkey, l_linenumber
+      |           FROM lineitem),
+      |r AS (SELECT flag, cents, qty,
+      |             sum(qty) OVER (PARTITION BY flag ORDER BY cents, l_orderkey, l_linenumber
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |             sum(qty) OVER (PARTITION BY flag) AS tw
+      |      FROM j)
+      |SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT) AS wmedian_cents
+      |FROM r GROUP BY flag
+      |ORDER BY flag""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val j = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"),
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"),
+        floor($"l_quantity").cast("long").as("qty"),
+        $"l_orderkey", $"l_linenumber")
+    val wRun = Window.partitionBy($"flag")
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"flag")
+    j.withColumn("cw", sum($"qty").over(wRun))
+      .withColumn("tw", sum($"qty").over(wAll))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        min(when(lit(2) * $"cw" >= $"tw", $"cents")).as("wmedian_cents"))
+      .orderBy($"flag")
+  }
 }
