@@ -306,8 +306,66 @@ object Joins {
       .orderBy($"l_returnflag")
   }
 
+  /** NEAREST-event join (bidirectional temporal nearest): each view pairs
+    * with the same user's closest purchase within ±30 min by absolute time
+    * distance — q20's as-of join looks only BACKWARD; "nearest" must also
+    * look forward and break the backward/forward tie (backward wins, then
+    * the side-appropriate id). Implemented as a BINNED equi-join (q19's
+    * pattern): views probe their own 30-min bucket ±1, so candidates meet
+    * on (user_id, bucket) — never a non-equi BNL — and one `min_by` over
+    * (|Δt|, direction, tie-key) selects the winner. All integer µs.
+    *
+    * 100 TB plan: probe expansion is a fixed 3×; the join is hash-keyed on
+    * (user, bucket) with per-bucket candidate counts bounded by event rate
+    * × window; the argmin is a map-side-combinable hash agg keyed by the
+    * probe id. */
+  val q224NearestEventJoin: GraftQuery = GraftQuery.oracled(
+    "q224_nearest_event_join",
+    """WITH v AS (SELECT user_id, event_id AS view_id,
+      |                  epoch_us(date_trunc('microseconds', ts)) AS vus
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id,
+      |             epoch_us(date_trunc('microseconds', ts)) AS pus
+      |      FROM events WHERE event_type = 'purchase'),
+      |cand AS (SELECT v.view_id, p.purchase_id,
+      |                abs(p.pus - v.vus) AS adist_us,
+      |                CASE WHEN p.pus <= v.vus THEN 0 ELSE 1 END AS fwd
+      |         FROM v JOIN p ON v.user_id = p.user_id
+      |          AND abs(p.pus - v.vus) <= 1800000000),
+      |r AS (SELECT view_id, purchase_id, adist_us,
+      |             row_number() OVER (PARTITION BY view_id
+      |               ORDER BY adist_us, fwd,
+      |                        CASE WHEN fwd = 0 THEN -purchase_id ELSE purchase_id END) AS rn
+      |      FROM cand)
+      |SELECT view_id, purchase_id, CAST(adist_us AS BIGINT) AS adist_us
+      |FROM r WHERE rn = 1
+      |ORDER BY view_id""") { (spark, dir) =>
+    import spark.implicits._
+    val bucketUs = 1800L * 1000000
+    val e = Tables.events(spark, dir)
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), unix_micros($"ts").as("vus"))
+    val purch = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), unix_micros($"ts").as("pus"),
+        (unix_micros($"ts") / bucketUs).cast("long").as("bucket"))
+    val probes = views
+      .withColumn("nb", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("bucket", ($"vus" / bucketUs).cast("long") + $"nb")
+    probes.join(purch, Seq("user_id", "bucket"))
+      .withColumn("adist_us", abs($"pus" - $"vus"))
+      .filter($"adist_us" <= bucketUs)
+      .withColumn("fwd", when($"pus" <= $"vus", 0).otherwise(1))
+      .withColumn("tie", when($"fwd" === 0, -$"purchase_id").otherwise($"purchase_id"))
+      .groupBy($"view_id")
+      .agg(min_by(struct($"purchase_id", $"adist_us"),
+        struct($"adist_us", $"fwd", $"tie")).as("best"))
+      .select($"view_id", $"best.purchase_id".as("purchase_id"),
+        $"best.adist_us".as("adist_us"))
+      .orderBy($"view_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12StarJoin, q13ShippingPriority, q14LeftOuter, q15FullOuter,
     q16SemiJoin, q17AntiJoin, q18CrossJoin, q19RangeJoinBinned,
-    q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin)
+    q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin, q224NearestEventJoin)
 }
