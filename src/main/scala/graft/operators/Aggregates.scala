@@ -500,7 +500,43 @@ object Aggregates {
     q27Percentiles, q28CollectSorted, q29ApproxDistinct, q30DistinctAgg,
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
     q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
-    q189RevenueShares, q191AggPushdown, q209Transpose, q223WeightedMedian)
+    q189RevenueShares, q191AggPushdown, q209Transpose, q223WeightedMedian,
+    q225RegressionAggs)
+
+  /** SQL:2003 linear-regression aggregate family (`regr_slope`,
+    * `regr_intercept`, `regr_r2`, `regr_count`, `regr_avgx`, `regr_avgy`)
+    * per return flag — the in-engine OLS-per-group surface (the exact-sum
+    * variant with BIGINT moments is q181; this is the standard built-in).
+    * Both engines implement the ISO semantics (NULL-pair elimination,
+    * y-first argument order), so values agree to float precision; stat()
+    * rounding (4 dp) absorbs summation-order jitter exactly as q26 does.
+    *
+    * Scale note: one hash aggregate — every regr_* is algebraic (six
+    * running moments), so map-side partial agg ships O(groups) state. */
+  val q225RegressionAggs: GraftQuery = GraftQuery.oracled(
+    "q225_regression_aggs",
+    """SELECT l_returnflag,
+      |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+      |       round(regr_slope(l_extendedprice, l_quantity), 4)       AS slope,
+      |       round(regr_intercept(l_extendedprice, l_quantity), 4)   AS intercept,
+      |       round(regr_r2(l_extendedprice, l_quantity), 4)          AS r2,
+      |       round(regr_avgx(l_extendedprice, l_quantity), 4)        AS avg_x,
+      |       round(regr_avgy(l_extendedprice, l_quantity), 4)        AS avg_y
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("n_pairs"),
+        stat(expr("regr_slope(l_extendedprice, l_quantity)")).as("slope"),
+        stat(expr("regr_intercept(l_extendedprice, l_quantity)")).as("intercept"),
+        stat(expr("regr_r2(l_extendedprice, l_quantity)")).as("r2"),
+        stat(expr("regr_avgx(l_extendedprice, l_quantity)")).as("avg_x"),
+        stat(expr("regr_avgy(l_extendedprice, l_quantity)")).as("avg_y"))
+      .orderBy($"l_returnflag")
+  }
 
   /** Exact WEIGHTED median: the price at which half the shipped QUANTITY
     * sits on each side, per return flag — the weighted complement of q27's

@@ -573,9 +573,106 @@ object Eda {
       .orderBy($"segment")
   }
 
+  /** Pairwise correlation MATRIX (Pearson + Spearman) over the three
+    * lineitem measures — the EDA "corr heatmap" cell. Spearman uses
+    * average-rank ties (`avg(row_number) OVER (PARTITION BY value)`), which
+    * is permutation-invariant within a tie group, so no tie-break key is
+    * needed for determinism; both engines then take plain Pearson over the
+    * rank columns. Output is the upper triangle as rows.
+    *
+    * Scale note: each rank column is one global sort (same machinery as
+    * q06); production two-phases it via range partitioning. The corr
+    * aggregate itself is algebraic — one map-side-combined pass for all
+    * six coefficients. */
+  val q226CorrMatrix: GraftQuery = GraftQuery.oracled(
+    "q226_corr_matrix",
+    """WITH r AS (
+      |  SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS d,
+      |         avg(rq0) OVER (PARTITION BY l_quantity)      AS rq,
+      |         avg(rp0) OVER (PARTITION BY l_extendedprice) AS rp,
+      |         avg(rd0) OVER (PARTITION BY l_discount)      AS rd
+      |  FROM (SELECT l_quantity, l_extendedprice, l_discount,
+      |               CAST(row_number() OVER (ORDER BY l_quantity) AS DOUBLE)      AS rq0,
+      |               CAST(row_number() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS rp0,
+      |               CAST(row_number() OVER (ORDER BY l_discount) AS DOUBLE)      AS rd0
+      |        FROM lineitem))
+      |SELECT * FROM (
+      |  SELECT 'quantity' AS var_x, 'extendedprice' AS var_y,
+      |         round(corr(q, p), 4) AS pearson, round(corr(rq, rp), 4) AS spearman FROM r
+      |  UNION ALL
+      |  SELECT 'quantity', 'discount', round(corr(q, d), 4), round(corr(rq, rd), 4) FROM r
+      |  UNION ALL
+      |  SELECT 'extendedprice', 'discount', round(corr(p, d), 4), round(corr(rp, rd), 4) FROM r)
+      |ORDER BY var_x, var_y""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(spark, dir)
+      .select($"l_quantity".as("q"), $"l_extendedprice".as("p"), $"l_discount".as("d"))
+      .withColumn("rq0", row_number().over(Window.orderBy($"q")).cast("double"))
+      .withColumn("rp0", row_number().over(Window.orderBy($"p")).cast("double"))
+      .withColumn("rd0", row_number().over(Window.orderBy($"d")).cast("double"))
+      .withColumn("rq", avg($"rq0").over(Window.partitionBy($"q")))
+      .withColumn("rp", avg($"rp0").over(Window.partitionBy($"p")))
+      .withColumn("rd", avg($"rd0").over(Window.partitionBy($"d")))
+    def pair(nx: String, ny: String, x: String, y: String, rx: String, ry: String) =
+      base.agg(
+        RelationalCore.stat(corr(col(x), col(y))).as("pearson"),
+        RelationalCore.stat(corr(col(rx), col(ry))).as("spearman"))
+        .select(lit(nx).as("var_x"), lit(ny).as("var_y"), $"pearson", $"spearman")
+    pair("quantity", "extendedprice", "q", "p", "rq", "rp")
+      .unionAll(pair("quantity", "discount", "q", "d", "rq", "rd"))
+      .unionAll(pair("extendedprice", "discount", "p", "d", "rp", "rd"))
+      .orderBy($"var_x", $"var_y")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the md5-coin halves
+    * of `orders.o_totalprice` (same portable split as q152's PSI): the
+    * sup-norm ECDF distance sup_x |F_a(x) − F_b(x)|, computed exactly and
+    * relationally — group by value, one cumulative window over the sorted
+    * distinct values, max of the gap. The classic distribution-shift test
+    * to PSI's binned score.
+    *
+    * Scale note: the group-by collapses to distinct values BEFORE the
+    * window, so the sort is over |distinct(x)|, not |rows|; the two totals
+    * are a broadcast-back scalar. One shuffle + one bounded sort. */
+  val q227KsTest: GraftQuery = GraftQuery.oracled(
+    "q227_ks_test",
+    """WITH s AS (SELECT o_totalprice AS x,
+      |                  CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |                       THEN 'a' ELSE 'b' END AS split
+      |           FROM orders),
+      |g AS (SELECT x,
+      |             sum(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS na,
+      |             sum(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS nb
+      |      FROM s GROUP BY x),
+      |t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM g),
+      |c AS (SELECT x,
+      |             sum(na) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |             sum(nb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      |      FROM g)
+      |SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+      |       round(max(abs(CAST(c.ca AS DOUBLE) / t.ta - CAST(c.cb AS DOUBLE) / t.tb)), 6) AS ks_stat
+      |FROM c, t GROUP BY t.ta, t.tb""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.orders(spark, dir).select($"o_totalprice".as("x"),
+      when(conv(substring(md5($"o_orderkey".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2 === 0, "a").otherwise("b").as("split"))
+    val g = s.groupBy($"x")
+      .agg(sum(when($"split" === "a", 1).otherwise(0)).as("na"),
+        sum(when($"split" === "b", 1).otherwise(0)).as("nb"))
+    val w = Window.orderBy($"x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.select($"x", sum($"na").over(w).as("ca"), sum($"nb").over(w).as("cb"))
+    val t = g.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    c.crossJoin(t)
+      .groupBy($"ta", $"tb")
+      .agg(round(max(abs($"ca".cast("double") / $"ta" - $"cb".cast("double") / $"tb")), 6).as("ks_stat"))
+      .select($"ta".cast("long").as("n_a"), $"tb".cast("long").as("n_b"), $"ks_stat")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
     q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,
-    q222Gini)
+    q222Gini, q226CorrMatrix, q227KsTest)
 }
