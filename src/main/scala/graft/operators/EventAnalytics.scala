@@ -794,10 +794,52 @@ object EventAnalytics {
       .orderBy($"user_id")
   }
 
+  /** Rolling z-score anomaly flags: each event's value against the
+    * trailing 20-event mean/stddev of ITS OWN user (frame excludes the
+    * current row — the standard self-exclusion that stops an anomaly from
+    * masking itself), flagged where |z| > 2 with ≥10 prior observations.
+    * The z is rounded to 4 dp on both engines BEFORE the threshold
+    * compare, so the flag set is boundary-stable across float libraries
+    * (q153's fence discipline).
+    *
+    * 100 TB plan: one window shuffle keyed on user_id — the same single
+    * partition-sort every per-entity rolling metric here shares (q157,
+    * q161, q202); the frame is O(1) state per row. */
+  val q230RollingZscore: GraftQuery = GraftQuery.oracled(
+    "q230_rolling_zscore",
+    """WITH w AS (
+      |  SELECT event_id, user_id, value,
+      |         avg(value)         OVER f AS mu,
+      |         stddev_samp(value) OVER f AS sd,
+      |         count(value)       OVER f AS n
+      |  FROM events
+      |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, round(value, 2) AS value,
+      |       round((value - mu) / sd, 4) AS z
+      |FROM w
+      |WHERE n >= 10 AND sd > 0 AND abs(round((value - mu) / sd, 4)) > 2.0
+      |ORDER BY event_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val f = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-20, -1)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"value",
+        avg($"value").over(f).as("mu"),
+        stddev_samp($"value").over(f).as("sd"),
+        count($"value").over(f).as("n"))
+      .filter($"n" >= 10 && $"sd" > 0 &&
+        abs(round(($"value" - $"mu") / $"sd", 4)) > 2.0)
+      .select($"event_id", $"user_id", round($"value", 2).as("value"),
+        round(($"value" - $"mu") / $"sd", 4).as("z"))
+      .orderBy($"event_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
-    q210Twap)
+    q210Twap, q230RollingZscore)
 }

@@ -203,6 +203,67 @@ object Graph {
       .orderBy($"community")
   }
 
+  /** k-CORE decomposition (k=3) by synchronized peeling: 8 fixed rounds of
+    * "drop every vertex with degree < 3, keep only edges between
+    * survivors" on the symmetrized co-order graph. The fixed horizon is
+    * part of the operator spec on BOTH engines (q177's BFS discipline) —
+    * GraphSpec asserts the peel has actually reached its fixpoint by round
+    * 8 at the test scales, so the horizon is a proven bound, not a
+    * truncation. Output is each core member with its within-core degree.
+    *
+    * 100 TB plan: each round is one hash-agg (degree) + two semi-joins
+    * keyed on vertex id — edges and degrees co-partition, so after the
+    * first round every subsequent round reuses the same partitioning;
+    * rounds are data-free on the driver (constant trip count). Peeling
+    * only shrinks the edge set, so per-round cost is monotonically
+    * decreasing. */
+  val q228KCore: GraftQuery = GraftQuery.oracled(
+    "q228_kcore", {
+      // MATERIALIZED: each round references its predecessor three times
+      // (degree, two semi-joins); inlined CTEs would re-derive the chain
+      // 3^8 times (observed as handle exhaustion in DuckDB).
+      val rounds = (1 to 8).map { i =>
+        val p = if (i == 1) "e" else s"e${i - 1}"
+        s"""d$i AS (SELECT src, count(*) AS n FROM $p GROUP BY 1),
+           |k$i AS (SELECT src AS v FROM d$i WHERE n >= 3),
+           |e$i AS MATERIALIZED (SELECT p.src, p.dst FROM $p p JOIN k$i a ON p.src = a.v JOIN k$i b ON p.dst = b.v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey AS k, l_partkey FROM lineitem WHERE l_quantity >= 40),
+         |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |       FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+         |$rounds
+         |SELECT src AS v, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e8 GROUP BY src ORDER BY v"""
+        .stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val e0 = coOrderEdges(spark, dir)
+    val sym = e0.select($"a".as("src"), $"b".as("dst"))
+      .union(e0.select($"b".as("src"), $"a".as("dst")))
+    kCore(sym, k = 3, rounds = 8).orderBy($"v")
+  }
+
+  /** Peel `rounds` times: drop vertices with degree < k, keep edges between
+    * survivors. Input must be a symmetric (src, dst) edge list. Returns
+    * (v, core_deg). GraphSpec proves round `rounds`+1 is a no-op at the
+    * test scales (fixpoint reached). */
+  private[operators] def kCore(symmetric: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import symmetric.sparkSession.implicits._
+    var e = symmetric.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy($"src").agg(count(lit(1)).as("n"))
+        .filter($"n" >= k).select($"src".as("v"))
+      e = e.join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+        .localCheckpoint()
+    }
+    e.groupBy($"src").agg(count(lit(1)).cast("long").as("core_deg"))
+      .select($"src".as("v"), $"core_deg")
+  }
+
   def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
-    q207LabelPropagation)
+    q207LabelPropagation, q228KCore)
 }

@@ -33,6 +33,26 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(a.nonEmpty && a.forall(_.getDouble(1) > 0.0))
   }
 
+  test("k-core: K4 + pendant chain peels to exactly K4; 8-round horizon is a fixpoint at catalog scale") {
+    import spark.implicits._
+    // K4 on {1..4} (each deg 3) + chain 4-5-6: peeling must strip the chain
+    // (deg 1-2) and keep K4 intact with within-core degree 3.
+    val edges = ((for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst"))).cache()
+    val core = Graph.kCore(sym, k = 3, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // catalog horizon law: one extra round changes nothing (fixpoint)
+    val e0 = Graph.coOrderEdges(spark, sf)
+    val cat = e0.select($"a".as("src"), $"b".as("dst"))
+      .union(e0.select($"b".as("src"), $"a".as("dst"))).cache()
+    val r8 = Graph.kCore(cat, k = 3, rounds = 8).orderBy($"v").collect()
+    val r9 = Graph.kCore(cat, k = 3, rounds = 9).orderBy($"v").collect()
+    assert(r8.toSeq === r9.toSeq, "8-round peel must be a fixpoint at test scale")
+  }
+
   test("triangle count: compact-forward join equals brute-force closed forms on fixtures") {
     import spark.implicits._
     // triangle + pendant edge: {1,2,3} closed, 3-4 open => exactly 1 triangle
