@@ -442,7 +442,79 @@ object Similarity {
         candidates = Some(ivfCandidates(spark, dir, kCells = 16, nProbe = 6)))
   }
 
+  /** Vectors DROPPED by SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): KMeans partitions the corpus into k cells, and
+    * within each cell a vector is dropped when a LOWER-id cell-mate sits at
+    * cosine ≥ tau (keep-the-smallest-id, the same representative rule as
+    * q44/q100). Pairwise work is confined to cells — never the corpus.
+    * With k=1 the cell join IS the exact all-pairs rule, which is the
+    * spec's ground truth. */
+  private[llm] def semanticDropped(
+      spark: SparkSession, dir: String, k: Int, tau: Double): DataFrame = {
+    import spark.implicits._
+    val n = normed(spark, dir)
+    val celled =
+      if (k <= 1) n.withColumn("cell", lit(0))
+      else {
+        val vecs = n.withColumn("features", array_to_vector($"embedding"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+          .fit(vecs).transform(vecs).drop("features")
+      }
+    val a = celled.select($"cell", $"vec_id".as("keep_id"),
+      $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+    val b = celled.select($"cell", $"vec_id".as("drop_id"),
+      $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+    a.join(b, Seq("cell"))
+      .filter($"keep_id" < $"drop_id")
+      .filter(dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm") >= tau)
+      .select($"cell", $"drop_id").distinct()
+  }
+
+  /** SemDeDup census: per semantic cell (canonicalized by min member id,
+    * q117's rule), how many vectors survive a cosine-0.4 within-cell dedup.
+    * rows-only (KMeans cells are seed-specific); LlmOpsSpec proves the
+    * k=1 configuration is EXACTLY the brute-force dedup rule and that
+    * clustered dropping is a subset of it (cells only lower recall, never
+    * precision — dropped pairs are re-verified by the exact codegen'd dot).
+    *
+    * 100 TB plan: the quadratic stage is bounded per-cell (n/k a cell on
+    * average — production recursively re-splits oversized cells, the q105
+    * sub-banding play); the corpus shuffles ONCE on cell id, and each
+    * cell's pair join is map-local after that. This is the embedding-space
+    * member of the dedup family: exact (q44) → token LSH (q46) → simhash
+    * (q105) → semantic (this). */
+  val q231SemanticDedup: GraftQuery = GraftQuery.rowsOnly(
+    "q231_semantic_dedup",
+    doc = "SemDeDup: KMeans(16) cells, within-cell cosine>=0.4 keep-min-id; per-cell census (cluster_key, n_members, n_dropped, n_kept)") {
+    (spark, dir) =>
+      import spark.implicits._
+      val n = normed(spark, dir)
+      val vecs = n.withColumn("features", array_to_vector($"embedding"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(16).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+        .fit(vecs)
+      val celled = model.transform(vecs).drop("features").localCheckpoint()
+      val a = celled.select($"cell", $"vec_id".as("keep_id"),
+        $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+      val b = celled.select($"cell", $"vec_id".as("drop_id"),
+        $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter($"keep_id" < $"drop_id")
+        .filter(dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm") >= 0.4)
+        .select($"cell", $"drop_id").distinct()
+        .groupBy($"cell").agg(count(lit(1)).as("n_dropped"))
+      celled.groupBy($"cell")
+        .agg(min($"vec_id").as("cluster_key"), count(lit(1)).as("n_members"))
+        .join(dropped, Seq("cell"), "left")
+        .select($"cluster_key", $"n_members",
+          coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+          ($"n_members" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+        .orderBy($"cluster_key")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
-      q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq)
+      q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
+      q231SemanticDedup)
 }

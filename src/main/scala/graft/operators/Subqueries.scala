@@ -139,7 +139,50 @@ object Subqueries {
       |GROUP BY ALL
       |ORDER BY ALL""")
 
+  /** Modern SQL-entry surface in one query: NAMED PARAMETER MARKERS
+    * (`spark.sql(text, args)` — injection-safe literals bound by the
+    * parser), the `IDENTIFIER()` clause (table name as a bound constant —
+    * the safe dynamic-SQL primitive), and LATERAL COLUMN ALIASES (`net`
+    * referenced by `fee` in the same SELECT). The oracle is the same query
+    * with the bindings resolved — parameterization must be semantically
+    * invisible. The discount/fee rates bind as DOUBLEs, and the oracle
+    * CASTs its literals to DOUBLE so both engines run identical float
+    * arithmetic (not decimal).
+    *
+    * Scale note: parameters resolve at parse time, so the plan is the
+    * usual filter-pushdown + partial agg — nothing dynamic survives into
+    * execution. */
+  val q232SqlSurface: GraftQuery = GraftQuery.oracled(
+    "q232_sql_surface",
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(fee), 2) AS fees
+      |FROM (
+      |  SELECT o_orderpriority,
+      |         o_totalprice * (1 - CAST(0.04 AS DOUBLE)) AS net,
+      |         net * CAST(0.01 AS DOUBLE) AS fee
+      |  FROM orders
+      |  WHERE o_orderstatus = 'F')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (spark, dir) =>
+    Tables.views(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(fee), 2) AS fees
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         o_totalprice * (1 - :disc) AS net,
+        |         net * :feerate AS fee
+        |  FROM IDENTIFIER(:tbl)
+        |  WHERE o_orderstatus = :status)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("disc" -> 0.04, "feerate" -> 0.01, "tbl" -> "orders", "status" -> "F"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q79CorrelatedScalar, q80UncorrelatedScalar, q81ExistsSubquery, q82InSubquery,
-    q125LateralTopk, q198RecursiveCte, q213PipeSyntax, q214GroupByAll)
+    q125LateralTopk, q198RecursiveCte, q213PipeSyntax, q214GroupByAll,
+    q232SqlSurface)
 }

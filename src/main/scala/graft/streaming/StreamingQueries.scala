@@ -710,10 +710,47 @@ object StreamingQueries {
       .orderBy($"event_type", $"day_start")
   }
 
+  /** STATE STORE READER (Spark 4's `statestore` batch data source,
+    * SPARK-45511): run a streaming per-user count to a checkpoint, then
+    * read the operator's state store back as a batch DataFrame — the
+    * production debugging/auditing surface for stateful pipelines (inspect
+    * state without replaying it). After an AvailableNow drain the agg state
+    * IS the complete per-user census, so the state read is oracle-able
+    * against the plain batch GROUP BY: an end-to-end proof that checkpoint
+    * state equals the semantic aggregate.
+    *
+    * Scale note: the reader maps state-store partitions straight to scan
+    * tasks (one per shuffle partition) — state never funnels through the
+    * driver; the same surface serves repartitioning and offline state
+    * surgery at fleet scale. */
+  val q233StateStoreRead: GraftQuery = GraftQuery.oracled(
+    "q233_statestore_read",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val ckpt = java.nio.file.Paths.get("/tmp/graft-io",
+      s"statestore_${System.nanoTime()}").toString
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("statestore").load(ckpt)
+      .select($"key.user_id".as("user_id"), $"value.count".as("n"))
+      .orderBy($"user_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
     q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState,
     q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
-    q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs)
+    q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
+    q233StateStoreRead)
 }

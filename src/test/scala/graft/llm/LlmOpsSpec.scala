@@ -200,6 +200,28 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.5, s"IVF recall $recall below floor; missed ${exact -- ivf}")
   }
 
+  test("SemDeDup: k=1 is exactly the brute-force keep-min-id rule; cells only lower recall") {
+    import spark.implicits._
+    // ground truth: a vector is dropped iff a LOWER-id vector anywhere in
+    // the corpus sits at cosine >= tau (single-cell == exact all-pairs)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val exact = Similarity.semanticDropped(spark, sf, k = 1, tau = 0.4)
+      .select($"drop_id").collect().map(_.getLong(0)).toSet
+    val pairs = Similarity.q50EmbeddingNeardup.fn(spark, sf)
+      .select($"vec_a", $"vec_b").collect()
+    val brute = pairs.map(_.getLong(1)).toSet // vec_b is always the larger id
+    assert(exact === brute, "k=1 SemDeDup must equal the exact all-pairs drop set")
+    assert(exact.nonEmpty && exact.size < n, "drop set should be non-trivial at smoke sf")
+    // clustered config: dropping is confined to cells => subset of exact
+    val clustered = Similarity.semanticDropped(spark, sf, k = 16, tau = 0.4)
+      .select($"drop_id").collect().map(_.getLong(0)).toSet
+    assert(clustered.subsetOf(exact),
+      "cells must never drop a pair the exact rule would keep")
+    // census invariant: kept + dropped == members per cell
+    val census = Similarity.q231SemanticDedup.fn(spark, sf).collect()
+    assert(census.forall(r => r.getLong(1) == r.getLong(2) + r.getLong(3)))
+  }
+
   test("brute-force kNN: neighbors are the true top-5 by cosine") {
     import spark.implicits._
     val knn = Similarity.q48KnnBruteForce.fn(spark, sf)
