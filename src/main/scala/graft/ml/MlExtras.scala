@@ -171,7 +171,125 @@ object MlExtras {
       .orderBy($"term", $"rk")
   }
 
+  /** `ml.regression.LinearRegression` with the NORMAL-EQUATIONS solver and
+    * zero regularization — which is exact OLS, so the fitted (slope,
+    * intercept, R²) are ORACLE-able against DuckDB's `regr_*` aggregates
+    * (the only ML fit in the catalog with a SQL oracle; every other fit is
+    * spec-gated). Same (x, y) pair as q225, closing the loop: the ML
+    * estimator and the SQL aggregate family must agree to 4 dp.
+    *
+    * Scale note: solver="normal" aggregates the 2×2 Gram matrix
+    * distributed (one pass, map-side combine) and solves on the driver —
+    * O(d²) state, no iteration; exactly how a 100 TB single-feature OLS
+    * should run. */
+  val q234LinregExact: GraftQuery = GraftQuery.oracled(
+    "q234_linreg_exact",
+    """SELECT round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+      |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |       round(regr_r2(l_extendedprice, l_quantity), 4)        AS r2
+      |FROM lineitem""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val data = new VectorAssembler()
+      .setInputCols(Array("l_quantity")).setOutputCol("features")
+      .transform(Tables.lineitem(spark, dir).select($"l_quantity", $"l_extendedprice"))
+    val model = new LinearRegression()
+      .setSolver("normal").setRegParam(0.0)
+      .setFeaturesCol("features").setLabelCol("l_extendedprice")
+      .fit(data)
+    Seq((model.coefficients(0), model.intercept, model.summary.r2))
+      .toDF("slope", "intercept", "r2")
+      .select(stat($"slope").as("slope"), stat($"intercept").as("intercept"),
+        stat($"r2").as("r2"))
+  }
+
+  /** GaussianMixture soft clustering on the embeddings (k=8, seeded) —
+    * cluster census with mixture weights, labels canonicalized by min
+    * member id (q117's rule). rows-only: EM is float-iterative; MlSpec
+    * gates the probability laws (weights sum to 1, every row's
+    * responsibilities sum to 1) and seeded determinism. */
+  val q235GmmClusters: GraftQuery = GraftQuery.rowsOnly(
+    "q235_gmm_clusters",
+    doc = "GaussianMixture(k=8, seed=42) on embeddings: census (cluster_key, n_members, weight)") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", array_to_vector($"embedding").as("features"))
+    val model = new org.apache.spark.ml.clustering.GaussianMixture()
+      .setK(8).setSeed(42).setMaxIter(20).setFeaturesCol("features")
+      .setPredictionCol("cell")
+      .fit(vecs)
+    val weights = model.weights.zipWithIndex
+      .map { case (w, i) => (i, w) }.toSeq.toDF("cell", "weight")
+    model.transform(vecs)
+      .groupBy($"cell")
+      .agg(min($"vec_id").as("cluster_key"), count(lit(1)).as("n_members"))
+      .join(broadcast(weights), Seq("cell"))
+      .select($"cluster_key", $"n_members", stat($"weight").as("weight"))
+      .orderBy($"cluster_key")
+  }
+
+  /** Isotonic-family regression (PAVA) of price on quantity, fitted
+    * ANTITONIC (non-increasing) — the corpus's price-quantity relationship
+    * is negative (q225's slope < 0), so the decreasing shape constraint is
+    * the honest one (calibration curves, dose-response). Output is the
+    * fitted step function's knots. rows-only; MlSpec proves the two
+    * defining laws: predictions are monotone non-increasing, and MSE ≤ the
+    * OLS line's MSE (the negative-slope line is itself a non-increasing
+    * candidate, so the PAVA optimum must dominate it).
+    *
+    * Scale note: Spark's PAVA runs per-partition then merges adjacent
+    * violators on the sorted boundaries — one range-partitioned sort, no
+    * driver materialization of the data. */
+  val q236Isotonic: GraftQuery = GraftQuery.rowsOnly(
+    "q236_isotonic",
+    doc = "IsotonicRegression(antitonic) l_extendedprice ~ l_quantity: step-function knots (x, yhat)") { (spark, dir) =>
+    import spark.implicits._
+    val data = Tables.lineitem(spark, dir)
+      .select($"l_quantity".as("x"), $"l_extendedprice".as("label"))
+    val model = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("x").setLabelCol("label").setIsotonic(false)
+      .fit(data)
+    model.boundaries.toArray.zip(model.predictions.toArray).toSeq
+      .toDF("x", "yhat")
+      .select($"x", stat($"yhat").as("yhat"))
+      .orderBy($"x")
+  }
+
+  /** AFT (accelerated failure time) survival regression — the
+    * right-censored lifetime model (Weibull). Durations and censor flags
+    * are SYNTHESIZED deterministically from orders (duration from
+    * totalprice, censoring by the md5 coin), so the fit is reproducible.
+    * rows-only; MlSpec gates coefficient finiteness, positive predicted
+    * lifetimes, and quantile monotonicity. */
+  val q237AftSurvival: GraftQuery = GraftQuery.rowsOnly(
+    "q237_aft_survival",
+    doc = "AFTSurvivalRegression on md5-censored order lifetimes: (feature, coefficient) + intercept/scale rows") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.ml.feature.VectorAssembler
+    val base = Tables.orders(spark, dir).select(
+      ($"o_totalprice" / 1000.0 + 1.0).as("duration"),
+      when(conv(substring(md5($"o_orderkey".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 4 === 0, 0.0).otherwise(1.0).as("censor"),
+      when($"o_orderpriority" < "3", 1.0).otherwise(0.0).as("urgent"),
+      length($"o_orderpriority").cast("double").as("prio_len"))
+    val data = new VectorAssembler()
+      .setInputCols(Array("urgent", "prio_len")).setOutputCol("features")
+      .transform(base)
+    val model = new org.apache.spark.ml.regression.AFTSurvivalRegression()
+      .setFeaturesCol("features").setLabelCol("duration").setCensorCol("censor")
+      .fit(data)
+    (model.coefficients.toArray.zipWithIndex
+      .map { case (c, i) => (s"coef_$i", c) }.toSeq
+      ++ Seq(("intercept", model.intercept), ("log_scale", math.log(model.scale))))
+      .toDF("param", "value")
+      .select($"param", stat($"value").as("value"))
+      .orderBy($"param")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q73NbText, q74OvrLinearSvc, q75StopwordsCountvec, q76PcaProjection,
-    q93Mlp, q94Fm, q106Word2vecSynonyms)
+    q93Mlp, q94Fm, q106Word2vecSynonyms, q234LinregExact, q235GmmClusters,
+    q236Isotonic, q237AftSurvival)
 }

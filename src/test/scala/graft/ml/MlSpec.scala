@@ -158,4 +158,78 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")) && langs.nonEmpty)
     assert(cm.agg(sum($"n")).head.getLong(0) > 0)
   }
+
+  test("GMM: weights form a distribution, census covers the corpus, seeded-reproducible") {
+    import spark.implicits._
+    val a = MlExtras.q235GmmClusters.fn(spark, sf).collect()
+    val b = MlExtras.q235GmmClusters.fn(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "seeded GMM must be run-to-run deterministic")
+    // census lists only OCCUPIED cells, so its weights sum to <= 1; the
+    // full mixture (refit, same seed) must sum to exactly 1
+    val wsum = a.map(_.getDouble(2)).sum
+    assert(wsum > 0.5 && wsum <= 1.0 + 1e-9, s"census weight mass $wsum out of range")
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(array_to_vector($"embedding").as("features"))
+    val m = new org.apache.spark.ml.clustering.GaussianMixture()
+      .setK(8).setSeed(42).setMaxIter(20).setFeaturesCol("features").fit(vecs)
+    assert(math.abs(m.weights.sum - 1.0) < 1e-9, "full mixture weights must sum to 1")
+    val members = a.map(_.getLong(1)).sum
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(members === n, "every vector must land in exactly one cell")
+  }
+
+  test("antitonic fit: knots non-increasing and MSE dominates the OLS line") {
+    import spark.implicits._
+    val knots = MlExtras.q236Isotonic.fn(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(knots.sliding(2).forall {
+      case Array((x1, y1), (x2, y2)) => x1 <= x2 && y1 >= y2
+      case _                         => true
+    }, "antitonic fit must be non-increasing in yhat as x grows")
+    // MSE law: the OLS line has NEGATIVE slope on this corpus, so it is
+    // itself a non-increasing candidate => the PAVA optimum can't lose.
+    val data = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_quantity".as("x"), $"l_extendedprice".as("label"))
+    val iso = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("x").setLabelCol("label").setIsotonic(false).fit(data)
+    val pred = iso.transform(data)
+      .agg(avg(pow($"label" - $"prediction", 2))).head.getDouble(0)
+    val moments = data.agg(
+      expr("regr_slope(label, x)"), expr("regr_intercept(label, x)")).head
+    val (sl, ic) = (moments.getDouble(0), moments.getDouble(1))
+    assert(sl < 0, "precondition: OLS slope negative on this corpus")
+    val olsMse = data.agg(avg(pow($"label" - ($"x" * sl + ic), 2))).head.getDouble(0)
+    assert(pred <= olsMse + 1e-6, s"antitonic MSE $pred must dominate OLS $olsMse")
+  }
+
+  test("AFT survival: params finite, predicted lifetimes positive and quantile-monotone") {
+    import spark.implicits._
+    val params = MlExtras.q237AftSurvival.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(params.size === 4 && params.values.forall(v => !v.isNaN && !v.isInfinite))
+    // refit to exercise prediction surface: median lifetime positive, and
+    // higher survival quantiles are later
+    import org.apache.spark.ml.feature.VectorAssembler
+    val base = graft.sources.Tables.orders(spark, sf).select(
+      ($"o_totalprice" / 1000.0 + 1.0).as("duration"),
+      when(conv(substring(md5($"o_orderkey".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 4 === 0, 0.0).otherwise(1.0).as("censor"),
+      when($"o_orderpriority" < "3", 1.0).otherwise(0.0).as("urgent"),
+      length($"o_orderpriority").cast("double").as("prio_len"))
+    val data = new VectorAssembler()
+      .setInputCols(Array("urgent", "prio_len")).setOutputCol("features")
+      .transform(base)
+    val m = new org.apache.spark.ml.regression.AFTSurvivalRegression()
+      .setFeaturesCol("features").setLabelCol("duration").setCensorCol("censor")
+      .setQuantileProbabilities(Array(0.25, 0.75)).setQuantilesCol("qs")
+      .fit(data)
+    import org.apache.spark.ml.functions.vector_to_array
+    val qrows = m.transform(data)
+      .select($"prediction", vector_to_array($"qs").as("qs")).limit(100).collect()
+    assert(qrows.forall(_.getDouble(0) > 0), "predicted lifetimes must be positive")
+    assert(qrows.forall { r =>
+      val qs = r.getSeq[Double](1); qs(0) <= qs(1)
+    }, "q25 must not exceed q75")
+  }
 }
