@@ -126,5 +126,79 @@ object Aggregators {
       .orderBy($"l_suppkey", $"rk")
   }
 
-  def all: Seq[GraftQuery] = Seq(q69CustomUdaf, q158GroupedTopK)
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002;
+    * Beyer et al. SIGMOD'07 unbiased estimator): keep the k smallest
+    * DISTINCT hash values; with the k-th smallest at normalized position
+    * U_(k), estimate D ≈ (k−1)/U_(k). Inputs arrive pre-hashed by the
+    * codegen'd `xxhash64`, sign-bit-flipped so signed order == unsigned
+    * hash order. The buffer is a sorted array capped at k — a set-union
+    * merge is associative/commutative and the result is a DETERMINISTIC
+    * function of the value set (no RNG), unlike sampling sketches.
+    *
+    * Exactness law (spec-gated): when a group has ≤ k distinct values the
+    * sketch holds them all and returns the EXACT count. Error law: k=256
+    * gives σ ≈ 1/√(k−2) ≈ 6.3%; the spec gates at 25% (≈4σ).
+    *
+    * Scale shape: 2 KB of state per group regardless of cardinality,
+    * map-side partial merge — the same contract as HLL (q29/q133) with a
+    * mergeable exact-below-k floor HLL lacks. */
+  object KmvSketch extends Aggregator[Long, Seq[Long], Long] {
+    val k = 256
+
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] = {
+      val i = java.util.Arrays.binarySearch(b.toArray, h)
+      if (i >= 0) b // already present
+      else {
+        val at = -i - 1
+        if (b.size < k) (b.take(at) :+ h) ++ b.drop(at)
+        else if (at < k) ((b.take(at) :+ h) ++ b.drop(at)).take(k)
+        else b
+      }
+    }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      // sorted set-union, capped at k
+      val out = new scala.collection.mutable.ArrayBuffer[Long](k)
+      var (i, j) = (0, 0)
+      while (out.size < k && (i < a.size || j < b.size)) {
+        if (j >= b.size || (i < a.size && a(i) < b(j))) { out += a(i); i += 1 }
+        else if (i >= a.size || b(j) < a(i)) { out += b(j); j += 1 }
+        else { out += a(i); i += 1; j += 1 }
+      }
+      out.toVector
+    }
+
+    override def finish(ks: Seq[Long]): Long =
+      if (ks.size < k) ks.size.toLong
+      else {
+        val u = (ks.last.toDouble + 9.223372036854776e18) / 1.8446744073709552e19
+        math.round((k - 1) / u)
+      }
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** KMV sketch census: estimated distinct customers per order priority
+    * (exact-below-k floor ⇒ exact at the small SFs, estimated at scale).
+    * rows-only: the estimate depends on xxhash64, which DuckDB can't
+    * reproduce; AggregatorsSpec gates the exactness and error laws against
+    * the exact distinct count. */
+  val q238KmvDistinct: GraftQuery = GraftQuery.rowsOnly(
+    "q238_kmv_distinct",
+    doc = "KMV(k=256) estimated distinct o_custkey per o_orderpriority vs exact") { (spark, dir) =>
+    import spark.implicits._
+    val kmv = udaf(KmvSketch)
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        (xxhash64($"o_custkey") bitwiseXOR lit(Long.MinValue)).as("h"))
+      .groupBy($"o_orderpriority")
+      .agg(kmv($"h").as("est_distinct"))
+      .orderBy($"o_orderpriority")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q69CustomUdaf, q158GroupedTopK, q238KmvDistinct)
 }

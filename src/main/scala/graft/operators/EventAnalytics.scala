@@ -836,10 +836,60 @@ object EventAnalytics {
       .orderBy($"event_id")
   }
 
+  /** Sweep-line MAX CONCURRENCY: each event opens an interval of
+    * `value` minutes; the peak number of simultaneously-open intervals per
+    * event_type is the classic resource-occupancy question (concurrent
+    * sessions, live connections, room bookings). Relational sweep: ±1
+    * deltas at the (integer microsecond) endpoints, one running sum per
+    * type ordered (time, delta) — delta ASC processes closings before
+    * openings at a shared instant, so touching intervals don't double-count;
+    * the tie rule is explicit and identical on both engines. Endpoint
+    * arithmetic is integer µs with an explicit floor, never float casts
+    * (Spark CAST truncates, DuckDB CAST rounds).
+    *
+    * 100 TB plan: one shuffle on event_type for the cumulative window; at
+    * extreme per-type volume the sweep two-phases like q97's rank (chunk
+    * partial sums, then offset) — the delta stream is only 2 rows per
+    * event. */
+  val q239MaxConcurrency: GraftQuery = GraftQuery.oracled(
+    "q239_max_concurrency",
+    """WITH iv AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('microseconds', ts)) AS t0,
+      |         epoch_us(date_trunc('microseconds', ts))
+      |           + CAST(floor(value * 60 * 1000000) AS BIGINT) AS t1
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, t0 AS t, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT event_type, t1, -1 FROM iv),
+      |c AS (
+      |  SELECT event_type,
+      |         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      |  FROM pts)
+      |SELECT event_type, CAST(max(live) AS BIGINT) AS max_concurrent
+      |FROM c GROUP BY event_type
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(spark, dir).select($"event_type",
+      unix_micros($"ts").as("t0"),
+      (unix_micros($"ts") + floor($"value" * 60 * 1000000).cast("long")).as("t1"))
+    val pts = iv.select($"event_type", $"t0".as("t"), lit(1).as("delta"))
+      .unionAll(iv.select($"event_type", $"t1".as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy($"event_type").orderBy($"t", $"delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.select($"event_type", sum($"delta").over(w).as("live"))
+      .groupBy($"event_type")
+      .agg(max($"live").cast("long").as("max_concurrent"))
+      .orderBy($"event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
-    q210Twap, q230RollingZscore)
+    q210Twap, q230RollingZscore, q239MaxConcurrency)
 }

@@ -710,6 +710,46 @@ object StreamingQueries {
       .orderBy($"event_type", $"day_start")
   }
 
+  /** Stream-stream LEFT SEMI join — q77's click→purchase pairing reduced
+    * to "which clicks converted": emits each matching click ONCE, holds no
+    * purchase columns, and (unlike the inner join) drops match
+    * multiplicity, so state on the purchase side can evict as soon as one
+    * match lands. The batch oracle is the EXISTS form — semi join and
+    * EXISTS must agree by definition. Under the single-batch AvailableNow
+    * replay every in-batch match emits.
+    *
+    * Scale note: semi is the cheapest stream-stream shape — output ≤ left
+    * cardinality regardless of right-side fan-out; both sides still bound
+    * state by watermark + time-range exactly as q77/q135. */
+  val q240StreamStreamSemi: GraftQuery = GraftQuery.oracled(
+    "q240_stream_stream_semi",
+    """SELECT c.event_id AS click_id, c.user_id
+      |FROM events c
+      |WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      |    AND date_trunc('microseconds', p.ts) >= date_trunc('microseconds', c.ts)
+      |    AND date_trunc('microseconds', p.ts) <= date_trunc('microseconds', c.ts) + INTERVAL 10 MINUTE)
+      |ORDER BY click_id""") { (spark, dir) =>
+    import spark.implicits._
+    val clicks = eventsStream(spark, dir)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTE"),
+      "left_semi")
+    runToMemory(joined.select($"click_id", $"user_id"),
+        OutputMode.Append(), "q240")
+      .orderBy($"click_id")
+  }
+
   /** STATE STORE READER (Spark 4's `statestore` batch data source,
     * SPARK-45511): run a streaming per-user count to a checkpoint, then
     * read the operator's state store back as a batch DataFrame — the
@@ -752,5 +792,5 @@ object StreamingQueries {
     q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState,
     q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
-    q233StateStoreRead)
+    q233StateStoreRead, q240StreamStreamSemi)
 }
