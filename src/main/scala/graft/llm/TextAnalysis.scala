@@ -541,9 +541,60 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Jensen–Shannon divergence between two sources' unigram
+    * distributions — the symmetric, bounded (≤ ln 2) corpus-similarity
+    * measure data-mixing pipelines use to pick/weight sources (its square
+    * root is a metric). Exact, no smoothing needed: a term with p=0
+    * contributes 0 and the mixture m=(p+q)/2 is positive wherever either
+    * side is. Vocabulary is the UNION of both sides (full-outer token
+    * join).
+    *
+    * 100 TB plan: two token hash-aggs (map-side combined) + one
+    * vocabulary-keyed outer join + a scalar agg — the corpus is scanned
+    * once per side and nothing quadratic exists; totals broadcast back. */
+  val q242JsDivergence: GraftQuery = GraftQuery.oracled(
+    "q242_js_divergence",
+    """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      |           FROM documents WHERE source IN ('src0', 'src1')),
+      |c AS (SELECT source, tok, count(*) AS n FROM t WHERE tok <> '' GROUP BY 1, 2),
+      |ta AS (SELECT sum(n) AS t FROM c WHERE source = 'src0'),
+      |tb AS (SELECT sum(n) AS t FROM c WHERE source = 'src1'),
+      |p AS (SELECT v.tok,
+      |             CAST(coalesce(a.n, 0) AS DOUBLE) / ta.t AS pa,
+      |             CAST(coalesce(b.n, 0) AS DOUBLE) / tb.t AS pb
+      |      FROM (SELECT DISTINCT tok FROM c) v
+      |      LEFT JOIN (SELECT tok, n FROM c WHERE source = 'src0') a USING (tok)
+      |      LEFT JOIN (SELECT tok, n FROM c WHERE source = 'src1') b USING (tok),
+      |      ta, tb)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+      |       round(sum(CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END)
+      |           + sum(CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END), 6) AS js_nats
+      |FROM p""") { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.documents(spark, dir)
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val ta = c.filter($"source" === "src0").agg(sum($"n").as("ta"))
+    val tb = c.filter($"source" === "src1").agg(sum($"n").as("tb"))
+    val p = c.filter($"source" === "src0").select($"tok", $"n".as("na"))
+      .join(c.filter($"source" === "src1").select($"tok", $"n".as("nb")),
+        Seq("tok"), "full_outer")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(
+        (coalesce($"na", lit(0L)).cast("double") / $"ta").as("pa"),
+        (coalesce($"nb", lit(0L)).cast("double") / $"tb").as("pb"))
+    p.agg(count(lit(1)).cast("long").as("n_vocab"),
+      round(
+        sum(when($"pa" > 0, lit(0.5) * $"pa" * log($"pa" / (($"pa" + $"pb") / 2))).otherwise(0.0))
+          + sum(when($"pb" > 0, lit(0.5) * $"pb" * log($"pb" / (($"pa" + $"pb") / 2))).otherwise(0.0)),
+        6).as("js_nats"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
-    q211BigramLm, q217BpeApply)
+    q211BigramLm, q217BpeApply, q242JsDivergence)
 }

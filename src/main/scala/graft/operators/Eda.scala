@@ -670,9 +670,56 @@ object Eda {
       .select($"ta".cast("long").as("n_a"), $"tb".cast("long").as("n_b"), $"ks_stat")
   }
 
+  /** Exact MUTUAL INFORMATION between two categoricals (status ×
+    * priority) in nats — the information-theoretic dependence measure
+    * feature selection ranks by (chi-square q184's sibling: MI weighs the
+    * same contingency cells by log-ratio instead of squared residual).
+    * I(X;Y) = Σ p_xy·ln(p_xy/(p_x·p_y)) over observed cells, computed from
+    * one exact count grid; also reports the normalized variant
+    * I/min(H(X),H(Y)) so 0 = independent, 1 = functional dependence.
+    *
+    * 100 TB plan: one hash agg to the |X|×|Y| grid (tiny), marginals and
+    * entropies derived from the grid — the data is scanned once. */
+  val q241MutualInfo: GraftQuery = GraftQuery.oracled(
+    "q241_mutual_info",
+    """WITH c AS (SELECT o_orderstatus AS x, o_orderpriority AS y, count(*) AS n
+      |           FROM orders GROUP BY 1, 2),
+      |t AS (SELECT sum(n) AS tot FROM c),
+      |px AS (SELECT x, sum(n) AS nx FROM c GROUP BY x),
+      |py AS (SELECT y, sum(n) AS ny FROM c GROUP BY y),
+      |mi AS (SELECT sum((CAST(c.n AS DOUBLE) / t.tot)
+      |                  * ln(CAST(c.n AS DOUBLE) * t.tot / (CAST(px.nx AS DOUBLE) * py.ny))) AS i
+      |       FROM c JOIN px USING (x) JOIN py USING (y), t),
+      |hx AS (SELECT -sum((CAST(nx AS DOUBLE) / t.tot) * ln(CAST(nx AS DOUBLE) / t.tot)) AS h
+      |       FROM px, t),
+      |hy AS (SELECT -sum((CAST(ny AS DOUBLE) / t.tot) * ln(CAST(ny AS DOUBLE) / t.tot)) AS h
+      |       FROM py, t)
+      |SELECT round(mi.i, 6) AS mi_nats,
+      |       round(mi.i / least(hx.h, hy.h), 6) AS mi_normalized
+      |FROM mi, hx, hy""") { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus".as("x"), $"o_orderpriority".as("y"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.agg(sum($"n").as("tot"))
+    val px = c.groupBy($"x").agg(sum($"n").as("nx"))
+    val py = c.groupBy($"y").agg(sum($"n").as("ny"))
+    val joined = c.join(broadcast(px), Seq("x")).join(broadcast(py), Seq("y"))
+      .crossJoin(broadcast(t))
+    val mi = joined.agg(sum(($"n".cast("double") / $"tot")
+      * log($"n".cast("double") * $"tot" / ($"nx".cast("double") * $"ny"))).as("i"))
+    val hx = px.crossJoin(broadcast(t))
+      .agg((-sum(($"nx".cast("double") / $"tot") * log($"nx".cast("double") / $"tot"))).as("h"))
+    val hy = py.crossJoin(broadcast(t))
+      .agg((-sum(($"ny".cast("double") / $"tot") * log($"ny".cast("double") / $"tot"))).as("h"))
+    mi.crossJoin(hx.toDF("hx")).crossJoin(hy.toDF("hy"))
+      .select(round($"i", 6).as("mi_nats"),
+        round($"i" / least($"hx", $"hy"), 6).as("mi_normalized"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
     q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,
-    q222Gini, q226CorrMatrix, q227KsTest)
+    q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo)
 }

@@ -710,6 +710,61 @@ object StreamingQueries {
       .orderBy($"event_type", $"day_start")
   }
 
+  /** Per-(user, event_type) counts held in MAP STATE — the remaining
+    * `transformWithState` state primitive after q113's ValueState and
+    * q206's ListState+timers: one map entry per composite sub-key under a
+    * single grouping key, the idiomatic layout when sub-key cardinality is
+    * small and per-key (counters per page, per device, per type). Under
+    * the single-batch AvailableNow replay the emitted map contents ARE the
+    * totals, so the batch GROUP BY user, type is an exact oracle. */
+  final case class EvTyped(user_id: Long, event_type: String)
+
+  final class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvTyped, (Long, String, Long)] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvTyped],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, String, Long)] = {
+      rows.foreach { r =>
+        val prev = if (counts.containsKey(r.event_type)) counts.getValue(r.event_type) else 0L
+        counts.updateValue(r.event_type, prev + 1L)
+      }
+      counts.iterator().map { case (t, n) => (key, t, n) }
+    }
+  }
+
+  /** MapState per-user × event-type census via `transformWithState`. */
+  val q243StreamMapState: GraftQuery = GraftQuery.oracled(
+    "q243_stream_mapstate",
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventsStream(spark, dir)
+        .select($"user_id", $"event_type").as[EvTyped]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new TypeCountsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "event_type", "n")
+      runToMemory(out, OutputMode.Append(), "q243")
+        .orderBy($"user_id", $"event_type")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   /** Stream-stream LEFT SEMI join — q77's click→purchase pairing reduced
     * to "which clicks converted": emits each matching click ONCE, holds no
     * purchase columns, and (unlike the inner join) drops match
@@ -792,5 +847,5 @@ object StreamingQueries {
     q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState,
     q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
-    q233StateStoreRead, q240StreamStreamSemi)
+    q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState)
 }
