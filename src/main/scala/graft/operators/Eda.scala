@@ -580,10 +580,14 @@ object Eda {
     * needed for determinism; both engines then take plain Pearson over the
     * rank columns. Output is the upper triangle as rows.
     *
-    * Scale note: each rank column is one global sort (same machinery as
-    * q06); production two-phases it via range partitioning. The corr
-    * aggregate itself is algebraic — one map-side-combined pass for all
-    * six coefficients. */
+    * Scale note: ranks are NOT computed with a global per-row sort — the
+    * average rank of a tie group is a closed form over the value census
+    * (cum_inclusive − (n−1)/2), so each measure needs one hash-agg to its
+    * DISTINCT values, one cumulative window over that (bounded) census,
+    * and one equi-join back to rows (q227's sort-over-distinct
+    * discipline). The DuckDB oracle keeps the textbook row_number
+    * formulation — identical values, independently derived. The corr
+    * aggregate itself is algebraic — one map-side-combined pass. */
   val q226CorrMatrix: GraftQuery = GraftQuery.oracled(
     "q226_corr_matrix",
     """WITH r AS (
@@ -606,22 +610,37 @@ object Eda {
       |ORDER BY var_x, var_y""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.lineitem(spark, dir)
+    import org.apache.spark.sql.DataFrame
+    // average rank per VALUE from the census: cum_inclusive - (n-1)/2
+    def rankMap(df: DataFrame, c: String, rc: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum($"n").over(w))
+        .select(col(c), ($"cum" - ($"n" - 1) / 2.0).as(rc))
+    }
+    val rows = Tables.lineitem(spark, dir)
       .select($"l_quantity".as("q"), $"l_extendedprice".as("p"), $"l_discount".as("d"))
-      .withColumn("rq0", row_number().over(Window.orderBy($"q")).cast("double"))
-      .withColumn("rp0", row_number().over(Window.orderBy($"p")).cast("double"))
-      .withColumn("rd0", row_number().over(Window.orderBy($"d")).cast("double"))
-      .withColumn("rq", avg($"rq0").over(Window.partitionBy($"q")))
-      .withColumn("rp", avg($"rp0").over(Window.partitionBy($"p")))
-      .withColumn("rd", avg($"rd0").over(Window.partitionBy($"d")))
-    def pair(nx: String, ny: String, x: String, y: String, rx: String, ry: String) =
-      base.agg(
-        RelationalCore.stat(corr(col(x), col(y))).as("pearson"),
-        RelationalCore.stat(corr(col(rx), col(ry))).as("spearman"))
-        .select(lit(nx).as("var_x"), lit(ny).as("var_y"), $"pearson", $"spearman")
-    pair("quantity", "extendedprice", "q", "p", "rq", "rp")
-      .unionAll(pair("quantity", "discount", "q", "d", "rq", "rd"))
-      .unionAll(pair("extendedprice", "discount", "p", "d", "rp", "rd"))
+    val base = rows
+      .join(rankMap(rows, "q", "rq"), Seq("q"))
+      .join(rankMap(rows, "p", "rp"), Seq("p"))
+      .join(rankMap(rows, "d", "rd"), Seq("d"))
+    // all six coefficients in ONE aggregate pass (the joins run once);
+    // the single-row result is checkpointed before fanning out to rows
+    val one = base.agg(
+      RelationalCore.stat(corr($"q", $"p")).as("p_qp"),
+      RelationalCore.stat(corr($"rq", $"rp")).as("s_qp"),
+      RelationalCore.stat(corr($"q", $"d")).as("p_qd"),
+      RelationalCore.stat(corr($"rq", $"rd")).as("s_qd"),
+      RelationalCore.stat(corr($"p", $"d")).as("p_pd"),
+      RelationalCore.stat(corr($"rp", $"rd")).as("s_pd"))
+      .localCheckpoint()
+    def pair(nx: String, ny: String, pc: String, sc: String) =
+      one.select(lit(nx).as("var_x"), lit(ny).as("var_y"),
+        col(pc).as("pearson"), col(sc).as("spearman"))
+    pair("quantity", "extendedprice", "p_qp", "s_qp")
+      .unionAll(pair("quantity", "discount", "p_qd", "s_qd"))
+      .unionAll(pair("extendedprice", "discount", "p_pd", "s_pd"))
       .orderBy($"var_x", $"var_y")
   }
 
