@@ -501,7 +501,37 @@ object Aggregates {
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
     q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
     q189RevenueShares, q191AggPushdown, q209Transpose, q223WeightedMedian,
-    q225RegressionAggs)
+    q225RegressionAggs, q246OrderedSetAggs)
+
+  /** Ordered-set / inverse-distribution aggregates: `median` (≡
+    * percentile_cont 0.5, interpolated) vs `percentile_disc` (an ACTUAL
+    * data value — the discrete inverse distribution function, which q27's
+    * continuous family does not cover). The disc values are exact data
+    * points, so they round deterministically; `mode()` is deliberately
+    * absent — the sf0.001 corpus has a tied mode (P-status priorities),
+    * and mode's tie-break is engine-defined, i.e. not oracle-able.
+    *
+    * Scale note: exact inverse-distribution aggs sort within the hash-agg
+    * buffer per group; at extreme cardinality they swap for
+    * approx_percentile (q173) with the same plan shape. */
+  val q246OrderedSetAggs: GraftQuery = GraftQuery.oracled(
+    "q246_ordered_set_aggs",
+    """SELECT o_orderstatus,
+      |       round(median(o_totalprice), 4) AS med_cont,
+      |       round(quantile_disc(o_totalprice, 0.5), 2) AS med_disc,
+      |       round(quantile_disc(o_totalprice, 0.9), 2) AS p90_disc
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        stat(expr("median(o_totalprice)")).as("med_cont"),
+        money(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")).as("med_disc"),
+        money(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")).as("p90_disc"))
+      .orderBy($"o_orderstatus")
+  }
 
   /** SQL:2003 linear-regression aggregate family (`regr_slope`,
     * `regr_intercept`, `regr_r2`, `regr_count`, `regr_avgx`, `regr_avgy`)

@@ -886,10 +886,52 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** Additive SEASONAL DECOMPOSITION, hour-of-day profile: roll events to
+    * an hourly series per type, then split each hour-of-day's mean into
+    * the type's global level plus a seasonal offset (classical
+    * decomposition's seasonal term; Σ_k n_k·s_k = 0 by construction —
+    * asserted by the oracle's math, not a separate check). The per-type
+    * diurnal fingerprint q171's seasonal-naive backtest implicitly
+    * exploits, materialized explicitly.
+    *
+    * 100 TB plan: the hourly rollup is the only row-scale hash-agg; the
+    * 5×24 profile grid and per-type levels are derived from it (two more
+    * tiny aggs + a broadcast join). One scan end to end. */
+  val q244SeasonalDecompose: GraftQuery = GraftQuery.oracled(
+    "q244_seasonal_decompose",
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |         date_trunc('hour', date_trunc('microseconds', ts)) AS h,
+      |         sum(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |lvl AS (SELECT event_type, avg(v) AS level FROM hourly GROUP BY 1),
+      |prof AS (SELECT event_type, CAST(hour(h) AS INT) AS hod,
+      |                avg(v) AS hod_mean, CAST(count(*) AS BIGINT) AS n_obs
+      |         FROM hourly GROUP BY 1, 2)
+      |SELECT p.event_type, p.hod,
+      |       round(l.level, 4) AS level,
+      |       round(p.hod_mean - l.level, 4) AS seasonal,
+      |       p.n_obs
+      |FROM prof p JOIN lvl l USING (event_type)
+      |ORDER BY p.event_type, p.hod""") { (spark, dir) =>
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(sum($"value").as("v"))
+    val lvl = hourly.groupBy($"event_type").agg(avg($"v").as("level"))
+    val prof = hourly
+      .groupBy($"event_type", hour($"h").cast("int").as("hod"))
+      .agg(avg($"v").as("hod_mean"), count(lit(1)).as("n_obs"))
+    prof.join(broadcast(lvl), Seq("event_type"))
+      .select($"event_type", $"hod", round($"level", 4).as("level"),
+        round($"hod_mean" - $"level", 4).as("seasonal"), $"n_obs")
+      .orderBy($"event_type", $"hod")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
-    q210Twap, q230RollingZscore, q239MaxConcurrency)
+    q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose)
 }

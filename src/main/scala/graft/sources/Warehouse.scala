@@ -228,6 +228,62 @@ object Warehouse {
       .orderBy($"o_orderstatus")
   }
 
+  /** Snapshot RECONCILIATION report — the data-diff every migration /
+    * backfill / CDC pipeline runs before swapping tables: classify every
+    * key across two snapshot versions as added / removed / changed /
+    * unchanged by full-outer key join + row-content compare, and report
+    * the census with the net value drift per class. Snapshot B is derived
+    * from A by q212's deterministic mutation rules (update keys ≡3 mod 10
+    * to 110% cents, drop ≡7, insert shifted copies of ≡1), so both engines
+    * reconcile identical versions.
+    *
+    * 100 TB plan: ONE full-outer shuffle join on the key — content
+    * equality compares integer cents, no row hashing pass; the report is
+    * 4 rows. Production swaps the derived snapshot for a real second
+    * table scan; the plan is unchanged. */
+  val q245SnapshotDiff: GraftQuery = GraftQuery.oracled(
+    "q245_snapshot_diff",
+    """WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+      |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM orders),
+      |b AS (
+      |  SELECT k, s,
+      |         CASE WHEN k % 10 = 3 THEN (cents * 11) // 10 ELSE cents END AS cents
+      |  FROM a WHERE k % 10 <> 7
+      |  UNION ALL
+      |  SELECT k + 1000000000, s, cents FROM a WHERE k % 10 = 1),
+      |d AS (
+      |  SELECT CASE WHEN a.k IS NULL THEN 'added'
+      |              WHEN b.k IS NULL THEN 'removed'
+      |              WHEN a.cents <> b.cents OR a.s <> b.s THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type,
+      |         coalesce(b.cents, 0) - coalesce(a.cents, 0) AS drift
+      |  FROM a FULL JOIN b ON a.k = b.k)
+      |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(drift) AS BIGINT) AS cents_drift
+      |FROM d GROUP BY change_type
+      |ORDER BY change_type""") { (spark, dir) =>
+    import spark.implicits._
+    val a = Tables.orders(spark, dir).select(
+      $"o_orderkey".as("k"), $"o_orderstatus".as("s"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val b = a.filter($"k" % 10 =!= 7)
+      .select($"k", $"s",
+        when($"k" % 10 === 3, expr("(cents * 11) div 10")).otherwise($"cents").as("cents"))
+      .unionAll(a.filter($"k" % 10 === 1)
+        .select(($"k" + 1000000000L).as("k"), $"s", $"cents"))
+    val d = a.as("a").join(b.as("b"), $"a.k" === $"b.k", "full_outer")
+      .select(
+        when($"a.k".isNull, "added")
+          .when($"b.k".isNull, "removed")
+          .when($"a.cents" =!= $"b.cents" || $"a.s" =!= $"b.s", "changed")
+          .otherwise("unchanged").as("change_type"),
+        (coalesce($"b.cents", lit(0L)) - coalesce($"a.cents", lit(0L))).as("drift"))
+    d.groupBy($"change_type")
+      .agg(count(lit(1)).as("n"), sum($"drift").cast("long").as("cents_drift"))
+      .orderBy($"change_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(q194BucketedJoin, q195DppPrune,
-    q196DynamicOverwrite, q212BatchMerge)
+    q196DynamicOverwrite, q212BatchMerge, q245SnapshotDiff)
 }
