@@ -288,8 +288,48 @@ object ScalarFunctions {
       .orderBy($"segment")
   }
 
+  /** URL decomposition with `parse_url` — host / path / query-parameter
+    * extraction, the web-corpus metadata step (domain-level dedup,
+    * per-site quality weighting). URLs are synthesized deterministically
+    * from document columns; Spark uses the dedicated `parse_url`
+    * HOST/PATH/QUERY:key forms while the DuckDB oracle derives the same
+    * fields with regexes — two independent parsers agreeing on the
+    * decomposition. Domain census output (docs + langs per host).
+    *
+    * Scale note: pure codegen'd projection + one hash agg; parse_url is a
+    * Catalyst expression, not a UDF. */
+  val q247UrlParse: GraftQuery = GraftQuery.oracled(
+    "q247_url_parse",
+    """WITH u AS (
+      |  SELECT 'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+      |           || '?lang=' || lang AS url
+      |  FROM documents),
+      |f AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+      |             regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+      |             regexp_extract(url, 'lang=(\w+)', 1) AS lang_param
+      |      FROM u)
+      |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT lang_param) AS BIGINT) AS n_langs,
+      |       min(path) AS first_path
+      |FROM f GROUP BY host
+      |ORDER BY host""") { (spark, dir) =>
+    import spark.implicits._
+    val u = Tables.documents(spark, dir).select(
+      concat(lit("https://"), $"source", lit(".example.com/docs/"),
+        $"doc_id".cast("string"), lit("?lang="), $"lang").as("url"))
+    u.select(
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY"), lit("lang")).as("lang_param"))
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang_param").as("n_langs"),
+        min($"path").as("first_path"))
+      .orderBy($"host")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q37StringFuncs, q38DateFuncs, q39MathFuncs, q40JsonFuncs,
     q41ArrayText, q42ArrayEmbeddings, q43HashFuncs, q118VariantJson,
-    q204XmlRoundtrip, q205CollatedGroup)
+    q204XmlRoundtrip, q205CollatedGroup, q247UrlParse)
 }

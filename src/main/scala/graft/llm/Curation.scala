@@ -302,7 +302,38 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic HASH RESERVOIR: exactly min(3, |group|) docs per source,
+    * chosen by smallest md5(doc_id) — a uniform-quality fixed-size sample
+    * that is reproducible across runs, engines, and (unlike RNG reservoirs)
+    * under re-partitioning; the standard way eval/holdout slices get pinned
+    * per source. Hash-rank selection ≡ sorting by a random-oracle key, so
+    * the sample is exchangeable; the exact selected SET is oracle-able.
+    *
+    * 100 TB plan: at scale the per-group top-3-by-hash runs through q218's
+    * bounded-heap shape (or TABLESAMPLE for non-exact needs) — one shuffle
+    * keyed on source, k·groups resident rows, no global sort. */
+  val q249HashReservoir: GraftQuery = GraftQuery.oracled(
+    "q249_hash_reservoir",
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, CAST(rk AS INT) AS rk, doc_id
+      |FROM r WHERE rk <= 3
+      |ORDER BY source, rk""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", row_number().over(w).as("rk"))
+      .filter($"rk" <= 3)
+      .select($"source", $"rk".cast("int").as("rk"), $"doc_id")
+      .orderBy($"source", $"rk")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing,
-    q146WeightedSample, q147QuantileNorm, q162DictEncode)
+    q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir)
 }

@@ -736,9 +736,58 @@ object Eda {
         round($"i" / least($"hx", $"hy"), 6).as("mi_normalized"))
   }
 
+  /** CUPED variance reduction (Deng et al. WSDM'13) for the q163-style
+    * A/B test: each user's PRE-period activity (value before Jan 15) is
+    * the control covariate; θ = cov(x,y)/var(x) over the pooled users,
+    * and the adjusted metric y − θ·(x − x̄) provably keeps each arm's
+    * mean estimand while shrinking variance by ρ² — reported per arm as
+    * mean / adjusted mean / raw and adjusted variance, so the shrink is
+    * visible in the output, not asserted.
+    *
+    * 100 TB plan: one conditional per-user rollup (hash agg), one
+    * two-scalar broadcast (θ, x̄), one per-arm moment agg — three
+    * map-side-combined passes, nothing per-row on the driver. */
+  val q248Cuped: GraftQuery = GraftQuery.oracled(
+    "q248_cuped",
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |              THEN 'a' ELSE 'b' END AS arm,
+      |         sum(CASE WHEN ts <  TIMESTAMP '2024-01-15' THEN value ELSE 0 END) AS x,
+      |         sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS mx FROM u)
+      |SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(y), 4) AS mean_y,
+      |       round(avg(y - s.theta * (x - s.mx)), 4) AS mean_y_cuped,
+      |       round(var_samp(y), 4) AS var_y,
+      |       round(var_samp(y - s.theta * (x - s.mx)), 4) AS var_y_cuped
+      |FROM u, s GROUP BY arm, s.theta, s.mx
+      |ORDER BY arm""") { (spark, dir) =>
+    import spark.implicits._
+    val u = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"ts" < lit("2024-01-15").cast("timestamp"), $"value").otherwise(0.0)).as("x"),
+        sum(when($"ts" >= lit("2024-01-15").cast("timestamp"), $"value").otherwise(0.0)).as("y"))
+      .withColumn("arm",
+        when(conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, "a").otherwise("b"))
+    val s = u.agg((covar_samp($"x", $"y") / var_samp($"x")).as("theta"),
+      avg($"x").as("mx"))
+    u.crossJoin(broadcast(s))
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n"),
+        RelationalCore.stat(avg($"y")).as("mean_y"),
+        RelationalCore.stat(avg($"y" - $"theta" * ($"x" - $"mx"))).as("mean_y_cuped"),
+        RelationalCore.stat(var_samp($"y")).as("var_y"),
+        RelationalCore.stat(var_samp($"y" - $"theta" * ($"x" - $"mx"))).as("var_y_cuped"))
+      .orderBy($"arm")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
     q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,
-    q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo)
+    q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo, q248Cuped)
 }
