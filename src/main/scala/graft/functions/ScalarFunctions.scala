@@ -328,8 +328,73 @@ object ScalarFunctions {
       .orderBy($"host")
   }
 
+  /** Scalar-level CSV codec round-trip: `to_csv(struct(...))` serializes
+    * each order to one CSV line IN the engine (no file I/O — q67 covers
+    * the file path), `from_csv` parses it back with an explicit schema,
+    * and the aggregate over the PARSED columns must equal the oracle's
+    * aggregate over the raw columns — the loss-free codec law, including
+    * round-trippable doubles. The per-record string codec is how rows
+    * enter/leave message queues at ingest boundaries.
+    *
+    * Scale note: both directions are codegen'd Catalyst expressions in
+    * one projection; nothing leaves the task. */
+  val q250CsvRoundtrip: GraftQuery = GraftQuery.oracled(
+    "q250_csv_scalar_roundtrip",
+    """SELECT o_orderstatus AS s, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(max(o_orderkey) AS BIGINT) AS max_k
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY s""") { (spark, dir) =>
+    import spark.implicits._
+    val lines = Tables.orders(spark, dir)
+      .select(to_csv(struct($"o_orderkey", $"o_orderstatus", $"o_totalprice")).as("line"))
+    lines
+      .select(from_csv($"line", org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, s STRING, p DOUBLE"), Map.empty[String, String]).as("r"))
+      .select($"r.k".as("k"), $"r.s".as("s"), $"r.p".as("p"))
+      .groupBy($"s")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"p" * 100 + 0.5).cast("long")).cast("long").as("cents"),
+        max($"k").cast("long").as("max_k"))
+      .orderBy($"s")
+  }
+
+  /** `array_sort` with a CUSTOM COMPARATOR lambda — tokens ordered by
+    * (length, lexicographic), the canonical-ordering primitive built-in
+    * ascending sort can't express. The DuckDB oracle reaches the same
+    * order through its own mechanism (sort a (len, tok) struct list and
+    * project the token back), so the comparator semantics — not the
+    * syntax — are what's pinned.
+    *
+    * Scale note: per-row lambda over bounded arrays inside codegen; no
+    * shuffle beyond the final ORDER BY. */
+  val q251ArraySortComparator: GraftQuery = GraftQuery.oracled(
+    "q251_array_sort_comparator",
+    """SELECT doc_id,
+      |       list_transform(
+      |         list_sort(list_transform(string_split(lower(text), ' '),
+      |                                  t -> {'l': length(t), 't': t}))[1:5],
+      |         s -> s.t) AS first5
+      |FROM documents
+      |WHERE doc_id <= 20
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" <= 20)
+      .select($"doc_id",
+        slice(expr(
+          """array_sort(split(lower(text), ' '),
+            |  (l, r) -> CASE WHEN length(l) < length(r) THEN -1
+            |                 WHEN length(l) > length(r) THEN 1
+            |                 WHEN l < r THEN -1 WHEN l > r THEN 1
+            |                 ELSE 0 END)""".stripMargin), 1, 5).as("first5"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q37StringFuncs, q38DateFuncs, q39MathFuncs, q40JsonFuncs,
     q41ArrayText, q42ArrayEmbeddings, q43HashFuncs, q118VariantJson,
-    q204XmlRoundtrip, q205CollatedGroup, q247UrlParse)
+    q204XmlRoundtrip, q205CollatedGroup, q247UrlParse, q250CsvRoundtrip,
+    q251ArraySortComparator)
 }

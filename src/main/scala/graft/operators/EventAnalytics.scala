@@ -933,5 +933,57 @@ object EventAnalytics {
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
-    q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose)
+    q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose,
+    q252SpineGaps)
+
+  /** Time-spine GAP DETECTION: generate the expected hourly spine per
+    * event_type from its own [min, max] activity range (`sequence` +
+    * explode ≡ DuckDB `generate_series`) and anti-join the observed hours
+    * — the monitoring primitive behind "sensor X went dark for N hours".
+    * Census output: expected/observed/missing hours + the first dark hour
+    * per type. q139's resample-ffill FILLS such gaps; this one FINDS them.
+    *
+    * 100 TB plan: observed hours collapse via hash-agg BEFORE the spine
+    * join (bounded by hours×types, not events); per-type ranges broadcast
+    * back; the spine explode is O(hours), never O(rows). */
+  val q252SpineGaps: GraftQuery = GraftQuery.oracled(
+    "q252_spine_gaps",
+    """WITH obs AS (
+      |  SELECT event_type, date_trunc('hour', date_trunc('microseconds', ts)) AS h
+      |  FROM events GROUP BY 1, 2),
+      |rng AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM rng),
+      |miss AS (
+      |  SELECT s.event_type, s.h
+      |  FROM spine s LEFT JOIN obs o ON o.event_type = s.event_type AND o.h = s.h
+      |  WHERE o.h IS NULL)
+      |SELECT r.event_type,
+      |       CAST(date_diff('hour', r.h0, r.h1) + 1 AS BIGINT) AS n_expected,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM obs o WHERE o.event_type = r.event_type) AS n_observed,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM miss m WHERE m.event_type = r.event_type) AS n_missing,
+      |       (SELECT min(m.h) FROM miss m WHERE m.event_type = r.event_type) AS first_gap
+      |FROM rng r
+      |ORDER BY r.event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val obs = Tables.events(spark, dir)
+      .select($"event_type", date_trunc("hour", $"ts").as("h"))
+      .distinct()
+    val rng = obs.groupBy($"event_type").agg(min($"h").as("h0"), max($"h").as("h1"))
+    val spine = rng.select($"event_type", $"h0", $"h1",
+        explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("h"))
+    val miss = spine.join(obs, Seq("event_type", "h"), "left_anti")
+    val missAgg = miss.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_missing"), min($"h").as("first_gap"))
+    val obsAgg = obs.groupBy($"event_type").agg(count(lit(1)).as("n_observed"))
+    rng.join(obsAgg, Seq("event_type"), "left")
+      .join(missAgg, Seq("event_type"), "left")
+      .select($"event_type",
+        ((unix_micros($"h1") - unix_micros($"h0")) / 3600000000L + 1).cast("long").as("n_expected"),
+        coalesce($"n_observed", lit(0L)).cast("long").as("n_observed"),
+        coalesce($"n_missing", lit(0L)).cast("long").as("n_missing"),
+        $"first_gap")
+      .orderBy($"event_type")
+  }
 }
