@@ -596,5 +596,69 @@ object TextAnalysis {
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
-    q211BigramLm, q217BpeApply, q242JsDivergence)
+    q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations)
+
+  /** PMI COLLOCATION mining: rank adjacent word pairs by pointwise mutual
+    * information ln(p(ab)/(p(a)·p(b))) — the classic "New York"-detector
+    * (phrase extraction for tokenizer vocab building); q211's bigram LM
+    * estimates p(b|a) for scoring, this ranks pairs by association
+    * strength. Counts are exact integers; the single `ln` rounds at 4 dp;
+    * a min-support floor (pair count ≥ 5) kills the low-frequency PMI
+    * explosion; top-10 by (PMI, pair) with full tie-break.
+    *
+    * 100 TB plan: one explode→hash-agg for unigrams, one for adjacent
+    * pairs (both map-side combined), two broadcast scalar totals, one
+    * broadcast join of pair→unigram counts — the corpus is scanned twice
+    * and nothing is quadratic. */
+  val q254PmiCollocations: GraftQuery = GraftQuery.oracled(
+    "q254_pmi_collocations",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |uc AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+      |nt AS (SELECT sum(c) AS n FROM uc),
+      |pairs AS (
+      |  SELECT t[i] AS a, t[i + 1] AS b
+      |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      |  WHERE t[i] <> '' AND t[i + 1] <> ''),
+      |pc AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY a, b),
+      |np AS (SELECT sum(c) AS n FROM pc),
+      |scored AS (
+      |  SELECT pc.a, pc.b, pc.c,
+      |         ln((CAST(pc.c AS DOUBLE) / np.n)
+      |            / ((CAST(ua.c AS DOUBLE) / nt.n) * (CAST(ub.c AS DOUBLE) / nt.n))) AS pmi
+      |  FROM pc JOIN uc ua ON pc.a = ua.w JOIN uc ub ON pc.b = ub.w, nt, np
+      |  WHERE pc.c >= 5)
+      |SELECT a, b, CAST(c AS BIGINT) AS n_pair, round(pmi, 4) AS pmi
+      |FROM scored
+      |ORDER BY pmi DESC, a, b
+      |LIMIT 10""") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("t"))
+    val uc = toks.select(explode($"t").as("w")).filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val nt = uc.agg(sum($"c").as("nt"))
+    val pc = toks
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> named_struct('a', t[i - 1], 'b', t[i]))")).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .filter($"a" =!= "" && $"b" =!= "")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 5)
+    val np = toks
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> named_struct('a', t[i - 1], 'b', t[i]))")).as("p"))
+      .filter($"p.a" =!= "" && $"p.b" =!= "")
+      .agg(count(lit(1)).as("np"))
+    pc.join(broadcast(uc.toDF("w", "ca")), $"a" === $"w").drop("w")
+      .join(broadcast(uc.toDF("w", "cb")), $"b" === $"w").drop("w")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+      .select($"a", $"b", $"c".cast("long").as("n_pair"),
+        round(log(($"c".cast("double") / $"np")
+          / (($"ca".cast("double") / $"nt") * ($"cb".cast("double") / $"nt"))), 4).as("pmi"))
+      .orderBy($"pmi".desc, $"a", $"b")
+      .limit(10)
+  }
 }

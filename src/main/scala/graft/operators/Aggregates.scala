@@ -501,7 +501,40 @@ object Aggregates {
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
     q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
     q189RevenueShares, q191AggPushdown, q209Transpose, q223WeightedMedian,
-    q225RegressionAggs, q246OrderedSetAggs)
+    q225RegressionAggs, q246OrderedSetAggs, q253HllOverlap)
+
+  /** SKETCH ALGEBRA for audience overlap: |A∩B| from HLL sketches alone
+    * via inclusion–exclusion (est(A) + est(B) − est(A∪B)) — the
+    * two-audience overlap question answered WITHOUT co-shuffling the two
+    * event sets (the union happens in sketch space, q133's merge law).
+    * Output reports the estimates alongside the exact overlap, so the
+    * error is visible; AggWindowSpec gates the estimate within 5%.
+    *
+    * 100 TB plan: each arm is one map-side-combined sketch agg over its
+    * filter; the merge is constant-size. The exact-overlap column (a
+    * distinct-count semi-join) exists for honesty and drops at scale. */
+  val q253HllOverlap: GraftQuery = GraftQuery.rowsOnly(
+    "q253_hll_overlap",
+    doc = "clickers vs purchasers: HLL inclusion-exclusion overlap estimate + exact overlap") { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click").select($"user_id")
+    val buys = ev.filter($"event_type" === "purchase").select($"user_id")
+    val skA = clicks.agg(hll_sketch_agg($"user_id", lit(14)).as("sk")).withColumn("side", lit("a"))
+    val skB = buys.agg(hll_sketch_agg($"user_id", lit(14)).as("sk")).withColumn("side", lit("b"))
+    val ests = skA.unionByName(skB)
+      .agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est_union"),
+        max(when($"side" === "a", hll_sketch_estimate($"sk"))).as("est_a"),
+        max(when($"side" === "b", hll_sketch_estimate($"sk"))).as("est_b"))
+    val exact = clicks.distinct().join(buys.distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("exact_overlap"))
+    ests.crossJoin(exact)
+      .select($"est_a".cast("long").as("est_a"), $"est_b".cast("long").as("est_b"),
+        $"est_union".cast("long").as("est_union"),
+        ($"est_a" + $"est_b" - $"est_union").cast("long").as("est_overlap"),
+        $"exact_overlap".cast("long").as("exact_overlap"))
+  }
 
   /** Ordered-set / inverse-distribution aggregates: `median` (≡
     * percentile_cont 0.5, interpolated) vs `percentile_disc` (an ACTUAL

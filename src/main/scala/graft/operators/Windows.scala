@@ -417,9 +417,73 @@ object Windows {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** 30-min lag-gap session census per user (q34's rule, aggregated). */
+  private def sessionCensus(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import ev.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_session",
+        when($"prev_us".isNull, 1)
+          .when(unix_micros($"ts") - $"prev_us" > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"new_session").over(wRun))
+      .groupBy($"user_id")
+      .agg(max($"session_id").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** INCREMENTAL sessionization — the materialized-view maintenance shape
+    * for q34: history sessions are already computed; a new day of events
+    * arrives; only AFFECTED users (those present in the delta) are
+    * re-sessionized over their full span, and everyone else's stored
+    * census is reused untouched. The oracle is the full recompute, so the
+    * merge law `incremental ≡ full` is proven, not assumed (q170's
+    * incremental-aggregate contract, extended to stateful windows).
+    *
+    * 100 TB plan: the delta's user set is a fraction of the corpus, so
+    * the expensive window sort runs over |affected users' events|, not
+    * |history|; the untouched census is a stored table (here re-derived
+    * from the pre-cut slice to stay self-contained) joined by anti-semi —
+    * no window over it. This is how per-entity session state is actually
+    * maintained daily at fleet scale. */
+  val q255IncrementalSessions: GraftQuery = GraftQuery.oracled(
+    "q255_incremental_sessions",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+      |         CASE WHEN epoch_us(date_trunc('microseconds', ts)) -
+      |                   lag(epoch_us(date_trunc('microseconds', ts))) OVER w
+      |                   > 30 * 60 * 1000000 THEN 1
+      |              WHEN lag(event_id) OVER w IS NULL THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM sessions
+      |GROUP BY user_id
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    val cut = lit("2024-01-20").cast("timestamp")
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts")
+    val affected = ev.filter($"ts" >= cut).select($"user_id").distinct()
+    val untouched = sessionCensus(ev.filter($"ts" < cut))
+      .join(affected, Seq("user_id"), "left_anti")
+    val recomputed = sessionCensus(
+      ev.join(broadcast(affected), Seq("user_id"), "left_semi"))
+    untouched.unionByName(recomputed)
+      .orderBy($"user_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
     q35RangeFrame, q36RankFamily, q97RankTwoPhase, q139ResampleFfill,
     q190NthValue, q200SessionWindowBatch, q218TopkNative,
-    q219SessionDynamicGap)
+    q219SessionDynamicGap, q255IncrementalSessions)
 }

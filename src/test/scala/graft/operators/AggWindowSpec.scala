@@ -120,4 +120,16 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
       }
     } finally ev.unpersist()
   }
+
+  test("HLL overlap: inclusion-exclusion estimate tracks the exact intersection") {
+    val r = Aggregates.q253HllOverlap.fn(spark, sf).head
+    val (estA, estB, estU, estOv, exact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(estU <= estA + estB, "union estimate cannot exceed the sum")
+    assert(exact > 0, "fixture must have overlapping audiences")
+    val err = math.abs(estOv - exact.toDouble) / exact
+    assert(err <= 0.05, s"overlap estimate $estOv vs exact $exact: error $err > 5%")
+    // determinism: sketches are deterministic functions of the value sets
+    assert(Aggregates.q253HllOverlap.fn(spark, sf).head === r)
+  }
 }
