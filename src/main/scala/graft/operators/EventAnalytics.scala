@@ -934,7 +934,98 @@ object EventAnalytics {
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
     q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose,
-    q252SpineGaps)
+    q252SpineGaps, q257Interarrival, q258RetentionDecay)
+
+  /** INTER-ARRIVAL time distribution per event_type: lag-deltas in integer
+    * microseconds, summarized as p50/p90/p99 gap seconds plus the burst
+    * share (gaps under 1 s) — the traffic-shape fingerprint behind
+    * capacity planning and bot detection. Exact percentiles over exact
+    * integer deltas; rounding only at presentation.
+    *
+    * 100 TB plan: one window shuffle keyed on event_type for the lag, one
+    * grouped percentile agg — the same single-sort budget as every
+    * rolling metric here; at extreme volume the percentile swaps to
+    * approx_percentile with the plan unchanged. */
+  val q257Interarrival: GraftQuery = GraftQuery.oracled(
+    "q257_interarrival",
+    """WITH d AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('microseconds', ts)) -
+      |         lag(epoch_us(date_trunc('microseconds', ts)))
+      |           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+      |       round(quantile_cont(gap_us, 0.50) / 1000000.0, 4) AS p50_s,
+      |       round(quantile_cont(gap_us, 0.90) / 1000000.0, 4) AS p90_s,
+      |       round(quantile_cont(gap_us, 0.99) / 1000000.0, 4) AS p99_s,
+      |       round(sum(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END) * 1.0 / count(gap_us), 4) AS burst_share
+      |FROM d WHERE gap_us IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type",
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"))
+      .filter($"gap_us".isNotNull)
+      .groupBy($"event_type")
+      .agg(count($"gap_us").cast("long").as("n_gaps"),
+        round(expr("percentile(gap_us, 0.50)") / 1000000.0, 4).as("p50_s"),
+        round(expr("percentile(gap_us, 0.90)") / 1000000.0, 4).as("p90_s"),
+        round(expr("percentile(gap_us, 0.99)") / 1000000.0, 4).as("p99_s"),
+        round(sum(when($"gap_us" < 1000000, 1).otherwise(0)) * lit(1.0) / count($"gap_us"), 4).as("burst_share"))
+      .orderBy($"event_type")
+  }
+
+  /** COHORT DECAY RATE: fit ln(retention) ~ week_offset per cohort month
+    * with the regr_slope/intercept aggregates over q142's retention
+    * matrix — one number ("we lose e^slope per week") instead of a
+    * matrix; the log-linear fit is exact given the exact retention
+    * counts, composing three already-proven layers (cohort matrix →
+    * log transform → SQL:2003 regression aggs).
+    *
+    * 100 TB plan: everything after the (already bounded) cohort matrix is
+    * constant-size; the matrix itself is q142's one distinct-agg. */
+  val q258RetentionDecay: GraftQuery = GraftQuery.oracled(
+    "q258_retention_decay",
+    """WITH e AS (SELECT user_id,
+      |                  CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d
+      |           FROM events),
+      |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1),
+      |m AS (SELECT f.cohort_d,
+      |             CAST(date_diff('day', f.cohort_d, e.d) // 7 AS BIGINT) AS week_off,
+      |             count(DISTINCT e.user_id) AS n_active
+      |      FROM e JOIN f USING (user_id)
+      |      GROUP BY 1, 2),
+      |r AS (SELECT m.cohort_d, m.week_off,
+      |             CAST(m.n_active AS DOUBLE) / m0.n_active AS retention
+      |      FROM m JOIN (SELECT cohort_d, n_active FROM m WHERE week_off = 0) m0
+      |        USING (cohort_d))
+      |SELECT CAST(count(*) AS BIGINT) AS n_points,
+      |       round(regr_slope(ln(retention), week_off), 4) AS weekly_log_decay,
+      |       round(regr_intercept(ln(retention), week_off), 4) AS log_intercept,
+      |       round(regr_r2(ln(retention), week_off), 4) AS r2
+      |FROM r WHERE retention > 0""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("d"))
+    val f = e.groupBy($"user_id").agg(min($"d").as("cohort_d"))
+    val m = e.join(f, "user_id")
+      .select($"cohort_d", expr("CAST(datediff(d, cohort_d) DIV 7 AS BIGINT)").as("week_off"),
+        $"user_id")
+      .groupBy($"cohort_d", $"week_off")
+      .agg(countDistinct($"user_id").as("n_active"))
+    val m0 = m.filter($"week_off" === 0)
+      .select($"cohort_d", $"n_active".as("n0"))
+    val r = m.join(m0, Seq("cohort_d"))
+      .select(($"n_active".cast("double") / $"n0").as("retention"), $"week_off")
+      .filter($"retention" > 0)
+    r.agg(count(lit(1)).cast("long").as("n_points"),
+      RelationalCore.stat(expr("regr_slope(ln(retention), week_off)")).as("weekly_log_decay"),
+      RelationalCore.stat(expr("regr_intercept(ln(retention), week_off)")).as("log_intercept"),
+      RelationalCore.stat(expr("regr_r2(ln(retention), week_off)")).as("r2"))
+  }
 
   /** Time-spine GAP DETECTION: generate the expected hourly spine per
     * event_type from its own [min, max] activity range (`sequence` +

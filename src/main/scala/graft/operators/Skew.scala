@@ -58,5 +58,56 @@ object Skew {
       .orderBy($"o_orderpriority")
   }
 
-  def all: Seq[GraftQuery] = Seq(q70SaltedJoin)
+  /** JOIN-KEY SKEW REPORT — the detector that decides when q70's salting
+    * (or AQE's skew split) is worth paying for: per candidate shuffle key,
+    * the key-frequency distribution summarized as cardinality, max/mean
+    * ratio (the straggler factor — how much slower the hottest reducer
+    * runs than the average), top-key share, and p99/p50 of per-key counts.
+    * Exact integer counts; percentiles via the same `percentile` ≡
+    * `quantile_cont` identity as q27.
+    *
+    * 100 TB plan: one hash-agg per audited key (map-side combined) and a
+    * constant-size summary each — the report costs one scan per key
+    * column and is exactly what a shuffle planner consumes. */
+  val q256SkewReport: GraftQuery = GraftQuery.oracled(
+    "q256_skew_report",
+    """WITH lo AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+      |lp AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+      |oc AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT 'lineitem.l_orderkey' AS key_col, CAST(count(*) AS BIGINT) AS n_keys,
+      |         CAST(max(n) AS BIGINT) AS max_n,
+      |         round(max(n) / avg(n), 4) AS straggler_factor,
+      |         round(max(n) * 1.0 / sum(n), 6) AS top_share,
+      |         round(quantile_cont(n, 0.99) / quantile_cont(n, 0.50), 4) AS p99_over_p50
+      |  FROM lo
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey', CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT),
+      |         round(max(n) / avg(n), 4), round(max(n) * 1.0 / sum(n), 6),
+      |         round(quantile_cont(n, 0.99) / quantile_cont(n, 0.50), 4)
+      |  FROM lp
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey', CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT),
+      |         round(max(n) / avg(n), 4), round(max(n) * 1.0 / sum(n), 6),
+      |         round(quantile_cont(n, 0.99) / quantile_cont(n, 0.50), 4)
+      |  FROM oc)
+      |SELECT * FROM s ORDER BY key_col""") { (spark, dir) =>
+    import spark.implicits._
+    def report(df: org.apache.spark.sql.DataFrame, keyCol: String, label: String) =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          max($"n").cast("long").as("max_n"),
+          round(max($"n") / avg($"n"), 4).as("straggler_factor"),
+          round(max($"n") * lit(1.0) / sum($"n"), 6).as("top_share"),
+          round(expr("percentile(n, 0.99)") / expr("percentile(n, 0.50)"), 4).as("p99_over_p50"))
+        .select(lit(label).as("key_col"), $"n_keys", $"max_n",
+          $"straggler_factor", $"top_share", $"p99_over_p50")
+    val li = Tables.lineitem(spark, dir)
+    report(li, "l_orderkey", "lineitem.l_orderkey")
+      .unionAll(report(li, "l_partkey", "lineitem.l_partkey"))
+      .unionAll(report(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
+      .orderBy($"key_col")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q70SaltedJoin, q256SkewReport)
 }
