@@ -235,6 +235,51 @@ object Chunking {
       .orderBy($"doc_id")
   }
 
+  /** Per-document N-GRAM NOVELTY: the share of a doc's 8-grams that occur
+    * in NO other document — the memorization-risk / content-originality
+    * score (a doc whose grams all appear elsewhere is boilerplate or a
+    * near-copy; q199 locates the shared SPANS, this scores each doc).
+    * Novelty in exact ppm (integer floor), so no float boundary exists.
+    *
+    * 100 TB plan: same skeleton as q199 — gram-hash census (one hash-agg,
+    * map-side combined), semi-join back, per-doc count; the gram table is
+    * the only row-scale object and it never pairs with itself. */
+  val q259NgramNovelty: GraftQuery = GraftQuery.oracled(
+    "q259_ngram_novelty",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |           WHERE len(string_split(text, ' ')) >= $GramK),
+       |g AS (SELECT doc_id,
+       |             md5(array_to_string(w[p + 1:p + $GramK], ' ')) AS gh
+       |      FROM d, UNNEST(generate_series(0, len(w) - $GramK, 1)) AS t(p)),
+       |df AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh),
+       |sc AS (SELECT g.doc_id,
+       |              count(*) AS n_grams,
+       |              sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS n_novel
+       |       FROM g JOIN df USING (gh)
+       |       GROUP BY g.doc_id)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |       CAST(n_novel AS BIGINT) AS n_novel,
+       |       CAST(n_novel * 1000000 // n_grams AS BIGINT) AS novelty_ppm
+       |FROM sc
+       |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= GramK)
+      .select($"doc_id", explode(
+        transform(sequence(lit(0), size($"w") - GramK),
+          p => md5(concat_ws(" ", slice($"w", p + 1, lit(GramK)))))).as("gh"))
+    val df = g.groupBy($"gh").agg(countDistinct($"doc_id").as("nd"))
+    g.join(df, Seq("gh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"nd" === 1, 1).otherwise(0)).as("n_novel"))
+      .select($"doc_id", $"n_grams".cast("long").as("n_grams"),
+        $"n_novel".cast("long").as("n_novel"),
+        expr("CAST(n_novel * 1000000 DIV n_grams AS BIGINT)").as("novelty_ppm"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(q197RagChunks, q199GramSpanDedup,
-    q203PrefixJaccardJoin, q215Winnowing)
+    q203PrefixJaccardJoin, q215Winnowing, q259NgramNovelty)
 }

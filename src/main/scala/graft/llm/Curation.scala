@@ -333,7 +333,83 @@ object Curation {
       .orderBy($"source", $"rk")
   }
 
+  /** PACKING-EFFICIENCY report: if every document were padded alone to the
+    * next multiple of B (the no-concat batching policy), how much of the
+    * batch is padding — evaluated at B ∈ {128, 256, 512}. The cost model
+    * that justifies q137's concat-packing: efficiency = Σn / Σ⌈n/B⌉·B,
+    * exact integers until the final ratio.
+    *
+    * 100 TB plan: one token-count projection feeds three constant-size
+    * aggregates — a single scan regardless of how many candidate Bs are
+    * evaluated. */
+  val q260PackingEfficiency: GraftQuery = GraftQuery.oracled(
+    "q260_packing_efficiency",
+    """WITH d AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+      |e AS (
+      |  SELECT 128 AS bucket, count(*) AS n_docs, sum(n) AS toks,
+      |         sum(((n + 127) // 128) * 128) AS padded FROM d
+      |  UNION ALL
+      |  SELECT 256, count(*), sum(n), sum(((n + 255) // 256) * 256) FROM d
+      |  UNION ALL
+      |  SELECT 512, count(*), sum(n), sum(((n + 511) // 512) * 512) FROM d)
+      |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(toks AS BIGINT) AS total_tokens,
+      |       CAST(padded AS BIGINT) AS padded_tokens,
+      |       round(toks * 1.0 / padded, 4) AS efficiency
+      |FROM e ORDER BY bucket""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select(size(split($"text", " ")).cast("long").as("n"))
+    def at(b: Int) = d.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum($"n").cast("long").as("total_tokens"),
+      sum(expr(s"((n + ${b - 1}) DIV $b) * $b")).cast("long").as("padded_tokens"))
+      .select(lit(b).as("bucket"), $"n_docs", $"total_tokens", $"padded_tokens",
+        round($"total_tokens" * lit(1.0) / $"padded_tokens", 4).as("efficiency"))
+    at(128).unionAll(at(256)).unionAll(at(512)).orderBy($"bucket")
+  }
+
+  /** OOV-RATE audit against a reference vocabulary: the corpus's own
+    * top-1000 tokens (by count, tie-broken lexically) stand in for the
+    * tokenizer vocab, and each source is scored by the share of its token
+    * OCCURRENCES falling outside it — the coverage check run before
+    * committing a tokenizer to a data mix. Exact integer counts; rate in
+    * exact ppm.
+    *
+    * 100 TB plan: vocab derives from the global token census (one
+    * hash-agg + a bounded top-k) and BROADCASTS; each source's score is a
+    * map-side membership test + one grouped agg. */
+  val q261OovRate: GraftQuery = GraftQuery.oracled(
+    "q261_oov_rate",
+    """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |tc AS (SELECT tok, count(*) AS c FROM t WHERE tok <> '' GROUP BY tok),
+      |v AS (SELECT tok FROM tc ORDER BY c DESC, tok LIMIT 1000),
+      |s AS (SELECT t.source,
+      |             count(*) AS n_occ,
+      |             sum(CASE WHEN t.tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS n_oov
+      |      FROM t WHERE t.tok <> ''
+      |      GROUP BY t.source)
+      |SELECT source, CAST(n_occ AS BIGINT) AS n_occ, CAST(n_oov AS BIGINT) AS n_oov,
+      |       CAST(n_oov * 1000000 // n_occ AS BIGINT) AS oov_ppm
+      |FROM s ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+    val v = t.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(1000).select($"tok", lit(1).as("in_v"))
+    t.join(broadcast(v), Seq("tok"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when($"in_v".isNull, 1).otherwise(0)).as("n_oov"))
+      .select($"source", $"n_occ".cast("long").as("n_occ"),
+        $"n_oov".cast("long").as("n_oov"),
+        expr("CAST(n_oov * 1000000 DIV n_occ AS BIGINT)").as("oov_ppm"))
+      .orderBy($"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing,
-    q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir)
+    q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
+    q260PackingEfficiency, q261OovRate)
 }
