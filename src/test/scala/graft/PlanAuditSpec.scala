@@ -16,12 +16,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q197_rag_chunks", "q199_gram_span_dedup", "q203_prefix_jaccard_join",
     "q200_session_window_batch", "q201_map_hofs", "q202_ewma_micro",
     "q207_label_propagation", "q210_twap", "q211_bigram_lm",
-    "q212_batch_merge", "q198_recursive_cte")
+    "q212_batch_merge", "q198_recursive_cte",
+    // round 5: every join-shaped newcomer
+    "q228_kcore", "q229_geo_nn_grid", "q231_semantic_dedup",
+    "q241_mutual_info", "q242_js_divergence", "q244_seasonal_decompose",
+    "q245_snapshot_diff", "q248_cuped", "q252_spine_gaps",
+    "q254_pmi_collocations", "q255_incremental_sessions",
+    "q258_retention_decay", "q259_ngram_novelty", "q261_oov_rate")
 
-  // q211 broadcast-crossjoins a ONE-ROW aggregate (the scalar vocab size) —
-  // the standard scalar-broadcast pattern, bounded by construction; its
-  // BNLJ build side can never grow with the data.
-  private val scalarBroadcastExempt = Set("q211_bigram_lm")
+  // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
+  // vocab size) — the standard scalar-broadcast pattern, bounded by
+  // construction; the BNLJ build side can never grow with the data.
+  private val scalarBroadcastExempt = Set(
+    "q211_bigram_lm", "q241_mutual_info", "q242_js_divergence",
+    "q248_cuped", "q254_pmi_collocations")
 
   test("audited queries plan no cartesian product and no broadcast nested loop") {
     for (name <- audited) {
