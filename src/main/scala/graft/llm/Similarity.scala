@@ -513,8 +513,45 @@ object Similarity {
         .orderBy($"cluster_key")
   }
 
+  /** KMeans ELBOW curve: training cost (WSSSE) at k ∈ {2, 4, 8, 16} — the
+    * model-selection sweep behind every q117/q231-style clustering choice.
+    * The four fits are independent and run CONCURRENTLY from submitter
+    * threads (q140's codebook play) over one persisted feature frame.
+    * rows-only (float-iterative); LlmOpsSpec gates the defining law —
+    * cost is non-increasing in k — plus seeded determinism.
+    *
+    * 100 TB plan: each fit is a handful of treeAggregate rounds over the
+    * SAME cached vectors; the sweep costs max(fit), not Σ(fit), and only
+    * k×64 centroids ever reach the driver. */
+  val q262KmeansElbow: GraftQuery = GraftQuery.rowsOnly(
+    "q262_kmeans_elbow",
+    doc = "KMeans cost sweep k in {2,4,8,16}, seed 42: (k, wssse, n) — elbow input; concurrent fits") { (spark, dir) =>
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(array_to_vector($"embedding").as("features"))
+      .persist()
+    val n = vecs.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val ks = Seq(2, 4, 8, 16)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows =
+      try Await.result(Future.sequence(ks.map { k => Future {
+        val m = new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(42).setMaxIter(20).setFeaturesCol("features")
+          .fit(vecs)
+        (k, m.summary.trainingCost)
+      } }), Duration.Inf)
+      finally { vecs.unpersist(); pool.shutdown() }
+    rows.toDF("k", "wssse")
+      .select($"k", stat($"wssse").as("wssse"), lit(n).as("n_vectors"))
+      .orderBy($"k")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
-      q231SemanticDedup)
+      q231SemanticDedup, q262KmeansElbow)
 }

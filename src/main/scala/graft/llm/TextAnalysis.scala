@@ -596,7 +596,49 @@ object TextAnalysis {
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
-    q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations)
+    q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations,
+    q263SourceJaccardMatrix)
+
+  /** Source-level token-SET Jaccard matrix: |A∩B| / |A∪B| for every source
+    * pair — q242's JS divergence compares DISTRIBUTIONS, this compares
+    * vocabularies (which sources use the same words at all); together they
+    * are the mixing dashboard. Pairs come from joining the (token, source)
+    * census with itself ON TOKEN — never a source×source×vocab blowup —
+    * and union sizes derive by inclusion–exclusion from per-source
+    * distinct counts. All-integer until the final ratio (ppm).
+    *
+    * 100 TB plan: the census is one hash-agg; the token-keyed self-join
+    * emits only co-occurring (src_a, src_b, token) triples; per-source
+    * sizes broadcast. Nothing scans the corpus twice. */
+  val q263SourceJaccardMatrix: GraftQuery = GraftQuery.oracled(
+    "q263_source_jaccard_matrix",
+    """WITH t AS (SELECT DISTINCT source, tok FROM (
+      |             SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      |             FROM documents) WHERE tok <> ''),
+      |sz AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+      |ix AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
+      |       FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+      |       GROUP BY 1, 2)
+      |SELECT ix.sa, ix.sb, CAST(ix.n_common AS BIGINT) AS n_common,
+      |       CAST(ix.n_common * 1000000 // (za.n + zb.n - ix.n_common) AS BIGINT) AS jaccard_ppm
+      |FROM ix JOIN sz za ON ix.sa = za.source JOIN sz zb ON ix.sb = zb.source
+      |ORDER BY ix.sa, ix.sb""") { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .distinct()
+    val sz = t.groupBy($"source").agg(count(lit(1)).as("n"))
+    val ix = t.toDF("sa", "tok")
+      .join(t.toDF("sb", "tok"), Seq("tok"))
+      .filter($"sa" < $"sb")
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_common"))
+    ix.join(broadcast(sz.toDF("sa", "na")), Seq("sa"))
+      .join(broadcast(sz.toDF("sb", "nb")), Seq("sb"))
+      .select($"sa", $"sb", $"n_common".cast("long").as("n_common"),
+        expr("CAST(n_common * 1000000 DIV (na + nb - n_common) AS BIGINT)").as("jaccard_ppm"))
+      .orderBy($"sa", $"sb")
+  }
 
   /** PMI COLLOCATION mining: rank adjacent word pairs by pointwise mutual
     * information ln(p(ab)/(p(a)·p(b))) — the classic "New York"-detector

@@ -222,6 +222,18 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(census.forall(r => r.getLong(1) == r.getLong(2) + r.getLong(3)))
   }
 
+  test("KMeans elbow: cost is non-increasing in k; sweep is seeded-deterministic") {
+    import spark.implicits._
+    val a = Similarity.q262KmeansElbow.fn(spark, sf).collect()
+    assert(a.map(_.getInt(0)).toSeq === Seq(2, 4, 8, 16))
+    val costs = a.map(_.getDouble(1))
+    assert(costs.forall(_ >= 0.0))
+    assert(costs.sliding(2).forall { case Array(x, y) => y <= x + 1e-6; case _ => true },
+      s"WSSSE must be non-increasing in k: ${costs.toSeq}")
+    val b = Similarity.q262KmeansElbow.fn(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "seeded elbow sweep must be deterministic")
+  }
+
   test("brute-force kNN: neighbors are the true top-5 by cosine") {
     import spark.implicits._
     val knn = Similarity.q48KnnBruteForce.fn(spark, sf)

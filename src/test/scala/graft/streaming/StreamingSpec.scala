@@ -130,6 +130,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"state not restored across restart: $result")
   }
 
+  test("file sink exactly-once: restart from the same checkpoint re-emits nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-eo").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    def run(): Unit = {
+      val q = StreamingQueries.eventsStream(spark, sf)
+        .select($"event_id", $"event_type")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === graft.sources.Tables.events(spark, sf).count())
+    // second run, same checkpoint, same input: the committed batch must
+    // NOT replay — the file manifest is the exactly-once ledger
+    run()
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 === n1, s"restart duplicated output: $n1 -> $n2")
+  }
+
   test("foreachBatch sink: every microbatch lands, totals match the source") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-feb").toString
