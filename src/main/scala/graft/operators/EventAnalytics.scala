@@ -934,7 +934,119 @@ object EventAnalytics {
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
     q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose,
-    q252SpineGaps, q257Interarrival, q258RetentionDecay)
+    q252SpineGaps, q257Interarrival, q258RetentionDecay, q265WindowedFunnel,
+    q266JourneyRegex)
+
+  /** TIME-WINDOWED funnel — q141's strict-order funnel with a conversion
+    * DEADLINE: click within 1 h of first view, purchase within 1 h of
+    * that click (the marketing attribution window). Each stage is one
+    * min-aggregate after an equi-join on user_id with the window as a
+    * residual bound — never a per-row scan-back.
+    *
+    * 100 TB plan: three hash-aggs and two user-keyed joins, all on the
+    * same key — one logical partitioning reused end to end (q141's
+    * property, with deadlines). */
+  val q265WindowedFunnel: GraftQuery = GraftQuery.oracled(
+    "q265_windowed_funnel",
+    """WITH v AS (SELECT user_id, min(date_trunc('microseconds', ts)) AS vt
+      |           FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(date_trunc('microseconds', e.ts)) AS ct
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click'
+      |        AND date_trunc('microseconds', e.ts) > v.vt
+      |        AND date_trunc('microseconds', e.ts) <= v.vt + INTERVAL 1 HOUR
+      |      GROUP BY 1),
+      |p AS (SELECT e.user_id, min(date_trunc('microseconds', e.ts)) AS pt
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase'
+      |        AND date_trunc('microseconds', e.ts) > c.ct
+      |        AND date_trunc('microseconds', e.ts) <= c.ct + INTERVAL 1 HOUR
+      |      GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'view' AS name, (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_users
+      |  UNION ALL SELECT 2, 'click_1h', (SELECT CAST(count(*) AS BIGINT) FROM c)
+      |  UNION ALL SELECT 3, 'purchase_1h', (SELECT CAST(count(*) AS BIGINT) FROM p))
+      |ORDER BY stage""") { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("vt"))
+    val c = ev.filter($"event_type" === "click").as("e")
+      .join(v, Seq("user_id"))
+      .filter($"ts" > $"vt" && $"ts" <= $"vt" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"user_id").agg(min($"ts").as("ct"))
+    val p = ev.filter($"event_type" === "purchase").as("e")
+      .join(c, Seq("user_id"))
+      .filter($"ts" > $"ct" && $"ts" <= $"ct" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"user_id").agg(min($"ts").as("pt"))
+    def stage(i: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(i).as("stage"), lit(name).as("name"), $"n_users")
+    stage(1, "view", v).unionAll(stage(2, "click_1h", c))
+      .unionAll(stage(3, "purchase_1h", p))
+      .orderBy($"stage")
+  }
+
+  /** JOURNEY REGEX matching: sessionize (30-min gap), render each session
+    * as an ordered `type>type>…` string (deterministic ordered listagg,
+    * q126's machinery), and classify sessions with a PATTERN — here
+    * "contains view … click … purchase in order" — the mini query
+    * language product analysts actually use for path questions. Census
+    * output plus the top-3 most common journeys per match class.
+    *
+    * 100 TB plan: one user-keyed window sort (sessionize + ordered agg
+    * share it), one hash-agg over sessions, a bounded top-k; the regex
+    * runs once per SESSION, not per event. */
+  val q266JourneyRegex: GraftQuery = GraftQuery.oracled(
+    "q266_journey_regex",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('microseconds', ts) AS ts,
+      |         CASE WHEN epoch_us(date_trunc('microseconds', ts)) -
+      |                   lag(epoch_us(date_trunc('microseconds', ts))) OVER w
+      |                   > 30 * 60 * 1000000 THEN 1
+      |              WHEN lag(event_id) OVER w IS NULL THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, event_id, event_type, ts,
+      |             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM flagged),
+      |j AS (SELECT user_id, sid,
+      |             string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+      |      FROM s GROUP BY user_id, sid),
+      |m AS (SELECT journey,
+      |             CASE WHEN regexp_matches(journey, 'view.*click.*purchase') THEN 1 ELSE 0 END AS matched
+      |      FROM j),
+      |cj AS (SELECT matched, journey, count(*) AS n,
+      |              row_number() OVER (PARTITION BY matched ORDER BY count(*) DESC, journey) AS rk
+      |       FROM m GROUP BY matched, journey)
+      |SELECT matched, CAST(rk AS INT) AS rk, journey, CAST(n AS BIGINT) AS n_sessions
+      |FROM cj WHERE rk <= 3
+      |ORDER BY matched, rk""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_session",
+        when($"prev_us".isNull, 1)
+          .when(unix_micros($"ts") - $"prev_us" > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sid", sum($"new_session").over(wRun))
+    val j = s.groupBy($"user_id", $"sid")
+      .agg(expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)").as("journey"))
+    val m = j.select($"journey",
+      when($"journey".rlike("view.*click.*purchase"), 1).otherwise(0).as("matched"))
+    val wTop = Window.partitionBy($"matched").orderBy($"n".desc, $"journey")
+    m.groupBy($"matched", $"journey").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 3)
+      .select($"matched", $"rk".cast("int").as("rk"), $"journey",
+        $"n".cast("long").as("n_sessions"))
+      .orderBy($"matched", $"rk")
+  }
 
   /** INTER-ARRIVAL time distribution per event_type: lag-deltas in integer
     * microseconds, summarized as p50/p90/p99 gap seconds plus the burst

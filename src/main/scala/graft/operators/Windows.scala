@@ -481,9 +481,83 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** Hourly resample with LINEAR INTERPOLATION — q139's grid, but gaps
+    * fill with the line between the straddling observations instead of a
+    * held value: v(h) = pv + (nv−pv)·(h−ph)/(nh−ph), where (ph, pv) is the
+    * last observation at-or-before h (IGNORE NULLS running frame) and
+    * (nh, nv) the first at-or-after (mirrored frame). Edges clamp to the
+    * nearest observation. EVERYTHING is integer: hour distances are
+    * epoch-µs DIV 3600·10⁶, values scale to cents, and the interpolated
+    * value is the exact integer milli-cent quotient
+    * (pv·(nh−hx) + nv·(hx−ph))·1000 // (nh−ph) — no float rounding
+    * boundary exists anywhere (the q202/q210 exact-arithmetic rule).
+    *
+    * 100 TB plan: identical budget to q139 — one bounded grid explode,
+    * one left join, two frames over the same user_id sort (Spark plans
+    * one Window node per direction, one shuffle total). */
+  val q264LinearInterp: GraftQuery = GraftQuery.oracled(
+    "q264_linear_interp",
+    """WITH e AS (SELECT user_id, event_id, value,
+      |                  date_trunc('hour', date_trunc('microseconds', ts)) AS h
+      |           FROM events),
+      |hourly AS (SELECT user_id, h, arg_max(value, event_id) AS v FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM e GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+      |j AS (SELECT g.user_id, g.h, hv.v,
+      |             epoch_us(g.h) // 3600000000 AS hx
+      |      FROM grid g LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h),
+      |jc AS (SELECT user_id, h, v, hx,
+      |              CASE WHEN v IS NULL THEN NULL
+      |                   ELSE CAST(floor(v * 100 + 0.5) AS BIGINT) END AS vc
+      |       FROM j),
+      |fr AS (SELECT user_id, h, v, hx,
+      |              last_value(vc IGNORE NULLS) OVER wp AS pv,
+      |              last_value(CASE WHEN vc IS NOT NULL THEN hx END IGNORE NULLS) OVER wp AS ph,
+      |              first_value(vc IGNORE NULLS) OVER wn AS nv,
+      |              first_value(CASE WHEN vc IS NOT NULL THEN hx END IGNORE NULLS) OVER wn AS nh
+      |       FROM jc
+      |       WINDOW wp AS (PARTITION BY user_id ORDER BY hx ROWS UNBOUNDED PRECEDING),
+      |              wn AS (PARTITION BY user_id ORDER BY hx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, h,
+      |       CAST(CASE WHEN pv IS NULL THEN nv * 1000
+      |                 WHEN nv IS NULL THEN pv * 1000
+      |                 WHEN nh = ph THEN pv * 1000
+      |                 ELSE (pv * (nh - hx) + nv * (hx - ph)) * 1000 // (nh - ph) END AS BIGINT) AS v_interp_mc,
+      |       CASE WHEN v IS NULL THEN 0 ELSE 1 END AS observed
+      |FROM fr
+      |ORDER BY user_id, h""") { (spark, dir) =>
+    import spark.implicits._
+    val e = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"value", date_trunc("hour", $"ts").as("h"))
+    val hourly = e.groupBy($"user_id", $"h")
+      .agg(max_by($"value", $"event_id").as("v"))
+    val grid = e.groupBy($"user_id").agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select($"user_id", explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("h"))
+    val j = grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("hx", expr("unix_micros(h) DIV 3600000000"))
+      .withColumn("vc", when($"v".isNotNull, floor($"v" * 100 + 0.5).cast("long")))
+    val wp = Window.partitionBy($"user_id").orderBy($"hx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy($"user_id").orderBy($"hx")
+      .rowsBetween(0, Window.unboundedFollowing)
+    j.select($"user_id", $"h", $"v", $"hx",
+        last($"vc", ignoreNulls = true).over(wp).as("pv"),
+        last(when($"vc".isNotNull, $"hx"), ignoreNulls = true).over(wp).as("ph"),
+        first($"vc", ignoreNulls = true).over(wn).as("nv"),
+        first(when($"vc".isNotNull, $"hx"), ignoreNulls = true).over(wn).as("nh"))
+      .select($"user_id", $"h",
+        when($"pv".isNull, $"nv" * 1000)
+          .when($"nv".isNull, $"pv" * 1000)
+          .when($"nh" === $"ph", $"pv" * 1000)
+          .otherwise(expr("(pv * (nh - hx) + nv * (hx - ph)) * 1000 DIV (nh - ph)"))
+          .cast("long").as("v_interp_mc"),
+        when($"v".isNull, 0).otherwise(1).as("observed"))
+      .orderBy($"user_id", $"h")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
     q35RangeFrame, q36RankFamily, q97RankTwoPhase, q139ResampleFfill,
     q190NthValue, q200SessionWindowBatch, q218TopkNative,
-    q219SessionDynamicGap, q255IncrementalSessions)
+    q219SessionDynamicGap, q255IncrementalSessions, q264LinearInterp)
 }
