@@ -550,8 +550,47 @@ object Similarity {
       .orderBy($"k")
   }
 
+  /** LABEL-CENTROID cosine matrix: mean embedding per class, then the
+    * 10×10 upper triangle of centroid cosines — the "which classes are
+    * embedding-confusable" diagnostic run before training a classifier on
+    * the space (high centroid cosine ⇒ expect confusion, q57's matrix).
+    * Fully relational: explode to (label, dim, x), one hash-agg to the
+    * 10×64 centroid table, one dim-keyed self-join for dots — so it is
+    * exactly DuckDB-oracle-able, unlike vector-API formulations.
+    *
+    * 100 TB plan: the explode is the only row-scale stage and it feeds a
+    * map-side-combined avg; everything after operates on 640 rows. */
+  val q269LabelCentroids: GraftQuery = GraftQuery.oracled(
+    "q269_label_centroids",
+    """WITH t AS (SELECT label, g.dim, CAST(embedding[g.dim] AS DOUBLE) AS x
+      |           FROM embeddings, UNNEST(generate_series(1, 64)) AS g(dim)),
+      |c AS (SELECT label, dim, avg(x) AS m FROM t GROUP BY 1, 2),
+      |n AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM c GROUP BY label),
+      |d AS (SELECT a.label AS la, b.label AS lb, sum(a.m * b.m) AS dot
+      |      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      |      GROUP BY 1, 2)
+      |SELECT d.la, d.lb, round(d.dot / (na.nrm * nb.nrm), 4) AS cos
+      |FROM d JOIN n na ON d.la = na.label JOIN n nb ON d.lb = nb.label
+      |ORDER BY d.la, d.lb""") { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding"))
+      .toDF("label", "dim0", "x")
+      .select($"label", ($"dim0" + 1).as("dim"), $"x".cast("double").as("x"))
+    val c = t.groupBy($"label", $"dim").agg(avg($"x").as("m"))
+    val n = c.groupBy($"label").agg(sqrt(sum($"m" * $"m")).as("nrm"))
+    val d = c.toDF("la", "dim", "ma")
+      .join(c.toDF("lb", "dim", "mb"), Seq("dim"))
+      .filter($"la" < $"lb")
+      .groupBy($"la", $"lb").agg(sum($"ma" * $"mb").as("dot"))
+    d.join(broadcast(n.toDF("la", "na")), Seq("la"))
+      .join(broadcast(n.toDF("lb", "nb")), Seq("lb"))
+      .select($"la", $"lb", round($"dot" / ($"na" * $"nb"), 4).as("cos"))
+      .orderBy($"la", $"lb")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
-      q231SemanticDedup, q262KmeansElbow)
+      q231SemanticDedup, q262KmeansElbow, q269LabelCentroids)
 }

@@ -935,7 +935,49 @@ object EventAnalytics {
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
     q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose,
     q252SpineGaps, q257Interarrival, q258RetentionDecay, q265WindowedFunnel,
-    q266JourneyRegex)
+    q266JourneyRegex, q268RollingDistinctBitmask)
+
+  /** EXACT rolling distinct over a SMALL domain via bitmasks: each
+    * (user, day) folds its event types into a 5-bit mask (bit k ⇔ type k
+    * seen), and the trailing-7-day distinct-type count is bit_count of the
+    * OR over the day window — exact, mergeable, constant-size state. The
+    * small-domain exact complement to q145's HLL rolling actives
+    * (cardinality-unbounded, approximate): same plan shape, different
+    * accumulator. OR-of-masks is the q150 bitmap-distinct trick carried
+    * into a sliding window.
+    *
+    * 100 TB plan: one hash-agg to user-days (mask partial-aggregates
+    * map-side via bit_or), one user-keyed RANGE window over days —
+    * per-row state is one BIGINT regardless of volume. */
+  val q268RollingDistinctBitmask: GraftQuery = GraftQuery.oracled(
+    "q268_rolling_distinct_bitmask",
+    """WITH d AS (
+      |  SELECT user_id,
+      |         CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d,
+      |         bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |                WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END) AS mask
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, d,
+      |       CAST(bit_count(bit_or(mask) OVER (
+      |         PARTITION BY user_id ORDER BY d
+      |         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)) AS INT) AS distinct_types_7d
+      |FROM d
+      |ORDER BY user_id, d""") { (spark, dir) =>
+    Tables.views(spark, dir)
+    spark.sql(
+      """WITH d AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |                WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END) AS mask
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d,
+        |       CAST(bit_count(bit_or(mask) OVER (
+        |         PARTITION BY user_id ORDER BY d
+        |         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)) AS INT) AS distinct_types_7d
+        |FROM d
+        |ORDER BY user_id, d""".stripMargin)
+  }
 
   /** TIME-WINDOWED funnel — q141's strict-order funnel with a conversion
     * DEADLINE: click within 1 h of first view, purchase within 1 h of

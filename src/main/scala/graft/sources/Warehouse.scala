@@ -284,6 +284,41 @@ object Warehouse {
       .orderBy($"change_type")
   }
 
+  /** Shuffle-free AGGREGATION on a bucketed table — the layout dividend
+    * q194 collects for joins, collected for GROUP BY: hash-aggregating on
+    * the bucket key requires `ClusteredDistribution(key)`, which the
+    * bucketed scan already provides, so the plan has ZERO ShuffleExchange
+    * (asserted in-query). At 100 TB this turns the daily
+    * "aggregate-by-entity" batch from a full-network shuffle into pure
+    * map-side work.
+    *
+    * Note the partial/final agg pair still appears (Spark keeps the
+    * two-phase shape), but both phases run in the same task — nothing
+    * crosses the wire. */
+  val q267BucketedAgg: GraftQuery = GraftQuery.oracled(
+    "q267_bucketed_agg",
+    """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey
+      |LIMIT 100""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey")
+      .option("path", writeDir("b_li_agg")).saveAsTable("graft_b_li_agg")
+    val agg = spark.table("graft_b_li_agg")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).cast("long").as("cents"))
+    val exchanges = agg.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    require(exchanges.isEmpty,
+      s"bucketed aggregation must be shuffle-free, found ${exchanges.size} exchange(s)")
+    agg.orderBy($"l_orderkey").limit(100)
+  }
+
   def all: Seq[GraftQuery] = Seq(q194BucketedJoin, q195DppPrune,
-    q196DynamicOverwrite, q212BatchMerge, q245SnapshotDiff)
+    q196DynamicOverwrite, q212BatchMerge, q245SnapshotDiff, q267BucketedAgg)
 }
