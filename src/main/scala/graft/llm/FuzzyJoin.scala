@@ -81,5 +81,54 @@ object FuzzyJoin {
       .unionByName(pairs.select($"name_b".as("s"), $"name_a".as("t")))
   }
 
-  def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin)
+  /** ENTITY RESOLUTION capstone: lossless ED-1 blocking (q160's deletion
+    * neighborhoods — never a name×name cross join) generates candidate
+    * record pairs, names map back to customer KEYS, and transitive closure
+    * via large-star/small-star (q109's O(log n) machinery — ED-1 digit
+    * chains make components with diameter in the HUNDREDS, exactly the
+    * adversarial case plain label propagation's round cap rejects) merges
+    * records into entities. Output: every multi-record entity with its
+    * canonical (min) key and size — the dedup-before-join step of every
+    * MDM / customer-360 pipeline. The DuckDB oracle re-derives the same
+    * clusters with a recursive CTE over the identical pair rule.
+    *
+    * 100 TB plan: blocking emits O(Σ name-length) variants, the pair join
+    * is keyed on the variant, and the closure rounds are edge-join +
+    * groupBy-min — no stage is quadratic in records. */
+  val q270EntityResolution: GraftQuery = GraftQuery.oracled(
+    "q270_entity_resolution",
+    """WITH RECURSIVE
+      |v AS (SELECT DISTINCT c_name FROM customer ORDER BY c_name LIMIT 2000),
+      |vk AS (SELECT c.c_custkey AS k, c.c_name FROM customer c JOIN v ON c.c_name = v.c_name),
+      |p AS (SELECT a.k AS ka, b.k AS kb
+      |      FROM vk a, vk b
+      |      WHERE a.c_name < b.c_name
+      |        AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |        AND levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (SELECT ka AS src, kb AS dst FROM p UNION ALL SELECT kb, ka FROM p),
+      |reach AS (
+      |  SELECT k AS id, k AS lbl FROM vk
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id, min(lbl) AS entity_id FROM reach GROUP BY id)
+      |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records
+      |FROM lab GROUP BY entity_id HAVING count(*) >= 2
+      |ORDER BY entity_id""") { (spark, dir) =>
+    import spark.implicits._
+    val vk = Tables.customer(spark, dir)
+      .join(nameVocab(spark, dir), Seq("c_name"))
+      .select($"c_name", $"c_custkey".as("k"))
+    val namePairs = q160EditDistanceJoin.fn(spark, dir)
+    val keyPairs = namePairs
+      .join(vk.toDF("c_name", "ka"), $"name_a" === $"c_name").drop("c_name")
+      .join(vk.toDF("c_name", "kb"), $"name_b" === $"c_name").drop("c_name")
+      .select($"ka", $"kb")
+    Dedup.starComponents(vk.select($"k"), keyPairs)._1
+      .groupBy($"lbl".as("entity_id"))
+      .agg(count(lit(1)).cast("long").as("n_records"))
+      .filter($"n_records" >= 2)
+      .orderBy($"entity_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution)
 }

@@ -785,9 +785,107 @@ object Eda {
       .orderBy($"arm")
   }
 
+  /** LORENZ CONCENTRATION table — the curve q222's Gini integrates,
+    * materialized as revenue deciles: customers ranked by lifetime spend
+    * (exact cents, unique tie-break), cut into ntile(10), each decile
+    * reporting its exact cents and the cumulative share in ppm. "The top
+    * decile holds X% of revenue" — whale analysis, exactly.
+    *
+    * 100 TB plan: one per-customer rollup, one global sort of the
+    * (customer-sized, not order-sized) rollup for ntile, constant-size
+    * output; at extreme customer counts the decile cut swaps for approx
+    * quantile boundaries (q97's two-phase trick) with the same output
+    * contract. */
+  val q271LorenzDeciles: GraftQuery = GraftQuery.oracled(
+    "q271_lorenz_deciles",
+    """WITH c AS (SELECT o_custkey,
+      |                  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      |           FROM orders GROUP BY 1),
+      |d AS (SELECT o_custkey, cents,
+      |             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      |      FROM c),
+      |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+      |             CAST(sum(cents) AS BIGINT) AS cents
+      |      FROM d GROUP BY decile),
+      |t AS (SELECT sum(cents) AS total FROM g)
+      |SELECT decile, n_customers, cents,
+      |       CAST(sum(cents) OVER (ORDER BY decile) * 1000000 // t.total AS BIGINT) AS cum_share_ppm
+      |FROM g, t
+      |ORDER BY decile""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
+    val d = c.withColumn("decile",
+      ntile(10).over(Window.orderBy($"cents", $"o_custkey")))
+    val g = d.groupBy($"decile")
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum($"cents").cast("long").as("cents"))
+    val t = g.agg(sum($"cents").as("total"))
+    g.crossJoin(broadcast(t))
+      .withColumn("cum", sum($"cents").over(
+        Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"decile", $"n_customers", $"cents",
+        expr("CAST(cum * 1000000 DIV total AS BIGINT)").as("cum_share_ppm"))
+      .orderBy($"decile")
+  }
+
+  /** CUSUM change-point detection, exact-integer form: for each event
+    * type's cents series (ordered by time), the scaled deviation
+    * T_t = n·cumsum_t − t·total is BIGINT-exact (multiplying the usual
+    * cumsum-minus-running-mean through by n removes the division), and
+    * the change point is argmax |T_t| with the earliest-position
+    * tie-break — where the series' level most decisively shifts. No float
+    * exists anywhere in the statistic.
+    *
+    * 100 TB plan: one window sort per type (shared by the cumsum and the
+    * position), one broadcast of per-type (n, total), one bounded argmax. */
+  val q272CusumChangepoint: GraftQuery = GraftQuery.oracled(
+    "q272_cusum_changepoint",
+    """WITH e AS (SELECT event_type, event_id,
+      |                  date_trunc('microseconds', ts) AS ts,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM events),
+      |t AS (SELECT event_type, count(*) AS n, sum(cents) AS total FROM e GROUP BY 1),
+      |c AS (SELECT e.event_type, e.event_id, e.ts, t.n,
+      |             CAST(row_number() OVER w AS BIGINT) AS pos,
+      |             t.n * sum(e.cents) OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+      |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |               - CAST(row_number() OVER w AS BIGINT) * t.total AS tt
+      |      FROM e JOIN t USING (event_type)
+      |      WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id)),
+      |r AS (SELECT event_type, pos, ts, tt, n,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY abs(tt) DESC, pos) AS rk
+      |      FROM c)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, pos AS change_pos, ts AS change_ts,
+      |       CAST(abs(tt) AS BIGINT) AS max_abs_scaled
+      |FROM r WHERE rk = 1
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"ts",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    val t = e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("total"))
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = e.join(broadcast(t), Seq("event_type"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("tt", $"n" * sum($"cents").over(wRun) - $"pos" * $"total")
+    c.withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy(abs($"tt").desc, $"pos")))
+      .filter($"rk" === 1)
+      .select($"event_type", $"n".cast("long").as("n"), $"pos".as("change_pos"),
+        $"ts".as("change_ts"), abs($"tt").cast("long").as("max_abs_scaled"))
+      .orderBy($"event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
     q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,
-    q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo, q248Cuped)
+    q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo, q248Cuped,
+    q271LorenzDeciles, q272CusumChangepoint)
 }
