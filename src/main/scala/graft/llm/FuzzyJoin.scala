@@ -130,5 +130,58 @@ object FuzzyJoin {
       .orderBy($"entity_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution)
+  /** GOLDEN-RECORD survivorship — MDM step two after q270's closure:
+    * within each resolved entity, one surviving record is assembled by
+    * per-attribute rules (canonical key = min; balance = max — "most
+    * complete wins"; nation = the min-key record's — "master source
+    * wins"). Every rule is an argmin/argmax with a deterministic
+    * tie-break, so the merged master table is exactly oracle-able.
+    *
+    * 100 TB plan: the closure labels join the records once (key-keyed),
+    * then one hash-agg with min/max/min_by — no per-entity iteration. */
+  val q275GoldenRecord: GraftQuery = GraftQuery.oracled(
+    "q275_golden_record",
+    """WITH RECURSIVE
+      |v AS (SELECT DISTINCT c_name FROM customer ORDER BY c_name LIMIT 2000),
+      |vk AS (SELECT c.c_custkey AS k, c.c_name, c.c_acctbal, c.c_nationkey
+      |       FROM customer c JOIN v ON c.c_name = v.c_name),
+      |p AS (SELECT a.k AS ka, b.k AS kb
+      |      FROM vk a, vk b
+      |      WHERE a.c_name < b.c_name
+      |        AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |        AND levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (SELECT ka AS src, kb AS dst FROM p UNION ALL SELECT kb, ka FROM p),
+      |reach AS (
+      |  SELECT k AS id, k AS lbl FROM vk
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id, min(lbl) AS entity_id FROM reach GROUP BY id),
+      |m AS (SELECT l.entity_id, vk.k, vk.c_acctbal, vk.c_nationkey
+      |      FROM lab l JOIN vk ON l.id = vk.k)
+      |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+      |       round(max(c_acctbal), 2) AS best_balance,
+      |       CAST(min(c_nationkey) FILTER (WHERE k = entity_id) AS INT) AS master_nation
+      |FROM m GROUP BY entity_id HAVING count(*) >= 2
+      |ORDER BY entity_id""") { (spark, dir) =>
+    import spark.implicits._
+    val vk = Tables.customer(spark, dir)
+      .join(nameVocab(spark, dir), Seq("c_name"))
+      .select($"c_name", $"c_custkey".as("k"), $"c_acctbal", $"c_nationkey")
+    val namePairs = q160EditDistanceJoin.fn(spark, dir)
+    val keyPairs = namePairs
+      .join(vk.select($"c_name", $"k".as("ka")), $"name_a" === $"c_name").drop("c_name")
+      .join(vk.select($"c_name", $"k".as("kb")), $"name_b" === $"c_name").drop("c_name")
+      .select($"ka", $"kb")
+    val labels = Dedup.starComponents(vk.select($"k"), keyPairs)._1
+    labels.join(vk, labels("id") === vk("k"))
+      .groupBy($"lbl".as("entity_id"))
+      .agg(count(lit(1)).cast("long").as("n_records"),
+        graft.operators.RelationalCore.money(max($"c_acctbal")).as("best_balance"),
+        min(when($"k" === $"lbl", $"c_nationkey")).cast("int").as("master_nation"))
+      .filter($"n_records" >= 2)
+      .orderBy($"entity_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution,
+    q275GoldenRecord)
 }

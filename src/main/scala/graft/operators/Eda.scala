@@ -887,5 +887,85 @@ object Eda {
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
     q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,
     q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo, q248Cuped,
-    q271LorenzDeciles, q272CusumChangepoint)
+    q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs)
+
+  /** One-way ANOVA F-statistic across market segments — does segment
+    * membership explain account-balance variance? Completes the catalog's
+    * hypothesis-test family (Welch z q163, χ² q184, KS q227, MI q241)
+    * with the k-group mean comparison. Pure moment algebra: SSB/SSW from
+    * per-group (n, mean, var), F = (SSB/(k−1))/(SSW/(N−k)), stat-rounded.
+    *
+    * 100 TB plan: one map-side-combined moments agg (5 groups) — the
+    * entire test is constant-size after one scan. */
+  val q273AnovaF: GraftQuery = GraftQuery.oracled(
+    "q273_anova_f",
+    """WITH g AS (SELECT c_mktsegment, count(*) AS n, avg(c_acctbal) AS m,
+      |                  var_samp(c_acctbal) AS v
+      |           FROM customer GROUP BY 1),
+      |t AS (SELECT sum(n) AS nn, count(*) AS k,
+      |             sum(n * m) / sum(n) AS gm FROM g),
+      |s AS (SELECT sum(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+      |             sum((g.n - 1) * g.v) AS ssw
+      |      FROM g, t)
+      |SELECT CAST(t.nn AS BIGINT) AS n, CAST(t.k AS BIGINT) AS k,
+      |       round(s.ssb / (t.k - 1), 4) AS msb,
+      |       round(s.ssw / (t.nn - t.k), 4) AS msw,
+      |       round((s.ssb / (t.k - 1)) / (s.ssw / (t.nn - t.k)), 4) AS f_stat
+      |FROM s, t""") { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), avg($"c_acctbal").as("m"),
+        var_samp($"c_acctbal").as("v"))
+    val t = g.agg(sum($"n").as("nn"), count(lit(1)).as("k"),
+      (sum($"n" * $"m") / sum($"n")).as("gm"))
+    val s = g.crossJoin(broadcast(t))
+      .agg(sum($"n" * ($"m" - $"gm") * ($"m" - $"gm")).as("ssb"),
+        sum(($"n" - 1) * $"v").as("ssw"))
+    s.crossJoin(broadcast(t))
+      .select($"nn".cast("long").as("n"), $"k".cast("long").as("k"),
+        RelationalCore.stat($"ssb" / ($"k" - 1)).as("msb"),
+        RelationalCore.stat($"ssw" / ($"nn" - $"k")).as("msw"),
+        RelationalCore.stat(($"ssb" / ($"k" - 1)) / ($"ssw" / ($"nn" - $"k"))).as("f_stat"))
+  }
+
+  /** Numerically-careful aggregate family per order status: GEOMETRIC mean
+    * as exp(avg(ln x)) (the only overflow-safe form at scale), HARMONIC
+    * mean n/Σ(1/x), and LOG-SUM-EXP in the max-shifted stable form
+    * m + ln(Σ exp(x−m)) over log-prices — the softmax denominator
+    * pattern, which naive exp-then-sum would overflow. Identical stable
+    * formulations on both engines.
+    *
+    * 100 TB plan: every piece is an algebraic aggregate over a projection
+    * (the max for LSE broadcasts back, q80's scalar pattern) — two
+    * map-side-combined passes total. */
+  val q274StableAggs: GraftQuery = GraftQuery.oracled(
+    "q274_stable_aggs",
+    """WITH b AS (SELECT o_orderstatus AS s, o_totalprice AS x,
+      |                  ln(o_totalprice) AS lx
+      |           FROM orders WHERE o_totalprice > 0),
+      |mx AS (SELECT s, max(lx) AS m FROM b GROUP BY s)
+      |SELECT b.s,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(exp(avg(b.lx)), 2) AS geo_mean,
+      |       round(count(*) / sum(1.0 / b.x), 2) AS harm_mean,
+      |       round(mx.m + ln(sum(exp(b.lx - mx.m))), 6) AS lse_logprice
+      |FROM b JOIN mx ON b.s = mx.s
+      |GROUP BY b.s, mx.m
+      |ORDER BY b.s""") { (spark, dir) =>
+    import spark.implicits._
+    val b = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 0)
+      .select($"o_orderstatus".as("s"), $"o_totalprice".as("x"),
+        log($"o_totalprice").as("lx"))
+    val mx = b.groupBy($"s").agg(max($"lx").as("m"))
+    b.join(broadcast(mx), Seq("s"))
+      .groupBy($"s", $"m")
+      .agg(count(lit(1)).cast("long").as("n"),
+        RelationalCore.money(exp(avg($"lx"))).as("geo_mean"),
+        RelationalCore.money(count(lit(1)) / sum(lit(1.0) / $"x")).as("harm_mean"),
+        round($"m" + log(sum(exp($"lx" - $"m"))), 6).as("lse_logprice"))
+      .select($"s", $"n", $"geo_mean", $"harm_mean", $"lse_logprice")
+      .orderBy($"s")
+  }
 }
