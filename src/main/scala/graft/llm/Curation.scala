@@ -408,8 +408,59 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** EXACT-PROPORTION stratified train/val/test split: within each stratum
+    * (source), docs are ranked by md5(doc_id) — the q249 random-oracle key
+    * — and cut at EXACT boundaries: first ⌈0.8·n⌉ → train, next ⌈0.1·n⌉ →
+    * val, rest → test. Unlike q101/q102's Bernoulli coins (whose split
+    * sizes are only correct in expectation), the per-stratum counts here
+    * are deterministic integers — the contract eval-set budgeting needs.
+    * The output is the per-(source, split) census plus each split's first
+    * doc (min doc_id) as an auditable witness.
+    *
+    * 100 TB plan: one per-stratum window on the hash key (shuffle keyed on
+    * source; within-stratum sort is the price of EXACT quotas — pay it
+    * only for eval slices, use q102's coin for the 99%-train bulk), then a
+    * map-side-combined census. No driver-side data movement. */
+  val q283ExactStratifiedSplit: GraftQuery = GraftQuery.oracled(
+    "q283_exact_stratified_split",
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |s AS (SELECT source, doc_id,
+      |             CASE WHEN rk <= floor((8 * n + 9) / 10) THEN 'train'
+      |                  WHEN rk <= floor((8 * n + 9) / 10) + floor((n + 9) / 10) THEN 'val'
+      |                  ELSE 'test' END AS split
+      |      FROM r)
+      |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+      |       min(doc_id) AS first_doc
+      |FROM s GROUP BY source, split
+      |ORDER BY source, split""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val wAll = Window.partitionBy($"source")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("split",
+        // integer-safe ceil(0.8n)/ceil(0.1n): (8n+9)/10 is never an exact
+        // integer (8n+9 ≢ 0 mod 10), so double floor can't straddle engines
+        when($"rk" <= floor(($"n" * 8 + 9) / 10), "train")
+          .when($"rk" <= floor(($"n" * 8 + 9) / 10) + floor(($"n" + 9) / 10), "val")
+          .otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"source", $"split")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
-    q260PackingEfficiency, q261OovRate)
+    q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit)
 }

@@ -182,6 +182,100 @@ object FuzzyJoin {
       .orderBy($"entity_id")
   }
 
+  /** FELLEGI–SUNTER probabilistic record linkage (Fellegi & Sunter 1969) —
+    * the MDM scoring step between q160's blocking and q270's closure:
+    * each candidate pair gets a log-likelihood-ratio score
+    * Σ_j ln(m_j/u_j) over agreeing fields + Σ_j ln((1−m_j)/(1−u_j)) over
+    * disagreeing ones. m-probabilities (P(agree | true match)) are pinned
+    * literals (production estimates them by EM); u-probabilities
+    * (P(agree | random pair)) are ESTIMATED FROM THE DATA as the
+    * random-agreement rate Σ_k (n_k/N)² from each field's value census —
+    * exact integer-valued-double algebra, so the oracle reproduces every
+    * weight bit-for-bit. Fields: nation, market segment, and the $100
+    * account-balance band. Classification thresholds apply to the ROUNDED
+    * score so the match/possible/nonmatch label can never flip on float
+    * jitter.
+    *
+    * 100 TB plan: u-estimation is one census agg per field (constant-size
+    * results, broadcast); candidates come from the lossless ED-1 blocking
+    * (never records×records); scoring is a pure projection over the
+    * candidate pairs. The EM refinement loop production adds iterates
+    * over exactly these per-pair agreement vectors — same shuffle shape. */
+  val q282FellegiSunter: GraftQuery = GraftQuery.oracled(
+    "q282_fellegi_sunter",
+    """WITH v AS (SELECT DISTINCT c_name FROM customer ORDER BY c_name LIMIT 2000),
+      |vk AS (SELECT c.c_custkey AS k, c.c_name, c.c_nationkey, c.c_mktsegment,
+      |              CAST(floor(c.c_acctbal / 100) AS BIGINT) AS bal_band
+      |       FROM customer c JOIN v ON c.c_name = v.c_name),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vk),
+      |u1 AS (SELECT sum(cnt * cnt) / (max(nn.n) * max(nn.n)) AS u
+      |       FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM vk GROUP BY c_nationkey) t, nn),
+      |u2 AS (SELECT sum(cnt * cnt) / (max(nn.n) * max(nn.n)) AS u
+      |       FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM vk GROUP BY c_mktsegment) t, nn),
+      |u3 AS (SELECT sum(cnt * cnt) / (max(nn.n) * max(nn.n)) AS u
+      |       FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM vk GROUP BY bal_band) t, nn),
+      |p AS (SELECT a.k AS ka, b.k AS kb,
+      |             CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END AS agree_nation,
+      |             CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS agree_segment,
+      |             CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS agree_balance
+      |      FROM vk a, vk b
+      |      WHERE a.c_name < b.c_name
+      |        AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |        AND levenshtein(a.c_name, b.c_name) <= 1),
+      |s AS (SELECT ka, kb, agree_nation, agree_segment, agree_balance,
+      |             round(
+      |               (CASE WHEN agree_nation = 1 THEN ln(CAST(0.95 AS DOUBLE) / u1.u)
+      |                     ELSE ln(CAST(0.05 AS DOUBLE) / (1 - u1.u)) END)
+      |             + (CASE WHEN agree_segment = 1 THEN ln(CAST(0.9 AS DOUBLE) / u2.u)
+      |                     ELSE ln(CAST(0.1 AS DOUBLE) / (1 - u2.u)) END)
+      |             + (CASE WHEN agree_balance = 1 THEN ln(CAST(0.85 AS DOUBLE) / u3.u)
+      |                     ELSE ln(CAST(0.15 AS DOUBLE) / (1 - u3.u)) END), 4) AS fs_score
+      |      FROM p, u1, u2, u3)
+      |SELECT ka, kb, agree_nation, agree_segment, agree_balance, fs_score,
+      |       CASE WHEN fs_score >= 5 THEN 'match'
+      |            WHEN fs_score >= 0 THEN 'possible'
+      |            ELSE 'nonmatch' END AS cls
+      |FROM s ORDER BY ka, kb""") { (spark, dir) =>
+    import spark.implicits._
+    val vk = Tables.customer(spark, dir)
+      .join(nameVocab(spark, dir), Seq("c_name"))
+      .select($"c_name", $"c_custkey".as("k"), $"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 100).cast("long").as("bal_band"))
+    val nTot = vk.agg(count(lit(1)).cast("double").as("n"))
+    def uRate(keyCol: String, alias: String) =
+      vk.groupBy(col(keyCol)).agg(count(lit(1)).cast("double").as("cnt"))
+        .crossJoin(nTot)
+        .agg((sum($"cnt" * $"cnt") / (max($"n") * max($"n"))).as(alias))
+    val u = uRate("c_nationkey", "u1")
+      .crossJoin(uRate("c_mktsegment", "u2"))
+      .crossJoin(uRate("bal_band", "u3"))
+    val namePairs = q160EditDistanceJoin.fn(spark, dir)
+    val a = vk.select($"c_name".as("name_a"), $"k".as("ka"),
+      $"c_nationkey".as("nat_a"), $"c_mktsegment".as("seg_a"), $"bal_band".as("bal_a"))
+    val b = vk.select($"c_name".as("name_b"), $"k".as("kb"),
+      $"c_nationkey".as("nat_b"), $"c_mktsegment".as("seg_b"), $"bal_band".as("bal_b"))
+    namePairs.join(a, "name_a").join(b, "name_b")
+      .select($"ka", $"kb",
+        when($"nat_a" === $"nat_b", 1).otherwise(0).as("agree_nation"),
+        when($"seg_a" === $"seg_b", 1).otherwise(0).as("agree_segment"),
+        when($"bal_a" === $"bal_b", 1).otherwise(0).as("agree_balance"))
+      .crossJoin(broadcast(u))
+      .withColumn("fs_score", round(
+        when($"agree_nation" === 1, log(lit(0.95) / $"u1"))
+          .otherwise(log(lit(0.05) / (lit(1) - $"u1"))) +
+        when($"agree_segment" === 1, log(lit(0.9) / $"u2"))
+          .otherwise(log(lit(0.1) / (lit(1) - $"u2"))) +
+        when($"agree_balance" === 1, log(lit(0.85) / $"u3"))
+          .otherwise(log(lit(0.15) / (lit(1) - $"u3"))), 4))
+      .withColumn("cls",
+        when($"fs_score" >= 5, "match")
+          .when($"fs_score" >= 0, "possible")
+          .otherwise("nonmatch"))
+      .select($"ka", $"kb", $"agree_nation", $"agree_segment", $"agree_balance",
+        $"fs_score", $"cls")
+      .orderBy($"ka", $"kb")
+  }
+
   def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution,
-    q275GoldenRecord)
+    q275GoldenRecord, q282FellegiSunter)
 }

@@ -106,5 +106,107 @@ object Search {
       .orderBy($"doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(q159Bm25, q166BooleanRetrieval)
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009): the
+    * standard hybrid-retrieval combiner — each ranker contributes
+    * 1/(60 + rank), which rewards agreement near the top without needing
+    * score calibration across models. Fused here: BM25 (q159's exact
+    * expression) and Dirichlet-smoothed query likelihood (Zhai & Lafferty
+    * 2004; μ = 2000, P(t|C) = cf/|C| — a genuinely different retrieval
+    * model, the LM school vs the probabilistic school). Both scores are
+    * ROUNDED before ranking so cross-engine float jitter can never flip
+    * adjacent ranks; remaining ties break by doc_id on both sides.
+    *
+    * 100 TB plan: the candidate set is bounded by the query terms'
+    * postings, not the corpus — both rankings and the fusion operate on
+    * that set; the rank windows are candidate-set-sized by construction
+    * (production top-K's each ranker first via TopKPerGroup, RRF only
+    * needs each ranker's top k). The QL smoothing grid is candidates ×
+    * |query| rows — linear in candidates. */
+  val q278RrfFusion: GraftQuery = GraftQuery.oracled(
+    "q278_rrf_fusion",
+    """WITH tok AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+      |    FROM documents)
+      |  WHERE t <> ''),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |ctot AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM tok),
+      |tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM tok
+      |       WHERE t IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+      |       WHERE t IN ('spark', 'window', 'merge') GROUP BY 1),
+      |cf AS (SELECT t, CAST(count(*) AS DOUBLE) AS cf FROM tok
+      |       WHERE t IN ('spark', 'window', 'merge') GROUP BY 1),
+      |bm AS (SELECT tf.doc_id,
+      |              round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      |                        * tf.tf * 2.2
+      |                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4) AS bm25
+      |       FROM tf JOIN df ON tf.t = df.t JOIN dl ON tf.doc_id = dl.doc_id, st
+      |       GROUP BY tf.doc_id),
+      |cand AS (SELECT DISTINCT doc_id FROM tf),
+      |grid AS (SELECT cand.doc_id, cf.t, cf.cf, coalesce(tf.tf, 0) AS tf
+      |         FROM cand CROSS JOIN cf
+      |         LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.t = cf.t),
+      |ql AS (SELECT g.doc_id,
+      |              round(sum(ln((g.tf + 2000 * g.cf / ctot.c) / (dl.dl + 2000))), 6) AS ql
+      |       FROM grid g JOIN dl ON g.doc_id = dl.doc_id, ctot
+      |       GROUP BY g.doc_id),
+      |ra AS (SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+      |rb AS (SELECT doc_id, ql, row_number() OVER (ORDER BY ql DESC, doc_id) AS r FROM ql)
+      |SELECT ra.doc_id AS doc_id,
+      |       CAST(ra.r AS BIGINT) AS rank_bm25, CAST(rb.r AS BIGINT) AS rank_ql,
+      |       round(CAST(1.0 AS DOUBLE) / (60 + ra.r) + CAST(1.0 AS DOUBLE) / (60 + rb.r), 6) AS rrf
+      |FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("t"))
+      .filter($"t" =!= "")
+    val dl = tok.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val st = dl.agg(
+      count(lit(1)).cast("double").as("n"), avg($"dl").as("avgdl"))
+    val ctot = tok.agg(count(lit(1)).cast("double").as("c"))
+    val hits = tok.filter($"t".isin(terms: _*))
+    val tf = hits.groupBy($"doc_id", $"t")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = hits.groupBy($"t")
+      .agg(countDistinct($"doc_id").cast("double").as("df"))
+    val cfT = hits.groupBy($"t")
+      .agg(count(lit(1)).cast("double").as("cf"))
+    val bm = tf.join(broadcast(df), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib",
+        log(lit(1) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) *
+          $"tf" * 2.2 /
+          ($"tf" + lit(1.2) * (lit(0.25) + $"dl" * 0.75 / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(round(sum($"contrib"), 4).as("bm25"))
+    val cand = tf.select($"doc_id").distinct()
+    val grid = cand.crossJoin(broadcast(cfT))
+      .join(tf, Seq("doc_id", "t"), "left")
+      .na.fill(0, Seq("tf"))
+    val ql = grid.join(dl, "doc_id")
+      .crossJoin(broadcast(ctot))
+      .withColumn("term",
+        log(($"tf" + lit(2000) * $"cf" / $"c") / ($"dl" + 2000)))
+      .groupBy($"doc_id")
+      .agg(round(sum($"term"), 6).as("ql"))
+    val ra = bm.withColumn("r",
+      row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+    val rb = ql.withColumn("r",
+      row_number().over(Window.orderBy($"ql".desc, $"doc_id")))
+    ra.as("ra").join(rb.as("rb"), "doc_id")
+      .select($"doc_id",
+        $"ra.r".cast("long").as("rank_bm25"),
+        $"rb.r".cast("long").as("rank_ql"),
+        round(lit(1.0) / ($"ra.r" + 60) + lit(1.0) / ($"rb.r" + 60), 6).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(10)
+  }
+
+  def all: Seq[GraftQuery] = Seq(q159Bm25, q166BooleanRetrieval, q278RrfFusion)
 }

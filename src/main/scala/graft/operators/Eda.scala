@@ -882,12 +882,143 @@ object Eda {
       .orderBy($"event_type")
   }
 
+  /** POISSON BOOTSTRAP confidence interval (Chamandy et al. 2012, "Estimating
+    * Uncertainty for Massive Data Streams" — the Google-scale bootstrap):
+    * instead of materializing B resamples, each row gets B independent
+    * Poisson(1) weights — a single streaming pass computes every replica's
+    * weighted mean simultaneously. Weights here are DETERMINISTIC: the
+    * portable md5 coin (q102's trick) keyed on (o_orderkey, replica) is
+    * inverted through the Poisson(1) CDF via integer thresholds (×10⁶)
+    * written as identical literals on both engines, so the oracle
+    * reproduces the exact same 100 replicas bit-for-bit. Output: the point
+    * estimate, the bootstrap SE, and the 95% percentile CI of
+    * mean(o_totalprice).
+    *
+    * 100 TB plan: the explode is map-side (no shuffle until the
+    * 100-group agg), each replica reduces to (Σwx, Σw) partials — the
+    * whole bootstrap is ONE map-side-combined hash-agg over B·n rows into
+    * B rows, then constant-size percentile work. No resampled copies of
+    * the data ever exist; contrast a naive bootstrap's B full shuffles. */
+  val q281PoissonBootstrap: GraftQuery = GraftQuery.oracled(
+    "q281_poisson_bootstrap",
+    """WITH w AS (
+      |  SELECT b.b, o.o_totalprice,
+      |         CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '#' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+      |  FROM orders o CROSS JOIN (SELECT unnest(range(0, 100)) AS b) b),
+      |pw AS (
+      |  SELECT b, o_totalprice,
+      |         CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+      |              WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+      |              WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+      |              WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+      |              ELSE 8 END AS w
+      |  FROM w),
+      |rep AS (SELECT b, sum(w * o_totalprice) / sum(w) AS mean_b
+      |        FROM pw GROUP BY b),
+      |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |              round(avg(o_totalprice), 2) AS mean_price FROM orders)
+      |SELECT pt.n_rows, pt.mean_price,
+      |       round(stddev_samp(rep.mean_b), 4) AS se_boot,
+      |       round(quantile_cont(rep.mean_b, 0.025), 2) AS ci_lo,
+      |       round(quantile_cont(rep.mean_b, 0.975), 2) AS ci_hi
+      |FROM rep, pt
+      |GROUP BY pt.n_rows, pt.mean_price""") { (spark, dir) =>
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_totalprice")
+    val pw = o
+      .withColumn("b", explode(sequence(lit(0), lit(99))))
+      .withColumn("u",
+        conv(substring(md5(concat($"o_orderkey".cast("string"), lit("#"),
+          $"b".cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L)
+      .withColumn("w",
+        when($"u" < 367879, 0).when($"u" < 735759, 1)
+          .when($"u" < 919699, 2).when($"u" < 981012, 3)
+          .when($"u" < 996340, 4).when($"u" < 999406, 5)
+          .when($"u" < 999917, 6).when($"u" < 999990, 7)
+          .otherwise(8))
+    val rep = pw.groupBy($"b")
+      .agg((sum($"w" * $"o_totalprice") / sum($"w")).as("mean_b"))
+    val pt = o.agg(count(lit(1)).cast("long").as("n_rows"),
+      round(avg($"o_totalprice"), 2).as("mean_price"))
+    rep.crossJoin(broadcast(pt))
+      .groupBy($"n_rows", $"mean_price")
+      .agg(round(stddev_samp($"mean_b"), 4).as("se_boot"),
+        round(expr("percentile(mean_b, 0.025)"), 2).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.975)"), 2).as("ci_hi"))
+      .select($"n_rows", $"mean_price", $"se_boot", $"ci_lo", $"ci_hi")
+  }
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
+    * test on exactly q163's md5 arms: does arm A's `value` distribution
+    * stochastically dominate B's, no normality assumed? Computed in the
+    * census closed form (the q226 Spearman trick): distinct-value counts →
+    * cumulative "below" → average ranks with ties → rank-sum R_A, then
+    * U_A = R_A − n_A(n_A+1)/2 and the tie-corrected normal approximation
+    * z = (U_A − n_A·n_B/2) / √(n_A·n_B/12·((N+1) − Σ(t³−t)/(N(N−1)))).
+    * Every intermediate is a half-integer-valued double < 2⁵³, so the
+    * sums are ORDER-INDEPENDENT and exact — the statistic is bit-identical
+    * across engines before the final division.
+    *
+    * 100 TB plan: one hash-agg census (map-side combined), a cumulative
+    * window over DISTINCT values only (never per-row ranks — the
+    * single-task stage q226's rewrite eliminated), and a constant-size
+    * final reduction. */
+  val q284MannWhitney: GraftQuery = GraftQuery.oracled(
+    "q284_mann_whitney",
+    """WITH e AS (
+      |  SELECT value,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |              THEN 1 ELSE 0 END AS isa
+      |  FROM events),
+      |c AS (SELECT value, CAST(count(*) AS DOUBLE) AS cnt,
+      |             CAST(sum(isa) AS DOUBLE) AS cnta
+      |      FROM e GROUP BY value),
+      |r AS (SELECT cnt, cnta,
+      |             sum(cnt) OVER (ORDER BY value
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below
+      |      FROM c),
+      |s AS (SELECT sum(cnta * (below + (cnt + 1) / 2)) AS ra,
+      |             sum(cnta) AS na, sum(cnt) AS n,
+      |             sum(cnt * cnt * cnt - cnt) AS tie
+      |      FROM r)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+      |       round(ra - na * (na + 1) / 2, 1) AS u_a,
+      |       round((ra - na * (na + 1) / 2 - na * (n - na) / 2)
+      |             / sqrt(na * (n - na) / 12 * ((n + 1) - tie / (n * (n - 1)))), 4) AS z
+      |FROM s""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val isa = when(
+      conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2L === 0L, 1).otherwise(0)
+    val c = Tables.events(spark, dir)
+      .select($"value", isa.as("isa"))
+      .groupBy($"value")
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum($"isa").cast("double").as("cnta"))
+    val wCum = Window.orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = c
+      .withColumn("below", sum($"cnt").over(wCum) - $"cnt")
+      .agg(sum($"cnta" * ($"below" + ($"cnt" + 1) / 2)).as("ra"),
+        sum($"cnta").as("na"), sum($"cnt").as("n"),
+        sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie"))
+    s.select(
+      $"na".cast("long").as("n_a"),
+      ($"n" - $"na").cast("long").as("n_b"),
+      round($"ra" - $"na" * ($"na" + 1) / 2, 1).as("u_a"),
+      round(($"ra" - $"na" * ($"na" + 1) / 2 - $"na" * ($"n" - $"na") / 2)
+        / sqrt($"na" * ($"n" - $"na") / 12
+          * (($"n" + 1) - $"tie" / ($"n" * ($"n" - 1)))), 4).as("z"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
     q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,
     q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo, q248Cuped,
-    q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs)
+    q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs,
+    q281PoissonBootstrap, q284MannWhitney)
 
   /** One-way ANOVA F-statistic across market segments — does segment
     * membership explain account-balance variance? Completes the catalog's

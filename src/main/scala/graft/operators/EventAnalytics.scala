@@ -928,6 +928,69 @@ object EventAnalytics {
       .orderBy($"event_type", $"hod")
   }
 
+  /** POSITION-BASED (U-shaped, 40/20/40) multi-touch attribution — q164's
+    * linear split graded by position: the FIRST touch (discovery) and the
+    * LAST touch (conversion) each take 40% of the purchase value, the
+    * middle touches share the remaining 20% evenly; n=1 takes 100%, n=2
+    * splits 50/50 (the standard degenerate-case convention). Positions
+    * come from one row_number pass per purchase ordered by
+    * (click time, event_id) — the event_id tie-break makes the first/last
+    * assignment deterministic on both engines.
+    *
+    * 100 TB plan: identical shuffle shape to q164 — the touch join, the
+    * position window, and the per-purchase count all key on user_id (the
+    * window partitions are per-(user, purchase), bounded by 7-day click
+    * frequency); the roll-up ends at a 10-row channel table. The position
+    * weights are a projection — grading by position costs nothing over
+    * the linear split. */
+  val q280PositionAttribution: GraftQuery = GraftQuery.oracled(
+    "q280_position_attribution",
+    """WITH e AS (SELECT user_id, event_id, event_type, value, date_trunc('microseconds', ts) AS ts,
+      |                  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS channel
+      |           FROM events),
+      |p AS (SELECT user_id, ts AS pts, value FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id, ts AS cts, channel FROM e WHERE event_type = 'click'),
+      |touch AS (SELECT p.user_id, p.pts, p.value, c.channel,
+      |                 row_number() OVER (PARTITION BY p.user_id, p.pts
+      |                                    ORDER BY c.cts, c.event_id) AS rn,
+      |                 count(*) OVER (PARTITION BY p.user_id, p.pts) AS n
+      |          FROM p JOIN c ON p.user_id = c.user_id
+      |                       AND c.cts < p.pts
+      |                       AND c.cts >= p.pts - INTERVAL 7 DAY)
+      |SELECT channel,
+      |       round(sum(value * CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+      |                              WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+      |                              WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+      |                              ELSE CAST(0.2 AS DOUBLE) / (n - 2) END), 2) AS attributed
+      |FROM touch GROUP BY channel ORDER BY channel""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value", $"ts",
+        (get_json_object($"props", "$.k").cast("long") % 10).as("channel"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"ts".as("pts"), $"value")
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_uid"), $"event_id", $"ts".as("cts"), $"channel")
+    val wPos = Window.partitionBy($"user_id", $"pts").orderBy($"cts", $"event_id")
+    val wAll = Window.partitionBy($"user_id", $"pts")
+    val touch = p.join(c,
+        $"p_uid" === $"c_uid" &&
+          $"cts" < $"pts" &&
+          $"cts" >= $"pts" - expr("INTERVAL 7 DAY"))
+      .select($"p_uid".as("user_id"), $"pts", $"value", $"channel", $"cts", $"event_id")
+      .withColumn("rn", row_number().over(wPos))
+      .withColumn("n", count(lit(1)).over(wAll))
+    touch
+      .withColumn("wgt",
+        when($"n" === 1, lit(1.0)).when($"n" === 2, lit(0.5))
+          .when($"rn" === 1 || $"rn" === $"n", lit(0.4))
+          .otherwise(lit(0.2) / ($"n" - 2)))
+      .groupBy($"channel")
+      .agg(round(sum($"value" * $"wgt"), 2).as("attributed"))
+      .orderBy($"channel")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
@@ -935,7 +998,7 @@ object EventAnalytics {
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
     q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose,
     q252SpineGaps, q257Interarrival, q258RetentionDecay, q265WindowedFunnel,
-    q266JourneyRegex, q268RollingDistinctBitmask)
+    q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution)
 
   /** EXACT rolling distinct over a SMALL domain via bitmasks: each
     * (user, day) folds its event types into a 5-bit mask (bit k ⇔ type k

@@ -264,6 +264,59 @@ object Graph {
       .select($"src".as("v"), $"core_deg")
   }
 
+  /** ADAMIC–ADAR LINK PREDICTION (Adamic & Adar 2003): for every
+    * NON-adjacent pair sharing ≥ 1 common neighbor, score
+    * Σ_z 1/ln(deg(z)) over common neighbors z — rare shared neighbors
+    * count more than hubs. The classic "people you may know" /
+    * missing-edge ranking, fully relational: symmetrized adjacency,
+    * wedge self-join on the MIDDLE vertex (each candidate pair found once
+    * per common neighbor, oriented a<b), anti-join against existing
+    * edges, sum per pair. Top-20 by score. deg(z) ≥ 2 whenever z is a
+    * wedge middle, so ln is never 0.
+    *
+    * 100 TB plan: identical shuffle shape to q154's triangle join — the
+    * wedge stage is Σ deg² bounded and hashes on the middle vertex;
+    * hub-vertex blowup is capped in production by the same degree-ordered
+    * orientation trick (score contributions of hubs are the ones AA
+    * down-weights anyway). The anti-join is edge-keyed, the final agg
+    * pair-keyed: no stage is quadratic in vertices. */
+  val q279AdamicAdar: GraftQuery = GraftQuery.oracled(
+    "q279_adamic_adar",
+    """WITH li AS (SELECT l_orderkey AS k, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+      |adj AS (SELECT a AS v, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT v, CAST(count(*) AS DOUBLE) AS d FROM adj GROUP BY v),
+      |wedge AS (SELECT x.nb AS pa, y.nb AS pb, x.v AS z
+      |          FROM adj x JOIN adj y ON x.v = y.v AND x.nb < y.nb),
+      |cand AS (SELECT w.pa, w.pb, w.z FROM wedge w
+      |         LEFT JOIN e ON e.a = w.pa AND e.b = w.pb
+      |         WHERE e.a IS NULL),
+      |score AS (SELECT c.pa, c.pb,
+      |                 CAST(count(*) AS BIGINT) AS n_common,
+      |                 round(sum(CAST(1.0 AS DOUBLE) / ln(d.d)), 6) AS aa_score
+      |          FROM cand c JOIN deg d ON d.v = c.z
+      |          GROUP BY c.pa, c.pb)
+      |SELECT pa, pb, n_common, aa_score
+      |FROM score ORDER BY aa_score DESC, pa, pb LIMIT 20""") { (spark, dir) =>
+    import spark.implicits._
+    val e = coOrderEdges(spark, dir).persist()
+    val adj = e.select($"a".as("v"), $"b".as("nb"))
+      .unionAll(e.select($"b".as("v"), $"a".as("nb")))
+    val deg = adj.groupBy($"v").agg(count(lit(1)).cast("double").as("d"))
+    val wedge = adj.as("x").join(adj.as("y"),
+        $"x.v" === $"y.v" && $"x.nb" < $"y.nb")
+      .select($"x.nb".as("pa"), $"y.nb".as("pb"), $"x.v".as("z"))
+    val cand = wedge.join(e,
+        wedge("pa") === e("a") && wedge("pb") === e("b"), "left_anti")
+    cand.join(deg, cand("z") === deg("v"))
+      .groupBy($"pa", $"pb")
+      .agg(count(lit(1)).cast("long").as("n_common"),
+        round(sum(lit(1.0) / log($"d")), 6).as("aa_score"))
+      .orderBy($"aa_score".desc, $"pa", $"pb")
+      .limit(20)
+  }
+
   def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
-    q207LabelPropagation, q228KCore)
+    q207LabelPropagation, q228KCore, q279AdamicAdar)
 }

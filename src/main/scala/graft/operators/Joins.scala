@@ -364,8 +364,48 @@ object Joins {
       .orderBy($"view_id")
   }
 
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the join predicate
+    * under which NULL keys MATCH each other instead of silently dropping —
+    * the semantics every changelog/reconcile join needs for nullable
+    * business keys (a plain `=` would lose the NULL bucket on both sides,
+    * and an outer join would fabricate unmatched rows instead of pairing
+    * the NULL groups). Orders carry a nullable derived key
+    * (`nullif(o_orderstatus, 'P')`); the build side is the census of that
+    * same key. Every order — including the NULL-key ones — matches exactly
+    * one census row, so `n_orders = census_n` per group is the self-check
+    * the output exposes.
+    *
+    * 100 TB plan: `<=>` is a hash-joinable equality in Catalyst (NULLs hash
+    * to one bucket) — the plan is the same broadcast/shuffled hash join as
+    * `=`, NOT a nested loop; the NULL bucket is a potential skew key, which
+    * is exactly when q70's salting applies. */
+  val q276NullSafeJoin: GraftQuery = GraftQuery.oracled(
+    "q276_null_safe_join",
+    """WITH o AS (SELECT nullif(o_orderstatus, 'P') AS st, o_totalprice FROM orders),
+      |census AS (SELECT st, CAST(count(*) AS BIGINT) AS census_n FROM o GROUP BY st)
+      |SELECT coalesce(o.st, '<null>') AS status_key,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       any_value(census.census_n) AS census_n,
+      |       round(sum(o.o_totalprice), 2) AS total_price
+      |FROM o JOIN census ON o.st IS NOT DISTINCT FROM census.st
+      |GROUP BY 1
+      |ORDER BY status_key""") { (spark, dir) =>
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select(nullif($"o_orderstatus", lit("P")).as("st"), $"o_totalprice")
+    val census = o.groupBy($"st")
+      .agg(count(lit(1)).cast("long").as("census_n"))
+    o.as("o").join(broadcast(census).as("c"), $"o.st" <=> $"c.st")
+      .groupBy(coalesce($"o.st", lit("<null>")).as("status_key"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        any_value($"census_n").as("census_n"),
+        money(sum($"o_totalprice")).as("total_price"))
+      .orderBy($"status_key")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12StarJoin, q13ShippingPriority, q14LeftOuter, q15FullOuter,
     q16SemiJoin, q17AntiJoin, q18CrossJoin, q19RangeJoinBinned,
-    q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin, q224NearestEventJoin)
+    q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin, q224NearestEventJoin,
+    q276NullSafeJoin)
 }

@@ -109,5 +109,45 @@ object Skew {
       .orderBy($"key_col")
   }
 
-  def all: Seq[GraftQuery] = Seq(q70SaltedJoin, q256SkewReport)
+  /** TWO-PHASE SALTED AGGREGATION — the skewed-GROUP-BY complement of
+    * q70's salted join. `l_returnflag` has exactly 3 values over 600k rows
+    * (straggler factor ≈ n/3 per reducer if hash-partitioned directly, and
+    * map-side combine alone can't help when the combine ratio is already
+    * maximal but the FINAL reducer for a hot key still receives one
+    * partial per map task... the real case is agg states too big to
+    * combine, e.g. collect/distinct states). Phase 1 aggregates on
+    * (key, salt∈[0,32)) so the hot key's stream spreads over 32 reducers;
+    * phase 2 merges the 32 algebraic partials per key. Identical answers
+    * to the direct GROUP BY the oracle states — sum/count/avg are
+    * algebraic, so partial-merge is exact.
+    *
+    * 100 TB plan: phase 2's input is |keys|·32 rows — trivially small; the
+    * expensive shuffle is phase 1's, now salt-spread. avg must be derived
+    * sum/count AFTER the merge (an avg-of-avgs would be wrong under
+    * uneven salt buckets). */
+  val q277SaltedAgg: GraftQuery = GraftQuery.oracled(
+    "q277_salted_agg",
+    """SELECT l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       round(sum(l_extendedprice * (1 - l_discount)) / count(*), 4) AS avg_net
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("net"))
+      .withColumn("__salt",
+        pmod(xxhash64($"l_orderkey" * 1000000 + $"l_linenumber"), lit(32)))
+    val partial = li.groupBy($"l_returnflag", $"__salt")
+      .agg(count(lit(1)).as("pn"), sum($"net").as("psum"))
+    partial.groupBy($"l_returnflag")
+      .agg(sum($"pn").cast("long").as("n_lines"),
+        money(sum($"psum")).as("revenue"),
+        round(sum($"psum") / sum($"pn"), 4).as("avg_net"))
+      .orderBy($"l_returnflag")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q70SaltedJoin, q256SkewReport, q277SaltedAgg)
 }
