@@ -592,12 +592,57 @@ object TextAnalysis {
         6).as("js_nats"))
   }
 
+  /** SKETCH-THEN-VERIFY exact heavy hitters — the two-pass production
+    * top-frequency pattern, EXACT by construction: pass 1 builds a
+    * Count-Min sketch (KB-sized, mergeable — q136's machinery) and the
+    * codegen'd `graft_cms_estimate` probe drops every token whose
+    * OVER-estimate is already below the threshold MAP-SIDE, before the
+    * census shuffle; pass 2 exact-counts only the survivors and applies
+    * the threshold to the true counts. CMS never under-counts, so no true
+    * heavy hitter is lost — the result EQUALS the naive full GROUP BY +
+    * HAVING the oracle states, which is why this approximation-shaped
+    * query is fully SQL-oracle-able. Threshold = ⌊N/1000⌋ (0.1% of the
+    * token stream), computed identically on both engines.
+    *
+    * 100 TB plan: the win is the shuffle diet — the full census shuffles
+    * every distinct token (vocabulary-scale, Heaps' law); the pre-filtered
+    * census shuffles only tokens the sketch thinks are hot
+    * (≈ true hot set + eps·N collisions). The sketch itself reduces
+    * map-side into one KB blob per partition. Same play as q165's
+    * bloom-pruned semi-join, for frequency instead of membership. */
+  val q286SketchVerifyHeavyHitters: GraftQuery = GraftQuery.oracled(
+    "q286_sketch_verify_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |t AS (SELECT CAST(floor(count(*) / 1000.0) AS BIGINT) AS thr FROM tok)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS n
+      |FROM tok, t
+      |GROUP BY tok, t.thr
+      |HAVING count(*) >= t.thr
+      |ORDER BY n DESC, tok""") { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.CmsExpression
+    CmsExpression.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+    val skBytes = toks
+      .agg(count_min_sketch($"tok", lit(1e-4), lit(0.99), lit(42)).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val total = toks.count()
+    val thr = math.floor(total / 1000.0).toLong
+    toks
+      .filter(CmsExpression.cmsEstimate(skBytes, $"tok") >= thr)
+      .groupBy($"tok")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .filter($"n" >= thr)
+      .orderBy($"n".desc, $"tok")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
     q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations,
-    q263SourceJaccardMatrix)
+    q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters)
 
   /** Source-level token-SET Jaccard matrix: |A∩B| / |A∪B| for every source
     * pair — q242's JS divergence compares DISTRIBUTIONS, this compares

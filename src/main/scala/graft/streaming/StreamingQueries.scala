@@ -841,11 +841,72 @@ object StreamingQueries {
       .orderBy($"user_id")
   }
 
+  /** Stream-stream FULL OUTER join — q135's left-outer plus the unmatched
+    * PURCHASE side: a purchase with no click in its trailing 10-minute
+    * window also emits a null-padded row once the watermark proves no
+    * matching click can still arrive. Closure rules the oracle states,
+    * per side of the interval condition p_ts ∈ [c_ts, c_ts + 10 min]:
+    * an unmatched CLICK emits iff c_ts + 10 min < w (its whole match
+    * window below the final query watermark — q135's rule), and an
+    * unmatched PURCHASE emits iff p_ts < w (its match window
+    * [p_ts − 10 min, p_ts] ends at its own event time). w is again the
+    * MIN across both branches' watermarks. user_id is coalesced across
+    * sides so the null-padded rows stay attributable.
+    *
+    * 100 TB plan: same bounded state as the inner/left variants — each
+    * side's state evicts at its closure point; the full-outer adds no
+    * extra state, only the second side's eviction-time null emission. */
+  val q285StreamStreamFullOuter: GraftQuery = GraftQuery.oracled(
+    "q285_stream_stream_full_outer",
+    """WITH e AS (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(click_ts) FROM c), (SELECT max(purchase_ts) FROM p)) - INTERVAL 10 MINUTE AS w),
+      |matched AS (
+      |  SELECT c.click_id, p.purchase_id, c.user_id
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |   AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE),
+      |un_c AS (
+      |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+      |  FROM c, wm
+      |  WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+      |    AND c.click_ts + INTERVAL 10 MINUTE < wm.w),
+      |un_p AS (
+      |  SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id, p.user_id
+      |  FROM p, wm
+      |  WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+      |    AND p.purchase_ts < wm.w)
+      |SELECT click_id, purchase_id, user_id FROM matched
+      |UNION ALL SELECT click_id, purchase_id, user_id FROM un_c
+      |UNION ALL SELECT click_id, purchase_id, user_id FROM un_p
+      |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""") { (spark, dir) =>
+    import spark.implicits._
+    val clicks = eventsStream(spark, dir)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTE"),
+      "full_outer")
+    runToMemory(joined.select($"click_id", $"purchase_id",
+        coalesce($"user_id", $"p_user").as("user_id")),
+        OutputMode.Append(), "q285")
+      .orderBy($"click_id".asc_nulls_first, $"purchase_id".asc_nulls_first)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
     q77StreamStreamJoin, q107StreamDedupWithinWm, q113StreamTransformWithState,
     q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
-    q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState)
+    q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState,
+    q285StreamStreamFullOuter)
 }
