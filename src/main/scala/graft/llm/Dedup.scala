@@ -396,7 +396,7 @@ object Dedup {
     * star graphs, every non-root pointing at its component's min id; the
     * driver sees only two scalar counts per round (edge count + changed
     * count), never row data. */
-  private[llm] def starComponents(
+  private[graft] def starComponents(
       vertices: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
       maxRounds: Int = 50): (org.apache.spark.sql.DataFrame, Int) = {

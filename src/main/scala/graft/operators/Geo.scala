@@ -89,5 +89,80 @@ object Geo {
       .orderBy($"c_custkey")
   }
 
-  def all: Seq[GraftQuery] = Seq(q229GeoNnGrid)
+  /** GRID-DENSITY CLUSTERING (DBSCAN-shaped): points land in a coarse
+    * 1°-lat × 2°-lon grid, cells at ≥ 1.08× average occupancy
+    * (⌈27N/2500⌉ — the grid has exactly 100 cells) are "dense", and dense
+    * cells that touch (8-neighborhood) merge into clusters via the
+    * large-star/small-star closure (q109's O(log n) machinery). Output:
+    * per cluster, its canonical cell id, cell count, and total points —
+    * the grid formulation that replaces DBSCAN's per-point ε-graph with
+    * a cell census at corpus scale (the ε-graph is quadratic; the grid is
+    * one hash-agg + a 100-row adjacency problem).
+    *
+    * 100 TB plan: the only row-scale stage is the cell census (map-side
+    * combined); adjacency, closure, and the report all operate on the
+    * CELL table, whose size is fixed by the grid pitch, not the data.
+    * The DuckDB oracle re-derives the same clusters with a recursive CTE
+    * over the identical dense-cell adjacency. */
+  val q287GridDensityClusters: GraftQuery = GraftQuery.oracled(
+    "q287_grid_density_clusters",
+    """WITH RECURSIVE pts AS (
+      |  SELECT c_custkey AS id,
+      |         40 + (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000) / 1000.0 AS lat,
+      |         (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 20000) / 1000.0 AS lon
+      |  FROM customer),
+      |cells AS (SELECT CAST(floor(lat) AS BIGINT) AS cl,
+      |                 CAST(floor(lon / 2) AS BIGINT) AS cn,
+      |                 CAST(count(*) AS BIGINT) AS n
+      |          FROM pts GROUP BY 1, 2),
+      |thr AS (SELECT CAST(floor((27 * (SELECT count(*) FROM pts) + 2499) / 2500.0) AS BIGINT) AS t),
+      |dense AS (SELECT cl, cn, n, cl * 1000 + cn AS cid FROM cells, thr WHERE n >= thr.t),
+      |adj AS (SELECT a.cid AS src, b.cid AS dst
+      |        FROM dense a JOIN dense b
+      |          ON abs(a.cl - b.cl) <= 1 AND abs(a.cn - b.cn) <= 1
+      |         AND a.cid <> b.cid),
+      |reach AS (
+      |  SELECT cid AS id, cid AS lbl FROM dense
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN adj e ON e.src = r.id),
+      |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+      |SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+      |       CAST(sum(d.n) AS BIGINT) AS n_points
+      |FROM lab l JOIN dense d ON l.id = d.cid
+      |GROUP BY l.cluster_id
+      |ORDER BY l.cluster_id""") { (spark, dir) =>
+    import spark.implicits._
+    val key = $"c_custkey".cast("string")
+    val pts = Tables.customer(spark, dir).select(
+      $"c_custkey".as("id"),
+      (lit(40) + (conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 10000) / 1000.0).as("lat"),
+      ((conv(substring(md5(key), 9, 8), 16, 10).cast("long") % 20000) / 1000.0).as("lon"))
+    val cells = pts
+      .groupBy(floor($"lat").cast("long").as("cl"),
+        floor($"lon" / 2).cast("long").as("cn"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val total = pts.count()
+    val thr = math.floor((27 * total + 2499) / 2500.0).toLong
+    val dense = cells.filter($"n" >= thr)
+      .withColumn("cid", $"cl" * 1000 + $"cn")
+      .persist()
+    // 8-neighborhood adjacency via offset explode → equi-join on the
+    // shifted cell key (the q229 trick) — never an |cells|² theta join.
+    val probe = dense
+      .withColumn("dl", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("dn", explode(array(lit(-1), lit(0), lit(1))))
+      .select($"cid".as("src"), ($"cl" + $"dl").as("jcl"), ($"cn" + $"dn").as("jcn"))
+    val adjPairs = probe.join(dense.select($"cl", $"cn", $"cid".as("dst")),
+        probe("jcl") === $"cl" && probe("jcn") === $"cn" && $"dst" =!= probe("src"))
+      .select($"src", $"dst")
+    val labels = graft.llm.Dedup.starComponents(
+      dense.select($"cid"), adjPairs)._1
+    labels.join(dense, labels("id") === dense("cid"))
+      .groupBy($"lbl".as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_cells"),
+        sum($"n").cast("long").as("n_points"))
+      .orderBy($"cluster_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q229GeoNnGrid, q287GridDensityClusters)
 }
