@@ -998,7 +998,72 @@ object EventAnalytics {
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
     q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose,
     q252SpineGaps, q257Interarrival, q258RetentionDecay, q265WindowedFunnel,
-    q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution)
+    q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution,
+    q288ClampedBalance)
+
+  /** CLAMPED RUNNING BALANCE via the LINDLEY RECURSION closed form: the
+    * stateful recursion b_t = max(0, b_{t−1} + x_t) (inventory that can't
+    * go negative, a queue that can't have negative wait, credit that
+    * can't overdraw) looks window-inexpressible — but Lindley's identity
+    * rewrites it as b_t = S_t − min(0, min_{j≤t} S_j): ONE prefix sum and
+    * ONE running min, both ordinary cumulative windows. Deltas are
+    * purchases (+) vs views (−) in integer cents, so every intermediate
+    * is integer-exact and the oracle matches bit-for-bit. Output per
+    * user: final and peak balance plus how often the floor clamped.
+    *
+    * 100 TB plan: two cumulative frames over one (user_id)-partitioned
+    * sort — the sort is reused (same window spec), per-user sequences are
+    * bounded, and the per-user rollup is map-side combinable. The naive
+    * alternative — a sequential loop or an order-sensitive UDAF — cannot
+    * merge partial buffers; the closed form is what makes the recursion
+    * distributable. (The two-sided clamp [0, C] has no such identity —
+    * that one genuinely needs q66-style stateful iteration.) */
+  val q288ClampedBalance: GraftQuery = GraftQuery.oracled(
+    "q288_clamped_balance",
+    """WITH d AS (
+      |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+      |         CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT)
+      |              WHEN event_type = 'view' THEN -CAST(round(value * 100) AS BIGINT)
+      |              ELSE CAST(0 AS BIGINT) END AS delta
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, ts, event_id, delta,
+      |         sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM d),
+      |s2 AS (
+      |  SELECT user_id, delta,
+      |         run - least(0, min(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS bal,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rdesc
+      |  FROM s1)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(CASE WHEN rdesc = 1 THEN bal END) AS BIGINT) AS final_balance,
+      |       CAST(max(bal) AS BIGINT) AS peak_balance,
+      |       CAST(count(CASE WHEN bal = 0 AND delta < 0 THEN 1 END) AS BIGINT) AS n_floor_hits
+      |FROM s2
+      |GROUP BY user_id
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val d = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "purchase", round($"value" * 100).cast("long"))
+          .when($"event_type" === "view", -round($"value" * 100).cast("long"))
+          .otherwise(lit(0L)).as("delta"))
+    d.withColumn("run", sum($"delta").over(wCum))
+      .withColumn("bal", $"run" - least(lit(0L), min($"run").over(wCum)))
+      .withColumn("rdesc", row_number().over(wDesc))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        max(when($"rdesc" === 1, $"bal")).cast("long").as("final_balance"),
+        max($"bal").cast("long").as("peak_balance"),
+        count(when($"bal" === 0 && $"delta" < 0, 1)).cast("long").as("n_floor_hits"))
+      .orderBy($"user_id")
+  }
 
   /** EXACT rolling distinct over a SMALL domain via bitmasks: each
     * (user, day) folds its event types into a 5-bit mask (bit k ⇔ type k
