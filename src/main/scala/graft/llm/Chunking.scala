@@ -280,6 +280,91 @@ object Chunking {
       .orderBy($"doc_id")
   }
 
+  /** CONTENT-LOCALITY LAYOUT AUDIT: does reordering the corpus for the
+    * writer improve adjacent-row similarity — the property columnar
+    * compressors (zstd/dictionary windows) and delta encoders actually
+    * exploit? Metric: mean token-set Jaccard (ppm, floored per pair)
+    * between CONSECUTIVE documents, compared across two write orders —
+    * arrival order (doc_id) vs clustered order (lang, source, doc_id).
+    * The clustered layout wins because same-language/source docs share
+    * vocabulary; the number quantifies by how much, before paying for the
+    * sort. Complements the physical-layout family (q83 partitioned, q174
+    * range-clustered, q191 Z-order) with a CONTENT-similarity criterion.
+    *
+    * 100 TB plan: the global row_number over documents is census-scale
+    * (one row per doc, not per token) and production replaces it with
+    * q97's two-phase rank / repartitionByRange before writing; the
+    * neighbor join is rank-keyed (r ↔ r+1), and the token-intersection
+    * join is keyed on the token — every stage is an equi-join, nothing
+    * quadratic. */
+  val q289LayoutLocality: GraftQuery = GraftQuery.oracled(
+    "q289_layout_locality",
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      |ord AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY doc_id) AS r_arrival,
+      |         row_number() OVER (ORDER BY lang, source, doc_id) AS r_clustered
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT 'arrival' AS ordering, a.doc_id AS da, b.doc_id AS db
+      |  FROM ord a JOIN ord b ON b.r_arrival = a.r_arrival + 1
+      |  UNION ALL
+      |  SELECT 'clustered', a.doc_id, b.doc_id
+      |  FROM ord a JOIN ord b ON b.r_clustered = a.r_clustered + 1),
+      |inter AS (
+      |  SELECT p.ordering, p.da, p.db, CAST(count(tb.tok) AS BIGINT) AS shared
+      |  FROM pairs p
+      |  LEFT JOIN tok ta ON ta.doc_id = p.da
+      |  LEFT JOIN tok tb ON tb.doc_id = p.db AND tb.tok = ta.tok
+      |  GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT i.ordering,
+      |         CAST(floor(1000000.0 * i.shared / (sa.n + sb.n - i.shared)) AS BIGINT) AS jppm
+      |  FROM inter i JOIN sz sa ON i.da = sa.doc_id JOIN sz sb ON i.db = sb.doc_id)
+      |SELECT ordering, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       round(avg(jppm), 1) AS mean_jaccard_ppm
+      |FROM j GROUP BY ordering
+      |ORDER BY ordering""") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tok = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .distinct()
+    val sz = tok.groupBy($"doc_id").agg(count(lit(1)).cast("long").as("n"))
+    val ord = docs.select($"doc_id",
+      row_number().over(Window.orderBy($"doc_id")).as("r_arrival"),
+      row_number().over(Window.orderBy($"lang", $"source", $"doc_id")).as("r_clustered"))
+    def neighbors(rank: String, label: String) =
+      ord.as("a").join(ord.as("b"), col(s"b.$rank") === col(s"a.$rank") + 1)
+        .select(lit(label).as("ordering"),
+          $"a.doc_id".as("da"), $"b.doc_id".as("db"))
+    val pairs = neighbors("r_arrival", "arrival")
+      .unionAll(neighbors("r_clustered", "clustered"))
+    // shared tokens per adjacent pair: token-keyed equi-joins; the LEFT
+    // join back onto pairs keeps zero-overlap neighbors (shared = 0)
+    val ta = tok.toDF("da", "tok")
+    val tb = tok.toDF("db", "tok")
+    val shared = pairs
+      .join(ta, Seq("da"))
+      .join(tb, Seq("db", "tok"))
+      .groupBy($"ordering", $"da", $"db")
+      .agg(count(lit(1)).cast("long").as("shared"))
+    pairs
+      .join(shared, Seq("ordering", "da", "db"), "left")
+      .na.fill(0L, Seq("shared"))
+      .join(sz.toDF("da", "na"), Seq("da"))
+      .join(sz.toDF("db", "nb"), Seq("db"))
+      .select($"ordering",
+        floor(lit(1000000.0) * $"shared" / ($"na" + $"nb" - $"shared"))
+          .cast("long").as("jppm"))
+      .groupBy($"ordering")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(avg($"jppm"), 1).as("mean_jaccard_ppm"))
+      .orderBy($"ordering")
+  }
+
   def all: Seq[GraftQuery] = Seq(q197RagChunks, q199GramSpanDedup,
-    q203PrefixJaccardJoin, q215Winnowing, q259NgramNovelty)
+    q203PrefixJaccardJoin, q215Winnowing, q259NgramNovelty,
+    q289LayoutLocality)
 }
