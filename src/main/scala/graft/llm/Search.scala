@@ -208,5 +208,68 @@ object Search {
       .limit(10)
   }
 
-  def all: Seq[GraftQuery] = Seq(q159Bm25, q166BooleanRetrieval, q278RrfFusion)
+  /** MAXIMAL MARGINAL RELEVANCE diversification (Carbonell & Goldstein
+    * 1998): re-rank the top-20 BM25 candidates so the final 5 balance
+    * relevance against redundancy — pick argmax of
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), λ = 0.7, sim = token
+    * Jaccard. The greedy loop runs on the DRIVER over the collected
+    * candidate scores and the candidate×candidate similarity matrix —
+    * both CANDIDATE-set-sized (20 rows / ≤400 cells, the E3 scalar
+    * pattern), never corpus-sized; all corpus-scale work (scoring, the
+    * pairwise-similarity join) is distributed and token-keyed. Scores are
+    * rounded before the greedy so selection is float-jitter-proof; ties
+    * break by doc_id. Not SQL-expressible (iterative argmax over a
+    * shrinking set) → SearchSpec gates the λ=1 ≡ plain top-5 law,
+    * size/distinctness, and determinism. */
+  val q290MmrDiversify: GraftQuery = GraftQuery.rowsOnly(
+    "q290_mmr_diversify",
+    doc = "MMR re-rank (lambda=0.7, k=5) of the top-20 BM25 candidates; sim = token Jaccard; (rank, doc_id, round(mmr,4))") { (spark, dir) =>
+    mmrSelect(spark, dir, lambda = 0.7, k = 5)
+  }
+
+  /** q290's engine, parameterized for the spec's λ=1 law. */
+  private[llm] def mmrSelect(spark: org.apache.spark.sql.SparkSession,
+      dir: String, lambda: Double, k: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cand = q159Bm25.fn(spark, dir)
+      .orderBy($"bm25".desc, $"doc_id").limit(20)
+    val toks = Tables.documents(spark, dir)
+      .join(cand.select($"doc_id"), "doc_id")
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("t"))
+      .filter($"t" =!= "").distinct()
+    val sz = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val simDf = toks.toDF("a", "t").join(toks.toDF("b", "t"), Seq("t"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("shared"))
+      .join(sz.toDF("a", "na"), Seq("a"))
+      .join(sz.toDF("b", "nb"), Seq("b"))
+      .select($"a", $"b",
+        round($"shared" / ($"na" + $"nb" - $"shared"), 6).as("sim"))
+    // candidate-set-sized collects (≤20 scores, ≤190 sims) — E3 scalars
+    val scores = cand.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sims = simDf.collect()
+      .flatMap { r =>
+        val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> s, (b, a) -> s)
+      }.toMap.withDefaultValue(0.0)
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val remaining = scala.collection.mutable.SortedSet[Long]() ++ scores.keys
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.map { d =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else selected.map(s => sims((d, s._1))).max
+        val mmr = BigDecimal(lambda * scores(d) - (1 - lambda) * maxSim)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (d, mmr)
+      }.minBy { case (d, m) => (-m, d) }
+      selected += best
+      remaining -= best._1
+    }
+    spark.createDataFrame(
+      selected.toSeq.zipWithIndex.map { case ((d, m), i) => (i + 1, d, m) })
+      .toDF("rank", "doc_id", "mmr")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q159Bm25, q166BooleanRetrieval, q278RrfFusion,
+    q290MmrDiversify)
 }
