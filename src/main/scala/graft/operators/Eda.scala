@@ -1018,7 +1018,58 @@ object Eda {
     q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,
     q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo, q248Cuped,
     q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs,
-    q281PoissonBootstrap, q284MannWhitney)
+    q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition)
+
+  /** THEIL-T INEQUALITY DECOMPOSITION — what Gini (q222) and Lorenz
+    * (q271) can't do: Theil's T is ADDITIVELY decomposable,
+    * T_total = T_between + T_within, attributing total inequality to
+    * across-group vs within-group dispersion (Theil 1967; the standard
+    * concentration diagnostic by segment). Everything derives from three
+    * per-group moments — n, Σx, Σ x·ln x over positive balances — so the
+    * row-scale work is ONE map-side-combined hash-agg; the decomposition
+    * is constant-size algebra on the 25-row nation census:
+    * T_g = Σ x ln x / (n_g μ_g) − ln μ_g,
+    * T_between = Σ_g (S_g/S) ln(μ_g/μ), T_within = Σ_g (S_g/S) T_g.
+    * T_total is computed INDEPENDENTLY from the global moments
+    * (T = Σx·ln x / S − ln μ), so the additive identity is verified by
+    * the output, not assumed by it.
+    *
+    * 100 TB plan: one scan, one tiny agg — the same shape as q273's
+    * ANOVA; groups scale to millions before the census stops broadcasting. */
+  val q292TheilDecomposition: GraftQuery = GraftQuery.oracled(
+    "q292_theil_decomposition",
+    """WITH pos AS (SELECT c_nationkey AS g, c_acctbal AS x FROM customer WHERE c_acctbal > 0),
+      |gm AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, sum(x) AS s, sum(x * ln(x)) AS sxl
+      |       FROM pos GROUP BY g),
+      |tot AS (SELECT sum(n) AS n, sum(s) AS s, sum(sxl) AS sxl FROM gm),
+      |terms AS (
+      |  SELECT gm.g, gm.n, gm.s,
+      |         (gm.s / tot.s) * ln((gm.s / gm.n) / (tot.s / tot.n)) AS between_term,
+      |         (gm.s / tot.s) * (gm.sxl / gm.s - ln(gm.s / gm.n)) AS within_term
+      |  FROM gm, tot),
+      |agg AS (SELECT sum(between_term) AS b, sum(within_term) AS w, count(*) AS k FROM terms)
+      |SELECT round(max(tot.sxl / tot.s - ln(tot.s / tot.n)), 6) AS t_total,
+      |       round(max(agg.b), 6) AS t_between,
+      |       round(max(agg.w), 6) AS t_within,
+      |       CAST(max(agg.k) AS BIGINT) AS n_groups
+      |FROM agg, tot""") { (spark, dir) =>
+    import spark.implicits._
+    val pos = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 0)
+      .select($"c_nationkey".as("g"), $"c_acctbal".as("x"))
+    val gm = pos.groupBy($"g")
+      .agg(count(lit(1)).cast("double").as("n"), sum($"x").as("s"),
+        sum($"x" * log($"x")).as("sxl"))
+    val tot = gm.agg(sum($"n").as("tn"), sum($"s").as("ts"), sum($"sxl").as("tsxl"))
+    gm.crossJoin(broadcast(tot))
+      .select($"g", $"ts", $"tn", $"tsxl",
+        (($"s" / $"ts") * log(($"s" / $"n") / ($"ts" / $"tn"))).as("between_term"),
+        (($"s" / $"ts") * ($"sxl" / $"s" - log($"s" / $"n"))).as("within_term"))
+      .agg(round(max($"tsxl" / $"ts" - log($"ts" / $"tn")), 6).as("t_total"),
+        round(sum($"between_term"), 6).as("t_between"),
+        round(sum($"within_term"), 6).as("t_within"),
+        count(lit(1)).cast("long").as("n_groups"))
+  }
 
   /** One-way ANOVA F-statistic across market segments — does segment
     * membership explain account-balance variance? Completes the catalog's

@@ -999,7 +999,67 @@ object EventAnalytics {
     q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose,
     q252SpineGaps, q257Interarrival, q258RetentionDecay, q265WindowedFunnel,
     q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution,
-    q288ClampedBalance)
+    q288ClampedBalance, q291PointInTimeFeatures)
+
+  /** LEAKAGE-SAFE POINT-IN-TIME training-set assembly — the feature-store
+    * contract: for every label event (a purchase), features aggregate the
+    * user's history STRICTLY BEFORE the label timestamp, within a 7-day
+    * lookback — never at or after it (the as-of discipline that prevents
+    * target leakage; an `<=` here is the classic silent train/serve skew
+    * bug). One row per label: lookback view/click counts and click-spend
+    * in exact cents, zero-filled when the lookback is empty so cold-start
+    * labels stay in the set.
+    *
+    * 100 TB plan: the label×history join is user-keyed (q164's shape — the
+    * 7-day bound caps per-user fan-out), one shuffle partitioning serves
+    * the join and the per-label aggregate, and the feature columns are
+    * map-side-combinable counts/sums. Point-in-time correctness costs a
+    * predicate, not a new plan shape. */
+  val q291PointInTimeFeatures: GraftQuery = GraftQuery.oracled(
+    "q291_point_in_time_features",
+    """WITH e AS (SELECT event_id, user_id, event_type, value, date_trunc('microseconds', ts) AS ts FROM events),
+      |lab AS (SELECT event_id AS label_id, user_id, ts AS lts,
+      |               CAST(round(value * 100) AS BIGINT) AS label_cents
+      |        FROM e WHERE event_type = 'purchase'),
+      |hist AS (SELECT l.label_id,
+      |                count(CASE WHEN h.event_type = 'view' THEN 1 END) AS n_views_7d,
+      |                count(CASE WHEN h.event_type = 'click' THEN 1 END) AS n_clicks_7d,
+      |                coalesce(sum(CASE WHEN h.event_type = 'click'
+      |                                  THEN CAST(round(h.value * 100) AS BIGINT) END), 0) AS click_spend_7d
+      |         FROM lab l JOIN e h ON h.user_id = l.user_id
+      |                            AND h.ts < l.lts
+      |                            AND h.ts >= l.lts - INTERVAL 7 DAY
+      |         GROUP BY l.label_id)
+      |SELECT l.label_id, l.user_id, l.lts, l.label_cents,
+      |       CAST(coalesce(h.n_views_7d, 0) AS BIGINT) AS n_views_7d,
+      |       CAST(coalesce(h.n_clicks_7d, 0) AS BIGINT) AS n_clicks_7d,
+      |       CAST(coalesce(h.click_spend_7d, 0) AS BIGINT) AS click_spend_7d
+      |FROM lab l LEFT JOIN hist h ON l.label_id = h.label_id
+      |ORDER BY l.label_id""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+    val lab = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("label_id"), $"user_id", $"ts".as("lts"),
+        round($"value" * 100).cast("long").as("label_cents"))
+    val h = e.select($"user_id".as("h_uid"), $"event_type".as("h_type"),
+      $"value".as("h_value"), $"ts".as("h_ts"))
+    val hist = lab.join(h,
+        $"user_id" === $"h_uid" &&
+          $"h_ts" < $"lts" &&
+          $"h_ts" >= $"lts" - expr("INTERVAL 7 DAY"))
+      .groupBy($"label_id")
+      .agg(count(when($"h_type" === "view", 1)).as("n_views_7d"),
+        count(when($"h_type" === "click", 1)).as("n_clicks_7d"),
+        coalesce(sum(when($"h_type" === "click",
+          round($"h_value" * 100).cast("long"))), lit(0L)).as("click_spend_7d"))
+    lab.join(hist, Seq("label_id"), "left")
+      .select($"label_id", $"user_id", $"lts", $"label_cents",
+        coalesce($"n_views_7d", lit(0L)).cast("long").as("n_views_7d"),
+        coalesce($"n_clicks_7d", lit(0L)).cast("long").as("n_clicks_7d"),
+        coalesce($"click_spend_7d", lit(0L)).cast("long").as("click_spend_7d"))
+      .orderBy($"label_id")
+  }
 
   /** CLAMPED RUNNING BALANCE via the LINDLEY RECURSION closed form: the
     * stateful recursion b_t = max(0, b_{t−1} + x_t) (inventory that can't
