@@ -787,8 +787,42 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** PER-SOURCE DUPLICATE-RATE DASHBOARD: q44's exact content hash rolled
+    * up by source — docs, distinct texts, duplicate share (ppm), and the
+    * hottest single text's copy count. THE first triage number of corpus
+    * curation: which feeds are paste-farms and which are clean decides
+    * where the expensive near-dup passes (q45/q46/q105) even run.
+    *
+    * 100 TB plan: one (source, hash) hash-agg (map-side combined — dup
+    * groups collapse before the shuffle) then a source-level rollup;
+    * nothing is ever pairwise. */
+  val q296SourceDupRate: GraftQuery = GraftQuery.oracled(
+    "q296_source_dup_rate",
+    """WITH h AS (SELECT source, sha256(lower(trim(text))) AS hk, count(*) AS n
+      |           FROM documents GROUP BY 1, 2)
+      |SELECT source,
+      |       CAST(sum(n) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_unique,
+      |       CAST(floor(1000000.0 * (sum(n) - count(*)) / sum(n)) AS BIGINT) AS dup_ppm,
+      |       CAST(max(n) AS BIGINT) AS max_copies
+      |FROM h GROUP BY source
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source", sha2(lower(trim($"text")), 256).as("hk"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(sum($"n").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_unique"),
+        floor(lit(1000000.0) * (sum($"n") - count(lit(1))) / sum($"n"))
+          .cast("long").as("dup_ppm"),
+        max($"n").cast("long").as("max_copies"))
+      .orderBy($"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
-    q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup)
+    q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
+    q296SourceDupRate)
 }

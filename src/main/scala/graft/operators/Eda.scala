@@ -903,7 +903,8 @@ object Eda {
     "q281_poisson_bootstrap",
     """WITH w AS (
       |  SELECT b.b, o.o_totalprice,
-      |         CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '#' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+      |         ((xor(CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT),
+      |               b.b * 2654435761) % 4294967296) * 1597334677 % 4294967296) % 1000000 AS u
       |  FROM orders o CROSS JOIN (SELECT unnest(range(0, 100)) AS b) b),
       |pw AS (
       |  SELECT b, o_totalprice,
@@ -925,11 +926,19 @@ object Eda {
       |GROUP BY pt.n_rows, pt.mean_price""") { (spark, dir) =>
     import spark.implicits._
     val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_totalprice")
+    // ONE md5 per row (not per replica): the 32-bit draw is mixed per
+    // replica with portable integer arithmetic (xor + odd-multiplier,
+    // widths chosen so no product exceeds 2^63 on either engine) — cuts
+    // the forced-eval cost from 13.4 s to ~1 s at sf0.1 while keeping the
+    // weights deterministic and engine-identical.
     val pw = o
+      .withColumn("h",
+        conv(substring(md5($"o_orderkey".cast("string")), 1, 8), 16, 10)
+          .cast("long"))
       .withColumn("b", explode(sequence(lit(0), lit(99))))
       .withColumn("u",
-        conv(substring(md5(concat($"o_orderkey".cast("string"), lit("#"),
-          $"b".cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L)
+        ($"h".bitwiseXOR($"b".cast("long") * 2654435761L) % 4294967296L)
+          * 1597334677L % 4294967296L % 1000000L)
       .withColumn("w",
         when($"u" < 367879, 0).when($"u" < 735759, 1)
           .when($"u" < 919699, 2).when($"u" < 981012, 3)
@@ -1018,7 +1027,135 @@ object Eda {
     q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,
     q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo, q248Cuped,
     q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs,
-    q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition)
+    q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition,
+    q293DiffInDiff, q295ProportionZTest)
+
+  /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
+    * click→purchase user-conversion rate differ from B's? The
+    * proportion-data complement of q163 (means) and q284 (ranks):
+    * z = (p̂_A − p̂_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)) with the pooled p̂.
+    * Unit of analysis is the USER (converted = had any purchase), not the
+    * event — rate tests on event-level denominators double-count active
+    * users, the classic funnel-stats mistake. All counts are exact
+    * integers; the single division/sqrt runs on identical operands both
+    * engines.
+    *
+    * 100 TB plan: one user-level conditional census (two bool-max aggs
+    * keyed on user) then a 2-row reduction — the user dimension shuffles
+    * once, everything else is constant-size. */
+  val q295ProportionZTest: GraftQuery = GraftQuery.oracled(
+    "q295_proportion_ztest",
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |              THEN 1 ELSE 0 END AS treat,
+      |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      |  FROM events GROUP BY 1, 2),
+      |f AS (SELECT treat, CAST(count(*) AS DOUBLE) AS n,
+      |             CAST(sum(purchased) AS DOUBLE) AS conv
+      |      FROM u WHERE clicked = 1 GROUP BY treat),
+      |w AS (SELECT max(CASE WHEN treat = 1 THEN n END) AS na,
+      |             max(CASE WHEN treat = 1 THEN conv END) AS ca,
+      |             max(CASE WHEN treat = 0 THEN n END) AS nb,
+      |             max(CASE WHEN treat = 0 THEN conv END) AS cb
+      |      FROM f)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |       round(ca / na, 6) AS rate_a, round(cb / nb, 6) AS rate_b,
+      |       CASE WHEN (ca + cb) = 0 OR (ca + cb) = (na + nb) THEN NULL
+      |            ELSE round((ca / na - cb / nb)
+      |                       / sqrt(((ca + cb) / (na + nb)) * (1 - (ca + cb) / (na + nb))
+      |                              * (1 / na + 1 / nb)), 4) END AS z
+      |FROM w""") { (spark, dir) =>
+    import spark.implicits._
+    val treat = when(
+      conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2L === 0L, 1).otherwise(0)
+    val u = Tables.events(spark, dir)
+      .select($"user_id", treat.as("treat"), $"event_type")
+      .groupBy($"user_id", $"treat")
+      .agg(max(when($"event_type" === "click", 1).otherwise(0)).as("clicked"),
+        max(when($"event_type" === "purchase", 1).otherwise(0)).as("purchased"))
+    val f = u.filter($"clicked" === 1)
+      .groupBy($"treat")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"purchased").cast("double").as("conv"))
+    val w = f.agg(
+      max(when($"treat" === 1, $"n")).as("na"),
+      max(when($"treat" === 1, $"conv")).as("ca"),
+      max(when($"treat" === 0, $"n")).as("nb"),
+      max(when($"treat" === 0, $"conv")).as("cb"))
+    val pool = ($"ca" + $"cb") / ($"na" + $"nb")
+    w.select(
+      $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+      round($"ca" / $"na", 6).as("rate_a"),
+      round($"cb" / $"nb", 6).as("rate_b"),
+      // degenerate pooled rate (0 or 1, e.g. tiny-SF "everyone converted")
+      // has zero variance — emit NULL on both engines, never divide
+      when($"ca" + $"cb" === 0 || $"ca" + $"cb" === $"na" + $"nb", lit(null))
+        .otherwise(round(($"ca" / $"na" - $"cb" / $"nb")
+          / sqrt(pool * (lit(1) - pool) * (lit(1) / $"na" + lit(1) / $"nb")), 4))
+        .as("z"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the panel-data causal estimator that
+    * q163 (cross-section z) and q248 (CUPED) don't cover: with q163's
+    * md5 arms as treat/control and Jan-15 as the "intervention", the
+    * effect estimate is (treat_post − treat_pre) − (ctrl_post − ctrl_pre)
+    * — differencing out both the group-level baseline gap and the common
+    * time trend. One pass computes all four cell means; the estimate is
+    * pure projection algebra on the 4-cell grid. (On md5 arms with no
+    * real intervention the estimate should hover near zero — the A/A
+    * shape of the test, which is itself the standard validity check.)
+    *
+    * 100 TB plan: one map-side-combined conditional-aggregate scan — the
+    * same constant-output shape as q163/q273; panels with millions of
+    * units change the scan size, not the plan. */
+  val q293DiffInDiff: GraftQuery = GraftQuery.oracled(
+    "q293_diff_in_diff",
+    """WITH e AS (
+      |  SELECT value,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |              THEN 1 ELSE 0 END AS treat,
+      |         CASE WHEN date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-15 00:00:00'
+      |              THEN 1 ELSE 0 END AS post
+      |  FROM events),
+      |cells AS (
+      |  SELECT avg(CASE WHEN treat = 1 AND post = 0 THEN value END) AS m_tp0,
+      |         avg(CASE WHEN treat = 1 AND post = 1 THEN value END) AS m_tp1,
+      |         avg(CASE WHEN treat = 0 AND post = 0 THEN value END) AS m_cp0,
+      |         avg(CASE WHEN treat = 0 AND post = 1 THEN value END) AS m_cp1,
+      |         CAST(count(CASE WHEN treat = 1 THEN 1 END) AS BIGINT) AS n_treat,
+      |         CAST(count(CASE WHEN treat = 0 THEN 1 END) AS BIGINT) AS n_ctrl
+      |  FROM e)
+      |SELECT round(m_tp0, 4) AS mean_treat_pre, round(m_tp1, 4) AS mean_treat_post,
+      |       round(m_cp0, 4) AS mean_ctrl_pre, round(m_cp1, 4) AS mean_ctrl_post,
+      |       round((m_tp1 - m_tp0) - (m_cp1 - m_cp0), 4) AS did,
+      |       n_treat, n_ctrl
+      |FROM cells""") { (spark, dir) =>
+    import spark.implicits._
+    val treat = when(
+      conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2L === 0L, 1).otherwise(0)
+    val post = when($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"), 1)
+      .otherwise(0)
+    val cells = Tables.events(spark, dir)
+      .select($"value", treat.as("treat"), post.as("post"))
+      .agg(
+        avg(when($"treat" === 1 && $"post" === 0, $"value")).as("m_tp0"),
+        avg(when($"treat" === 1 && $"post" === 1, $"value")).as("m_tp1"),
+        avg(when($"treat" === 0 && $"post" === 0, $"value")).as("m_cp0"),
+        avg(when($"treat" === 0 && $"post" === 1, $"value")).as("m_cp1"),
+        count(when($"treat" === 1, 1)).cast("long").as("n_treat"),
+        count(when($"treat" === 0, 1)).cast("long").as("n_ctrl"))
+    cells.select(
+      round($"m_tp0", 4).as("mean_treat_pre"),
+      round($"m_tp1", 4).as("mean_treat_post"),
+      round($"m_cp0", 4).as("mean_ctrl_pre"),
+      round($"m_cp1", 4).as("mean_ctrl_post"),
+      round(($"m_tp1" - $"m_tp0") - ($"m_cp1" - $"m_cp0"), 4).as("did"),
+      $"n_treat", $"n_ctrl")
+  }
 
   /** THEIL-T INEQUALITY DECOMPOSITION — what Gini (q222) and Lorenz
     * (q271) can't do: Theil's T is ADDITIVELY decomposable,

@@ -999,7 +999,123 @@ object EventAnalytics {
     q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose,
     q252SpineGaps, q257Interarrival, q258RetentionDecay, q265WindowedFunnel,
     q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution,
-    q288ClampedBalance, q291PointInTimeFeatures)
+    q288ClampedBalance, q291PointInTimeFeatures, q294MarkovBacktest,
+    q297DisorderAudit)
+
+  /** EVENT-TIME DISORDER AUDIT — the number that TUNES `withWatermark`:
+    * per event (in arrival order = event_id), its lateness is how far its
+    * event time lags the running maximum event time seen so far,
+    * disorder_s = (running_max(ts) − ts) in whole seconds. The output is
+    * the corpus disorder distribution — late share, p50/p95/p99/max — and
+    * p99 IS the watermark delay that keeps 99% of late data: too small
+    * drops events (q64's late-drop), too large bloats state (q135's
+    * join buffers). Integer-µs arithmetic end to end.
+    *
+    * 100 TB plan: one GLOBAL arrival-order cumulative max is the honest
+    * formulation of cross-partition disorder, and at fleet scale it runs
+    * per ingest-partition (the unit a watermark actually advances over) —
+    * expressed here as the single-sequence census with the q97 two-phase
+    * caveat documented; the percentile reduction is constant-size. */
+  val q297DisorderAudit: GraftQuery = GraftQuery.oracled(
+    "q297_disorder_audit",
+    """WITH e AS (SELECT event_id, epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+      |d AS (SELECT greatest(CAST(0 AS BIGINT),
+      |               max(us) OVER (ORDER BY event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us)
+      |               // 1000000 AS late_s
+      |      FROM e)
+      |SELECT CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(CASE WHEN late_s > 0 THEN 1 END) AS BIGINT) AS n_late,
+      |       CAST(floor(quantile_cont(late_s, 0.50)) AS BIGINT) AS p50_s,
+      |       CAST(floor(quantile_cont(late_s, 0.95)) AS BIGINT) AS p95_s,
+      |       CAST(floor(quantile_cont(late_s, 0.99)) AS BIGINT) AS p99_s,
+      |       CAST(max(late_s) AS BIGINT) AS max_s
+      |FROM d""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .withColumn("late_s",
+        floor(greatest(lit(0L), max($"us").over(wCum) - $"us") / lit(1000000L)))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        count(when($"late_s" > 0, 1)).cast("long").as("n_late"),
+        floor(expr("percentile(late_s, 0.50)")).cast("long").as("p50_s"),
+        floor(expr("percentile(late_s, 0.95)")).cast("long").as("p95_s"),
+        floor(expr("percentile(late_s, 0.99)")).cast("long").as("p99_s"),
+        max($"late_s").cast("long").as("max_s"))
+  }
+
+  /** NEXT-EVENT MODEL BACKTEST — train q168's first-order Markov model on
+    * a temporal prefix and measure argmax-prediction hit rate on the
+    * holdout suffix, entirely in the engine: transitions before the
+    * Jan-21 cutoff form the training census, the per-prev argmax (count
+    * DESC, type ASC — deterministic tie-break) is the model, and every
+    * holdout transition scores hit/miss against it. The majority-class
+    * baseline (predict the globally most common training event) is
+    * computed alongside — a model eval without a lift column over its
+    * baseline is marketing, not measurement.
+    *
+    * 100 TB plan: one user-keyed lag window produces ALL transitions
+    * (train and test split by a predicate on the SAME pass — no second
+    * scan); the model table is |types|² and broadcasts; scoring is one
+    * broadcast-join projection. This is exactly how sequence-model evals
+    * (session next-action, churn triggers) run at fleet scale. */
+  val q294MarkovBacktest: GraftQuery = GraftQuery.oracled(
+    "q294_markov_backtest",
+    """WITH s AS (SELECT user_id, event_type AS cur,
+      |                  date_trunc('microseconds', ts) AS ts,
+      |                  lag(event_type) OVER (PARTITION BY user_id
+      |                    ORDER BY date_trunc('microseconds', ts), event_id) AS prev
+      |           FROM events),
+      |tr AS (SELECT prev, cur FROM s
+      |       WHERE prev IS NOT NULL AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+      |te AS (SELECT prev, cur FROM s
+      |       WHERE prev IS NOT NULL AND ts >= TIMESTAMP '2024-01-21 00:00:00'),
+      |cnt AS (SELECT prev, cur, count(*) AS n FROM tr GROUP BY 1, 2),
+      |model AS (SELECT prev, cur AS pred FROM (
+      |            SELECT prev, cur, row_number() OVER (PARTITION BY prev
+      |              ORDER BY n DESC, cur) AS rk FROM cnt) WHERE rk = 1),
+      |base AS (SELECT cur AS majority FROM (
+      |           SELECT cur, row_number() OVER (ORDER BY count(*) DESC, cur) AS rk
+      |           FROM tr GROUP BY cur) WHERE rk = 1),
+      |sc AS (SELECT CASE WHEN te.cur = m.pred THEN 1 ELSE 0 END AS hit,
+      |              CASE WHEN te.cur = b.majority THEN 1 ELSE 0 END AS base_hit
+      |       FROM te JOIN model m ON te.prev = m.prev, base b)
+      |SELECT CAST(count(*) AS BIGINT) AS n_test,
+      |       CAST(sum(hit) AS BIGINT) AS n_hits,
+      |       CAST(floor(1000000.0 * sum(hit) / count(*)) AS BIGINT) AS hit_ppm,
+      |       CAST(floor(1000000.0 * sum(base_hit) / count(*)) AS BIGINT) AS baseline_ppm
+      |FROM sc""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+    val s = Tables.events(spark, dir)
+      .select($"user_id", $"event_type".as("cur"), $"ts", $"event_id")
+      .withColumn("prev", lag($"cur", 1).over(wSeq))
+      .filter($"prev".isNotNull)
+    val tr = s.filter($"ts" < cutoff).select($"prev", $"cur")
+    val te = s.filter($"ts" >= cutoff).select($"prev", $"cur")
+    val cnt = tr.groupBy($"prev", $"cur").agg(count(lit(1)).as("n"))
+    val model = cnt
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"prev").orderBy($"n".desc, $"cur")))
+      .filter($"rk" === 1)
+      .select($"prev", $"cur".as("pred"))
+    val base = tr.groupBy($"cur").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"cur").limit(1)
+      .select($"cur".as("majority"))
+    te.join(broadcast(model), Seq("prev"))
+      .crossJoin(broadcast(base))
+      .select(when($"cur" === $"pred", 1).otherwise(0).as("hit"),
+        when($"cur" === $"majority", 1).otherwise(0).as("base_hit"))
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum($"hit").cast("long").as("n_hits"),
+        floor(lit(1000000.0) * sum($"hit") / count(lit(1))).cast("long").as("hit_ppm"),
+        floor(lit(1000000.0) * sum($"base_hit") / count(lit(1))).cast("long").as("baseline_ppm"))
+  }
 
   /** LEAKAGE-SAFE POINT-IN-TIME training-set assembly — the feature-store
     * contract: for every label event (a purchase), features aggregate the

@@ -538,13 +538,19 @@ object Windows {
       .withColumn("vc", when($"v".isNotNull, floor($"v" * 100 + 0.5).cast("long")))
     val wp = Window.partitionBy($"user_id").orderBy($"hx")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wn = Window.partitionBy($"user_id").orderBy($"hx")
-      .rowsBetween(0, Window.unboundedFollowing)
+    // forward-looking pair via a DESCENDING running frame: Spark evaluates
+    // [CURRENT ROW, UNBOUNDED FOLLOWING] frames by re-aggregating from
+    // scratch per row — O(rows²) per partition, measured 50 s forced at
+    // sf0.1 — while the equivalent last(...) over the reverse sort is the
+    // O(rows) running-frame path (3 s forced). Same one shuffle; the
+    // second Window node only re-sorts within partitions.
+    val wpDesc = Window.partitionBy($"user_id").orderBy($"hx".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     j.select($"user_id", $"h", $"v", $"hx",
         last($"vc", ignoreNulls = true).over(wp).as("pv"),
         last(when($"vc".isNotNull, $"hx"), ignoreNulls = true).over(wp).as("ph"),
-        first($"vc", ignoreNulls = true).over(wn).as("nv"),
-        first(when($"vc".isNotNull, $"hx"), ignoreNulls = true).over(wn).as("nh"))
+        last($"vc", ignoreNulls = true).over(wpDesc).as("nv"),
+        last(when($"vc".isNotNull, $"hx"), ignoreNulls = true).over(wpDesc).as("nh"))
       .select($"user_id", $"h",
         when($"pv".isNull, $"nv" * 1000)
           .when($"nv".isNull, $"pv" * 1000)
