@@ -459,8 +459,84 @@ object Curation {
       .orderBy($"source", $"split")
   }
 
+  /** q300's oracle: q127's verdict pipeline re-used VERBATIM as a CTE
+    * (string surgery on its oracle text — one source of truth for the
+    * curation rules), extended with the cluster-coin split (q298's rule)
+    * and the per-(split, source) manifest rollup. Sequence estimates use
+    * ⌈tokens/512⌉ via /512.0 — a power-of-two division, exact in binary
+    * floating point, so the ceil can never straddle engines. */
+  private lazy val q300Sql: String = {
+    val base = q127CurationPipeline.oracle.get
+    val idx = base.lastIndexOf("SELECT d.doc_id,")
+    val ctes = base.substring(0, idx).trim
+    val finalSel = base.substring(idx).replace("ORDER BY d.doc_id", "").trim
+    ctes + ",\nverdicts AS (" + finalSel + """),
+      |kept AS (
+      |  SELECT v.doc_id, cl.cluster_id, d.source,
+      |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+      |  FROM verdicts v
+      |  JOIN clusters cl ON v.doc_id = cl.doc_id
+      |  JOIN documents d ON v.doc_id = d.doc_id
+      |  WHERE v.verdict = 'keep'),
+      |asg AS (
+      |  SELECT source, n_tok,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 800000 THEN 'train'
+      |              WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 900000 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM kept)
+      |SELECT split, source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(floor((sum(n_tok) + 511) / 512.0) AS BIGINT) AS n_sequences_512
+      |FROM asg GROUP BY split, source
+      |ORDER BY split, source""".stripMargin
+  }
+
+  /** TRAINING-DATA EXPORT MANIFEST — the capstone deliverable an LLM data
+    * engine actually ships: q127's full curation pipeline (holdout,
+    * quality, exact dup, near dup, contamination) selects the kept docs,
+    * q298's cluster-consistent md5 coin assigns leak-free train/val/test,
+    * and the manifest reports, per (split, source), document count, token
+    * budget, and the 512-token sequence estimate the trainer provisions
+    * for. One query = the handoff contract between data curation and the
+    * training job.
+    *
+    * 100 TB plan: every stage reuses an already-audited shape (q45 capped
+    * inverted index, q109 star closure, broadcast eval-grams, hash
+    * census); the manifest rollup is map-side-combined over (split,
+    * source) — the output is dashboard-sized. */
+  val q300ExportManifest: GraftQuery = GraftQuery(
+    "q300_export_manifest",
+    (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val verdicts = curate(docs, $"doc_id" % 50 === 0)
+    val clusters = Dedup.minLabelComponents(
+        docs.select($"doc_id"),
+        Dedup.neardupPairs(docs).select($"doc_a", $"doc_b"))
+      .toDF("doc_id", "cluster_id")
+    def coin(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 1000000L
+    verdicts.filter($"verdict" === "keep")
+      .join(clusters, Seq("doc_id"))
+      .join(docs.select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tok")), Seq("doc_id"))
+      .withColumn("split",
+        when(coin($"cluster_id") < 800000L, "train")
+          .when(coin($"cluster_id") < 900000L, "val")
+          .otherwise("test"))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_tok").cast("long").as("n_tokens"),
+        floor((sum($"n_tok") + 511) / lit(512.0)).cast("long").as("n_sequences_512"))
+      .orderBy($"split", $"source")
+    },
+    Some(q300Sql),
+    doc = "curation verdicts → cluster-coin split → per-(split, source) docs/tokens/512-token sequences")
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
-    q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit)
+    q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
+    q300ExportManifest)
 }

@@ -820,9 +820,108 @@ object Dedup {
       .orderBy($"source")
   }
 
+  /** DEDUP-AWARE (cluster-consistent) train/val/test SPLIT — the eval
+    * hygiene rule the plain per-doc coin (q102/q283) violates: when two
+    * near-duplicate documents land on opposite sides of the split, the
+    * eval set leaks training data. Here the md5 coin is thrown per
+    * NEAR-DUP CLUSTER (q109's components), so every cluster travels
+    * whole. The output proves the property rather than asserting it:
+    * `cross_split_pairs` (near-dup pairs straddling splits under the
+    * cluster coin) is structurally 0, while `doc_coin_cross_pairs` — the
+    * SAME corpus under the naive per-doc coin — counts the leaks this
+    * operator prevents.
+    *
+    * 100 TB plan: one extra label join over q109's clustering; the coin
+    * is a projection of the cluster label, and both leak censuses are
+    * pair-keyed joins against the near-dup pair set — no new shuffle
+    * shape beyond the clustering itself. */
+  val q298ClusterSplit: GraftQuery = GraftQuery.oracled(
+    "q298_cluster_split",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b FROM pairs
+      |         JOIN sizes sa ON doc_a = sa.doc_id
+      |         JOIN sizes sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |          UNION ALL SELECT doc_b, doc_a FROM good),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      |assign AS (
+      |  SELECT doc_id, cluster_id,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 800000 THEN 'train'
+      |              WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 900000 THEN 'val'
+      |              ELSE 'test' END AS split,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 800000 THEN 'train'
+      |              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 900000 THEN 'val'
+      |              ELSE 'test' END AS doc_split
+      |  FROM lab),
+      |xc AS (SELECT a.split AS split, count(*) AS n
+      |       FROM good g JOIN assign a ON g.doc_a = a.doc_id
+      |                   JOIN assign b ON g.doc_b = b.doc_id
+      |       WHERE a.split <> b.split GROUP BY 1),
+      |xd AS (SELECT a.split AS split, count(*) AS n
+      |       FROM good g JOIN assign a ON g.doc_a = a.doc_id
+      |                   JOIN assign b ON g.doc_b = b.doc_id
+      |       WHERE a.doc_split <> b.doc_split GROUP BY 1)
+      |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT s.cluster_id) AS BIGINT) AS n_clusters,
+      |       CAST(coalesce(any_value(xc.n), 0) AS BIGINT) AS cross_split_pairs,
+      |       CAST(coalesce(any_value(xd.n), 0) AS BIGINT) AS doc_coin_cross_pairs
+      |FROM assign s
+      |LEFT JOIN xc ON xc.split = s.split
+      |LEFT JOIN xd ON xd.split = s.split
+      |GROUP BY s.split
+      |ORDER BY s.split""") { (spark, dir) =>
+    import spark.implicits._
+    val pairs = q45NeardupJaccard.fn(spark, dir)
+      .select($"doc_a", $"doc_b").persist()
+    val verts = Tables.documents(spark, dir).select($"doc_id")
+    val lab = starComponents(verts, pairs)._1
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+    def coin(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 1000000L
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(coin(c) < 800000L, "train").when(coin(c) < 900000L, "val")
+        .otherwise("test")
+    val assign = lab.select($"doc_id", $"cluster_id",
+      splitOf($"cluster_id").as("split"),
+      splitOf($"doc_id").as("doc_split")).persist()
+    val aSide = assign.select($"doc_id".as("doc_a"),
+      $"split".as("split_a"), $"doc_split".as("dsplit_a"))
+    val bSide = assign.select($"doc_id".as("doc_b"),
+      $"split".as("split_b"), $"doc_split".as("dsplit_b"))
+    val pj = pairs.join(aSide, "doc_a").join(bSide, "doc_b")
+    val xc = pj.filter($"split_a" =!= $"split_b")
+      .groupBy($"split_a".as("split")).agg(count(lit(1)).as("nx"))
+    val xd = pj.filter($"dsplit_a" =!= $"dsplit_b")
+      .groupBy($"split_a".as("split")).agg(count(lit(1)).as("nd"))
+    assign
+      .groupBy($"split")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct($"cluster_id").cast("long").as("n_clusters"))
+      .join(xc, Seq("split"), "left")
+      .join(xd, Seq("split"), "left")
+      .select($"split", $"n_docs", $"n_clusters",
+        coalesce($"nx", lit(0L)).cast("long").as("cross_split_pairs"),
+        coalesce($"nd", lit(0L)).cast("long").as("doc_coin_cross_pairs"))
+      .orderBy($"split")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
-    q296SourceDupRate)
+    q296SourceDupRate, q298ClusterSplit)
 }
