@@ -394,5 +394,76 @@ object NullAndMisc {
   def all: Seq[GraftQuery] = Seq(
     q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName,
     q91Posexplode, q92StructToJson, q119Unpivot, q134ObserveMetrics,
-    q151RiAudit, q201MapHofs, q220TryArithmetic)
+    q151RiAudit, q201MapHofs, q220TryArithmetic, q299TombstonePurge)
+
+  /** RIGHT-TO-BE-FORGOTTEN PURGE CASCADE AUDIT — the pre-deletion impact
+    * report every privacy pipeline runs before executing erasure: given a
+    * tombstone list (customers with md5 coin < 2%), follow the FK cascade
+    * customer → orders → lineitem and report, per table, rows to purge,
+    * rows kept, and the purge share in ppm; the last row audits the
+    * POST-purge state (orphaned orders remaining = 0 — erasure must not
+    * create the q151 orphans it audits). Anti-join/semi-join census all
+    * the way down: the tombstone set broadcasts, the fact tables never
+    * shuffle.
+    *
+    * 100 TB plan: each cascade level is one broadcast semi/anti join +
+    * count — the same plan as executing the delete (a partition-rewrite
+    * anti-join), so the audit IS the dry run of the real operation. */
+  val q299TombstonePurge: GraftQuery = GraftQuery.oracled(
+    "q299_tombstone_purge",
+    """WITH ts AS (SELECT c_custkey FROM customer
+      |            WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 20000),
+      |po AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM ts)),
+      |r AS (
+      |  SELECT 'customer' AS tbl,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM ts) AS purge_rows,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS total_rows
+      |  UNION ALL
+      |  SELECT 'orders',
+      |         (SELECT CAST(count(*) AS BIGINT) FROM po),
+      |         (SELECT CAST(count(*) AS BIGINT) FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem',
+      |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+      |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem))
+      |SELECT tbl, purge_rows, total_rows - purge_rows AS kept_rows,
+      |       CAST(floor(1000000.0 * purge_rows / total_rows) AS BIGINT) AS purge_ppm,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |        WHERE o_custkey IN (SELECT c_custkey FROM ts)
+      |          AND o_orderkey NOT IN (SELECT o_orderkey FROM po)) AS post_purge_orphans
+      |FROM r ORDER BY tbl""") { (spark, dir) =>
+    import spark.implicits._
+    val tomb = Tables.customer(spark, dir)
+      .filter(conv(substring(md5($"c_custkey".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L < 20000L)
+      .select($"c_custkey")
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val purgedOrders = orders.join(broadcast(tomb),
+      $"o_custkey" === $"c_custkey", "left_semi")
+    def censusRow(tbl: String, purged: org.apache.spark.sql.DataFrame,
+        total: org.apache.spark.sql.DataFrame) =
+      purged.agg(count(lit(1)).cast("long").as("purge_rows"))
+        .crossJoin(total.agg(count(lit(1)).cast("long").as("total_rows")))
+        .select(lit(tbl).as("tbl"), $"purge_rows", $"total_rows")
+    val purgedLi = li.join(broadcast(purgedOrders.select($"o_orderkey")),
+      $"l_orderkey" === $"o_orderkey", "left_semi")
+    val r = censusRow("customer", tomb, Tables.customer(spark, dir))
+      .unionAll(censusRow("orders", purgedOrders, orders))
+      .unionAll(censusRow("lineitem", purgedLi, li))
+    // the purge set is closed by construction (po = exactly the orders of
+    // tombstoned customers), so the orphan audit is structurally 0 — the
+    // column exists to PROVE it, mirroring q298's leak census
+    val orphans = purgedOrders
+      .join(purgedOrders.select($"o_orderkey".as("pk")),
+        $"o_orderkey" === $"pk", "left_anti")
+      .agg(count(lit(1)).cast("long").as("post_purge_orphans"))
+    r.crossJoin(broadcast(orphans))
+      .select($"tbl", $"purge_rows",
+        ($"total_rows" - $"purge_rows").as("kept_rows"),
+        floor(lit(1000000.0) * $"purge_rows" / $"total_rows")
+          .cast("long").as("purge_ppm"),
+        $"post_purge_orphans")
+      .orderBy($"tbl")
+  }
 }
