@@ -276,6 +276,49 @@ object FuzzyJoin {
       .orderBy($"ka", $"kb")
   }
 
+  /** JARO–WINKLER fuzzy matching (q160's ED-1 complement for
+    * TYPO-tolerant name matching where edit distance is too rigid —
+    * transposed characters and shared prefixes score high): pairs from
+    * the standard first-letter + length-band blocking (JW's prefix boost
+    * makes first-letter blocking the textbook scheme; the oracle states
+    * the SAME blocked rule, so the result is exact for the rule as
+    * stated), scored by the codegen'd [[graft.functions.JaroWinkler]]
+    * Expression and kept at rounded jw ≥ 0.98. The DuckDB oracle scores
+    * with its OWN `jaro_winkler_similarity` implementation — the strict
+    * hash-match is a cross-implementation equivalence proof for every
+    * emitted pair, not a recompute of our code.
+    *
+    * 100 TB plan: blocking keys are (first char, length band) — a
+    * bounded-fanout equi-join, never names×names; scoring is a codegen'd
+    * projection on candidates only. Hot blocks (common initials) take
+    * q70's salting at corpus scale. */
+  val q301JaroWinklerMatch: GraftQuery = GraftQuery.oracled(
+    "q301_jaro_winkler_match",
+    """WITH v AS (SELECT DISTINCT c_name FROM customer ORDER BY c_name LIMIT 2000),
+      |p AS (SELECT a.c_name AS name_a, b.c_name AS name_b,
+      |             round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw
+      |      FROM v a JOIN v b
+      |        ON substr(a.c_name, 1, 1) = substr(b.c_name, 1, 1)
+      |       AND abs(length(a.c_name) - length(b.c_name)) <= 2
+      |       AND a.c_name < b.c_name)
+      |SELECT name_a, name_b, jw FROM p
+      |WHERE jw >= 0.98
+      |ORDER BY name_a, name_b""") { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.JaroWinkler.register(spark)
+    val vocab = nameVocab(spark, dir)
+    val a = vocab.select($"c_name".as("name_a"),
+      substring($"c_name", 1, 1).as("blk"), length($"c_name").as("la"))
+    val b = vocab.select($"c_name".as("name_b"),
+      substring($"c_name", 1, 1).as("blk"), length($"c_name").as("lb"))
+    a.join(b, Seq("blk"))
+      .filter(abs($"la" - $"lb") <= 2 && $"name_a" < $"name_b")
+      .select($"name_a", $"name_b",
+        round(graft.functions.JaroWinkler.jaroWinkler($"name_a", $"name_b"), 4).as("jw"))
+      .filter($"jw" >= 0.98)
+      .orderBy($"name_a", $"name_b")
+  }
+
   def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution,
-    q275GoldenRecord, q282FellegiSunter)
+    q275GoldenRecord, q282FellegiSunter, q301JaroWinklerMatch)
 }
