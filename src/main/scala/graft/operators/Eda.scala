@@ -1028,7 +1028,7 @@ object Eda {
     q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo, q248Cuped,
     q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs,
     q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition,
-    q293DiffInDiff, q295ProportionZTest)
+    q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr)
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The
@@ -1286,5 +1286,130 @@ object Eda {
         round($"m" + log(sum(exp($"lx" - $"m"))), 6).as("lse_logprice"))
       .select($"s", $"n", $"geo_mean", $"harm_mean", $"lse_logprice")
       .orderBy($"s")
+  }
+
+  /** EMPIRICAL-BAYES RATE SHRINKAGE — the small-sample fix for ranking
+    * per-user conversion rates: a user with 1/2 purchases is not "50%
+    * converting", they are data-starved. Fit a Beta prior to the corpus
+    * of observed rates by method of moments (α+β = m(1−m)/v − 1, the
+    * James-Stein-flavored pooling every CTR/ranking pipeline applies),
+    * then shrink each user's rate toward the prior mean proportionally
+    * to how little data they have: shrunk = (x+α)/(n+α+β). Extreme rates
+    * on thin denominators collapse toward m; heavy users barely move.
+    *
+    * 100 TB plan: one user-level census (map-side combined), one 1-row
+    * moments agg that BROADCASTS back, one map-side projection — the
+    * prior is corpus-global, so no row-scale data ever shuffles twice.
+    * Degenerate prior (v ≥ m(1−m), i.e. over-dispersed beyond Bernoulli)
+    * clamps k to 0 → shrunk ≡ raw, both engines. */
+  val q303EbShrinkage: GraftQuery = GraftQuery.oracled(
+    "q303_eb_shrinkage",
+    """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |                  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS x
+      |           FROM events GROUP BY 1),
+      |pri AS (SELECT avg(CAST(x AS DOUBLE) / n) AS m,
+      |               var_samp(CAST(x AS DOUBLE) / n) AS v
+      |        FROM u),
+      |k AS (SELECT m, greatest(CASE WHEN v > 0 THEN m * (1 - m) / v - 1 ELSE 0 END, 0) AS k0
+      |      FROM pri)
+      |SELECT u.user_id, u.n AS n_events, u.x AS n_conv,
+      |       round(CAST(u.x AS DOUBLE) / u.n, 6) AS rate_raw,
+      |       round((u.x + k.m * k.k0) / (u.n + k.k0), 6) AS rate_shrunk
+      |FROM u, k
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    val u = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("long").as("n"),
+        count(when($"event_type" === "purchase", 1)).cast("long").as("x"))
+    val pri = u.agg(avg($"x".cast("double") / $"n").as("m"),
+      var_samp($"x".cast("double") / $"n").as("v"))
+    val k = pri.select($"m",
+      greatest(when($"v" > 0, $"m" * (lit(1) - $"m") / $"v" - 1).otherwise(0),
+        lit(0)).as("k0"))
+    u.crossJoin(broadcast(k))
+      .select($"user_id", $"n".as("n_events"), $"x".as("n_conv"),
+        round($"x".cast("double") / $"n", 6).as("rate_raw"),
+        round(($"x" + $"m" * $"k0") / ($"n" + $"k0"), 6).as("rate_shrunk"))
+      .orderBy($"user_id")
+  }
+
+  /** BENJAMINI–HOCHBERG FDR CORRECTION — the multiple-comparisons layer
+    * the per-test family (q163/q273/q284/q295) needs once you run MANY
+    * tests at once: 35 segment-level Welch z-tests (event_type ×
+    * day-of-week) would produce ~3–4 false positives at α=0.10 by chance
+    * alone. BH step-up: rank p ascending, find the LARGEST k with
+    * p_(k) ≤ k·q/m, reject ranks 1..k (including any non-qualifying p
+    * below rank k — that is the step-UP part naive thresholding gets
+    * wrong). Two-sided p comes from the same closed-form tail
+    * approximation p ≈ min(1, 2·exp(−0.717|z| − 0.416z²)) (Lin 1989) on
+    * BOTH engines — cross-engine identical arithmetic, no Φ table.
+    *
+    * 100 TB plan: the row-scale work is ONE conditional-moments hash-agg
+    * keyed by segment; the BH pass itself runs on the m-row test table
+    * (m = dozens), where a single-partition window is the CORRECT plan,
+    * not a bottleneck. */
+  val q305BhFdr: GraftQuery = GraftQuery.oracled(
+    "q305_bh_fdr",
+    """WITH e AS (
+      |  SELECT event_type, date_part('dow', date_trunc('microseconds', ts)) + 1 AS dow, value,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |              THEN 'A' ELSE 'B' END AS variant
+      |  FROM events),
+      |t AS (SELECT event_type, dow,
+      |             CAST(count(CASE WHEN variant = 'A' THEN 1 END) AS BIGINT) AS n_a,
+      |             CAST(count(CASE WHEN variant = 'B' THEN 1 END) AS BIGINT) AS n_b,
+      |             (avg(CASE WHEN variant = 'A' THEN value END)
+      |              - avg(CASE WHEN variant = 'B' THEN value END))
+      |             / sqrt(var_samp(CASE WHEN variant = 'A' THEN value END)
+      |                      / count(CASE WHEN variant = 'A' THEN 1 END)
+      |                    + var_samp(CASE WHEN variant = 'B' THEN value END)
+      |                      / count(CASE WHEN variant = 'B' THEN 1 END)) AS z
+      |      FROM e GROUP BY 1, 2
+      |      HAVING count(CASE WHEN variant = 'A' THEN 1 END) > 1
+      |         AND count(CASE WHEN variant = 'B' THEN 1 END) > 1),
+      |p AS (SELECT event_type, dow, n_a, n_b, z,
+      |             least(1.0, 2 * exp(-0.717 * abs(z) - 0.416 * z * z)) AS pv
+      |      FROM t WHERE z IS NOT NULL),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY pv, event_type, dow) AS p_rank,
+      |              count(*) OVER () AS m
+      |       FROM p),
+      |kmax AS (SELECT max(CASE WHEN pv <= p_rank * 0.10 / m THEN p_rank ELSE 0 END) AS k
+      |         FROM rk)
+      |SELECT event_type, CAST(dow AS BIGINT) AS dow, n_a, n_b,
+      |       round(z, 4) AS z, round(pv, 6) AS p_value,
+      |       CAST(p_rank AS BIGINT) AS p_rank,
+      |       CASE WHEN p_rank <= (SELECT k FROM kmax) THEN 1 ELSE 0 END AS rejected
+      |FROM rk
+      |ORDER BY p_rank""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val coin = conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") % 2L
+    val e = Tables.events(spark, dir)
+      .select($"event_type", dayofweek($"ts").cast("long").as("dow"), $"value",
+        when(coin === 0L, "A").otherwise("B").as("variant"))
+    val a = when($"variant" === "A", $"value")
+    val b = when($"variant" === "B", $"value")
+    val cntA = count(when($"variant" === "A", 1))
+    val cntB = count(when($"variant" === "B", 1))
+    val t = e.groupBy($"event_type", $"dow")
+      .agg(cntA.cast("long").as("n_a"), cntB.cast("long").as("n_b"),
+        ((avg(a) - avg(b)) / sqrt(var_samp(a) / cntA + var_samp(b) / cntB)).as("z"))
+      .filter($"n_a" > 1 && $"n_b" > 1 && $"z".isNotNull)
+    val p = t.withColumn("pv",
+      least(lit(1.0), lit(2) * exp(lit(-0.717) * abs($"z") - lit(0.416) * $"z" * $"z")))
+    // m is dozens of rows — the single-partition window IS the right plan
+    val rk = p
+      .withColumn("p_rank", row_number().over(Window.orderBy($"pv", $"event_type", $"dow")))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    val kmax = rk.agg(
+      max(when($"pv" <= $"p_rank" * 0.10 / $"m", $"p_rank").otherwise(0L)).as("k"))
+    rk.crossJoin(broadcast(kmax))
+      .select($"event_type", $"dow", $"n_a", $"n_b",
+        round($"z", 4).as("z"), round($"pv", 6).as("p_value"),
+        $"p_rank".cast("long").as("p_rank"),
+        when($"p_rank" <= $"k", 1).otherwise(0).as("rejected"))
+      .orderBy($"p_rank")
   }
 }

@@ -1000,7 +1000,7 @@ object EventAnalytics {
     q252SpineGaps, q257Interarrival, q258RetentionDecay, q265WindowedFunnel,
     q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution,
     q288ClampedBalance, q291PointInTimeFeatures, q294MarkovBacktest,
-    q297DisorderAudit)
+    q297DisorderAudit, q302FifoAllocation, q304LogRankTest)
 
   /** EVENT-TIME DISORDER AUDIT — the number that TUNES `withWatermark`:
     * per event (in arrival order = event_id), its lateness is how far its
@@ -1534,5 +1534,184 @@ object EventAnalytics {
         coalesce($"n_missing", lit(0L)).cast("long").as("n_missing"),
         $"first_gap")
       .orderBy($"event_type")
+  }
+
+  /** FIFO LOT ALLOCATION — match each part's outbound demand ('R' return
+    * lines) against its inbound receipt lots ('N' lines) in ship-date
+    * order, first-in-first-out: the cost-basis/inventory-consumption
+    * operator every ledger and WMS needs, and a famously procedural
+    * computation made RELATIONAL by the prefix-sum trick. Each receipt
+    * occupies the quantity interval [cum−q, cum) of its part's supply
+    * line; each issue occupies the same interval of the demand line; a
+    * lot feeds an issue iff their intervals OVERLAP, and the allocated
+    * quantity is the (exact, BIGINT) overlap length. No loop, no state:
+    * FIFO falls out of interval intersection on the two prefix sums.
+    *
+    * 100 TB plan: two window cumsums and the allocation join ALL key on
+    * `l_partkey` — one hash partitioning planned once and reused (zero
+    * extra exchanges, AQE-coalesced). The overlap join is an EQUI join on
+    * partkey with the interval predicate as residual; within a part the
+    * match count is ≤ receipts+issues (intervals of two partitions of one
+    * line can only interleave linearly), so the join output is
+    * corpus-linear, never quadratic. */
+  val q302FifoAllocation: GraftQuery = GraftQuery.oracled(
+    "q302_fifo_allocation",
+    """WITH rc AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+      |                   sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+      |                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |                     ROWS UNBOUNDED PRECEDING) AS re
+      |            FROM lineitem WHERE l_returnflag = 'N'),
+      |r2 AS (SELECT l_partkey, q, re - q AS rs, re FROM rc),
+      |dm AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+      |              sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+      |                ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |                ROWS UNBOUNDED PRECEDING) AS de
+      |       FROM lineitem WHERE l_returnflag = 'R'),
+      |d2 AS (SELECT l_partkey, q, de - q AS ds, de FROM dm),
+      |al AS (SELECT r2.l_partkey,
+      |              least(r2.re, d2.de) - greatest(r2.rs, d2.ds) AS aq
+      |       FROM r2 JOIN d2 ON r2.l_partkey = d2.l_partkey
+      |                      AND r2.rs < d2.de AND d2.ds < r2.re),
+      |rcen AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_receipts,
+      |                CAST(sum(q) AS BIGINT) AS receipt_qty
+      |         FROM r2 GROUP BY 1),
+      |dcen AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_issues,
+      |                CAST(sum(q) AS BIGINT) AS issue_qty
+      |         FROM d2 GROUP BY 1),
+      |acen AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_allocs,
+      |                CAST(sum(aq) AS BIGINT) AS alloc_qty
+      |         FROM al GROUP BY 1)
+      |SELECT rcen.l_partkey, n_receipts, n_issues, receipt_qty, issue_qty,
+      |       CAST(coalesce(n_allocs, 0) AS BIGINT) AS n_allocs,
+      |       CAST(coalesce(alloc_qty, 0) AS BIGINT) AS alloc_qty,
+      |       CAST(greatest(issue_qty - receipt_qty, 0) AS BIGINT) AS short_qty
+      |FROM rcen JOIN dcen USING (l_partkey)
+      |LEFT JOIN acen USING (l_partkey)
+      |ORDER BY l_partkey""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_partkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def lots(flag: String, s: String, e: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .filter($"l_returnflag" === flag)
+        .select($"l_partkey", $"l_quantity".cast("long").as("q"),
+          $"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .withColumn(e, sum($"q").over(w))
+        .select($"l_partkey", $"q", (col(e) - $"q").as(s), col(e))
+    val r2 = lots("N", "rs", "re")
+    val d2 = lots("R", "ds", "de")
+    val al = r2.join(d2.withColumnRenamed("l_partkey", "pk").withColumnRenamed("q", "dq"),
+        $"l_partkey" === $"pk" && $"rs" < $"de" && $"ds" < $"re")
+      .select($"l_partkey", (least($"re", $"de") - greatest($"rs", $"ds")).as("aq"))
+    val rcen = r2.groupBy($"l_partkey")
+      .agg(count(lit(1)).cast("long").as("n_receipts"), sum($"q").cast("long").as("receipt_qty"))
+    val dcen = d2.groupBy($"l_partkey")
+      .agg(count(lit(1)).cast("long").as("n_issues"), sum($"q").cast("long").as("issue_qty"))
+    val acen = al.groupBy($"l_partkey")
+      .agg(count(lit(1)).cast("long").as("n_allocs"), sum($"aq").cast("long").as("alloc_qty"))
+    rcen.join(dcen, Seq("l_partkey"))
+      .join(acen, Seq("l_partkey"), "left")
+      .select($"l_partkey", $"n_receipts", $"n_issues", $"receipt_qty", $"issue_qty",
+        coalesce($"n_allocs", lit(0L)).cast("long").as("n_allocs"),
+        coalesce($"alloc_qty", lit(0L)).cast("long").as("alloc_qty"),
+        greatest($"issue_qty" - $"receipt_qty", lit(0L)).cast("long").as("short_qty"))
+      .orderBy($"l_partkey")
+  }
+
+  /** LOG-RANK TEST — does survival DIFFER between two cohorts? The
+    * hypothesis-test companion q180's Kaplan–Meier curve was missing
+    * (Mantel 1966): with users split into md5 arms, at every death time t
+    * arm A's observed deaths are compared with the expectation under the
+    * null (deaths distribute proportionally to the at-risk sets),
+    * χ² = (Σ(O_A − E_A))² / ΣV with the hypergeometric variance
+    * V_t = d·(n_A/n)·(n_B/n)·(n−d)/(n−1). On md5 arms the statistic
+    * should hover near zero — the A/A validity shape, same as q293.
+    *
+    * 100 TB plan: raw events collapse to ONE per-user min/max agg; the
+    * whole test then runs on the duration census (hundreds of rows) —
+    * conditional-sum wide layout per arm, two ordered window cumsums for
+    * the at-risk sets, one scalar reduction. Identical ordered float
+    * pipelines both engines. */
+  val q304LogRankTest: GraftQuery = GraftQuery.oracled(
+    "q304_logrank_test",
+    """WITH d AS (SELECT user_id,
+      |                  CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d
+      |           FROM events),
+      |g AS (SELECT max(d) AS gmax FROM d),
+      |u AS (SELECT user_id,
+      |             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |                  THEN 1 ELSE 0 END AS arm_a,
+      |             CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS t,
+      |             CASE WHEN date_diff('day', max(d), (SELECT gmax FROM g)) >= 3
+      |                  THEN 1 ELSE 0 END AS died
+      |      FROM d GROUP BY user_id),
+      |s AS (SELECT t,
+      |             CAST(sum(arm_a) AS BIGINT) AS leave_a,
+      |             CAST(sum(1 - arm_a) AS BIGINT) AS leave_b,
+      |             CAST(sum(arm_a * died) AS BIGINT) AS d_a,
+      |             CAST(sum((1 - arm_a) * died) AS BIGINT) AS d_b
+      |      FROM u GROUP BY t),
+      |r AS (SELECT t, d_a, d_b,
+      |             sum(leave_a) OVER (ORDER BY t DESC) AS n_a,
+      |             sum(leave_b) OVER (ORDER BY t DESC) AS n_b
+      |      FROM s),
+      |terms AS (SELECT d_a,
+      |                 (d_a + d_b) * CAST(n_a AS DOUBLE) / (n_a + n_b) AS e_a,
+      |                 CASE WHEN n_a + n_b > 1
+      |                      THEN (d_a + d_b) * (CAST(n_a AS DOUBLE) / (n_a + n_b))
+      |                           * (CAST(n_b AS DOUBLE) / (n_a + n_b))
+      |                           * (n_a + n_b - d_a - d_b) / (n_a + n_b - 1)
+      |                      ELSE 0 END AS v
+      |          FROM r WHERE d_a + d_b > 0)
+      |SELECT CAST((SELECT sum(arm_a) FROM u) AS BIGINT) AS n_users_a,
+      |       CAST((SELECT sum(1 - arm_a) FROM u) AS BIGINT) AS n_users_b,
+      |       CAST(sum(d_a) AS BIGINT) AS deaths_a,
+      |       round(sum(e_a), 4) AS expected_a,
+      |       round(sum(v), 4) AS variance,
+      |       round((sum(d_a) - sum(e_a)) * (sum(d_a) - sum(e_a)) / sum(v), 4) AS chi2
+      |FROM terms""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("d"))
+    val gmax = days.agg(max($"d").as("gmax"))
+    val armA = when(
+      conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2L === 0L, 1).otherwise(0)
+    val u = days.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .crossJoin(broadcast(gmax))
+      .select(armA.as("arm_a"),
+        (datediff($"d1", $"d0") + 1).cast("long").as("t"),
+        when(datediff($"gmax", $"d1") >= 3, 1).otherwise(0).as("died"))
+    val users = u.agg(sum($"arm_a").cast("long").as("n_users_a"),
+      sum(lit(1) - $"arm_a").cast("long").as("n_users_b"))
+    val s = u.groupBy($"t").agg(
+      sum($"arm_a").cast("long").as("leave_a"),
+      sum(lit(1) - $"arm_a").cast("long").as("leave_b"),
+      sum($"arm_a" * $"died").cast("long").as("d_a"),
+      sum((lit(1) - $"arm_a") * $"died").cast("long").as("d_b"))
+    val r = s.select($"t", $"d_a", $"d_b",
+      sum($"leave_a").over(Window.orderBy($"t".desc)).as("n_a"),
+      sum($"leave_b").over(Window.orderBy($"t".desc)).as("n_b"))
+    val n = $"n_a" + $"n_b"
+    val terms = r.filter($"d_a" + $"d_b" > 0)
+      .select($"d_a",
+        (($"d_a" + $"d_b") * $"n_a".cast("double") / n).as("e_a"),
+        when(n > 1,
+          ($"d_a" + $"d_b") * ($"n_a".cast("double") / n) * ($"n_b".cast("double") / n)
+            * (n - $"d_a" - $"d_b") / (n - 1))
+          .otherwise(lit(0.0)).as("v"))
+    terms.agg(
+        sum($"d_a").cast("long").as("deaths_a"),
+        round(sum($"e_a"), 4).as("expected_a"),
+        round(sum($"v"), 4).as("variance"),
+        round((sum($"d_a") - sum($"e_a")) * (sum($"d_a") - sum($"e_a")) / sum($"v"), 4)
+          .as("chi2"))
+      .crossJoin(broadcast(users))
+      .select($"n_users_a", $"n_users_b", $"deaths_a", $"expected_a",
+        $"variance", $"chi2")
   }
 }
