@@ -270,6 +270,57 @@ object Search {
       .toDF("rank", "doc_id", "mmr")
   }
 
+  /** KWIC CONCORDANCE (key-word-in-context) — the corpus-inspection view
+    * every curation analyst asks for after a term census: for the corpus's
+    * dominant content token (most frequent ≥6-char token, lexicographic
+    * tie-break — data-derived, not hardcoded), every document that
+    * contains it with its occurrence count and the ±3-token context
+    * window around the FIRST occurrence. Turns "this token is hot" into
+    * "this is how it is actually used".
+    *
+    * 100 TB plan: term selection is one vocabulary agg; the occurrence
+    * stream is filtered to ONE term map-side (broadcast join against a
+    * 1-row frame) before anything shuffles, and the context slice joins
+    * the tiny hit census BACK to the doc token arrays on doc_id — the
+    * corpus is scanned twice but never re-shuffled, and no exploded row
+    * ever carries the full token array. */
+  val q308KwicConcordance: GraftQuery = GraftQuery.oracled(
+    "q308_kwic_concordance",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |occ AS (SELECT doc_id, i AS pos, t[i] AS tok
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+      |cen AS (SELECT tok FROM occ WHERE len(tok) >= 6
+      |        GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 1),
+      |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+      |                CAST(min(pos) AS BIGINT) AS first_pos
+      |         FROM occ JOIN cen USING (tok) GROUP BY doc_id)
+      |SELECT h.doc_id, (SELECT tok FROM cen) AS term, h.n_occ, h.first_pos,
+      |       coalesce(array_to_string(t[CAST(greatest(h.first_pos - 3, 1) AS INTEGER):CAST(h.first_pos - 1 AS INTEGER)], ' '), '') AS left_ctx,
+      |       coalesce(array_to_string(t[CAST(h.first_pos + 1 AS INTEGER):CAST(h.first_pos + 3 AS INTEGER)], ' '), '') AS right_ctx
+      |FROM hits h JOIN toks USING (doc_id)
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+    val occ = toks.select($"doc_id", posexplode($"t"))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("tok"))
+    val cen = occ.filter(length($"tok") >= 6)
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(1).select($"tok")
+    val hits = occ.join(broadcast(cen), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        min($"pos").cast("long").as("first_pos"))
+    hits.join(toks, Seq("doc_id"))
+      .crossJoin(broadcast(cen.select($"tok".as("term"))))
+      .select($"doc_id", $"term", $"n_occ", $"first_pos",
+        concat_ws(" ", slice($"t",
+          greatest($"first_pos" - 3, lit(1L)).cast("int"),
+          ($"first_pos" - greatest($"first_pos" - 3, lit(1L))).cast("int"))).as("left_ctx"),
+        concat_ws(" ", slice($"t", ($"first_pos" + 1).cast("int"), lit(3))).as("right_ctx"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(q159Bm25, q166BooleanRetrieval, q278RrfFusion,
-    q290MmrDiversify)
+    q290MmrDiversify, q308KwicConcordance)
 }

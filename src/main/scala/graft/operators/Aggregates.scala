@@ -501,7 +501,7 @@ object Aggregates {
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
     q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
     q189RevenueShares, q191AggPushdown, q209Transpose, q223WeightedMedian,
-    q225RegressionAggs, q246OrderedSetAggs, q253HllOverlap)
+    q225RegressionAggs, q246OrderedSetAggs, q253HllOverlap, q310Apportionment)
 
   /** SKETCH ALGEBRA for audience overlap: |A∩B| from HLL sketches alone
     * via inclusion–exclusion (est(A) + est(B) − est(A∪B)) — the
@@ -644,5 +644,58 @@ object Aggregates {
       .agg(count(lit(1)).as("n"),
         min(when(lit(2) * $"cw" >= $"tw", $"cents")).as("wmedian_cents"))
       .orderBy($"flag")
+  }
+
+  /** LARGEST-REMAINDER APPORTIONMENT (Hamilton's method) — distribute an
+    * INTEGER budget (1000 "seats"/slots/samples) across groups
+    * proportionally to weights so the shares sum EXACTLY to the budget:
+    * the integer-allocation operator behind sampling quotas, shard
+    * assignment, and budget splits, where naive round(S·w/W) over- or
+    * under-shoots by several units. Each nation floors its exact quota
+    * (integer arithmetic: seats·n // W) and the leftover seats go to the
+    * largest fractional remainders (remainder = seats·n mod W — kept as
+    * an exact BIGINT, never a float), deterministic nationkey tie-break.
+    * Σseats = 1000 by construction, proven by the output.
+    *
+    * 100 TB plan: the row-scale work is one count per group; the
+    * apportionment itself runs on the group census (25 rows) where the
+    * single-partition rank window is the correct plan. Exact integers
+    * end-to-end — no float quota ever exists. */
+  val q310Apportionment: GraftQuery = GraftQuery.oracled(
+    "q310_apportionment",
+    """WITH w AS (SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS n
+      |           FROM customer GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tw FROM w),
+      |q AS (SELECT g, n, 1000 * n // tw AS fl, 1000 * n % tw AS rem
+      |      FROM w, tot),
+      |l AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS leftover FROM q),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, g) AS rk FROM q)
+      |SELECT r.g AS nationkey, r.n AS weight,
+      |       CAST(r.fl AS BIGINT) AS floor_seats,
+      |       CAST(r.rem AS BIGINT) AS remainder,
+      |       CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS extra,
+      |       CAST(r.fl + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS seats
+      |FROM r, l
+      |ORDER BY nationkey""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey".cast("long").as("g"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tot = w.agg(sum($"n").cast("long").as("tw"))
+    val q = w.crossJoin(broadcast(tot))
+      .select($"g", $"n",
+        expr("(1000 * n) div tw").as("fl"),
+        ((lit(1000) * $"n") % $"tw").as("rem"))
+    val l = q.agg((lit(1000) - sum($"fl")).cast("long").as("leftover"))
+    // group census is 25 rows — single-partition rank is the right plan
+    val r = q.withColumn("rk", row_number().over(Window.orderBy($"rem".desc, $"g")))
+    r.crossJoin(broadcast(l))
+      .select($"g".as("nationkey"), $"n".as("weight"),
+        $"fl".cast("long").as("floor_seats"),
+        $"rem".cast("long").as("remainder"),
+        when($"rk" <= $"leftover", 1).otherwise(0).as("extra"),
+        ($"fl" + when($"rk" <= $"leftover", 1).otherwise(0)).cast("long").as("seats"))
+      .orderBy($"nationkey")
   }
 }

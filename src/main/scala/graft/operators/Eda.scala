@@ -1028,7 +1028,8 @@ object Eda {
     q222Gini, q226CorrMatrix, q227KsTest, q241MutualInfo, q248Cuped,
     q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs,
     q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition,
-    q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr)
+    q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr,
+    q306CemMatching, q309SimpsonDetector)
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The
@@ -1411,5 +1412,125 @@ object Eda {
         $"p_rank".cast("long").as("p_rank"),
         when($"p_rank" <= $"k", 1).otherwise(0).as("rejected"))
       .orderBy($"p_rank")
+  }
+
+  /** COARSENED EXACT MATCHING (CEM, Iacus–King–Porro 2012) — the
+    * observational-causal estimator between q293's DiD (needs panel time)
+    * and a propensity model (needs a fit): coarsen the confounders into
+    * bins, keep only cells where BOTH treated and control users exist,
+    * and weight control outcomes to the treated cell distribution.
+    * Here: treatment = user ever hit an 'error' event; outcome = total
+    * purchase value; confounders = activity quartile × first-seen ISO
+    * week (users who arrive earlier and do more are different users).
+    * ATT = Σ_cell n_t · (ȳ_treated − ȳ_control) / Σ_cell n_t, reported
+    * next to the naive unmatched difference it corrects.
+    *
+    * 100 TB plan: one user-level census (map-side combined), a
+    * quartile boundary that is one tiny agg, then a cell-level
+    * conditional agg — three hash-aggs on shrinking keys, no joins of
+    * row-scale data at all. */
+  val q306CemMatching: GraftQuery = GraftQuery.oracled(
+    "q306_cem_matching",
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS treat,
+      |         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y,
+      |         date_part('week', min(date_trunc('microseconds', ts))) AS wk
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT *, ntile(4) OVER (ORDER BY n_events, user_id) AS act_q FROM u),
+      |cells AS (
+      |  SELECT act_q, wk,
+      |         CAST(sum(treat) AS BIGINT) AS n_t,
+      |         CAST(sum(1 - treat) AS BIGINT) AS n_c,
+      |         avg(CASE WHEN treat = 1 THEN y END) AS y_t,
+      |         avg(CASE WHEN treat = 0 THEN y END) AS y_c
+      |  FROM r GROUP BY 1, 2),
+      |m AS (SELECT sum(n_t * (y_t - y_c)) / sum(n_t) AS att,
+      |             CAST(sum(n_t) AS BIGINT) AS n_treated_matched,
+      |             CAST(sum(n_c) AS BIGINT) AS n_control_matched,
+      |             CAST(count(*) AS BIGINT) AS n_cells_matched
+      |      FROM cells WHERE n_t > 0 AND n_c > 0),
+      |naive AS (SELECT avg(CASE WHEN treat = 1 THEN y END)
+      |                 - avg(CASE WHEN treat = 0 THEN y END) AS d
+      |          FROM r),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells_total FROM cells)
+      |SELECT tot.n_cells_total, m.n_cells_matched,
+      |       m.n_treated_matched, m.n_control_matched,
+      |       round(m.att, 4) AS att, round(naive.d, 4) AS naive_diff
+      |FROM m, naive, tot""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        max(when($"event_type" === "error", 1).otherwise(0)).as("treat"),
+        sum(when($"event_type" === "purchase", $"value").otherwise(0)).as("y"),
+        weekofyear(min($"ts")).cast("long").as("wk"))
+    // users are a census-scale frame (one row per user); the ntile quartile
+    // over it is the documented small-side single-partition window
+    val r = u.withColumn("act_q",
+      ntile(4).over(Window.orderBy($"n_events", $"user_id")))
+    val cells = r.groupBy($"act_q", $"wk")
+      .agg(sum($"treat").cast("long").as("n_t"),
+        sum(lit(1) - $"treat").cast("long").as("n_c"),
+        avg(when($"treat" === 1, $"y")).as("y_t"),
+        avg(when($"treat" === 0, $"y")).as("y_c"))
+    val m = cells.filter($"n_t" > 0 && $"n_c" > 0)
+      .agg((sum($"n_t" * ($"y_t" - $"y_c")) / sum($"n_t")).as("att"),
+        sum($"n_t").cast("long").as("n_treated_matched"),
+        sum($"n_c").cast("long").as("n_control_matched"),
+        count(lit(1)).cast("long").as("n_cells_matched"))
+    val naive = r.agg((avg(when($"treat" === 1, $"y"))
+      - avg(when($"treat" === 0, $"y"))).as("d"))
+    val tot = cells.agg(count(lit(1)).cast("long").as("n_cells_total"))
+    m.crossJoin(broadcast(naive)).crossJoin(broadcast(tot))
+      .select($"n_cells_total", $"n_cells_matched",
+        $"n_treated_matched", $"n_control_matched",
+        round($"att", 4).as("att"), round($"d", 4).as("naive_diff"))
+  }
+
+  /** SIMPSON'S-PARADOX DETECTOR — the aggregation-trap audit: a trend
+    * measured on POOLED data can reverse inside every subgroup when group
+    * membership confounds both variables (Simpson 1951; the
+    * kidney-stone/Berkeley-admissions classic). For value ~ hour-of-day,
+    * compare the pooled regression slope with each event_type's own
+    * slope and flag sign reversals. A nonzero flip count means any
+    * dashboard showing the pooled trend line is lying about every
+    * segment.
+    *
+    * 100 TB plan: regr_slope is an algebraic aggregate (sum/sum²/cross
+    * moments) — the pooled and per-group slopes are ONE map-side-combined
+    * hash-agg each over the same scan; the comparison is a broadcast of
+    * one scalar row. */
+  val q309SimpsonDetector: GraftQuery = GraftQuery.oracled(
+    "q309_simpson_detector",
+    """WITH e AS (SELECT event_type,
+      |                  CAST(date_part('hour', date_trunc('microseconds', ts)) AS DOUBLE) AS h,
+      |                  value
+      |           FROM events),
+      |pool AS (SELECT regr_slope(value, h) AS s FROM e),
+      |grp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |               regr_slope(value, h) AS s
+      |        FROM e GROUP BY 1)
+      |SELECT g.event_type, g.n,
+      |       round(g.s, 6) AS slope_group,
+      |       round(p.s, 6) AS slope_pooled,
+      |       CASE WHEN g.s * p.s < 0 THEN 1 ELSE 0 END AS sign_flip
+      |FROM grp g, pool p
+      |ORDER BY g.event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_type", hour($"ts").cast("double").as("h"), $"value")
+    val pool = e.agg(expr("regr_slope(value, h)").as("sp"))
+    val grp = e.groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        expr("regr_slope(value, h)").as("sg"))
+    grp.crossJoin(broadcast(pool))
+      .select($"event_type", $"n",
+        round($"sg", 6).as("slope_group"),
+        round($"sp", 6).as("slope_pooled"),
+        when($"sg" * $"sp" < 0, 1).otherwise(0).as("sign_flip"))
+      .orderBy($"event_type")
   }
 }

@@ -317,6 +317,54 @@ object Graph {
       .limit(20)
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT — per-vertex cohesion, the node-level
+    * refinement of q154's global triangle count: lcc(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1)), the fraction of v's neighbor pairs that are
+    * themselves connected (Watts–Strogatz 1998). High-lcc parts co-occur
+    * inside tight substitute cliques; lcc=0 hubs are pure brokers.
+    *
+    * 100 TB plan: the compact-forward wedge join (each triangle found
+    * EXACTLY once as x<y<z) feeds a 3-way member explode — per-vertex
+    * triangle counts are one union + hash-agg on top of q154's join, no
+    * new join shape. Degrees are one agg over the edge list. The final
+    * assembly joins two vertex-keyed censuses — co-partitioned on v. */
+  val q307ClusteringCoeff: GraftQuery = GraftQuery.oracled(
+    "q307_clustering_coeff",
+    """WITH li AS (SELECT l_orderkey AS k, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |mem AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+      |tc AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM mem GROUP BY 1),
+      |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+      |SELECT deg.v, deg.d AS degree,
+      |       CAST(coalesce(tc.t, 0) AS BIGINT) AS n_tri,
+      |       round(2.0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1)), 6) AS lcc
+      |FROM deg LEFT JOIN tc USING (v)
+      |WHERE deg.d >= 2
+      |ORDER BY v""") { (spark, dir) =>
+    import spark.implicits._
+    val e = coOrderEdges(spark, dir)
+    val tri = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+      .join(e.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+    val tc = tri.select($"x".as("v"))
+      .union(tri.select($"y"))
+      .union(tri.select($"z"))
+      .groupBy($"v").agg(count(lit(1)).cast("long").as("t"))
+    val deg = e.select($"a".as("v")).union(e.select($"b"))
+      .groupBy($"v").agg(count(lit(1)).cast("long").as("d"))
+    deg.join(tc, Seq("v"), "left")
+      .filter($"d" >= 2)
+      .select($"v", $"d".as("degree"),
+        coalesce($"t", lit(0L)).cast("long").as("n_tri"),
+        round(lit(2.0) * coalesce($"t", lit(0L)) / ($"d" * ($"d" - 1)), 6).as("lcc"))
+      .orderBy($"v")
+  }
+
   def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
-    q207LabelPropagation, q228KCore, q279AdamicAdar)
+    q207LabelPropagation, q228KCore, q279AdamicAdar, q307ClusteringCoeff)
 }
