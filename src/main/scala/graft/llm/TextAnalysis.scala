@@ -642,7 +642,7 @@ object TextAnalysis {
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
     q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations,
-    q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters)
+    q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain)
 
   /** Source-level token-SET Jaccard matrix: |A∩B| / |A∪B| for every source
     * pair — q242's JS divergence compares DISTRIBUTIONS, this compares
@@ -747,5 +747,77 @@ object TextAnalysis {
           / (($"ca".cast("double") / $"nt") * ($"cb".cast("double") / $"nt"))), 4).as("pmi"))
       .orderBy($"pmi".desc, $"a", $"b")
       .limit(10)
+  }
+
+  /** BPE TOKENIZER TRAINING — the learning side q144 (one pair census)
+    * and q217 (apply a GIVEN merge list) bracket but neither performs:
+    * iteratively pick the corpus's most frequent adjacent symbol pair
+    * and fuse it (Sennrich et al. 2016), k rounds, deterministic
+    * (count DESC, pair ASC) tie-break. The learned ranked merge table IS
+    * the tokenizer.
+    *
+    * 100 TB plan — the HuggingFace-trainer shape, distributed: training
+    * runs on the WORD CENSUS (word → count), never the corpus: the raw
+    * scan collapses by Heaps' law to a vocabulary-sized frame in ONE
+    * hash-agg, and each round is then one pair-census agg over the vocab
+    * (weighted by word count, map-side combined) plus a 1-row argmax to
+    * the driver (the same E3 scalar-per-round lifecycle as every
+    * iterative fit: only (left, right, count) ever leaves the cluster).
+    * The merge apply is a map-side marked-string replace (q217's trick)
+    * on the census — no re-scan of the corpus, ever. Engine-looped with
+    * data-dependent scalars → not a fixed SQL tree; correctness is
+    * spec-gated against an independent in-memory reference trainer
+    * (LlmOpsSpec) on the classic low/lower/newest/widest fixture. */
+  private[llm] def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame, k: Int): Seq[(String, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(trim(regexp_replace($"w", "(.)", "@$1 ")).as("repr"), $"cnt")
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val top = words
+        .select($"cnt", split($"repr", " ").as("s"))
+        .filter(size($"s") > 1)
+        .select($"cnt", explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS l, s[i] AS r))")).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("n"))
+        .orderBy($"n".desc, $"l", $"r")
+        .limit(1)
+        .collect() // E3: exactly one (l, r, n) scalar row per round
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, n))
+        val next = words
+          .withColumn("repr", replace($"repr", lit(s"$l $r"), lit(l + r.stripPrefix("@"))))
+          .cache()
+        next.count()
+        words.unpersist()
+        words = next
+      }
+      round += 1
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** The learned merge table over `documents`: rank, left symbol, right
+    * symbol, weighted pair count at selection time. k = 12 rounds. */
+  val q312BpeTrain: GraftQuery = GraftQuery.rowsOnly(
+    "q312_bpe_train",
+    doc = "BPE trainer: 12 greedy merges learned from the word census, E3 scalar per round") { (spark, dir) =>
+    import spark.implicits._
+    val merges = bpeTrain(Tables.documents(spark, dir), 12)
+    spark.createDataFrame(merges.zipWithIndex.map { case ((l, r, n), i) =>
+      (i + 1, l.stripPrefix("@"), r.stripPrefix("@"), n)
+    }).toDF("rank", "left", "right", "pair_count")
   }
 }

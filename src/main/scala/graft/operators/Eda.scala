@@ -1029,7 +1029,7 @@ object Eda {
     q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs,
     q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition,
     q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr,
-    q306CemMatching, q309SimpsonDetector)
+    q306CemMatching, q309SimpsonDetector, q311Ols2Feature)
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The
@@ -1532,5 +1532,68 @@ object Eda {
         round($"sp", 6).as("slope_pooled"),
         when($"sg" * $"sp" < 0, 1).otherwise(0).as("sign_flip"))
       .orderBy($"event_type")
+  }
+
+  /** TWO-FEATURE OLS VIA CRAMER'S RULE — multiple regression as pure
+    * aggregate algebra, the step past q225/q181's single-feature regr_*
+    * family (which SQL engines stop at): price ~ quantity + discount per
+    * return flag, solved from the 2×2 normal equations with centered
+    * second moments (var_samp/covar_samp are identical definitions on
+    * both engines, and the (n−1) scale cancels in every ratio):
+    * β₁ = (S₂₂S₁y − S₁₂S₂y)/det, β₂ = (S₁₁S₂y − S₁₂S₁y)/det,
+    * β₀ = ȳ − β₁x̄₁ − β₂x̄₂, R² = (β₁S₁y + β₂S₂y)/Syy.
+    *
+    * 100 TB plan: ONE map-side-combined moments hash-agg per group —
+    * eight algebraic aggregates, no matrix library, no driver math, no
+    * second pass. Exactly how MLlib's "normal" solver works, minus the
+    * fit lifecycle (that path is q234's). Singular design (det≈0,
+    * collinear features) yields NULL coefficients on both engines via
+    * the same guard. */
+  val q311Ols2Feature: GraftQuery = GraftQuery.oracled(
+    "q311_ols2_cramer",
+    """WITH m AS (
+      |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+      |         var_samp(l_quantity) AS s11, var_samp(l_discount) AS s22,
+      |         covar_samp(l_quantity, l_discount) AS s12,
+      |         covar_samp(l_quantity, l_extendedprice) AS s1y,
+      |         covar_samp(l_discount, l_extendedprice) AS s2y,
+      |         var_samp(l_extendedprice) AS syy,
+      |         avg(l_quantity) AS m1, avg(l_discount) AS m2,
+      |         avg(l_extendedprice) AS my
+      |  FROM lineitem GROUP BY 1),
+      |b AS (SELECT flag, n, m1, m2, my, s1y, s2y, syy,
+      |             CASE WHEN abs(s11 * s22 - s12 * s12) > 1e-12
+      |                  THEN (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) END AS b1,
+      |             CASE WHEN abs(s11 * s22 - s12 * s12) > 1e-12
+      |                  THEN (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) END AS b2
+      |      FROM m)
+      |SELECT flag, n,
+      |       round(my - b1 * m1 - b2 * m2, 4) AS b0,
+      |       round(b1, 4) AS b_quantity,
+      |       round(b2, 4) AS b_discount,
+      |       round((b1 * s1y + b2 * s2y) / syy, 6) AS r2
+      |FROM b
+      |ORDER BY flag""") { (spark, dir) =>
+    import spark.implicits._
+    val m = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag".as("flag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        var_samp($"l_quantity").as("s11"), var_samp($"l_discount").as("s22"),
+        covar_samp($"l_quantity", $"l_discount").as("s12"),
+        covar_samp($"l_quantity", $"l_extendedprice").as("s1y"),
+        covar_samp($"l_discount", $"l_extendedprice").as("s2y"),
+        var_samp($"l_extendedprice").as("syy"),
+        avg($"l_quantity").as("m1"), avg($"l_discount").as("m2"),
+        avg($"l_extendedprice").as("my"))
+    val det = $"s11" * $"s22" - $"s12" * $"s12"
+    val b = m.select($"flag", $"n", $"m1", $"m2", $"my", $"s1y", $"s2y", $"syy",
+      when(abs(det) > 1e-12, ($"s22" * $"s1y" - $"s12" * $"s2y") / det).as("b1"),
+      when(abs(det) > 1e-12, ($"s11" * $"s2y" - $"s12" * $"s1y") / det).as("b2"))
+    b.select($"flag", $"n",
+        round($"my" - $"b1" * $"m1" - $"b2" * $"m2", 4).as("b0"),
+        round($"b1", 4).as("b_quantity"),
+        round($"b2", 4).as("b_discount"),
+        round(($"b1" * $"s1y" + $"b2" * $"s2y") / $"syy", 6).as("r2"))
+      .orderBy($"flag")
   }
 }

@@ -414,4 +414,58 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       length($"sha") =!= 64)
     assert(bad.count() === 0)
   }
+
+  test("BPE trainer matches an independent in-memory reference on the classic fixture") {
+    import spark.implicits._
+    // Sennrich et al.'s worked example shape: repeated words with shared
+    // prefixes/suffixes so merge order is fully determined by counts.
+    val docs = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest widest",
+      "widest widest").toDF("text")
+
+    // Independent reference trainer: plain Scala on a word census, same
+    // (count DESC, pair ASC) tie-break, no Spark.
+    def reference(corpus: Seq[String], k: Int): Seq[(String, String, Long)] = {
+      var census: Map[Vector[String], Long] = corpus
+        .flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, c) => w.map(_.toString).toVector -> c }
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      for (_ <- 1 to k) {
+        val pairs = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, c) <- census; i <- 0 until syms.length - 1)
+          pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (pairs.nonEmpty) {
+          val ((l, r), n) = pairs.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((l, r, n))
+          census = census.map { case (syms, c) =>
+            val merged = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                merged += (l + r); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toVector -> c
+          }.groupBy(_._1).view.mapValues(_.values.sum).toMap
+        }
+      }
+      out.toSeq
+    }
+
+    val expected = reference(Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest widest",
+      "widest widest"), 6)
+    val got = TextAnalysis.bpeTrain(docs, 6)
+      .map { case (l, r, n) => (l.stripPrefix("@"), r.stripPrefix("@"), n) }
+    assert(got === expected, s"learned merges $got != reference $expected")
+    // and the catalog entry is well-formed on the real corpus
+    val cat = TextAnalysis.q312BpeTrain.fn(spark, sf).collect()
+    assert(cat.length === 12)
+    assert(cat.map(_.getInt(0)).toSeq === (1 to 12))
+  }
 }
