@@ -110,5 +110,95 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(q56MultimodalMeta, q116BinaryFileIngest)
+  /** One sampled "video frame": index, byte offset, slice length, content
+    * hash of the frame's byte window. */
+  final case class FrameOut(
+      doc_id: Long, frame_idx: Long, frame_offset: Long, frame_bytes: Long, frame_sha: String)
+
+  /** FRAME SAMPLING — the video-side row-expansion op (decode q56 is 1:1;
+    * this is 1:N): each payload "decodes" to ⌊n/100⌋+1 fixed-size frames
+    * and every 5th is sampled and fingerprinted. The frame WINDOWING is
+    * the real operator (typed flatMap inside `mapPartitions`, one codec
+    * handle per partition, frames emitted lazily — no per-doc frame list
+    * is ever materialized); the "decode" is the documented arithmetic
+    * stub (frame = a 100-byte window of the payload), so the oracle can
+    * state the identical windows with substr + sha256.
+    *
+    * 100 TB plan: pure map-side expansion — no shuffle at all until a
+    * consumer aggregates; sampling stride caps output at corpus_bytes/500
+    * rows. Oversized media split upstream per q116's note. */
+  val q317FrameSample: GraftQuery = GraftQuery.oracled(
+    "q317_frame_sample",
+    """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+      |idx AS (SELECT doc_id, text, i AS frame_idx
+      |        FROM f, LATERAL (SELECT unnest(generate_series(0, CAST(nb // 100 AS BIGINT), 5)) AS i))
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST(frame_idx * 100 AS BIGINT) AS frame_offset,
+      |       CAST(octet_length(encode(substr(text, CAST(frame_idx * 100 + 1 AS INTEGER), 100))) AS BIGINT) AS frame_bytes,
+      |       sha256(substr(text, CAST(frame_idx * 100 + 1 AS INTEGER), 100)) AS frame_sha
+      |FROM idx
+      |ORDER BY doc_id, frame_idx""") { (spark, dir) =>
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[MediaIn]
+    media.mapPartitions { rows =>
+      val digest = MessageDigest.getInstance("SHA-256") // per-partition codec handle
+      rows.flatMap { r =>
+        val n = r.payload.length
+        (0 to n / 100 by 5).iterator.map { i =>
+          val frame = r.payload.slice(i * 100, math.min(i * 100 + 100, n))
+          FrameOut(r.doc_id, i.toLong, i * 100L, frame.length.toLong,
+            digest.digest(frame).map("%02x".format(_)).mkString)
+        }
+      }
+    }.toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** RESIZE PLANNING — the aspect-preserving fit-to-box (224×224) every
+    * vision-model preprocessor runs, split the way a Spark pipeline
+    * actually splits it: the TARGET GEOMETRY is computed relationally
+    * from the decoded metadata (q56's width/height — this query), and
+    * only the pixel resample itself belongs in the per-partition codec
+    * stub. Landscape clamps width, portrait clamps height, scale
+    * reported in exact ppm; degenerate 0-dimension media pass through
+    * flagged with NULL geometry (skip, don't crash, at 100 TB).
+    *
+    * 100 TB plan: a pure projection over q56's decode output — map-side,
+    * shuffle-free, and the resize work ships to executors already knowing
+    * every output buffer size. */
+  val q318ResizePlan: GraftQuery = GraftQuery.oracled(
+    "q318_resize_plan",
+    """WITH m AS (SELECT doc_id,
+      |                  octet_length(encode(text)) % 640 AS w,
+      |                  (octet_length(encode(text)) * 7) % 480 AS h
+      |           FROM documents)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CASE WHEN w > 0 AND h > 0
+      |            THEN CAST(CASE WHEN w >= h THEN 224 ELSE CAST(floor(224.0 * w / h) AS BIGINT) END AS BIGINT) END AS out_w,
+      |       CASE WHEN w > 0 AND h > 0
+      |            THEN CAST(CASE WHEN w >= h THEN CAST(floor(224.0 * h / w) AS BIGINT) ELSE 224 END AS BIGINT) END AS out_h,
+      |       CASE WHEN w > 0 AND h > 0
+      |            THEN CAST(floor(1000000.0 * 224 / greatest(w, h)) AS BIGINT) END AS scale_ppm
+      |FROM m
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val m = Tables.documents(spark, dir)
+      .select($"doc_id",
+        (octet_length($"text".cast("binary")) % 640).cast("long").as("w"),
+        ((octet_length($"text".cast("binary")) * 7) % 480).cast("long").as("h"))
+    val ok = $"w" > 0 && $"h" > 0
+    m.select($"doc_id", $"w".as("width"), $"h".as("height"),
+        when(ok, when($"w" >= $"h", lit(224L))
+          .otherwise(floor(lit(224.0) * $"w" / $"h").cast("long"))).as("out_w"),
+        when(ok, when($"w" >= $"h", floor(lit(224.0) * $"h" / $"w").cast("long"))
+          .otherwise(lit(224L))).as("out_h"),
+        when(ok, floor(lit(1000000.0) * 224 / greatest($"w", $"h")).cast("long"))
+          .as("scale_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q56MultimodalMeta, q116BinaryFileIngest,
+    q317FrameSample, q318ResizePlan)
 }

@@ -1029,7 +1029,7 @@ object Eda {
     q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs,
     q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition,
     q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr,
-    q306CemMatching, q309SimpsonDetector, q311Ols2Feature)
+    q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank)
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The
@@ -1595,5 +1595,64 @@ object Eda {
         round($"b2", 4).as("b_discount"),
         round(($"b1" * $"s1y" + $"b2" * $"s2y") / $"syy", 6).as("r2"))
       .orderBy($"flag")
+  }
+
+  /** MUTUAL-INFORMATION FEATURE RANKING — filter-method feature selection
+    * (Battiti 1994's MIFS core): how much does each embedding dimension,
+    * equi-width-bucketed to 4 bins, tell about the class label? q241
+    * computes ONE MI; this ranks 16 features by it, the screening pass
+    * that runs BEFORE any model fit and needs no fit lifecycle. Exact
+    * plug-in MI from contingency counts, identical ordered arithmetic.
+    *
+    * 100 TB plan: the explode is 16 rows per vector — map-side, no
+    * array ever shuffles; per-dim min/max is one tiny agg broadcast
+    * back; the contingency counts are ONE hash-agg on (dim, bucket,
+    * label) (≤ 16·4·|labels| cells) and everything after runs on the
+    * cell census. Adding dims scales the explode factor, nothing else. */
+  val q315MiFeatureRank: GraftQuery = GraftQuery.oracled(
+    "q315_mi_feature_rank",
+    """WITH x AS (SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      |           FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 16)) AS i)),
+      |b AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY 1),
+      |xb AS (SELECT x.dim, x.label,
+      |              CASE WHEN b.hi > b.lo
+      |                   THEN least(CAST(floor(4 * (x.v - b.lo) / (b.hi - b.lo)) AS BIGINT), 3)
+      |                   ELSE 0 END AS bkt
+      |       FROM x JOIN b USING (dim)),
+      |cells AS (SELECT dim, bkt, label, CAST(count(*) AS DOUBLE) AS n FROM xb GROUP BY 1, 2, 3),
+      |mb AS (SELECT dim, bkt, sum(n) AS nb FROM cells GROUP BY 1, 2),
+      |ml AS (SELECT dim, label, sum(n) AS nl FROM cells GROUP BY 1, 2),
+      |mt AS (SELECT dim, sum(n) AS nt FROM cells GROUP BY 1)
+      |SELECT c.dim, CAST(mt.nt AS BIGINT) AS n,
+      |       round(sum((c.n / mt.nt) * ln(c.n * mt.nt / (mb.nb * ml.nl))), 6) AS mi_nats
+      |FROM cells c
+      |JOIN mb USING (dim, bkt) JOIN ml ON c.dim = ml.dim AND c.label = ml.label
+      |JOIN mt ON c.dim = mt.dim
+      |GROUP BY c.dim, mt.nt
+      |ORDER BY dim""") { (spark, dir) =>
+    import spark.implicits._
+    val x = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", posexplode(slice($"embedding", 1, 16)))
+      .select(($"pos" + 1).cast("long").as("dim"), $"label",
+        $"col".cast("double").as("v"))
+    val b = x.groupBy($"dim").agg(min($"v").as("lo"), max($"v").as("hi"))
+    val xb = x.join(broadcast(b), Seq("dim"))
+      .select($"dim", $"label",
+        when($"hi" > $"lo",
+          least(floor(lit(4) * ($"v" - $"lo") / ($"hi" - $"lo")).cast("long"), lit(3L)))
+          .otherwise(0L).as("bkt"))
+    val cells = xb.groupBy($"dim", $"bkt", $"label")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val mb = cells.groupBy($"dim", $"bkt").agg(sum($"n").as("nb"))
+    val ml = cells.groupBy($"dim", $"label").agg(sum($"n").as("nl"))
+    val mt = cells.groupBy($"dim").agg(sum($"n").as("nt"))
+    cells
+      .join(mb, Seq("dim", "bkt")).join(ml, Seq("dim", "label"))
+      .join(broadcast(mt), Seq("dim"))
+      .groupBy($"dim", $"nt")
+      .agg(round(sum(($"n" / $"nt") * log($"n" * $"nt" / ($"nb" * $"nl"))), 6)
+        .as("mi_nats"))
+      .select($"dim", $"nt".cast("long").as("n"), $"mi_nats")
+      .orderBy($"dim")
   }
 }

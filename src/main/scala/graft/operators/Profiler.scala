@@ -86,5 +86,131 @@ object Profiler {
       .reduce(_ unionByName _)
   }
 
-  def all: Seq[GraftQuery] = Seq(q183ColumnProfile)
+  /** INCLUSION-DEPENDENCY MINING (FK discovery) — the schema-inference
+    * step q151's referential-integrity audit PRESUPPOSES: q151 checks
+    * DECLARED foreign keys; this query DISCOVERS them, scoring a candidate
+    * grid of column pairs by containment (|distinct(child) ∩
+    * distinct(parent)| / |distinct(child)|, the Bell–Brockhausen/Binder
+    * unary IND test). Containment 1.0 ⇒ a valid FK candidate; the grid
+    * deliberately includes a spurious pair (p_size → n_nationkey, two
+    * small-int domains that overlap without meaning) the miner must score
+    * below 1.0 — discovery has to REJECT, not just confirm.
+    *
+    * 100 TB plan: each candidate costs one distinct hash-agg per side
+    * (column-pruned parquet scans — only the candidate columns are ever
+    * read) and one key-keyed left join on the DISTINCT sets, which are
+    * orders of magnitude smaller than the tables; candidates evaluate
+    * independently (parallel jobs), and the final table is grid-sized. */
+  val q313InclusionDeps: GraftQuery = {
+    // (label, child table, child col, parent table, parent col)
+    val grid = Seq(
+      ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+      ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      ("part.p_size->nation.n_nationkey", "part", "p_size", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    val sql = grid.map { case (label, ct, cc, pt, pc) =>
+      s"""SELECT '$label' AS candidate,
+         |       CAST(count(*) AS BIGINT) AS n_child_distinct,
+         |       CAST(count(p.v) AS BIGINT) AS n_contained,
+         |       CAST(floor(1000000.0 * count(p.v) / count(*)) AS BIGINT) AS containment_ppm,
+         |       CASE WHEN count(p.v) = count(*) THEN 1 ELSE 0 END AS is_inclusion
+         |FROM (SELECT DISTINCT CAST($cc AS BIGINT) AS v FROM $ct WHERE $cc IS NOT NULL) c
+         |LEFT JOIN (SELECT DISTINCT CAST($pc AS BIGINT) AS v FROM $pt) p USING (v)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+    GraftQuery.oracled("q313_inclusion_deps", sql) { (spark, dir) =>
+      import spark.implicits._
+      grid.map { case (label, ct, cc, pt, pc) =>
+        val c = Tables.table(spark, dir, ct)
+          .filter(col(cc).isNotNull).select(col(cc).cast("long").as("v")).distinct()
+        val p = Tables.table(spark, dir, pt)
+          .select(col(pc).cast("long").as("v")).distinct()
+          .withColumn("hit", lit(1))
+        c.join(p, Seq("v"), "left")
+          .agg(count(lit(1)).cast("long").as("n_child_distinct"),
+            count($"hit").cast("long").as("n_contained"),
+            floor(lit(1000000.0) * count($"hit") / count(lit(1))).cast("long")
+              .as("containment_ppm"),
+            when(count($"hit") === count(lit(1)), 1).otherwise(0).as("is_inclusion"))
+          .select(lit(label).as("candidate"), $"n_child_distinct", $"n_contained",
+            $"containment_ppm", $"is_inclusion")
+      }.reduce(_ unionAll _).orderBy($"candidate")
+    }
+  }
+
+  /** DATA-QUALITY EXPECTATIONS SUITE (the dbt-test / Deequ constraint
+    * run): a declared contract — not-null, unique, accepted values,
+    * referential integrity, numeric range, sane dates — evaluated in one
+    * report of violation counts. q183 DESCRIBES the data; this query
+    * JUDGES it against the contract, the gate an ingestion pipeline
+    * actually blocks on.
+    *
+    * 100 TB plan: every check is a filtered/conditional aggregate over a
+    * column-pruned scan; the uniqueness check is one hash-agg
+    * (count − count distinct), the RI check one key-keyed anti-join of
+    * distinct key sets. Checks run independently — a failed one
+    * pinpoints its violating rows by construction (the filter IS the
+    * violation predicate). */
+  val q316Expectations: GraftQuery = GraftQuery.oracled(
+    "q316_expectations",
+    """SELECT 'accepted_values:l_returnflag' AS check_name,
+      |       CAST(count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS BIGINT) AS n_violations
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'no_future_dates:l_shipdate',
+      |       CAST(count(CASE WHEN l_shipdate > TIMESTAMP '2030-01-01 00:00:00' THEN 1 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'not_null:o_custkey',
+      |       CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'positive:o_totalprice',
+      |       CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'range:l_discount_0_to_0.1',
+      |       CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'referential:l_orderkey_in_orders',
+      |       CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+      |             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'unique:o_orderkey',
+      |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |FROM orders
+      |ORDER BY check_name""") { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val acc = li.agg(count(when(!$"l_returnflag".isin("A", "N", "R"), 1))
+      .cast("long").as("n_violations"))
+      .select(lit("accepted_values:l_returnflag").as("check_name"), $"n_violations")
+    val fut = li.agg(count(when($"l_shipdate" > lit("2030-01-01 00:00:00").cast("timestamp"), 1))
+      .cast("long").as("n_violations"))
+      .select(lit("no_future_dates:l_shipdate").as("check_name"), $"n_violations")
+    val nn = o.agg(count(when($"o_custkey".isNull, 1)).cast("long").as("n_violations"))
+      .select(lit("not_null:o_custkey").as("check_name"), $"n_violations")
+    val pos = o.agg(count(when($"o_totalprice" <= 0, 1)).cast("long").as("n_violations"))
+      .select(lit("positive:o_totalprice").as("check_name"), $"n_violations")
+    val rng = li.agg(count(when($"l_discount" < 0 || $"l_discount" > 0.1, 1))
+      .cast("long").as("n_violations"))
+      .select(lit("range:l_discount_0_to_0.1").as("check_name"), $"n_violations")
+    val ri = li.select($"l_orderkey").distinct()
+      .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .select(lit("referential:l_orderkey_in_orders").as("check_name"), $"n_violations")
+    val uq = o.agg((count(lit(1)) - countDistinct($"o_orderkey")).cast("long")
+      .as("n_violations"))
+      .select(lit("unique:o_orderkey").as("check_name"), $"n_violations")
+    Seq(acc, fut, nn, pos, rng, ri, uq).reduce(_ unionAll _)
+      .orderBy($"check_name")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q183ColumnProfile, q313InclusionDeps,
+    q316Expectations)
 }

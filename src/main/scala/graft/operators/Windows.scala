@@ -561,9 +561,47 @@ object Windows {
       .orderBy($"user_id", $"h")
   }
 
+  /** EXACT ROLLING MEDIAN + IQR — the outlier-robust rolling band q230's
+    * rolling z-score (mean ± σ, skew-fragile) cannot give: per user, the
+    * exact median and interquartile range of the trailing 21 events. The
+    * distribution aggregates evaluate per row over a BOUNDED 21-row frame
+    * — O(w log w) per row with w fixed at 21, a deliberate, documented
+    * cost (this is NOT a current-row-to-unbounded frame, the O(n²) class
+    * the catalog bans; full-span and bounded frames are the two allowed
+    * shapes). Identical linear-interpolation percentile definition on
+    * both engines (q167's precedent).
+    *
+    * 100 TB plan: one shuffle by user, one in-partition sort, then
+    * constant work per row. For w in the thousands, swap the re-scan for
+    * a two-heap/indexable-skiplist `transformWithState` (q206's family);
+    * at w=21 the frame re-scan is faster than any state structure. */
+  val q314RollingMedian: GraftQuery = GraftQuery.oracled(
+    "q314_rolling_median",
+    """SELECT user_id, event_id, round(value, 2) AS value,
+      |       round(quantile_cont(value, 0.5) OVER w, 4) AS roll_med,
+      |       round(quantile_cont(value, 0.75) OVER w
+      |             - quantile_cont(value, 0.25) OVER w, 4) AS roll_iqr
+      |FROM (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-20, 0)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .select($"user_id", $"event_id", round($"value", 2).as("value"),
+        round(percentile($"value", lit(0.5)).over(w), 4).as("roll_med"),
+        round(percentile($"value", lit(0.75)).over(w)
+          - percentile($"value", lit(0.25)).over(w), 4).as("roll_iqr"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q31TopKPerGroup, q32RunningSum, q33LagLead, q34Sessionize,
     q35RangeFrame, q36RankFamily, q97RankTwoPhase, q139ResampleFfill,
     q190NthValue, q200SessionWindowBatch, q218TopkNative,
-    q219SessionDynamicGap, q255IncrementalSessions, q264LinearInterp)
+    q219SessionDynamicGap, q255IncrementalSessions, q264LinearInterp,
+    q314RollingMedian)
 }

@@ -22,14 +22,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q241_mutual_info", "q242_js_divergence", "q244_seasonal_decompose",
     "q245_snapshot_diff", "q248_cuped", "q252_spine_gaps",
     "q254_pmi_collocations", "q255_incremental_sessions",
-    "q258_retention_decay", "q259_ngram_novelty", "q261_oov_rate")
+    "q258_retention_decay", "q259_ngram_novelty", "q261_oov_rate",
+    // round 6: every join-shaped newcomer
+    "q302_fifo_allocation", "q303_eb_shrinkage", "q304_logrank_test",
+    "q305_bh_fdr", "q306_cem_matching", "q307_clustering_coeff",
+    "q308_kwic_concordance", "q309_simpson_detector", "q310_apportionment",
+    "q313_inclusion_deps", "q315_mi_feature_rank", "q316_expectations")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
   // construction; the BNLJ build side can never grow with the data.
   private val scalarBroadcastExempt = Set(
     "q211_bigram_lm", "q241_mutual_info", "q242_js_divergence",
-    "q248_cuped", "q254_pmi_collocations")
+    "q248_cuped", "q254_pmi_collocations",
+    "q303_eb_shrinkage", "q304_logrank_test", "q305_bh_fdr",
+    "q306_cem_matching", "q308_kwic_concordance", "q309_simpson_detector",
+    "q310_apportionment")
 
   test("audited queries plan no cartesian product and no broadcast nested loop") {
     for (name <- audited) {
