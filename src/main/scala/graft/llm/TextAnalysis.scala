@@ -642,7 +642,8 @@ object TextAnalysis {
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
     q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations,
-    q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain)
+    q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain,
+    q321CohensKappa)
 
   /** Source-level token-SET Jaccard matrix: |A∩B| / |A∪B| for every source
     * pair — q242's JS divergence compares DISTRIBUTIONS, this compares
@@ -807,6 +808,53 @@ object TextAnalysis {
     }
     words.unpersist()
     merges.toSeq
+  }
+
+  /** COHEN'S KAPPA — chance-corrected agreement between the q51 lang-id
+    * heuristic and the labeled `lang` column: κ = (p_o − p_e)/(1 − p_e)
+    * with p_e from the marginal products (Cohen 1960). THE
+    * inter-annotator / model-vs-gold agreement number every labeling
+    * pipeline reports — raw accuracy (p_o) overstates agreement whenever
+    * the class marginals are skewed, which is exactly when curation
+    * labels look deceptively healthy. Oracle reuses q51's SQL verbatim as
+    * a CTE (the q300 pattern), so the two engines score the SAME
+    * predictions.
+    *
+    * 100 TB plan: the confusion matrix is ONE |langs|²-cell hash-agg over
+    * q51's projection; marginals and κ are census algebra. Adding raters
+    * adds censuses, never row-scale joins. */
+  val q321CohensKappa: GraftQuery = GraftQuery.oracled(
+    "q321_cohens_kappa", {
+      val base = q51LangId.oracle.get.replace("ORDER BY doc_id", "")
+      s"""WITH q51 AS ($base),
+         |cm AS (SELECT labeled_lang AS a, predicted_lang AS b, CAST(count(*) AS DOUBLE) AS n
+         |       FROM q51 GROUP BY 1, 2),
+         |tot AS (SELECT sum(n) AS nn FROM cm),
+         |ra AS (SELECT a, sum(n) AS r FROM cm GROUP BY 1),
+         |cb AS (SELECT b, sum(n) AS c FROM cm GROUP BY 1),
+         |po AS (SELECT coalesce(sum(n), 0) / (SELECT nn FROM tot) AS po FROM cm WHERE a = b),
+         |pe AS (SELECT sum(ra.r * cb.c) / ((SELECT nn FROM tot) * (SELECT nn FROM tot)) AS pe
+         |       FROM ra JOIN cb ON ra.a = cb.b)
+         |SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n,
+         |       round((SELECT po FROM po), 6) AS p_observed,
+         |       round((SELECT pe FROM pe), 6) AS p_expected,
+         |       round(((SELECT po FROM po) - (SELECT pe FROM pe)) / (1 - (SELECT pe FROM pe)), 6) AS kappa"""
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val cm = q51LangId.fn(spark, dir)
+      .groupBy($"labeled_lang".as("a"), $"predicted_lang".as("b"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val tot = cm.agg(sum($"n").as("nn"))
+    val po = cm.filter($"a" === $"b").agg(coalesce(sum($"n"), lit(0.0)).as("agree"))
+    val pe = cm.groupBy($"a").agg(sum($"n").as("r"))
+      .join(cm.groupBy($"b").agg(sum($"n").as("c")), $"a" === $"b")
+      .agg(sum($"r" * $"c").as("rc"))
+    broadcast(tot).crossJoin(broadcast(po)).crossJoin(broadcast(pe))
+      .select($"nn".cast("long").as("n"),
+        round($"agree" / $"nn", 6).as("p_observed"),
+        round($"rc" / ($"nn" * $"nn"), 6).as("p_expected"),
+        round(($"agree" / $"nn" - $"rc" / ($"nn" * $"nn"))
+          / (lit(1) - $"rc" / ($"nn" * $"nn")), 6).as("kappa"))
   }
 
   /** The learned merge table over `documents`: rank, left symbol, right

@@ -1029,7 +1029,8 @@ object Eda {
     q271LorenzDeciles, q272CusumChangepoint, q273AnovaF, q274StableAggs,
     q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition,
     q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr,
-    q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank)
+    q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank,
+    q319HuberIrls, q322ExactAuc)
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The
@@ -1654,5 +1655,117 @@ object Eda {
         .as("mi_nats"))
       .select($"dim", $"nt".cast("long").as("n"), $"mi_nats")
       .orderBy($"dim")
+  }
+
+  /** HUBER ROBUST REGRESSION via IRLS — the outlier-resistant line the
+    * OLS family (q181/q225/q311) cannot give: two iteratively-reweighted
+    * least-squares rounds, weights w = min(1, kσ̂/|r|) with k = 1.345 and
+    * σ̂ = 1.4826·MAD of the residuals (the 95%-efficiency tuning). High-
+    * leverage rows are DOWN-WEIGHTED, not dropped — the estimator every
+    * metrics team wants when q153/q188's outlier reports start firing.
+    * Two rounds unrolled identically in the oracle (same exact-percentile
+    * MAD, same weight formula) — an engine-looped fit made SQL-expressible
+    * by fixing the round count.
+    *
+    * 100 TB plan: each round is one broadcast of 1-row coefficients, one
+    * map-side residual projection, one exact-median agg (swap to
+    * approx_percentile at petabyte row counts — documented knob), one
+    * moments hash-agg. Nothing row-scale ever joins row-scale. */
+  val q319HuberIrls: GraftQuery = GraftQuery.oracled(
+    "q319_huber_irls",
+    """WITH d AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+      |m0 AS (SELECT CAST(count(*) AS BIGINT) AS n, regr_slope(y, x) AS b, regr_intercept(y, x) AS a FROM d),
+      |r1 AS (SELECT x, y, abs(y - m0.a - m0.b * x) AS ar FROM d, m0),
+      |s1 AS (SELECT 1.4826 * quantile_cont(ar, 0.5) AS s FROM r1),
+      |w1 AS (SELECT x, y, CASE WHEN ar <= 1.345 * s1.s THEN 1.0 ELSE 1.345 * s1.s / ar END AS w FROM r1, s1),
+      |mo1 AS (SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+      |               sum(w * x * x) AS swxx, sum(w * x * y) AS swxy FROM w1),
+      |f1 AS (SELECT b, (swy - b * swx) / sw AS a
+      |       FROM (SELECT (swxy - swx * swy / sw) / (swxx - swx * swx / sw) AS b, sw, swx, swy FROM mo1)),
+      |r2 AS (SELECT x, y, abs(y - f1.a - f1.b * x) AS ar FROM d, f1),
+      |s2 AS (SELECT 1.4826 * quantile_cont(ar, 0.5) AS s FROM r2),
+      |w2 AS (SELECT x, y, CASE WHEN ar <= 1.345 * s2.s THEN 1.0 ELSE 1.345 * s2.s / ar END AS w FROM r2, s2),
+      |mo2 AS (SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+      |               sum(w * x * x) AS swxx, sum(w * x * y) AS swxy,
+      |               CAST(count(CASE WHEN w < 1 THEN 1 END) AS BIGINT) AS nd FROM w2),
+      |f2 AS (SELECT b, (swy - b * swx) / sw AS a, nd
+      |       FROM (SELECT (swxy - swx * swy / sw) / (swxx - swx * swx / sw) AS b, sw, swx, swy, nd FROM mo2))
+      |SELECT m0.n, round(m0.b, 4) AS b_ols, round(m0.a, 4) AS a_ols,
+      |       round(f2.b, 4) AS b_huber, round(f2.a, 4) AS a_huber,
+      |       round(s2.s, 4) AS scale, f2.nd AS n_downweighted
+      |FROM m0, f2, s2""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.lineitem(spark, dir)
+      .select($"l_quantity".as("x"), $"l_extendedprice".as("y"))
+    val m0 = d.agg(count(lit(1)).cast("long").as("n"),
+      expr("regr_slope(y, x)").as("b"), expr("regr_intercept(y, x)").as("a"))
+    def round2(prev: org.apache.spark.sql.DataFrame) = {
+      val r = d.crossJoin(broadcast(prev.select($"a", $"b")))
+        .select($"x", $"y", abs($"y" - $"a" - $"b" * $"x").as("ar"))
+      val s = r.agg((lit(1.4826) * percentile($"ar", lit(0.5))).as("s"))
+      val w = r.crossJoin(broadcast(s))
+        .select($"x", $"y", $"s",
+          when($"ar" <= lit(1.345) * $"s", 1.0)
+            .otherwise(lit(1.345) * $"s" / $"ar").as("w"))
+      val mo = w.agg(sum($"w").as("sw"), sum($"w" * $"x").as("swx"),
+        sum($"w" * $"y").as("swy"), sum($"w" * $"x" * $"x").as("swxx"),
+        sum($"w" * $"x" * $"y").as("swxy"),
+        count(when($"w" < 1, 1)).cast("long").as("nd"),
+        max($"s").as("s"))
+      mo.select(
+        (($"swxy" - $"swx" * $"swy" / $"sw") / ($"swxx" - $"swx" * $"swx" / $"sw")).as("b"),
+        $"sw", $"swx", $"swy", $"nd", $"s")
+        .select($"b", (($"swy" - $"b" * $"swx") / $"sw").as("a"), $"nd", $"s")
+    }
+    val f2 = round2(round2(m0))
+    m0.select($"n", round($"b", 4).as("b_ols"), round($"a", 4).as("a_ols"))
+      .crossJoin(broadcast(f2))
+      .select($"n", $"b_ols", $"a_ols",
+        round($"b", 4).as("b_huber"), round($"a", 4).as("a_huber"),
+        round($"s", 4).as("scale"), $"nd".as("n_downweighted"))
+  }
+
+  /** EXACT ROC-AUC, relationally — the evaluator WITHOUT the model fit:
+    * AUC of "embedding dim 1 separates class 0 from the rest" computed
+    * from the rank statistic (AUC = (R₊ − n₊(n₊+1)/2)/(n₊n₋), the
+    * Mann–Whitney identity q284 proves), with EXACT tie handling via
+    * average ranks from the value census — no per-row sort reaches the
+    * output, no threshold sweep, no trapezoid approximation.
+    *
+    * 100 TB plan: one (score → n, n_pos) census hash-agg, a cumulative
+    * window over DISTINCT scores only (census-sized, not row-sized), one
+    * scalar reduction. The same census-closed-form trick as q226/q284 —
+    * the row count never meets a window. */
+  val q322ExactAuc: GraftQuery = GraftQuery.oracled(
+    "q322_exact_auc",
+    """WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS v,
+      |                  CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      |           FROM embeddings),
+      |cen AS (SELECT v, CAST(count(*) AS DOUBLE) AS n, CAST(sum(pos) AS DOUBLE) AS np
+      |        FROM s GROUP BY v),
+      |rk AS (SELECT v, n, np,
+      |              coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |       FROM cen),
+      |agg AS (SELECT sum(np * (cb + (n + 1) / 2)) AS rpos,
+      |               sum(np) AS npos, sum(n - np) AS nneg
+      |        FROM rk)
+      |SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+      |       round((rpos - npos * (npos + 1) / 2) / (npos * nneg), 6) AS auc
+      |FROM agg""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.embeddings(spark, dir)
+      .select(element_at($"embedding", 1).cast("double").as("v"),
+        when($"label" === 0, 1).otherwise(0).as("pos"))
+    val cen = s.groupBy($"v")
+      .agg(count(lit(1)).cast("double").as("n"), sum($"pos").cast("double").as("np"))
+    // census-sized window over DISTINCT scores only
+    val rk = cen.withColumn("cb",
+      coalesce(sum($"n").over(Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+    rk.agg(sum($"np" * ($"cb" + ($"n" + 1) / 2)).as("rpos"),
+        sum($"np").as("npos"), sum($"n" - $"np").as("nneg"))
+      .select($"npos".cast("long").as("n_pos"), $"nneg".cast("long").as("n_neg"),
+        round(($"rpos" - $"npos" * ($"npos" + 1) / 2) / ($"npos" * $"nneg"), 6).as("auc"))
   }
 }

@@ -324,9 +324,54 @@ object RelationalCore {
       .orderBy($"rn")
   }
 
+  /** SKYLINE (Pareto-frontier) QUERY — the preference operator (Börzsönyi
+    * et al., ICDE 2001): parts no other part dominates on (cheaper,
+    * bigger) — the "show me the non-stupid options" selection behind
+    * every price/quality tradeoff screen. The naive formulation is a
+    * quadratic NOT EXISTS self-join; the 2-D closed form here is two
+    * WINDOW tests over a single price-ordered pass: a part is dominated
+    * iff some STRICTLY cheaper part is at least as big (RANGE-to-−1
+    * running max on exact integer cents), or some equal-priced part is
+    * strictly bigger (per-price partition max). Duplicate (price, size)
+    * points tie — neither dominates — and survive together on both
+    * engines.
+    *
+    * 100 TB plan: one sort by price, constant memory, no self-join. The
+    * ordering window is global — at extreme cardinality it two-phases
+    * exactly like q97 (per-partition frontier, then frontier-of-
+    * frontiers: skylines compose), which is the documented scale path. */
+  val q320Skyline: GraftQuery = GraftQuery.oracled(
+    "q320_skyline",
+    """WITH p AS (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |                  CAST(p_size AS BIGINT) AS p_size
+      |           FROM part),
+      |t AS (SELECT p_partkey, price_cents, p_size,
+      |             coalesce(max(p_size) OVER (ORDER BY price_cents
+      |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS best_cheaper,
+      |             max(p_size) OVER (PARTITION BY price_cents) AS best_equal
+      |      FROM p)
+      |SELECT p_partkey, price_cents, p_size
+      |FROM t
+      |WHERE best_cheaper < p_size AND best_equal <= p_size
+      |ORDER BY price_cents, p_partkey""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+      .select($"p_partkey", round($"p_retailprice" * 100).cast("long").as("price_cents"),
+        $"p_size".cast("long").as("p_size"))
+    val wCheaper = Window.orderBy($"price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEqual = Window.partitionBy($"price_cents")
+    p.withColumn("best_cheaper", coalesce(max($"p_size").over(wCheaper), lit(-1L)))
+      .withColumn("best_equal", max($"p_size").over(wEqual))
+      .filter($"best_cheaper" < $"p_size" && $"best_equal" <= $"p_size")
+      .select($"p_partkey", $"price_cents", $"p_size")
+      .orderBy($"price_cents", $"p_partkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02ProjectFilter, q03CaseBuckets, q04CastsNulls,
     q05Distinct, q06TopNOffset, q07UnionAll, q08Intersect, q09Except,
     q10MultisetOps, q11SampleSplit, q101StratifiedSample, q102HashBucketSplit,
-    q192NullOrdering)
+    q192NullOrdering, q320Skyline)
 }

@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q302_fifo_allocation", "q303_eb_shrinkage", "q304_logrank_test",
     "q305_bh_fdr", "q306_cem_matching", "q307_clustering_coeff",
     "q308_kwic_concordance", "q309_simpson_detector", "q310_apportionment",
-    "q313_inclusion_deps", "q315_mi_feature_rank", "q316_expectations")
+    "q313_inclusion_deps", "q315_mi_feature_rank", "q316_expectations",
+    "q319_huber_irls", "q320_skyline", "q321_cohens_kappa", "q322_exact_auc")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -37,7 +38,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q248_cuped", "q254_pmi_collocations",
     "q303_eb_shrinkage", "q304_logrank_test", "q305_bh_fdr",
     "q306_cem_matching", "q308_kwic_concordance", "q309_simpson_detector",
-    "q310_apportionment")
+    "q310_apportionment", "q319_huber_irls", "q321_cohens_kappa")
 
   test("audited queries plan no cartesian product and no broadcast nested loop") {
     for (name <- audited) {
