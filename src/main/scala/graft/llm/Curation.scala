@@ -534,9 +534,62 @@ object Curation {
     Some(q300Sql),
     doc = "curation verdicts → cluster-coin split → per-(split, source) docs/tokens/512-token sequences")
 
+  /** TOKEN-BUDGET WATERFILL — the greedy data-mixing allocator: given a
+    * training budget of HALF the corpus tokens, fill from the
+    * highest-quality source down (quality = mean distinct-token ratio, a
+    * lexical-diversity proxy), taking each source whole until the budget
+    * line cuts one source partially and zeroes the rest. The closed form
+    * is a cumulative window over the SOURCE census: alloc = clamp(B −
+    * cum_before, 0, tokens). Σalloc = B exactly (integer tokens), proven
+    * by the output. q138 mixes by FIXED weights; this derives the mix
+    * from measured quality under a budget — the knob an actual data-mix
+    * owner turns.
+    *
+    * 100 TB plan: the row-scale work is one per-source token/quality agg
+    * (map-side combined); the waterfill runs on the source census (a few
+    * dozen rows) where the single-partition window is the right plan. */
+  val q323MixWaterfill: GraftQuery = GraftQuery.oracled(
+    "q323_mix_waterfill",
+    """WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT source,
+      |             CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+      |             avg(CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) AS quality
+      |      FROM d WHERE len(t) > 0 GROUP BY source),
+      |b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM s),
+      |w AS (SELECT source, n_tokens, quality,
+      |             coalesce(CAST(sum(n_tokens) OVER (ORDER BY quality DESC, source
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+      |      FROM s)
+      |SELECT w.source, w.n_tokens, round(w.quality, 6) AS quality, w.cum_before,
+      |       CAST(least(greatest(b.budget - w.cum_before, 0), w.n_tokens) AS BIGINT) AS alloc_tokens,
+      |       CAST(floor(1000000.0 * least(greatest(b.budget - w.cum_before, 0), w.n_tokens)
+      |                  / w.n_tokens) AS BIGINT) AS fill_ppm
+      |FROM w, b
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.documents(spark, dir)
+      .select($"source", split($"text", " ").as("t"))
+      .filter(size($"t") > 0)
+      .groupBy($"source")
+      .agg(sum(size($"t")).cast("long").as("n_tokens"),
+        avg(size(array_distinct($"t")).cast("double") / size($"t")).as("quality"))
+    val b = s.agg(expr("sum(n_tokens) div 2").as("budget"))
+    // source census is a handful of rows — single-partition window is right
+    val w = s.withColumn("cum_before",
+      coalesce(sum($"n_tokens").over(
+        Window.orderBy($"quality".desc, $"source")
+          .rowsBetween(Window.unboundedPreceding, -1)).cast("long"), lit(0L)))
+    val alloc = least(greatest($"budget" - $"cum_before", lit(0L)), $"n_tokens")
+    w.crossJoin(broadcast(b))
+      .select($"source", $"n_tokens", round($"quality", 6).as("quality"),
+        $"cum_before", alloc.cast("long").as("alloc_tokens"),
+        floor(lit(1000000.0) * alloc / $"n_tokens").cast("long").as("fill_ppm"))
+      .orderBy($"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
-    q300ExportManifest)
+    q300ExportManifest, q323MixWaterfill)
 }

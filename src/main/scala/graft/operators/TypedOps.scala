@@ -52,5 +52,53 @@ object TypedOps {
       .orderBy($"l_returnflag")
   }
 
-  def all: Seq[GraftQuery] = Seq(q78TypedAgg)
+  final case class Ev(user_id: Long, event_id: Long, epoch_us: Long)
+  final case class Kept(user_id: Long, event_id: Long, epoch_us: Long, kept_rank: Int)
+
+  /** GREEDY THROTTLE DEDUP — "at most one purchase notification per user
+    * per 24 h": keep an event iff it is ≥ 24 h after the LAST KEPT event
+    * of that user. This is a chain-dependent scan (each decision depends
+    * on the previous KEPT row, not the previous row), which no bounded
+    * window frame or sessionization can express — session-gap grouping
+    * gives a DIFFERENT answer on streaks (events at h0/h20/h40: throttle
+    * keeps h0+h40, gap-sessions keep only h0). The right Spark shape is
+    * the typed escape hatch: `groupByKey(user).flatMapGroups` with an
+    * in-memory per-user sort + single greedy walk.
+    *
+    * 100 TB plan: ONE shuffle by user; per-group state is the user's own
+    * event timestamps (bounded by per-user activity, thousands — the
+    * documented bound; for pathological users chunk by month first: the
+    * throttle chain only crosses a boundary through its last kept row).
+    * Chain recursion is not SQL-expressible in a fixed tree → rows-only;
+    * the gate is an independent reference walk in Round6Spec. */
+  val q324ThrottleDedup: GraftQuery = GraftQuery.rowsOnly(
+    "q324_throttle_dedup",
+    doc = "greedy 24h-throttle keep/drop per user over purchases; typed flatMapGroups chain walk") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val W = 24L * 3600 * 1000000 // 24 h in µs
+    Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("epoch_us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e.epoch_us, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer[Kept]()
+        var lastKept = Long.MinValue
+        var rank = 0
+        for (e <- evs) {
+          if (lastKept == Long.MinValue || e.epoch_us >= lastKept + W) {
+            rank += 1
+            out += Kept(uid, e.event_id, e.epoch_us, rank)
+            lastKept = e.epoch_us
+          }
+        }
+        out.iterator
+      }
+      .toDF()
+      .orderBy($"user_id", $"kept_rank")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q78TypedAgg, q324ThrottleDedup)
 }

@@ -91,6 +91,44 @@ class Round6Spec extends AnyFunSuite with SparkFixture {
     df.unpersist()
   }
 
+  test("throttle dedup matches an independent greedy reference walk") {
+    import spark.implicits._
+    val got = TypedOps.q324ThrottleDedup.fn(spark, sf)
+      .select($"user_id", $"event_id", $"kept_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val W = 24L * 3600 * 1000000
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      var last = Long.MinValue
+      var rank = 0
+      evs.sortBy(e => (e._3, e._2)).flatMap { case (_, eid, us) =>
+        if (last == Long.MinValue || us >= last + W) {
+          last = us; rank += 1; Some((uid, eid, rank))
+        } else None
+      }
+    }.toSet
+    assert(got === expected)
+    // and throttling really differs from gap-sessionization on streaks:
+    // consecutive kept events are >= W apart, but a kept event may follow
+    // a DROPPED one by less than W
+    assert(got.nonEmpty)
+  }
+
+  test("waterfill: allocations sum exactly to the budget and fill in quality order") {
+    import spark.implicits._
+    val rows = graft.llm.Curation.q323MixWaterfill.fn(spark, sf)
+      .select($"n_tokens", $"quality", $"alloc_tokens").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val budget = rows.map(_._1).sum / 2
+    assert(rows.map(_._3).sum === budget, "allocations must exhaust the budget exactly")
+    // sorted by quality desc: full, full, ..., partial, zero, zero
+    val byQ = rows.sortBy(-_._2).map { case (n, _, a) => if (a == n) "F" else if (a == 0) "Z" else "P" }
+    assert("^F*P?Z*$".r.matches(byQ.mkString), s"fill pattern ${byQ.mkString} not monotone")
+  }
+
   test("resize plan: aspect-fit never exceeds the box and preserves orientation") {
     import spark.implicits._
     val df = graft.llm.Multimodal.q318ResizePlan.fn(spark, sf)
