@@ -1000,7 +1000,8 @@ object EventAnalytics {
     q252SpineGaps, q257Interarrival, q258RetentionDecay, q265WindowedFunnel,
     q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution,
     q288ClampedBalance, q291PointInTimeFeatures, q294MarkovBacktest,
-    q297DisorderAudit, q302FifoAllocation, q304LogRankTest)
+    q297DisorderAudit, q302FifoAllocation, q304LogRankTest, q325ControlChart,
+    q326MarkovAttribution)
 
   /** EVENT-TIME DISORDER AUDIT — the number that TUNES `withWatermark`:
     * per event (in arrival order = event_id), its lateness is how far its
@@ -1713,5 +1714,131 @@ object EventAnalytics {
       .crossJoin(broadcast(users))
       .select($"n_users_a", $"n_users_b", $"deaths_a", $"expected_a",
         $"variance", $"chi2")
+  }
+
+  /** I-MR CONTROL CHART (Shewhart individuals chart) — statistical process
+    * control over the daily value mean: center line = mean of daily means,
+    * natural process limits = center ± 2.66·(mean moving range) (the
+    * d₂=1.128 individuals constant), out-of-control days flagged. The SPC
+    * lens differs from q230's rolling z (adaptive) and q272's CUSUM
+    * (cumulative drift): fixed limits from the WHOLE baseline, the
+    * ops-dashboard chart. One ordered lag for MR, two scalar broadcasts —
+    * every float op runs in pinned order on both engines.
+    *
+    * 100 TB plan: raw rows collapse to the daily census in one
+    * map-side-combined agg; everything after runs on calendar-sized data
+    * (the single-partition lag over days is the right plan). */
+  val q325ControlChart: GraftQuery = GraftQuery.oracled(
+    "q325_control_chart",
+    """WITH d AS (SELECT CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS day,
+      |                  avg(value) AS xbar, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1),
+      |m AS (SELECT day, xbar, n,
+      |             abs(xbar - lag(xbar) OVER (ORDER BY day)) AS mr
+      |      FROM d),
+      |c AS (SELECT avg(xbar) AS center, avg(mr) AS mrbar FROM m)
+      |SELECT m.day, m.n, round(m.xbar, 4) AS xbar, round(m.mr, 4) AS mr,
+      |       round(c.center, 4) AS center,
+      |       round(c.center + 2.66 * c.mrbar, 4) AS ucl,
+      |       round(c.center - 2.66 * c.mrbar, 4) AS lcl,
+      |       CASE WHEN m.xbar > c.center + 2.66 * c.mrbar
+      |              OR m.xbar < c.center - 2.66 * c.mrbar THEN 1 ELSE 0 END AS out_of_control
+      |FROM m, c
+      |ORDER BY day""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(avg($"value").as("xbar"), count(lit(1)).cast("long").as("n"))
+    // calendar-sized frame: the single-partition lag is the right plan
+    val m = d.withColumn("mr", abs($"xbar" - lag($"xbar", 1).over(Window.orderBy($"day"))))
+    val c = m.agg(avg($"xbar").as("center"), avg($"mr").as("mrbar"))
+    val ucl = $"center" + lit(2.66) * $"mrbar"
+    val lcl = $"center" - lit(2.66) * $"mrbar"
+    m.crossJoin(broadcast(c))
+      .select($"day", $"n", round($"xbar", 4).as("xbar"), round($"mr", 4).as("mr"),
+        round($"center", 4).as("center"), round(ucl, 4).as("ucl"),
+        round(lcl, 4).as("lcl"),
+        when($"xbar" > ucl || $"xbar" < lcl, 1).otherwise(0).as("out_of_control"))
+      .orderBy($"day")
+  }
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
+    * data-driven alternative to q164/q280's positional heuristics: model
+    * journeys as a first-order chain over touch states (START → touches →
+    * CONV on first purchase, NULL on abandonment), then credit each
+    * channel by its REMOVAL EFFECT — how much conversion probability
+    * vanishes if every transition into that channel is redirected to
+    * NULL. 1 − v_c/v₀, normalized to shares.
+    *
+    * 100 TB plan: the row-scale work is ONE windowed transition build per
+    * user (one shuffle) and a (src,dst) census hash-agg; the chain math
+    * (value iteration to absorption, once per channel) runs driver-side
+    * on the ≤(k+2)² census — the same census-to-driver E3 boundary as
+    * q290's MMR and q312's argmax: only state-pair counts ever leave the
+    * cluster. Not a fixed SQL tree (data-dependent iteration) →
+    * rows-only; Round6Spec gates it on a hand-computable chain fixture. */
+  private[operators] def markovRemoval(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val fp = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id")).as("fpk"))
+    val kept = events.join(broadcast(fp), Seq("user_id"), "left")
+      .filter($"fpk".isNull || struct($"ts", $"event_id") <= $"fpk")
+      .withColumn("state",
+        when($"event_type" === "purchase", "CONV").otherwise($"event_type"))
+    val seq = kept
+      .withColumn("next", lead($"state", 1).over(w))
+      .withColumn("is_first", lag($"state", 1).over(w).isNull)
+    val trans = seq.filter($"is_first").select(lit("START").as("src"), $"state".as("dst"))
+      .unionAll(seq.filter($"next".isNotNull).select($"state".as("src"), $"next".as("dst")))
+      .unionAll(seq.filter($"next".isNull && $"state" =!= "CONV")
+        .select($"state".as("src"), lit("NULL").as("dst")))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+      .collect() // E3: the (src,dst) census — ≤(channels+3)² scalar rows
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = trans.flatMap(t => Seq(t._1, t._2))
+      .filter(s => s != "START" && s != "CONV" && s != "NULL").distinct.sorted
+    val outgoing = trans.groupBy(_._1)
+    def convProb(removed: Option[String]): Double = {
+      // value iteration to absorption; transitions INTO the removed
+      // channel redirect to NULL (dst dropped => mass renormalizes to 0)
+      var v = Map("CONV" -> 1.0, "NULL" -> 0.0).withDefaultValue(0.0)
+      for (_ <- 1 to 200) {
+        val nv = outgoing.map { case (src, ts) =>
+          val tot = ts.map(_._3).sum.toDouble
+          src -> ts.map { case (_, dst, n) =>
+            if (removed.contains(dst)) 0.0 else n / tot * v(dst)
+          }.sum
+        }
+        v = (nv ++ Map("CONV" -> 1.0, "NULL" -> 0.0)).withDefaultValue(0.0)
+      }
+      v("START")
+    }
+    val v0 = convProb(None)
+    val effects = channels.map { c =>
+      val e = if (v0 > 0) math.max(0.0, 1.0 - convProb(Some(c)) / v0) else 0.0
+      (c, e)
+    }
+    val tot = effects.map(_._2).sum
+    spark.createDataFrame(effects.map { case (c, e) =>
+      (c, math.rint(e * 1e6) / 1e6,
+        if (tot > 0) (e / tot * 1e6).toLong else 0L)
+    }).toDF("channel", "removal_effect", "attribution_ppm")
+      .orderBy($"channel")
+  }
+
+  /** Removal-effect attribution over the events journey log. */
+  val q326MarkovAttribution: GraftQuery = GraftQuery.rowsOnly(
+    "q326_markov_attribution",
+    doc = "Markov removal-effect channel attribution; census-to-driver value iteration") { (spark, dir) =>
+    markovRemoval(Tables.events(spark, dir).select(
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("ts"),
+      org.apache.spark.sql.functions.col("event_id"),
+      org.apache.spark.sql.functions.col("event_type")))
   }
 }

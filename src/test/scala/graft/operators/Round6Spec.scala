@@ -129,6 +129,31 @@ class Round6Spec extends AnyFunSuite with SparkFixture {
     assert("^F*P?Z*$".r.matches(byQ.mkString), s"fill pattern ${byQ.mkString} not monotone")
   }
 
+  test("Markov removal effect: hand-computable chain fixture and probability laws") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1,2: view -> click -> purchase; user 3: view -> NULL.
+    // Chain: START->view (p=1), view->{click 2/3, NULL 1/3}, click->CONV (p=1).
+    // v0 = 2/3. Remove click => conversion 0 => effect(click)=1.
+    // Remove view => START->view redirected to NULL => conversion 0 => effect(view)=1.
+    val ev = Seq(
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"), (1L, ts(3), 3L, "purchase"),
+      (2L, ts(1), 4L, "view"), (2L, ts(2), 5L, "click"), (2L, ts(3), 6L, "purchase"),
+      (3L, ts(1), 7L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.markovRemoval(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toList
+    assert(got.map(_._1) === List("click", "view"))
+    assert(got.forall(_._2 === 1.0), s"both touches are necessary: $got")
+    assert(got.map(_._3).sum === 1000000L, "shares must sum to 1e6 ppm")
+    // real corpus: effects are probabilities and shares are a partition
+    val corpus = EventAnalytics.q326MarkovAttribution.fn(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getLong(2)))
+    assert(corpus.forall { case (e, _) => e >= 0.0 && e <= 1.0 })
+    assert(corpus.map(_._2).sum <= 1000000L)
+  }
+
   test("resize plan: aspect-fit never exceeds the box and preserves orientation") {
     import spark.implicits._
     val df = graft.llm.Multimodal.q318ResizePlan.fn(spark, sf)
