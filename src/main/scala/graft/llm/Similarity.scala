@@ -589,8 +589,46 @@ object Similarity {
       .orderBy($"la", $"lb")
   }
 
+  /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION — 64-d → 16-d with a
+    * deterministic ±1/√k matrix (Achlioptas 2003: Rademacher entries
+    * preserve pairwise distances in expectation like Gaussians, and cost
+    * one sign flip per term): the cheap dimensionality cut that runs
+    * BEFORE the ANN index (q49/q96/q98) when the raw dimension is the
+    * cost driver. The sign matrix is a pure arithmetic function of
+    * (dim, k) — no RNG state, so the oracle restates it exactly and any
+    * executor can regenerate it.
+    *
+    * 100 TB plan: 16 codegen'd `graft_dot` kernel calls per row against
+    * BROADCAST-literal sign vectors — map-side, shuffle-free, whole-stage
+    * codegen; the explode to long format is the only row expansion.
+    * Round6Spec gates the JL guarantee itself (mean pairwise-distance
+    * distortion bounded). */
+  val q327JlProjection: GraftQuery = GraftQuery.oracled(
+    "q327_jl_projection",
+    """WITH p AS (
+      |  SELECT vec_id, k,
+      |         round(list_sum(list_transform(generate_series(1, 64),
+      |           d -> CAST(embedding[d] AS DOUBLE)
+      |                * (CASE WHEN (d * 31 + k * 17) % 2 = 0 THEN 1 ELSE -1 END))) / 4.0, 4) AS proj
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 16)) AS k))
+      |SELECT vec_id, CAST(k AS BIGINT) AS k, proj
+      |FROM p
+      |ORDER BY vec_id, k""") { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    import graft.functions.VectorExpressions.graftDot
+    val planes: Seq[org.apache.spark.sql.Column] = (1 to 16).map { k =>
+      val signs = (1 to 64).map(d => if ((d * 31 + k * 17) % 2 == 0) 1.0f else -1.0f)
+      round(graftDot($"embedding", typedlit(signs)) / 4.0, 4)
+    }
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode(array(planes: _*)))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("k"), $"col".as("proj"))
+      .orderBy($"vec_id", $"k")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
-      q231SemanticDedup, q262KmeansElbow, q269LabelCentroids)
+      q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection)
 }

@@ -1001,7 +1001,7 @@ object EventAnalytics {
     q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution,
     q288ClampedBalance, q291PointInTimeFeatures, q294MarkovBacktest,
     q297DisorderAudit, q302FifoAllocation, q304LogRankTest, q325ControlChart,
-    q326MarkovAttribution)
+    q326MarkovAttribution, q328RestatementAudit)
 
   /** EVENT-TIME DISORDER AUDIT — the number that TUNES `withWatermark`:
     * per event (in arrival order = event_id), its lateness is how far its
@@ -1829,6 +1829,56 @@ object EventAnalytics {
         if (tot > 0) (e / tot * 1e6).toLong else 0L)
     }).toDF("channel", "removal_effect", "attribution_ppm")
       .orderBy($"channel")
+  }
+
+  /** WATERMARK RESTATEMENT AUDIT — q297 picks the watermark delay; this
+    * prices it: for a candidate delay of 60 s, which HOURLY aggregates
+    * would a streaming append-mode job emit INCOMPLETE (events arriving
+    * later than the watermark tolerates get dropped from their window),
+    * and by how much? Per event-time hour: total events, events whose
+    * arrival lateness (q297's running-max definition over arrival order)
+    * exceeds the delay, the dropped share in ppm, and the restated flag.
+    * The batch dashboard this query feeds is the ground truth the
+    * streaming one drifts from — THE number to staple to any
+    * watermark-tuning decision.
+    *
+    * 100 TB plan: the lateness window is the q297 single-sequence pass
+    * (arrival order is global by construction; shard by ingest file and
+    * take per-shard running maxima when arrival order is per-shard);
+    * everything after is one calendar-keyed hash-agg. */
+  val q328RestatementAudit: GraftQuery = GraftQuery.oracled(
+    "q328_restatement_audit",
+    """WITH e AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+      |                  epoch_us(date_trunc('microseconds', ts)) AS us
+      |           FROM events),
+      |d AS (SELECT ts, greatest(CAST(0 AS BIGINT),
+      |               max(us) OVER (ORDER BY event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us) AS late_us
+      |      FROM e)
+      |SELECT date_trunc('hour', ts) AS hour,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(CASE WHEN late_us > 60000000 THEN 1 END) AS BIGINT) AS n_dropped,
+      |       CAST(floor(1000000.0 * count(CASE WHEN late_us > 60000000 THEN 1 END)
+      |                  / count(*)) AS BIGINT) AS dropped_ppm,
+      |       CASE WHEN count(CASE WHEN late_us > 60000000 THEN 1 END) > 0
+      |            THEN 1 ELSE 0 END AS restated
+      |FROM d
+      |GROUP BY 1
+      |ORDER BY hour""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lateDropped = count(when($"late_us" > 60000000L, 1))
+    Tables.events(spark, dir)
+      .select($"event_id", $"ts", unix_micros($"ts").as("us"))
+      .withColumn("late_us", greatest(lit(0L), max($"us").over(wCum) - $"us"))
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        lateDropped.cast("long").as("n_dropped"),
+        floor(lit(1000000.0) * lateDropped / count(lit(1))).cast("long").as("dropped_ppm"),
+        when(lateDropped > 0, 1).otherwise(0).as("restated"))
+      .orderBy($"hour")
   }
 
   /** Removal-effect attribution over the events journey log. */

@@ -154,6 +154,33 @@ class Round6Spec extends AnyFunSuite with SparkFixture {
     assert(corpus.map(_._2).sum <= 1000000L)
   }
 
+  test("JL projection: mean pairwise distance distortion is bounded") {
+    import spark.implicits._
+    // JL with k=16 Rademacher planes preserves SQUARED distances in
+    // expectation; per-pair distortion concentrates as exp(-k eps^2 / 8).
+    // Gate the MEAN relative distortion over a deterministic pair sample.
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 40)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = graft.llm.Similarity.q327JlProjection.fn(spark, sf)
+      .filter($"vec_id" < 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val ids = emb.keys.toSeq.sorted
+    val pairs = for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = pairs.map { case (a, b) =>
+      val orig = d2(emb(a), emb(b))
+      val prj = d2(proj(a).toArray, proj(b).toArray)
+      prj / orig
+    }
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.6 && meanRatio < 1.4,
+      s"mean squared-distance ratio $meanRatio outside [0.6, 1.4]")
+  }
+
   test("resize plan: aspect-fit never exceeds the box and preserves orientation") {
     import spark.implicits._
     val df = graft.llm.Multimodal.q318ResizePlan.fn(spark, sf)
