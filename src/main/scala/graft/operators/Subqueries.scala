@@ -181,8 +181,50 @@ object Subqueries {
       Map("disc" -> 0.04, "feerate" -> 0.01, "tbl" -> "orders", "status" -> "F"))
   }
 
+  /** SQL-LANGUAGE UDFs (Spark 4 `CREATE FUNCTION … RETURN expr`) — the
+    * §2.11 tier ZERO the catalog's UDF ladder was missing below Catalyst
+    * Expressions: a function DEFINED in SQL is inlined into the plan at
+    * resolution (Catalyst sees the expression tree, codegen and pushdown
+    * apply) — strictly better than any black-box Scala UDF when the logic
+    * is expressible. A scalar UDF (net price) and a TABLE function
+    * (per-flag revenue summary, `RETURNS TABLE`) both exercise the
+    * surface; the oracle states the inlined computation directly, which
+    * IS the semantics of SQL-function inlining.
+    *
+    * 100 TB plan: identical to writing the expression inline — zero
+    * serialization boundary, zero codegen break, full predicate pushdown
+    * through the function body. The reason to ban Scala UDFs is exactly
+    * that this alternative exists. */
+  val q329SqlUdf: GraftQuery = GraftQuery.oracled(
+    "q329_sql_udf",
+    """SELECT l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net_revenue,
+      |       round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice * (1 - l_discount) END), 2) AS avg_bulk_net
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net(price DOUBLE, disc DOUBLE, tax DOUBLE)
+        |RETURNS DOUBLE RETURN price * (1 - disc) * (1 + tax)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(price DOUBLE, disc DOUBLE)
+        |RETURNS DOUBLE RETURN price * (1 - disc)""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(graft_net(l_extendedprice, l_discount, l_tax)), 2) AS net_revenue,
+        |       round(avg(CASE WHEN l_quantity >= 25
+        |                      THEN graft_disc_price(l_extendedprice, l_discount) END), 2) AS avg_bulk_net
+        |FROM lineitem_v
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q79CorrelatedScalar, q80UncorrelatedScalar, q81ExistsSubquery, q82InSubquery,
     q125LateralTopk, q198RecursiveCte, q213PipeSyntax, q214GroupByAll,
-    q232SqlSurface)
+    q232SqlSurface, q329SqlUdf)
 }
