@@ -902,29 +902,32 @@ object EventAnalytics {
     """WITH hourly AS (
       |  SELECT event_type,
       |         date_trunc('hour', date_trunc('microseconds', ts)) AS h,
-      |         sum(value) AS v
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS vc
       |  FROM events GROUP BY 1, 2),
-      |lvl AS (SELECT event_type, avg(v) AS level FROM hourly GROUP BY 1),
+      |lvl AS (SELECT event_type, avg(vc) AS levelc FROM hourly GROUP BY 1),
       |prof AS (SELECT event_type, CAST(hour(h) AS INT) AS hod,
-      |                avg(v) AS hod_mean, CAST(count(*) AS BIGINT) AS n_obs
+      |                avg(vc) AS hodc, CAST(count(*) AS BIGINT) AS n_obs
       |         FROM hourly GROUP BY 1, 2)
       |SELECT p.event_type, p.hod,
-      |       round(l.level, 4) AS level,
-      |       round(p.hod_mean - l.level, 4) AS seasonal,
+      |       round(l.levelc / 100, 4) AS level,
+      |       round((p.hodc - l.levelc) / 100, 4) AS seasonal,
       |       p.n_obs
       |FROM prof p JOIN lvl l USING (event_type)
       |ORDER BY p.event_type, p.hod""") { (spark, dir) =>
     import spark.implicits._
+    // integer-cents quantization: every partial sum is an integer < 2^53,
+    // so the avgs are EXACT in any summation order on both engines — the
+    // raw-double formulation flipped a round(4) boundary at sf0.1
     val hourly = Tables.events(spark, dir)
       .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
-      .agg(sum($"value").as("v"))
-    val lvl = hourly.groupBy($"event_type").agg(avg($"v").as("level"))
+      .agg(sum(round($"value" * 100).cast("long")).as("vc"))
+    val lvl = hourly.groupBy($"event_type").agg(avg($"vc").as("levelc"))
     val prof = hourly
       .groupBy($"event_type", hour($"h").cast("int").as("hod"))
-      .agg(avg($"v").as("hod_mean"), count(lit(1)).as("n_obs"))
+      .agg(avg($"vc").as("hodc"), count(lit(1)).as("n_obs"))
     prof.join(broadcast(lvl), Seq("event_type"))
-      .select($"event_type", $"hod", round($"level", 4).as("level"),
-        round($"hod_mean" - $"level", 4).as("seasonal"), $"n_obs")
+      .select($"event_type", $"hod", round($"levelc" / 100, 4).as("level"),
+        round(($"hodc" - $"levelc") / 100, 4).as("seasonal"), $"n_obs")
       .orderBy($"event_type", $"hod")
   }
 
@@ -1001,7 +1004,7 @@ object EventAnalytics {
     q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution,
     q288ClampedBalance, q291PointInTimeFeatures, q294MarkovBacktest,
     q297DisorderAudit, q302FifoAllocation, q304LogRankTest, q325ControlChart,
-    q326MarkovAttribution, q328RestatementAudit)
+    q326MarkovAttribution, q328RestatementAudit, q330RfmSegmentation)
 
   /** EVENT-TIME DISORDER AUDIT — the number that TUNES `withWatermark`:
     * per event (in arrival order = event_id), its lateness is how far its
@@ -1879,6 +1882,69 @@ object EventAnalytics {
         floor(lit(1000000.0) * lateDropped / count(lit(1))).cast("long").as("dropped_ppm"),
         when(lateDropped > 0, 1).otherwise(0).as("restated"))
       .orderBy($"hour")
+  }
+
+  /** RFM SEGMENTATION — the lifecycle-marketing workhorse: every
+    * purchasing user scored on Recency / Frequency / Monetary quintiles
+    * (ntile with FULLY PINNED tie-breaks — user_id breaks every tie, so
+    * the quintile edges are deterministic on both engines) and mapped to
+    * the classic segment grid (champion / new / at-risk / hibernating /
+    * regular). Monetary is exact integer cents; recency is whole days
+    * against the corpus horizon.
+    *
+    * 100 TB plan: one purchase-filtered user census (map-side combined),
+    * then three ntile windows over the USER census — user-count-sized,
+    * not event-sized. For billions of users swap ntile for the q97
+    * two-phase rank (quintile = rank on percentile boundaries); at
+    * dashboard scale the single sort is correct. */
+  val q330RfmSegmentation: GraftQuery = GraftQuery.oracled(
+    "q330_rfm_segmentation",
+    """WITH g AS (SELECT max(CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE)) AS gmax FROM events),
+      |u AS (SELECT user_id,
+      |             date_diff('day', max(CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE)), (SELECT gmax FROM g)) AS recency_d,
+      |             CAST(count(*) AS BIGINT) AS frequency,
+      |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |      FROM events WHERE event_type = 'purchase'
+      |      GROUP BY user_id),
+      |s AS (SELECT *,
+      |             ntile(5) OVER (ORDER BY recency_d DESC, user_id) AS r,
+      |             ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f,
+      |             ntile(5) OVER (ORDER BY monetary_cents ASC, user_id) AS m
+      |      FROM u)
+      |SELECT user_id, CAST(recency_d AS BIGINT) AS recency_d, frequency, monetary_cents,
+      |       r, f, m,
+      |       CASE WHEN r >= 4 AND f >= 4 THEN 'champion'
+      |            WHEN r >= 4 AND f <= 2 THEN 'new'
+      |            WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+      |            WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+      |            ELSE 'regular' END AS segment
+      |FROM s
+      |ORDER BY user_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+    val gmax = days.agg(max(to_date(date_trunc("day", $"ts"))).as("gmax"))
+    val u = days.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(max(to_date(date_trunc("day", $"ts"))).as("last_d"),
+        count(lit(1)).cast("long").as("frequency"),
+        sum(round($"value" * 100).cast("long")).cast("long").as("monetary_cents"))
+      .crossJoin(broadcast(gmax))
+      .select($"user_id", datediff($"gmax", $"last_d").cast("long").as("recency_d"),
+        $"frequency", $"monetary_cents")
+    // user census: the three ntile windows run on user-count-sized data
+    val s = u
+      .withColumn("r", ntile(5).over(Window.orderBy($"recency_d".desc, $"user_id")))
+      .withColumn("f", ntile(5).over(Window.orderBy($"frequency".asc, $"user_id")))
+      .withColumn("m", ntile(5).over(Window.orderBy($"monetary_cents".asc, $"user_id")))
+    s.select($"user_id", $"recency_d", $"frequency", $"monetary_cents",
+        $"r", $"f", $"m",
+        when($"r" >= 4 && $"f" >= 4, "champion")
+          .when($"r" >= 4 && $"f" <= 2, "new")
+          .when($"r" <= 2 && $"f" >= 4, "at_risk")
+          .when($"r" <= 2 && $"f" <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+      .orderBy($"user_id")
   }
 
   /** Removal-effect attribution over the events journey log. */

@@ -403,9 +403,70 @@ object Joins {
       .orderBy($"status_key")
   }
 
+  /** CUSTOMER-360 ENTITY ASSEMBLY — the wide single-row-per-entity view a
+    * warehouse serves to every downstream team: demographics (nation),
+    * commerce (orders census), and behavior (events census, keyed by the
+    * user_id↔custkey bridge q313 discovered) stitched with LEFT joins and
+    * explicit COALESCE defaults — absence of activity is data (zero), not
+    * NULL. A deterministic integer health score (order activity + recent
+    * engagement − error pressure) makes the assembly a decisioning input,
+    * not just a join demo.
+    *
+    * 100 TB plan: every branch pre-aggregates to one row per key BEFORE
+    * joining (never join raw fact tables then aggregate — the classic
+    * fan-out-then-dedup bug), so the three joins are 1:1 on custkey;
+    * nation broadcasts. One shuffle per census + co-partitioned joins. */
+  val q332Customer360: GraftQuery = GraftQuery.oracled(
+    "q332_customer360",
+    """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+      |            FROM orders GROUP BY 1),
+      |ec AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |              CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
+      |              CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases
+      |       FROM events GROUP BY 1)
+      |SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_mktsegment,
+      |       CAST(coalesce(oc.n_orders, 0) AS BIGINT) AS n_orders,
+      |       CAST(coalesce(oc.spend_cents, 0) AS BIGINT) AS spend_cents,
+      |       CAST(coalesce(ec.n_events, 0) AS BIGINT) AS n_events,
+      |       CAST(coalesce(ec.n_purchases, 0) AS BIGINT) AS n_purchases,
+      |       CAST(coalesce(ec.n_errors, 0) AS BIGINT) AS n_errors,
+      |       CAST(least(coalesce(oc.n_orders, 0), 50) * 2
+      |            + least(coalesce(ec.n_purchases, 0), 100)
+      |            - least(coalesce(ec.n_errors, 0), 50) AS BIGINT) AS health_score
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+      |LEFT JOIN ec ON c.c_custkey = ec.user_id
+      |ORDER BY c.c_custkey""") { (spark, dir) =>
+    import spark.implicits._
+    val oc = Tables.orders(spark, dir).groupBy($"o_custkey")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).cast("long").as("spend_cents"))
+    val ec = Tables.events(spark, dir).groupBy($"user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        count(when($"event_type" === "error", 1)).cast("long").as("n_errors"),
+        count(when($"event_type" === "purchase", 1)).cast("long").as("n_purchases"))
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .join(oc, $"c_custkey" === $"o_custkey", "left")
+      .join(ec, $"c_custkey" === $"user_id", "left")
+      .select($"c_custkey", $"c_name", $"n_name".as("nation"), $"c_mktsegment",
+        coalesce($"n_orders", lit(0L)).cast("long").as("n_orders"),
+        coalesce($"spend_cents", lit(0L)).cast("long").as("spend_cents"),
+        coalesce($"n_events", lit(0L)).cast("long").as("n_events"),
+        coalesce($"n_purchases", lit(0L)).cast("long").as("n_purchases"),
+        coalesce($"n_errors", lit(0L)).cast("long").as("n_errors"),
+        (least(coalesce($"n_orders", lit(0L)), lit(50L)) * 2
+          + least(coalesce($"n_purchases", lit(0L)), lit(100L))
+          - least(coalesce($"n_errors", lit(0L)), lit(50L))).cast("long").as("health_score"))
+      .orderBy($"c_custkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12StarJoin, q13ShippingPriority, q14LeftOuter, q15FullOuter,
     q16SemiJoin, q17AntiJoin, q18CrossJoin, q19RangeJoinBinned,
     q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin, q224NearestEventJoin,
-    q276NullSafeJoin)
+    q276NullSafeJoin, q332Customer360)
 }

@@ -391,10 +391,62 @@ object NullAndMisc {
       .orderBy($"event_id")
   }
 
+  /** CORRUPT-RECORD QUARANTINE — the ingestion dead-letter pattern: parse
+    * semi-structured payloads in PERMISSIVE mode with a
+    * `columnNameOfCorruptRecord` side channel, route unparseable rows to
+    * quarantine instead of failing the job (FAILFAST) or silently
+    * nulling them (the default-schema trap). Corruption is synthesized
+    * deterministically (every 7th event's JSON loses its closing brace)
+    * so the oracle can classify the SAME rows via json_valid. The output
+    * proves both routes: quarantine share per event_type in ppm, and the
+    * checksum of parsed values over the VALID route only.
+    *
+    * 100 TB plan: from_json is a map-side projection; the census is one
+    * hash-agg. The quarantine WRITE (not materialized here) appends the
+    * raw `_corrupt` payloads to a dead-letter path for replay — never
+    * lost, never blocking. */
+  val q331QuarantineParse: GraftQuery = GraftQuery.oracled(
+    "q331_quarantine_parse",
+    """WITH raw AS (SELECT event_type,
+      |                    CASE WHEN event_id % 7 = 0
+      |                         THEN substr(props, 1, len(props) - 1)
+      |                         ELSE props END AS payload
+      |             FROM events),
+      |p AS (SELECT event_type, json_valid(payload) AS ok,
+      |             CASE WHEN json_valid(payload)
+      |                  THEN CAST(json_extract(payload, '$.k') AS INT) END AS k
+      |      FROM raw)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(count(CASE WHEN NOT ok THEN 1 END) AS BIGINT) AS n_quarantined,
+      |       CAST(floor(1000000.0 * count(CASE WHEN NOT ok THEN 1 END) / count(*)) AS BIGINT) AS quarantined_ppm,
+      |       CAST(sum(CASE WHEN ok THEN k END) AS BIGINT) AS sum_k_valid
+      |FROM p
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val raw = Tables.events(spark, dir)
+      .select($"event_type",
+        when($"event_id" % 7 === 0, expr("substr(props, 1, length(props) - 1)"))
+          .otherwise($"props").as("payload"))
+    val parsed = raw.withColumn("p",
+      from_json($"payload", "k INT, _corrupt STRING",
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+    val bad = $"p._corrupt".isNotNull
+    parsed.groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_total"),
+        count(when(bad, 1)).cast("long").as("n_quarantined"),
+        floor(lit(1000000.0) * count(when(bad, 1)) / count(lit(1))).cast("long")
+          .as("quarantined_ppm"),
+        sum(when(!bad, $"p.k")).cast("long").as("sum_k_valid"))
+      .orderBy($"event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName,
     q91Posexplode, q92StructToJson, q119Unpivot, q134ObserveMetrics,
-    q151RiAudit, q201MapHofs, q220TryArithmetic, q299TombstonePurge)
+    q151RiAudit, q201MapHofs, q220TryArithmetic, q299TombstonePurge,
+    q331QuarantineParse)
 
   /** RIGHT-TO-BE-FORGOTTEN PURGE CASCADE AUDIT — the pre-deletion impact
     * report every privacy pipeline runs before executing erasure: given a
