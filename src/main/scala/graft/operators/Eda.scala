@@ -1030,7 +1030,7 @@ object Eda {
     q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition,
     q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr,
     q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank,
-    q319HuberIrls, q322ExactAuc)
+    q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram)
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The
@@ -1767,5 +1767,113 @@ object Eda {
         sum($"np").as("npos"), sum($"n" - $"np").as("nneg"))
       .select($"npos".cast("long").as("n_pos"), $"nneg".cast("long").as("n_neg"),
         round(($"rpos" - $"npos" * ($"npos" + 1) / 2) / ($"npos" * $"nneg"), 6).as("auc"))
+  }
+
+  /** EXPERIMENT POWER / MDE CALCULATOR — the question asked BEFORE q163's
+    * z-test ever runs: with the traffic we actually have, what's the
+    * smallest effect this experiment can detect? Per event_type: arm
+    * sizes from the md5 coin, pooled sd, and the minimum detectable
+    * effect at α=0.05 / 80% power — MDE = (z_{α/2}+z_β)·sd·√(1/n_a+1/n_b)
+    * with the standard 1.96/0.8416 constants — in absolute units and as
+    * a share of the mean in ppm. An experiment whose MDE exceeds any
+    * plausible effect is dead on arrival; this is the triage table.
+    *
+    * 100 TB plan: one conditional-moments hash-agg per segment — the
+    * q163 scan shape; the calculator is census algebra. */
+  val q333PowerMde: GraftQuery = GraftQuery.oracled(
+    "q333_power_mde",
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |              THEN 1 ELSE 0 END AS arm_a
+      |  FROM events),
+      |m AS (SELECT event_type,
+      |             CAST(count(CASE WHEN arm_a = 1 THEN 1 END) AS BIGINT) AS n_a,
+      |             CAST(count(CASE WHEN arm_a = 0 THEN 1 END) AS BIGINT) AS n_b,
+      |             avg(value) AS mean_v, stddev_samp(value) AS sd
+      |      FROM e GROUP BY 1)
+      |SELECT event_type, n_a, n_b, round(mean_v, 4) AS mean_v, round(sd, 4) AS sd,
+      |       round((1.96 + 0.8416) * sd * sqrt(1.0 / n_a + 1.0 / n_b), 4) AS mde_abs,
+      |       CAST(floor(1000000.0 * (1.96 + 0.8416) * sd * sqrt(1.0 / n_a + 1.0 / n_b)
+      |                  / mean_v) AS BIGINT) AS mde_ppm_of_mean
+      |FROM m
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val armA = when(
+      conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2L === 0L, 1).otherwise(0)
+    val m = Tables.events(spark, dir)
+      .select($"event_type", $"value", armA.as("arm_a"))
+      .groupBy($"event_type")
+      .agg(count(when($"arm_a" === 1, 1)).cast("long").as("n_a"),
+        count(when($"arm_a" === 0, 1)).cast("long").as("n_b"),
+        avg($"value").as("mean_v"), stddev_samp($"value").as("sd"))
+    val mde = (lit(1.96) + 0.8416) * $"sd" * sqrt(lit(1.0) / $"n_a" + lit(1.0) / $"n_b")
+    m.select($"event_type", $"n_a", $"n_b",
+        round($"mean_v", 4).as("mean_v"), round($"sd", 4).as("sd"),
+        round(mde, 4).as("mde_abs"),
+        floor(lit(1000000.0) * mde / $"mean_v").cast("long").as("mde_ppm_of_mean"))
+      .orderBy($"event_type")
+  }
+
+  /** LOG₂-HISTOGRAM QUANTILES, SKETCH vs EXACT — the HDR-histogram idea
+    * relationally: bucket each value into floor(log₂(1+1000v)) bins
+    * (constant relative width — the mergeable, fixed-size quantile
+    * sketch every latency pipeline keeps), read p99 off the cumulative
+    * bucket census, and print the EXACT p99 next to it with the signed
+    * error in ppm — the sketch ships WITH its honesty column, the same
+    * discipline as q253's HLL overlap. Bucket upper edge (2^b−1)/1000 is
+    * the estimate.
+    *
+    * 100 TB plan: the histogram is one map-side-combined hash-agg of ≤64
+    * cells per segment and MERGES across days/shards by addition (the
+    * point of log buckets); the exact percentile is the documented
+    * small-SF cross-check, swapped for approx_percentile at petabyte
+    * scale. */
+  val q335Log2Histogram: GraftQuery = GraftQuery.oracled(
+    "q335_log2_histogram",
+    """WITH b AS (SELECT event_type,
+      |                  CAST(floor(log2(1 + 1000 * value)) AS BIGINT) AS bkt
+      |           FROM events WHERE value >= 0),
+      |cen AS (SELECT event_type, bkt, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(n) AS nt FROM cen GROUP BY 1),
+      |cum AS (SELECT c.event_type, c.bkt, c.n, t.nt,
+      |               sum(c.n) OVER (PARTITION BY c.event_type ORDER BY c.bkt) AS cn
+      |        FROM cen c JOIN tot t USING (event_type)),
+      |est AS (SELECT event_type, min(bkt) AS p99_bkt
+      |        FROM cum WHERE cn >= 0.99 * nt GROUP BY 1),
+      |ex AS (SELECT event_type, quantile_cont(value, 0.99) AS p99_exact
+      |       FROM events WHERE value >= 0 GROUP BY 1)
+      |SELECT est.event_type,
+      |       est.p99_bkt,
+      |       round((pow(2, est.p99_bkt + 1) - 1) / 1000, 4) AS p99_est,
+      |       round(ex.p99_exact, 4) AS p99_exact,
+      |       CAST(floor(1000000.0 * ((pow(2, est.p99_bkt + 1) - 1) / 1000 - ex.p99_exact)
+      |                  / ex.p99_exact) AS BIGINT) AS err_ppm
+      |FROM est JOIN ex USING (event_type)
+      |ORDER BY est.event_type""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(spark, dir)
+      .filter($"value" >= 0)
+      .select($"event_type", floor(log(2.0, lit(1) + lit(1000) * $"value")).cast("long").as("bkt"))
+    val cen = b.groupBy($"event_type", $"bkt").agg(count(lit(1)).cast("long").as("n"))
+    val tot = cen.groupBy($"event_type").agg(sum($"n").as("nt"))
+    val cum = cen.join(broadcast(tot), Seq("event_type"))
+      .withColumn("cn", sum($"n").over(
+        Window.partitionBy($"event_type").orderBy($"bkt")))
+    val est = cum.filter($"cn" >= lit(0.99) * $"nt")
+      .groupBy($"event_type").agg(min($"bkt").as("p99_bkt"))
+    val ex = Tables.events(spark, dir).filter($"value" >= 0)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.99)").as("p99_exact"))
+    val estV = (pow(lit(2.0), $"p99_bkt" + 1) - 1) / 1000
+    est.join(broadcast(ex), Seq("event_type"))
+      .select($"event_type", $"p99_bkt",
+        round(estV, 4).as("p99_est"),
+        round($"p99_exact", 4).as("p99_exact"),
+        floor(lit(1000000.0) * (estV - $"p99_exact") / $"p99_exact").cast("long")
+          .as("err_ppm"))
+      .orderBy($"event_type")
   }
 }

@@ -149,5 +149,46 @@ object Skew {
       .orderBy($"l_returnflag")
   }
 
-  def all: Seq[GraftQuery] = Seq(q70SaltedJoin, q256SkewReport, q277SaltedAgg)
+  /** RENDEZVOUS (highest-random-weight) SHARD ROUTING — the consistent
+    * assignment scheme behind cache rings and shard routers (Thaler &
+    * Ravishankar 1996): each document goes to the shard whose
+    * md5(doc‖shard) weight is highest, so REMOVING a shard only moves
+    * that shard's keys (no global reshuffle — the property modulo
+    * hashing lacks). The output is the balance audit: per-shard doc
+    * count, share, and skew factor vs the uniform ideal — the number
+    * that says whether 8 shards actually hold ⅛ each.
+    *
+    * 100 TB plan: the candidate explode is a fixed 8× map-side
+    * expansion; the argmax collapses per doc in one map-side-combined
+    * max_by agg keyed on doc_id — no shuffle grows with shard count.
+    * The census is shard-sized. */
+  val q334RendezvousShards: GraftQuery = GraftQuery.oracled(
+    "q334_rendezvous_shards",
+    """WITH cand AS (SELECT doc_id, s,
+      |                     md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)) AS h
+      |              FROM documents, LATERAL (SELECT unnest(generate_series(0, 7)) AS s)),
+      |assign AS (SELECT doc_id, arg_max(s, h) AS shard FROM cand GROUP BY doc_id),
+      |cen AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs FROM assign GROUP BY 1),
+      |tot AS (SELECT sum(n_docs) AS nt, count(*) AS k FROM cen)
+      |SELECT CAST(cen.shard AS BIGINT) AS shard, cen.n_docs,
+      |       CAST(floor(1000000.0 * cen.n_docs / tot.nt) AS BIGINT) AS share_ppm,
+      |       round(cen.n_docs * tot.k / CAST(tot.nt AS DOUBLE), 4) AS skew_factor
+      |FROM cen, tot
+      |ORDER BY shard""") { (spark, dir) =>
+    import spark.implicits._
+    val cand = Tables.documents(spark, dir)
+      .select($"doc_id", explode(expr("sequence(0, 7)")).as("s"))
+      .withColumn("h", md5(concat($"doc_id".cast("string"), lit("#"), $"s".cast("string"))))
+    val assign = cand.groupBy($"doc_id").agg(max_by($"s", $"h").as("shard"))
+    val cen = assign.groupBy($"shard").agg(count(lit(1)).cast("long").as("n_docs"))
+    val tot = cen.agg(sum($"n_docs").as("nt"), count(lit(1)).as("k"))
+    cen.crossJoin(broadcast(tot))
+      .select($"shard".cast("long").as("shard"), $"n_docs",
+        floor(lit(1000000.0) * $"n_docs" / $"nt").cast("long").as("share_ppm"),
+        round($"n_docs" * $"k" / $"nt".cast("double"), 4).as("skew_factor"))
+      .orderBy($"shard")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q70SaltedJoin, q256SkewReport, q277SaltedAgg,
+    q334RendezvousShards)
 }

@@ -28,7 +28,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q305_bh_fdr", "q306_cem_matching", "q307_clustering_coeff",
     "q308_kwic_concordance", "q309_simpson_detector", "q310_apportionment",
     "q313_inclusion_deps", "q315_mi_feature_rank", "q316_expectations",
-    "q319_huber_irls", "q320_skyline", "q321_cohens_kappa", "q322_exact_auc")
+    "q319_huber_irls", "q320_skyline", "q321_cohens_kappa", "q322_exact_auc",
+    "q323_mix_waterfill", "q325_control_chart", "q328_restatement_audit",
+    "q330_rfm_segmentation", "q331_quarantine_parse", "q332_customer360",
+    "q333_power_mde", "q334_rendezvous_shards", "q335_log2_histogram")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -38,7 +41,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q248_cuped", "q254_pmi_collocations",
     "q303_eb_shrinkage", "q304_logrank_test", "q305_bh_fdr",
     "q306_cem_matching", "q308_kwic_concordance", "q309_simpson_detector",
-    "q310_apportionment", "q319_huber_irls", "q321_cohens_kappa")
+    "q310_apportionment", "q319_huber_irls", "q321_cohens_kappa",
+    "q323_mix_waterfill", "q325_control_chart", "q330_rfm_segmentation",
+    "q334_rendezvous_shards")
 
   test("audited queries plan no cartesian product and no broadcast nested loop") {
     for (name <- audited) {
