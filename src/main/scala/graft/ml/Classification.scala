@@ -126,7 +126,54 @@ object Classification {
     confusion(dt.fit(train).transform(test))
   }
 
+  /** Compile a fitted decision tree into a pure Catalyst `when`-chain over
+    * plain columns — every ContinuousSplit becomes `f_i <= θ` (MLlib's
+    * left-branch rule), every leaf a literal. The result scores with
+    * whole-stage codegen, predicate pushdown, and ZERO MLlib/vector
+    * dependency at serve time. */
+  private[ml] def compileTree(
+      node: org.apache.spark.ml.tree.Node,
+      feat: Int => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    node match {
+      case l: org.apache.spark.ml.tree.LeafNode => lit(l.prediction)
+      case n: org.apache.spark.ml.tree.InternalNode => n.split match {
+        case s: org.apache.spark.ml.tree.ContinuousSplit =>
+          when(feat(s.featureIndex) <= s.threshold, compileTree(n.leftChild, feat))
+            .otherwise(compileTree(n.rightChild, feat))
+        case other =>
+          throw new IllegalStateException(
+            s"dense continuous features cannot produce $other")
+      }
+    }
+
+  /** MODEL-TO-SQL COMPILATION — the production scoring-pushdown pattern:
+    * fit q121's decision tree once, then EXTRACT the tree into relational
+    * predicates and score the corpus without MLlib in the loop. Batch
+    * scoring becomes a plain projection any SQL engine (or this engine's
+    * own codegen) executes — no vector UDT, no model broadcast, no
+    * serving service. TreeCompileSpec asserts the compiled chain
+    * reproduces `model.transform` EXACTLY on every row.
+    *
+    * 100 TB plan: the fit is q121's E3 lifecycle on a sample; scoring —
+    * the part that actually touches 100 TB — is a codegen'd `when` chain
+    * inside whole-stage codegen, pruned to the ≤31 dims the tree
+    * references instead of dragging all 64 through a black-box UDF. */
+  val q338TreeCompile: GraftQuery = GraftQuery.rowsOnly(
+    "q338_tree_compile",
+    doc = "decision tree compiled to a codegen'd when-chain; per-class scored census") { (spark, dir) =>
+    import spark.implicits._
+    val data = embeddingFeatures(spark, dir)
+    val model = new DecisionTreeClassifier().setMaxDepth(5).setSeed(Seed).fit(data)
+    val scored = Tables.embeddings(spark, dir)
+      .withColumn("sql_prediction",
+        compileTree(model.rootNode, i => element_at($"embedding", i + 1).cast("double")))
+    scored.groupBy($"sql_prediction")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"label").as("n_true_labels"))
+      .orderBy($"sql_prediction")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q57LrEmbeddings, q58TextPipeline, q59RfEmbeddings, q60GbtBinary,
-    q121DtEmbeddings)
+    q121DtEmbeddings, q338TreeCompile)
 }

@@ -1004,7 +1004,8 @@ object EventAnalytics {
     q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution,
     q288ClampedBalance, q291PointInTimeFeatures, q294MarkovBacktest,
     q297DisorderAudit, q302FifoAllocation, q304LogRankTest, q325ControlChart,
-    q326MarkovAttribution, q328RestatementAudit, q330RfmSegmentation)
+    q326MarkovAttribution, q328RestatementAudit, q330RfmSegmentation,
+    q336ExclusionFunnel, q337PvmDecomposition)
 
   /** EVENT-TIME DISORDER AUDIT — the number that TUNES `withWatermark`:
     * per event (in arrival order = event_id), its lateness is how far its
@@ -1945,6 +1946,114 @@ object EventAnalytics {
           .when($"r" <= 2 && $"f" <= 2, "hibernating")
           .otherwise("regular").as("segment"))
       .orderBy($"user_id")
+  }
+
+  /** EXCLUSION FUNNEL — the funnel predicate q141/q265 cannot state: "view
+    * then purchase WITHOUT an error in between". Sequence-pattern
+    * matching with a negative constraint: per user, the anchor is the
+    * earliest view, the goal the first purchase after it, and the
+    * conversion only COUNTS CLEAN if no error event falls strictly inside
+    * the (anchor, goal) interval — the segmentation every funnel gets
+    * wrong when it filters error-users globally instead of testing the
+    * interval.
+    *
+    * 100 TB plan: three filtered min-aggs and one interval-membership
+    * LEFT join, all keyed on user_id — the q141 shuffle shape plus one
+    * co-partitioned probe; the error stream is filtered before the join
+    * so the probe side carries only error rows. */
+  val q336ExclusionFunnel: GraftQuery = GraftQuery.oracled(
+    "q336_exclusion_funnel",
+    """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+      |a AS (SELECT user_id, min(ts) AS ta FROM e WHERE event_type = 'view' GROUP BY 1),
+      |b AS (SELECT e.user_id, min(e.ts) AS tb
+      |      FROM e JOIN a ON e.user_id = a.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > a.ta
+      |      GROUP BY 1),
+      |x AS (SELECT DISTINCT e.user_id
+      |      FROM e JOIN a ON e.user_id = a.user_id
+      |             JOIN b ON e.user_id = b.user_id
+      |      WHERE e.event_type = 'error' AND e.ts > a.ta AND e.ts < b.tb)
+      |SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_anchored,
+      |       CAST((SELECT count(*) FROM b) AS BIGINT) AS n_converted_raw,
+      |       CAST((SELECT count(*) FROM x) AS BIGINT) AS n_excluded,
+      |       CAST((SELECT count(*) FROM b) - (SELECT count(*) FROM x) AS BIGINT) AS n_converted_clean""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val a = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("ta"))
+    val b = e.filter($"event_type" === "purchase")
+      .join(a, Seq("user_id"))
+      .filter($"ts" > $"ta")
+      .groupBy($"user_id").agg(min($"ts").as("tb"))
+    val x = e.filter($"event_type" === "error")
+      .join(a, Seq("user_id")).join(b, Seq("user_id"))
+      .filter($"ts" > $"ta" && $"ts" < $"tb")
+      .select($"user_id").distinct()
+    val ca = a.agg(count(lit(1)).cast("long").as("n_anchored"))
+    val cb = b.agg(count(lit(1)).cast("long").as("n_converted_raw"))
+    val cx = x.agg(count(lit(1)).cast("long").as("n_excluded"))
+    broadcast(ca).crossJoin(broadcast(cb)).crossJoin(broadcast(cx))
+      .select($"n_anchored", $"n_converted_raw", $"n_excluded",
+        ($"n_converted_raw" - $"n_excluded").cast("long").as("n_converted_clean"))
+  }
+
+  /** PRICE-VOLUME-MIX (PVM) DECOMPOSITION — the FP&A bridge: revenue
+    * moved Δ between two periods; how much was PRICE (same units, new
+    * price: (p₂−p₁)·q₂) vs VOLUME (old price, changed units: p₁·(q₂−q₁))?
+    * Per brand, with exact integer-cent revenue and integer quantities,
+    * the two effects sum EXACTLY to the delta (algebraic identity — the
+    * output proves it instead of footnoting it). Brands traded in only
+    * one period report NULL effects (no own-price to decompose against)
+    * but their delta still appears — dropped rows are how bridges stop
+    * adding up.
+    *
+    * 100 TB plan: one conditional hash-agg per brand over the period
+    * predicate (map-side combined, the scan reads each row once), then
+    * census algebra. The period split is a projection, never a self-join
+    * of two period scans. */
+  val q337PvmDecomposition: GraftQuery = GraftQuery.oracled(
+    "q337_pvm_decomposition",
+    """WITH li AS (SELECT p.p_brand AS brand,
+      |                   CASE WHEN l.l_shipdate < TIMESTAMP '1998-06-01 00:00:00' THEN 1 ELSE 2 END AS period,
+      |                   CAST(l.l_quantity AS BIGINT) AS q,
+      |                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rc
+      |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |g AS (SELECT brand,
+      |             CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT) AS q1,
+      |             CAST(sum(CASE WHEN period = 1 THEN rc ELSE 0 END) AS BIGINT) AS r1,
+      |             CAST(sum(CASE WHEN period = 2 THEN q ELSE 0 END) AS BIGINT) AS q2,
+      |             CAST(sum(CASE WHEN period = 2 THEN rc ELSE 0 END) AS BIGINT) AS r2
+      |      FROM li GROUP BY 1)
+      |SELECT brand, q1, q2, r1 AS rev1_cents, r2 AS rev2_cents,
+      |       CAST(r2 - r1 AS BIGINT) AS delta_cents,
+      |       CASE WHEN q1 > 0 AND q2 > 0
+      |            THEN round((CAST(r2 AS DOUBLE) / q2 - CAST(r1 AS DOUBLE) / q1) * q2 / 100, 2) END AS price_effect,
+      |       CASE WHEN q1 > 0 AND q2 > 0
+      |            THEN round(CAST(r1 AS DOUBLE) / q1 * (q2 - q1) / 100, 2) END AS volume_effect
+      |FROM g
+      |ORDER BY brand""") { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        when($"l_shipdate" < lit("1998-06-01 00:00:00").cast("timestamp"), 1)
+          .otherwise(2).as("period"),
+        $"l_quantity".cast("long").as("q"),
+        round($"l_extendedprice" * 100).cast("long").as("rc"))
+    val g = li.groupBy($"brand")
+      .agg(sum(when($"period" === 1, $"q").otherwise(0L)).cast("long").as("q1"),
+        sum(when($"period" === 1, $"rc").otherwise(0L)).cast("long").as("r1"),
+        sum(when($"period" === 2, $"q").otherwise(0L)).cast("long").as("q2"),
+        sum(when($"period" === 2, $"rc").otherwise(0L)).cast("long").as("r2"))
+    val both = $"q1" > 0 && $"q2" > 0
+    g.select($"brand", $"q1", $"q2", $"r1".as("rev1_cents"), $"r2".as("rev2_cents"),
+        ($"r2" - $"r1").cast("long").as("delta_cents"),
+        when(both, round(($"r2".cast("double") / $"q2" - $"r1".cast("double") / $"q1")
+          * $"q2" / 100, 2)).as("price_effect"),
+        when(both, round($"r1".cast("double") / $"q1" * ($"q2" - $"q1") / 100, 2))
+          .as("volume_effect"))
+      .orderBy($"brand")
   }
 
   /** Removal-effect attribution over the events journey log. */
