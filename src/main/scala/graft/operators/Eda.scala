@@ -1030,7 +1030,8 @@ object Eda {
     q281PoissonBootstrap, q284MannWhitney, q292TheilDecomposition,
     q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr,
     q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank,
-    q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram)
+    q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
+    q339FdHistogram, q340KendallTau)
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The
@@ -1875,5 +1876,114 @@ object Eda {
         floor(lit(1000000.0) * (estV - $"p99_exact") / $"p99_exact").cast("long")
           .as("err_ppm"))
       .orderBy($"event_type")
+  }
+
+  /** FREEDMAN–DIACONIS HISTOGRAM — the bin count chosen BY the data, not
+    * by a magic 20: width h = 2·IQR/n^⅓ (robust to outliers where
+    * Sturges/Scott are not), bins clamped to [lo, hi) with the last bin
+    * right-closed. The output is the histogram TABLE (edges + counts +
+    * share), i.e. what a plotting client actually requests from an
+    * engine; identical arithmetic fixes every edge on both engines.
+    *
+    * 100 TB plan: one exact-percentile agg for the IQR (the documented
+    * approx_percentile swap at extreme n), broadcast of the 1-row
+    * geometry, then ONE map-side bucketing hash-agg — no sort, no
+    * per-bin scan. */
+  val q339FdHistogram: GraftQuery = GraftQuery.oracled(
+    "q339_fd_histogram",
+    """WITH s AS (SELECT o_totalprice AS x FROM orders),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n, min(x) AS lo, max(x) AS hi,
+      |             quantile_cont(x, 0.75) - quantile_cont(x, 0.25) AS iqr
+      |      FROM s),
+      |geo AS (SELECT n, lo, hi, 2 * iqr / pow(n, 1.0 / 3) AS h,
+      |               CAST(ceil((hi - lo) / (2 * iqr / pow(n, 1.0 / 3))) AS BIGINT) AS nbins
+      |        FROM g),
+      |b AS (SELECT least(CAST(floor((s.x - geo.lo) / geo.h) AS BIGINT), geo.nbins - 1) AS bin
+      |      FROM s, geo)
+      |SELECT b.bin,
+      |       round(geo.lo + b.bin * geo.h, 4) AS bin_lo,
+      |       round(geo.lo + (b.bin + 1) * geo.h, 4) AS bin_hi,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(floor(1000000.0 * count(*) / geo.n) AS BIGINT) AS share_ppm
+      |FROM b, geo
+      |GROUP BY b.bin, geo.lo, geo.h, geo.n
+      |ORDER BY bin""") { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.orders(spark, dir).select($"o_totalprice".as("x"))
+    val g = s.agg(count(lit(1)).cast("long").as("n"), min($"x").as("lo"), max($"x").as("hi"),
+      (expr("percentile(x, 0.75)") - expr("percentile(x, 0.25)")).as("iqr"))
+    val geo = g.select($"n", $"lo", $"hi",
+      (lit(2) * $"iqr" / pow($"n", 1.0 / 3)).as("h"))
+      .withColumn("nbins", ceil(($"hi" - $"lo") / $"h").cast("long"))
+    s.crossJoin(broadcast(geo))
+      .select(least(floor(($"x" - $"lo") / $"h").cast("long"), $"nbins" - 1).as("bin"),
+        $"lo", $"h", $"n".as("nt"))
+      .groupBy($"bin", $"lo", $"h", $"nt")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select($"bin", round($"lo" + $"bin" * $"h", 4).as("bin_lo"),
+        round($"lo" + ($"bin" + 1) * $"h", 4).as("bin_hi"), $"n",
+        floor(lit(1000000.0) * $"n" / $"nt").cast("long").as("share_ppm"))
+      .orderBy($"bin")
+  }
+
+  /** KENDALL'S τ-b — the rank-correlation family's missing member (q226
+    * ships Pearson+Spearman): exact concordant/discordant pair counts,
+    * tie-corrected, computed WITHOUT touching pairs of rows. Quantity
+    * (50 values) × discount-cents (11 values) collapse to a ≤550-cell
+    * contingency census; concordant pairs are Σ n_cell · (census mass
+    * strictly above-right), a census SELF-join — the O(n²) pair space
+    * never exists, the same closed-form trick as q226/q284/q322. The
+    * (n₀−n₁)(n₀−n₂) product would overflow BIGINT at corpus n, so the
+    * denominator multiplies √·√ in double — identical order both
+    * engines.
+    *
+    * 100 TB plan: one contingency hash-agg over the scan, then all work
+    * on ≤550 rows. Continuous inputs bucketize first (the documented
+    * discretization step) — τ-b on raw doubles is a different, pair-space
+    * problem. */
+  val q340KendallTau: GraftQuery = GraftQuery.oracled(
+    "q340_kendall_tau",
+    """WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+      |                  CAST(round(l_discount * 100) AS BIGINT) AS y
+      |           FROM lineitem),
+      |cen AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+      |conc AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS c
+      |         FROM cen a JOIN cen b ON b.x > a.x AND b.y > a.y),
+      |disc AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS d
+      |         FROM cen a JOIN cen b ON b.x > a.x AND b.y < a.y),
+      |tx AS (SELECT CAST(sum(nn * (nn - 1) / 2) AS BIGINT) AS t
+      |       FROM (SELECT sum(n) AS nn FROM cen GROUP BY x)),
+      |ty AS (SELECT CAST(sum(nn * (nn - 1) / 2) AS BIGINT) AS t
+      |       FROM (SELECT sum(n) AS nn FROM cen GROUP BY y)),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cen)
+      |SELECT tot.n, conc.c AS concordant, disc.d AS discordant,
+      |       tx.t AS ties_x, ty.t AS ties_y,
+      |       round((conc.c - disc.d)
+      |             / (sqrt(CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - tx.t)
+      |                * sqrt(CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - ty.t)), 6) AS tau_b
+      |FROM tot, conc, disc, tx, ty""") { (spark, dir) =>
+    import spark.implicits._
+    val cen = Tables.lineitem(spark, dir)
+      .select($"l_quantity".cast("long").as("x"),
+        round($"l_discount" * 100).cast("long").as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).cast("long").as("n"))
+      .cache()
+    val a = cen.select($"x".as("xa"), $"y".as("ya"), $"n".as("na"))
+    val b = cen.select($"x".as("xb"), $"y".as("yb"), $"n".as("nb"))
+    val conc = a.join(b, $"xb" > $"xa" && $"yb" > $"ya")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).cast("long").as("c"))
+    val disc = a.join(b, $"xb" > $"xa" && $"yb" < $"ya")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).cast("long").as("d"))
+    val tx = cen.groupBy($"x").agg(sum($"n").as("nn"))
+      .agg(sum($"nn" * ($"nn" - 1) / 2).cast("long").as("tx"))
+    val ty = cen.groupBy($"y").agg(sum($"n").as("nn"))
+      .agg(sum($"nn" * ($"nn" - 1) / 2).cast("long").as("ty"))
+    val tot = cen.agg(sum($"n").cast("long").as("n"))
+    val half = $"n".cast("double") * ($"n" - 1) / 2
+    broadcast(tot).crossJoin(broadcast(conc)).crossJoin(broadcast(disc))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select($"n", $"c".as("concordant"), $"d".as("discordant"),
+        $"tx".as("ties_x"), $"ty".as("ties_y"),
+        round(($"c" - $"d") / (sqrt(half - $"tx") * sqrt(half - $"ty")), 6).as("tau_b"))
   }
 }
