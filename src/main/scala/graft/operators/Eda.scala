@@ -1031,7 +1031,7 @@ object Eda {
     q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr,
     q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank,
     q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
-    q339FdHistogram, q340KendallTau)
+    q339FdHistogram, q340KendallTau, q341MedianOfMeans)
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The
@@ -1985,5 +1985,52 @@ object Eda {
       .select($"n", $"c".as("concordant"), $"d".as("discordant"),
         $"tx".as("ties_x"), $"ty".as("ties_y"),
         round(($"c" - $"d") / (sqrt(half - $"tx") * sqrt(half - $"ty")), 6).as("tau_b"))
+  }
+
+  /** MEDIAN-OF-MEANS — the heavy-tail-robust mean estimator (Nemirovsky–
+    * Yudin; the MoM trick behind every sub-Gaussian bound on non-Gaussian
+    * data): shard each segment into 16 deterministic md5 buckets, average
+    * within buckets, take the MEDIAN of the bucket means. A single
+    * extreme row can move the raw mean arbitrarily but only corrupts ONE
+    * bucket — the median shrugs. Reported next to the raw mean; the gap
+    * IS the tail-heaviness diagnostic.
+    *
+    * 100 TB plan: the bucket assignment is a map-side projection, bucket
+    * means one (segment, bucket) hash-agg (map-side combined), and the
+    * median runs over 16 rows per segment — robust statistics at exactly
+    * one aggregation pass over the data. */
+  val q341MedianOfMeans: GraftQuery = GraftQuery.oracled(
+    "q341_median_of_means",
+    """WITH b AS (SELECT event_type, value,
+      |                  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS bkt
+      |           FROM events),
+      |bm AS (SELECT event_type, bkt, avg(value) AS m, CAST(count(*) AS BIGINT) AS n
+      |       FROM b GROUP BY 1, 2),
+      |mom AS (SELECT event_type, quantile_cont(m, 0.5) AS mom,
+      |               CAST(count(*) AS BIGINT) AS n_buckets, CAST(sum(n) AS BIGINT) AS n
+      |        FROM bm GROUP BY 1),
+      |raw AS (SELECT event_type, avg(value) AS mean_raw FROM b GROUP BY 1)
+      |SELECT mom.event_type, mom.n, mom.n_buckets,
+      |       round(raw.mean_raw, 4) AS mean_raw,
+      |       round(mom.mom, 4) AS mom_mean
+      |FROM mom JOIN raw USING (event_type)
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val b = Tables.events(spark, dir)
+      .select($"event_type", $"value",
+        (conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 16).as("bkt"))
+    val bm = b.groupBy($"event_type", $"bkt")
+      .agg(avg($"value").as("m"), count(lit(1)).cast("long").as("n"))
+    val mom = bm.groupBy($"event_type")
+      .agg(expr("percentile(m, 0.5)").as("mom"),
+        count(lit(1)).cast("long").as("n_buckets"),
+        sum($"n").cast("long").as("n"))
+    val raw = b.groupBy($"event_type").agg(avg($"value").as("mean_raw"))
+    mom.join(broadcast(raw), Seq("event_type"))
+      .select($"event_type", $"n", $"n_buckets",
+        round($"mean_raw", 4).as("mean_raw"),
+        round($"mom", 4).as("mom_mean"))
+      .orderBy($"event_type")
   }
 }
