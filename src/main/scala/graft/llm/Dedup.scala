@@ -919,9 +919,72 @@ object Dedup {
       .orderBy($"split")
   }
 
+  /** CLUSTER CHAMPION SELECTION — the keep/drop POLICY layer over
+    * q100/q109's clustering: within each multi-doc near-dup cluster,
+    * keep the RICHEST variant (longest text, doc_id tie-break), not the
+    * arbitrary min-id — the curation default (truncated/mangled copies
+    * lose to the full document they were cut from). Output is the
+    * champion manifest per non-trivial cluster; q275 does the same
+    * survivorship for entity ATTRIBUTES, this does it for documents.
+    *
+    * 100 TB plan: one label join (cluster-keyed) + one per-cluster
+    * window over cluster-sized partitions (near-dup clusters are small
+    * by construction; a pathological mega-cluster is a dedup bug, not a
+    * plan input). */
+  val q343ClusterChampion: GraftQuery = GraftQuery.oracled(
+    "q343_cluster_champion",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b FROM pairs
+      |         JOIN sizes sa ON doc_a = sa.doc_id
+      |         JOIN sizes sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |          UNION ALL SELECT doc_b, doc_a FROM good),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      |j AS (SELECT l.cluster_id, d.doc_id, d.n_chars
+      |      FROM lab l JOIN documents d USING (doc_id)),
+      |r AS (SELECT cluster_id, doc_id, n_chars,
+      |             row_number() OVER (PARTITION BY cluster_id
+      |                                ORDER BY n_chars DESC, doc_id) AS rn,
+      |             count(*) OVER (PARTITION BY cluster_id) AS n_docs
+      |      FROM j)
+      |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+      |       doc_id AS champion_id, CAST(n_chars AS BIGINT) AS champion_chars
+      |FROM r WHERE rn = 1 AND n_docs >= 2
+      |ORDER BY cluster_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q45NeardupJaccard.fn(spark, dir).select($"doc_a", $"doc_b")
+    val verts = Tables.documents(spark, dir).select($"doc_id")
+    val lab = starComponents(verts, pairs)._1
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+    val j = lab.join(Tables.documents(spark, dir).select($"doc_id", $"n_chars"),
+      Seq("doc_id"))
+    val w = Window.partitionBy($"cluster_id")
+    j.withColumn("rn", row_number().over(w.orderBy($"n_chars".desc, $"doc_id")))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .filter($"rn" === 1 && $"n_docs" >= 2)
+      .select($"cluster_id", $"n_docs".cast("long").as("n_docs"),
+        $"doc_id".as("champion_id"), $"n_chars".cast("long").as("champion_chars"))
+      .orderBy($"cluster_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
-    q296SourceDupRate, q298ClusterSplit)
+    q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
 }

@@ -643,7 +643,49 @@ object TextAnalysis {
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
     q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations,
     q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain,
-    q321CohensKappa)
+    q321CohensKappa, q344ZipfSlope)
+
+  /** ZIPF-SLOPE AUDIT — fit ln(freq) ~ ln(rank) per source and read the
+    * exponent: natural text sits near −1 (Zipf 1949); template/boilerplate
+    * corpora flatten (head too even), paste-farm corpora steepen. A
+    * scaling-law fingerprint per feed, computed from the token census
+    * the engine already builds everywhere — the corpus-health sibling of
+    * q123's char entropy and q132's perplexity. regr_r2 ships alongside:
+    * a slope without its fit quality is numerology.
+    *
+    * 100 TB plan: one token hash-agg per source (map-side combined), one
+    * vocabulary-sized rank window per source, one regression aggregate.
+    * Row-scale data shuffles once; everything else is census-sized. */
+  val q344ZipfSlope: GraftQuery = GraftQuery.oracled(
+    "q344_zipf_slope",
+    """WITH c AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |cen AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      |        FROM c WHERE tok <> '' GROUP BY 1, 2),
+      |rk AS (SELECT source, n,
+      |              row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rank
+      |       FROM cen)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+      |       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+      |       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS fit_r2
+      |FROM rk
+      |GROUP BY source
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cen = Tables.documents(spark, dir)
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"source", $"tok").agg(count(lit(1)).cast("long").as("n"))
+    val rk = cen.withColumn("rank",
+      row_number().over(Window.partitionBy($"source").orderBy($"n".desc, $"tok")))
+    rk.groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_vocab"),
+        round(expr("regr_slope(ln(cast(n AS DOUBLE)), ln(cast(rank AS DOUBLE)))"), 4)
+          .as("zipf_slope"),
+        round(expr("regr_r2(ln(cast(n AS DOUBLE)), ln(cast(rank AS DOUBLE)))"), 4)
+          .as("fit_r2"))
+      .orderBy($"source")
+  }
 
   /** Source-level token-SET Jaccard matrix: |A∩B| / |A∪B| for every source
     * pair — q242's JS divergence compares DISTRIBUTIONS, this compares

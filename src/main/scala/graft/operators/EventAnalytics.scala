@@ -1005,7 +1005,7 @@ object EventAnalytics {
     q288ClampedBalance, q291PointInTimeFeatures, q294MarkovBacktest,
     q297DisorderAudit, q302FifoAllocation, q304LogRankTest, q325ControlChart,
     q326MarkovAttribution, q328RestatementAudit, q330RfmSegmentation,
-    q336ExclusionFunnel, q337PvmDecomposition)
+    q336ExclusionFunnel, q337PvmDecomposition, q342TimeToConvert)
 
   /** EVENT-TIME DISORDER AUDIT — the number that TUNES `withWatermark`:
     * per event (in arrival order = event_id), its lateness is how far its
@@ -2054,6 +2054,49 @@ object EventAnalytics {
         when(both, round($"r1".cast("double") / $"q1" * ($"q2" - $"q1") / 100, 2))
           .as("volume_effect"))
       .orderBy($"brand")
+  }
+
+  /** TIME-TO-CONVERT DISTRIBUTION — q336 counts conversions; this times
+    * them: per user, minutes from first view to first subsequent
+    * purchase, summarized as exact quartiles plus an hour-bucketed
+    * histogram share (the latency view growth teams act on — "half
+    * convert within X, the tail never will"). Integer-minute durations
+    * keep every quantile input exact.
+    *
+    * 100 TB plan: two filtered min-aggs keyed on user (the q141 shape),
+    * one projection to integer minutes, one exact-percentile agg + one
+    * bucket census — nothing beyond user-keyed shuffles. */
+  val q342TimeToConvert: GraftQuery = GraftQuery.oracled(
+    "q342_time_to_convert",
+    """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+      |a AS (SELECT user_id, min(ts) AS ta FROM e WHERE event_type = 'view' GROUP BY 1),
+      |b AS (SELECT e.user_id, min(e.ts) AS tb
+      |      FROM e JOIN a ON e.user_id = a.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > a.ta GROUP BY 1),
+      |d AS (SELECT (epoch_us(tb) - epoch_us(ta)) // 60000000 AS mins
+      |      FROM a JOIN b USING (user_id))
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |       CAST(floor(quantile_cont(mins, 0.25)) AS BIGINT) AS p25_min,
+      |       CAST(floor(quantile_cont(mins, 0.50)) AS BIGINT) AS p50_min,
+      |       CAST(floor(quantile_cont(mins, 0.90)) AS BIGINT) AS p90_min,
+      |       CAST(count(CASE WHEN mins < 60 THEN 1 END) AS BIGINT) AS n_within_1h,
+      |       CAST(count(CASE WHEN mins >= 1440 THEN 1 END) AS BIGINT) AS n_over_1d
+      |FROM d""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val a = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("ta"))
+    val b = e.filter($"event_type" === "purchase")
+      .join(a, Seq("user_id")).filter($"ts" > $"ta")
+      .groupBy($"user_id").agg(min($"ts").as("tb"))
+    a.join(b, Seq("user_id"))
+      .select(expr("(unix_micros(tb) - unix_micros(ta)) div 60000000").as("mins"))
+      .agg(count(lit(1)).cast("long").as("n_converted"),
+        floor(expr("percentile(mins, 0.25)")).cast("long").as("p25_min"),
+        floor(expr("percentile(mins, 0.50)")).cast("long").as("p50_min"),
+        floor(expr("percentile(mins, 0.90)")).cast("long").as("p90_min"),
+        count(when($"mins" < 60, 1)).cast("long").as("n_within_1h"),
+        count(when($"mins" >= 1440, 1)).cast("long").as("n_over_1d"))
   }
 
   /** Removal-effect attribution over the events journey log. */
