@@ -737,6 +737,87 @@ object StreamingQueries {
     }
   }
 
+  final case class EvBucket(event_type: String, bkt: Long)
+
+  /** Per-event-type log₂-histogram state (q335's sketch, streaming): ≤64
+    * bucket counters in MapState, quantile buckets read off the cumulative
+    * census at emission — constant-size state per key no matter how many
+    * events flow through, the property that makes quantile monitoring
+    * possible in a stream at all. */
+  final class HistogramProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, EvBucket, (String, Long, Long, Long)] {
+    @transient private var buckets: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buckets = getHandle.getMapState[Long, Long]("log2_buckets",
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[EvBucket],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long, Long, Long)] = {
+      rows.foreach { r =>
+        val prev = if (buckets.containsKey(r.bkt)) buckets.getValue(r.bkt) else 0L
+        buckets.updateValue(r.bkt, prev + 1L)
+      }
+      val cen = buckets.iterator().toArray.sortBy(_._1)
+      val n = cen.map(_._2).sum
+      def quantileBkt(q: Double): Long = {
+        var cum = 0L
+        cen.find { case (_, c) => cum += c; cum >= q * n }.map(_._1).getOrElse(cen.last._1)
+      }
+      Iterator((key, quantileBkt(0.50), quantileBkt(0.99), n))
+    }
+  }
+
+  /** STREAMING QUANTILE SKETCH — q335's log₂ histogram kept as
+    * transformWithState MapState per event_type: each event increments one
+    * of ≤64 bucket counters, and the emitted row reads p50/p99 buckets off
+    * the state census. After the AvailableNow drain the final state IS the
+    * full-corpus histogram, so the emission is SQL-oracle'd against the
+    * batch bucket computation — streaming and batch read the SAME sketch.
+    *
+    * 100 TB/∞-stream plan: state is ≤64 longs per key FOREVER (no TTL
+    * needed — the histogram is the summary, not a buffer); bucket
+    * assignment is map-side; only (type, bkt) pairs reach the stateful
+    * operator's shuffle. This is how you monitor a latency p99 on an
+    * unbounded stream without a single sort. */
+  val q345StreamHistogram: GraftQuery = GraftQuery.oracled(
+    "q345_stream_histogram",
+    """WITH b AS (SELECT event_type, CAST(floor(log2(1 + 1000 * value)) AS BIGINT) AS bkt
+      |           FROM events WHERE value >= 0),
+      |cen AS (SELECT event_type, bkt, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(n) AS nt FROM cen GROUP BY 1),
+      |cum AS (SELECT c.event_type, c.bkt, t.nt,
+      |               sum(c.n) OVER (PARTITION BY c.event_type ORDER BY c.bkt) AS cn
+      |        FROM cen c JOIN tot t USING (event_type)),
+      |p50 AS (SELECT event_type, min(bkt) AS p50_bkt FROM cum WHERE cn >= 0.50 * nt GROUP BY 1),
+      |p99 AS (SELECT event_type, min(bkt) AS p99_bkt FROM cum WHERE cn >= 0.99 * nt GROUP BY 1)
+      |SELECT p50.event_type, p50.p50_bkt, p99.p99_bkt, CAST(tot.nt AS BIGINT) AS n
+      |FROM p50 JOIN p99 USING (event_type) JOIN tot USING (event_type)
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventsStream(spark, dir)
+        .filter($"value" >= 0)
+        .select($"event_type",
+          floor(log(2.0, lit(1) + lit(1000) * $"value")).cast("long").as("bkt"))
+        .as[EvBucket]
+      val out = ds.groupByKey(_.event_type)
+        .transformWithState(new HistogramProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .toDF("event_type", "p50_bkt", "p99_bkt", "n")
+      runToMemory(out, OutputMode.Append(), "q345")
+        .orderBy($"event_type")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   /** MapState per-user × event-type census via `transformWithState`. */
   val q243StreamMapState: GraftQuery = GraftQuery.oracled(
     "q243_stream_mapstate",
@@ -908,5 +989,5 @@ object StreamingQueries {
     q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
     q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState,
-    q285StreamStreamFullOuter)
+    q285StreamStreamFullOuter, q345StreamHistogram)
 }
