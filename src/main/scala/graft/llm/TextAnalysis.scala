@@ -643,7 +643,7 @@ object TextAnalysis {
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
     q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations,
     q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain,
-    q321CohensKappa, q344ZipfSlope)
+    q321CohensKappa, q344ZipfSlope, q346WeightedJaccard)
 
   /** ZIPF-SLOPE AUDIT — fit ln(freq) ~ ln(rank) per source and read the
     * exponent: natural text sits near −1 (Zipf 1949); template/boilerplate
@@ -685,6 +685,54 @@ object TextAnalysis {
         round(expr("regr_r2(ln(cast(n AS DOUBLE)), ln(cast(rank AS DOUBLE)))"), 4)
           .as("fit_r2"))
       .orderBy($"source")
+  }
+
+  /** WEIGHTED JACCARD source-similarity matrix — q263 compares
+    * vocabularies as SETS; this weighs them by usage: J_w(A,B) =
+    * Σ_t min(a_t, b_t) / Σ_t max(a_t, b_t) over token frequencies — two
+    * sources sharing words they both barely use stop looking similar.
+    * The union-side Σmax never materializes: per token
+    * max = a + b − min, so Σmax = |A| + |B| − Σmin, and the whole matrix
+    * needs only the SHARED-token inner join plus per-source totals — the
+    * identity that keeps the computation intersection-sized.
+    *
+    * 100 TB plan: one (source, token) census (map-side combined), one
+    * token-keyed self-join of censuses (vocabulary-sized, Zipf-bounded),
+    * totals broadcast. Same shapes as q263, better signal. */
+  val q346WeightedJaccard: GraftQuery = GraftQuery.oracled(
+    "q346_weighted_jaccard",
+    """WITH c AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |cen AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      |        FROM c WHERE tok <> '' GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM cen GROUP BY 1),
+      |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+      |                  CAST(sum(least(a.n, b.n)) AS BIGINT) AS sum_min
+      |           FROM cen a JOIN cen b ON a.tok = b.tok AND a.source < b.source
+      |           GROUP BY 1, 2)
+      |SELECT s.source_a, s.source_b, s.sum_min,
+      |       CAST(floor(1000000.0 * s.sum_min / (ta.t + tb.t - s.sum_min)) AS BIGINT) AS wjaccard_ppm
+      |FROM shared s
+      |JOIN tot ta ON s.source_a = ta.source
+      |JOIN tot tb ON s.source_b = tb.source
+      |ORDER BY source_a, source_b""") { (spark, dir) =>
+    import spark.implicits._
+    val cen = Tables.documents(spark, dir)
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"source", $"tok").agg(count(lit(1)).cast("long").as("n"))
+    val tot = cen.groupBy($"source").agg(sum($"n").cast("long").as("t"))
+    val shared = cen.toDF("source_a", "tok", "na")
+      .join(cen.toDF("source_b", "tok", "nb"), Seq("tok"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(sum(least($"na", $"nb")).cast("long").as("sum_min"))
+    shared
+      .join(broadcast(tot.toDF("source_a", "ta")), Seq("source_a"))
+      .join(broadcast(tot.toDF("source_b", "tb")), Seq("source_b"))
+      .select($"source_a", $"source_b", $"sum_min",
+        floor(lit(1000000.0) * $"sum_min" / ($"ta" + $"tb" - $"sum_min"))
+          .cast("long").as("wjaccard_ppm"))
+      .orderBy($"source_a", $"source_b")
   }
 
   /** Source-level token-SET Jaccard matrix: |A∩B| / |A∪B| for every source
