@@ -372,10 +372,11 @@ object ScalarFunctions {
   val q251ArraySortComparator: GraftQuery = GraftQuery.oracled(
     "q251_array_sort_comparator",
     """SELECT doc_id,
-      |       list_transform(
-      |         list_sort(list_transform(string_split(lower(text), ' '),
-      |                                  t -> {'l': length(t), 't': t}))[1:5],
-      |         s -> s.t) AS first5
+      |       array_to_string(
+      |         list_transform(
+      |           list_sort(list_transform(string_split(lower(text), ' '),
+      |                                    t -> {'l': length(t), 't': t}))[1:5],
+      |           s -> s.t), ' ') AS first5
       |FROM documents
       |WHERE doc_id <= 20
       |ORDER BY doc_id""") { (spark, dir) =>
@@ -383,12 +384,13 @@ object ScalarFunctions {
     Tables.documents(spark, dir)
       .filter($"doc_id" <= 20)
       .select($"doc_id",
-        slice(expr(
+        array_join(slice(expr(
           """array_sort(split(lower(text), ' '),
             |  (l, r) -> CASE WHEN length(l) < length(r) THEN -1
             |                 WHEN length(l) > length(r) THEN 1
             |                 WHEN l < r THEN -1 WHEN l > r THEN 1
-            |                 ELSE 0 END)""".stripMargin), 1, 5).as("first5"))
+            |                 ELSE 0 END)""".stripMargin), 1, 5), " ")
+          .as("first5"))
       .orderBy($"doc_id")
   }
 

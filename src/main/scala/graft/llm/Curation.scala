@@ -85,10 +85,16 @@ object Curation {
   /** The q127 core over any (doc_id, text, …) frame — factored out for the
     * fixture spec, which plants one document per verdict (the driver corpus
     * contains no cross-doc exact duplicate, so the exact_dup arm would only
-    * be validated vacuously against the oracle). */
+    * be validated vacuously against the oracle). `nearPairs` is THE SCALE
+    * KNOB: the exact capped inverted index ([[Dedup.neardupPairs]], the
+    * oracle-able default) or the sub-quadratic MinHash+LSH path
+    * ([[Dedup.neardupPairsLsh]], q349) — at 100 TB the capstones ride the
+    * LSH path; the exact path is the small-sf verifier. */
   private[llm] def curate(
       docs: org.apache.spark.sql.DataFrame,
-      isEval: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+      isEval: org.apache.spark.sql.Column,
+      nearPairs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        Dedup.neardupPairs(_)): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val stopList = array(Seq("the", "and", "of", "a", "to").map(lit): _*)
@@ -100,7 +106,7 @@ object Curation {
       .select($"doc_id", min($"doc_id").over(Window.partitionBy($"ck")).as("keep_id"))
     val clusters = Dedup.minLabelComponents(
         docs.select($"doc_id"),
-        Dedup.neardupPairs(docs).select($"doc_a", $"doc_b"))
+        nearPairs(docs).select($"doc_a", $"doc_b"))
       .toDF("doc_id", "cluster_id")
     val contaminated = Dedup.contamination(docs, isEval)
       .select($"doc_id", lit(1).as("is_contam"))
@@ -117,6 +123,28 @@ object Curation {
           .when($"is_contam" === 1, "contaminated")
           .otherwise("keep").as("verdict"))
       .orderBy($"doc_id")
+  }
+
+  /** q127 ON THE 100 TB PATH: the identical curation pipeline with the
+    * near-dup stage riding [[Dedup.neardupPairsLsh]] (MinHash banding,
+    * sub-quadratic) instead of the exact capped inverted index — the knob
+    * the capstones turn at fleet scale, shipped as its own entry so the
+    * swap is benched and law-gated, not just documented. No SQL oracle
+    * (LSH pairs are hash-seed-specific); CurationSpec's containment law
+    * pins the relationship to q127: the pair superset can only ever move
+    * a doc from {keep, contaminated} to near_dup — every other verdict
+    * arm is pair-independent and must match exactly.
+    *
+    * 100 TB plan: identical to q127 except the pair stage never builds a
+    * shingle×shingle join — candidates come from banded minhash buckets;
+    * everything downstream (components, verdict joins) is unchanged. */
+  val q349CurationLsh: GraftQuery = GraftQuery.rowsOnly(
+    "q349_curation_lsh",
+    doc = "q127 curation capstone with the near-dup stage on the MinHashLSH path") {
+    (spark, dir) =>
+      import spark.implicits._
+      curate(Tables.documents(spark, dir), $"doc_id" % 50 === 0,
+        Dedup.neardupPairsLsh(_))
   }
 
   /** Training-sequence packing, GPT-style: per source, documents are
@@ -258,8 +286,9 @@ object Curation {
   /** Dictionary-encode the corpus to dense token ids: build a vocabulary
     * with contiguous ids ranked by (frequency DESC, token), then rewrite
     * every document as its id sequence — the tokenize-to-ints step every
-    * training pipeline runs before batching, oracle'd end-to-end (DuckDB
-    * reproduces the exact id arrays).
+    * training pipeline runs before batching, oracle'd end-to-end (the id
+    * sequence is emitted as a space-joined string on BOTH sides so the
+    * driver's scalar comparator can hash it; DuckDB reproduces it exactly).
     *
     * 100 TB plan: the vocabulary is Heaps-law-bounded (≈ millions of rows
     * for a 100 TB corpus — square-root-ish growth), so the global
@@ -280,7 +309,9 @@ object Curation {
       |tok AS (SELECT * FROM tok0 WHERE t <> ''),
       |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
       |vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) AS id FROM cnt)
-      |SELECT doc_id, list(id ORDER BY pos) AS ids, CAST(count(*) AS BIGINT) AS n_tokens
+      |SELECT doc_id,
+      |       string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids,
+      |       CAST(count(*) AS BIGINT) AS n_tokens
       |FROM tok JOIN vocab USING (t)
       |GROUP BY doc_id
       |ORDER BY doc_id""") { (spark, dir) =>
@@ -296,8 +327,9 @@ object Curation {
     tok.join(broadcast(vocab), "t")
       .groupBy($"doc_id")
       .agg(
-        transform(sort_array(collect_list(struct($"pos", $"id"))),
-          x => x.getField("id")).as("ids"),
+        array_join(
+          transform(sort_array(collect_list(struct($"pos", $"id"))),
+            x => x.getField("id").cast("string")), " ").as("ids"),
         count(lit(1)).cast("long").as("n_tokens"))
       .orderBy($"doc_id")
   }
@@ -588,7 +620,7 @@ object Curation {
   }
 
   def all: Seq[GraftQuery] = Seq(
-    q127CurationPipeline, q137SequencePacking, q138SourceMixing,
+    q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill)

@@ -115,11 +115,17 @@ object Dedup {
     * MinHashLSH banding → approxSimilarityJoin. The sub-quadratic 100 TB
     * path; candidate pairs only hash-join on band buckets. Not oracle-able
     * (hash-seed-specific); ScalaTest checks it recovers q45's exact pairs. */
-  val q46NeardupMinhashLsh: GraftQuery = GraftQuery.rowsOnly(
-    "q46_neardup_minhash_lsh",
-    doc = "MinHashLSH(numHashTables=5, seed=42) over 3-gram shingles, jaccardDist <= 0.3") { (spark, dir) =>
+  /** q46's core over any (doc_id, text, …) frame: MinHash+LSH banded
+    * candidate pairs at jaccardDist ≤ 0.3 — the sub-quadratic near-dup
+    * path. Shared by q46 and the q349 LSH-path curation capstone. Recall
+    * law (LlmOpsSpec): every exact-jaccard ≥ 0.8 pair from
+    * [[neardupPairs]] is recovered (0.8 similarity = 0.2 distance, well
+    * inside the 0.3 cut; 5 hash tables OR-amplify recall at that radius). */
+  private[llm] def neardupPairsLsh(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select($"doc_id", split($"text", " ").as("tokens"))
       .filter(size($"tokens") >= 3)
     val shingles = new NGram().setN(3).setInputCol("tokens").setOutputCol("shingles")
@@ -137,6 +143,13 @@ object Dedup {
         $"datasetB.doc_id".as("doc_b"),
         stat($"jaccard_dist").as("jaccard_dist"))
       .filter($"doc_a" < $"doc_b")
+  }
+
+  val q46NeardupMinhashLsh: GraftQuery = GraftQuery.rowsOnly(
+    "q46_neardup_minhash_lsh",
+    doc = "MinHashLSH(numHashTables=5, seed=42) over 3-gram shingles, jaccardDist <= 0.3") { (spark, dir) =>
+    import spark.implicits._
+    neardupPairsLsh(Tables.documents(spark, dir))
       .orderBy($"doc_a", $"doc_b")
   }
 

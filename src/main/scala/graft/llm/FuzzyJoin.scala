@@ -187,7 +187,8 @@ object FuzzyJoin {
     * each candidate pair gets a log-likelihood-ratio score
     * Σ_j ln(m_j/u_j) over agreeing fields + Σ_j ln((1−m_j)/(1−u_j)) over
     * disagreeing ones. m-probabilities (P(agree | true match)) are pinned
-    * literals (production estimates them by EM); u-probabilities
+    * literals here so the oracle is exact (q348 is the same pipeline with
+    * the EM estimation loop); u-probabilities
     * (P(agree | random pair)) are ESTIMATED FROM THE DATA as the
     * random-agreement rate Σ_k (n_k/N)² from each field's value census —
     * exact integer-valued-double algebra, so the oracle reproduces every
@@ -237,6 +238,32 @@ object FuzzyJoin {
       |            ELSE 'nonmatch' END AS cls
       |FROM s ORDER BY ka, kb""") { (spark, dir) =>
     import spark.implicits._
+    val (agree, u) = fsInputs(spark, dir)
+    agree
+      .crossJoin(broadcast(u))
+      .withColumn("fs_score", round(
+        when($"agree_nation" === 1, log(lit(0.95) / $"u1"))
+          .otherwise(log(lit(0.05) / (lit(1) - $"u1"))) +
+        when($"agree_segment" === 1, log(lit(0.9) / $"u2"))
+          .otherwise(log(lit(0.1) / (lit(1) - $"u2"))) +
+        when($"agree_balance" === 1, log(lit(0.85) / $"u3"))
+          .otherwise(log(lit(0.15) / (lit(1) - $"u3"))), 4))
+      .withColumn("cls",
+        when($"fs_score" >= 5, "match")
+          .when($"fs_score" >= 0, "possible")
+          .otherwise("nonmatch"))
+      .select($"ka", $"kb", $"agree_nation", $"agree_segment", $"agree_balance",
+        $"fs_score", $"cls")
+      .orderBy($"ka", $"kb")
+  }
+
+  /** Shared Fellegi–Sunter inputs: the ED-1-blocked candidate agreement
+    * vectors (ka, kb, agree_nation, agree_segment, agree_balance) and the
+    * 1-row per-field random-agreement u-rates frame (u1, u2, u3) — used by
+    * q282 (pinned m-probabilities) and q348 (EM-estimated). */
+  private def fsInputs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
     val vk = Tables.customer(spark, dir)
       .join(nameVocab(spark, dir), Seq("c_name"))
       .select($"c_name", $"c_custkey".as("k"), $"c_nationkey", $"c_mktsegment",
@@ -254,26 +281,99 @@ object FuzzyJoin {
       $"c_nationkey".as("nat_a"), $"c_mktsegment".as("seg_a"), $"bal_band".as("bal_a"))
     val b = vk.select($"c_name".as("name_b"), $"k".as("kb"),
       $"c_nationkey".as("nat_b"), $"c_mktsegment".as("seg_b"), $"bal_band".as("bal_b"))
-    namePairs.join(a, "name_a").join(b, "name_b")
+    val agree = namePairs.join(a, "name_a").join(b, "name_b")
       .select($"ka", $"kb",
         when($"nat_a" === $"nat_b", 1).otherwise(0).as("agree_nation"),
         when($"seg_a" === $"seg_b", 1).otherwise(0).as("agree_segment"),
         when($"bal_a" === $"bal_b", 1).otherwise(0).as("agree_balance"))
-      .crossJoin(broadcast(u))
-      .withColumn("fs_score", round(
-        when($"agree_nation" === 1, log(lit(0.95) / $"u1"))
-          .otherwise(log(lit(0.05) / (lit(1) - $"u1"))) +
-        when($"agree_segment" === 1, log(lit(0.9) / $"u2"))
-          .otherwise(log(lit(0.1) / (lit(1) - $"u2"))) +
-        when($"agree_balance" === 1, log(lit(0.85) / $"u3"))
-          .otherwise(log(lit(0.15) / (lit(1) - $"u3"))), 4))
-      .withColumn("cls",
-        when($"fs_score" >= 5, "match")
-          .when($"fs_score" >= 0, "possible")
-          .otherwise("nonmatch"))
-      .select($"ka", $"kb", $"agree_nation", $"agree_segment", $"agree_balance",
-        $"fs_score", $"cls")
-      .orderBy($"ka", $"kb")
+    (agree, u)
+  }
+
+  /** One EM round for the Fellegi–Sunter two-class conditional-independence
+    * mixture over binary agreement vectors (Winkler 1988's estimator):
+    * E-step computes each census cell's posterior match weight
+    * w(γ) = p·Π m_j^{γ_j}(1−m_j)^{1−γ_j} / (p·Πm + (1−p)·Πu); M-step
+    * re-estimates p = Σnw/N, m_j = Σnwγ_j/Σnw, u_j = Σn(1−w)γ_j/Σn(1−w).
+    * Pure driver-side arithmetic over the ≤2³-cell agreement census — the
+    * q312 driver-scalar-loop pattern; estimates clamped to (1e-6, 1−1e-6)
+    * so no weight ever hits ln(0). Spec'd in FuzzyJoinSpec on a planted
+    * fixture with known (p, m, u). */
+  private[llm] def fsEmRound(census: Seq[(Array[Int], Double)], p: Double,
+      m: Array[Double], u: Array[Double]): (Double, Array[Double], Array[Double]) = {
+    val k = m.length
+    var sw = 0.0; var snw = 0.0
+    val swg = Array.fill(k)(0.0); val snwg = Array.fill(k)(0.0)
+    for ((g, n) <- census) {
+      var pm = p; var pu = 1.0 - p
+      var j = 0
+      while (j < k) {
+        pm *= (if (g(j) == 1) m(j) else 1.0 - m(j))
+        pu *= (if (g(j) == 1) u(j) else 1.0 - u(j))
+        j += 1
+      }
+      val w = pm / (pm + pu)
+      sw += n * w; snw += n * (1.0 - w)
+      j = 0
+      while (j < k) {
+        if (g(j) == 1) { swg(j) += n * w; snwg(j) += n * (1.0 - w) }
+        j += 1
+      }
+    }
+    def clamp(x: Double) = math.min(1.0 - 1e-6, math.max(1e-6, x))
+    (clamp(sw / (sw + snw)), swg.map(x => clamp(x / sw)),
+      snwg.map(x => clamp(x / snw)))
+  }
+
+  /** q282 WITH THE EM LOOP ITS SCALADOC PROMISED: m-probabilities (and the
+    * match prior and u's) estimated by two EM rounds over the candidate
+    * agreement-vector CENSUS instead of pinned literals. The census is at
+    * most 2³ = 8 cells regardless of corpus size (one hash-agg over the
+    * blocked candidates, collected as a bounded E3 scalar set), so the EM
+    * iterations are driver-side arithmetic over 8 numbers — the corpus is
+    * scanned once for the census and once for the final scoring
+    * projection. No SQL oracle (the EM fixpoint isn't relational);
+    * FuzzyJoinSpec recovers planted parameters on an exact-expectation
+    * fixture and gates this entry's score ordering against q282's.
+    *
+    * 100 TB plan: identical shuffle shape to q282 — lossless ED-1 blocking
+    * for candidates, one constant-size census agg, pure-projection scoring
+    * with all parameters as literals in the plan. */
+  val q348FellegiSunterEm: GraftQuery = GraftQuery.rowsOnly(
+    "q348_fellegi_sunter_em",
+    doc = "Fellegi-Sunter linkage scores with EM-estimated m/u (2 rounds, census-based)") {
+    (spark, dir) =>
+      import spark.implicits._
+      val (agree, uFrame) = fsInputs(spark, dir)
+      val uRow = uFrame.collect().head // 1-row scalar triple
+      val uData = Array(uRow.getDouble(0), uRow.getDouble(1), uRow.getDouble(2))
+      val census = agree
+        .groupBy($"agree_nation", $"agree_segment", $"agree_balance")
+        .agg(count(lit(1)).cast("double").as("n"))
+        .collect() // ≤ 8 cells, bounded by construction
+        .map(r => (Array(r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toSeq
+      var p = 0.1
+      var m = Array(0.9, 0.9, 0.9)
+      var u = uData.map(x => math.min(1.0 - 1e-6, math.max(1e-6, x)))
+      for (_ <- 1 to 2) {
+        val (p2, m2, u2) = fsEmRound(census, p, m, u)
+        p = p2; m = m2; u = u2
+      }
+      def term(agreeCol: String, mj: Double, uj: Double) =
+        when(col(agreeCol) === 1, log(lit(mj) / lit(uj)))
+          .otherwise(log(lit(1.0 - mj) / lit(1.0 - uj)))
+      agree
+        .withColumn("fs_score", round(
+          term("agree_nation", m(0), u(0)) +
+          term("agree_segment", m(1), u(1)) +
+          term("agree_balance", m(2), u(2)), 4))
+        .withColumn("cls",
+          when($"fs_score" >= 5, "match")
+            .when($"fs_score" >= 0, "possible")
+            .otherwise("nonmatch"))
+        .select($"ka", $"kb", $"agree_nation", $"agree_segment",
+          $"agree_balance", $"fs_score", $"cls")
+        .orderBy($"ka", $"kb")
   }
 
   /** JARO–WINKLER fuzzy matching (q160's ED-1 complement for
@@ -320,5 +420,6 @@ object FuzzyJoin {
   }
 
   def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution,
-    q275GoldenRecord, q282FellegiSunter, q301JaroWinklerMatch)
+    q275GoldenRecord, q282FellegiSunter, q301JaroWinklerMatch,
+    q348FellegiSunterEm)
 }

@@ -916,6 +916,9 @@ object TextAnalysis {
   val q321CohensKappa: GraftQuery = GraftQuery.oracled(
     "q321_cohens_kappa", {
       val base = q51LangId.oracle.get.replace("ORDER BY doc_id", "")
+      require(base != q51LangId.oracle.get,
+        "q321 expects to strip q51's trailing ORDER BY; q51's oracle text " +
+          "changed and the replace no-opped — update the coupling here")
       s"""WITH q51 AS ($base),
          |cm AS (SELECT labeled_lang AS a, predicted_lang AS b, CAST(count(*) AS DOUBLE) AS n
          |       FROM q51 GROUP BY 1, 2),

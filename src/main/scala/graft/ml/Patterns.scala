@@ -32,7 +32,9 @@ object Patterns {
   /** Frequent itemsets at 20% support over per-user click baskets. No SQL
     * oracle (the itemset lattice isn't relational); PatternsSpec
     * cross-checks every size-1 and size-2 itemset count against exact SQL
-    * aggregation (q172's machinery) and the support floor. */
+    * aggregation (q172's machinery) and the support floor. The itemset is
+    * emitted as `to_json` (q182's pattern) so the driver's rows-only
+    * checker never sees an array-typed column. */
   val q179FpGrowth: GraftQuery = GraftQuery.rowsOnly(
     "q179_fpgrowth_itemsets",
     doc = "FP-Growth frequent itemsets, minSupport=0.2, per-user click baskets") {
@@ -42,9 +44,10 @@ object Patterns {
         .setItemsCol("items").setMinSupport(0.2).setMinConfidence(0.5)
         .fit(baskets(spark, dir))
       model.freqItemsets
-        .select(sort_array($"items").as("items"), $"freq")
-        .withColumn("size", size($"items").cast("long"))
-        .orderBy($"size", $"items")
+        .select(sort_array($"items").as("itemsArr"), $"freq")
+        .withColumn("size", size($"itemsArr").cast("long"))
+        .orderBy($"size", $"itemsArr")
+        .select(to_json($"itemsArr").as("items"), $"freq", $"size")
   }
 
   /** Per-user event-type sequences in (ts, event_id) order, as

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.feature.QuantileDiscretizer
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.engine.GraftQuery
 import graft.sources.Tables
@@ -1031,7 +1032,7 @@ object Eda {
     q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr,
     q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank,
     q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
-    q339FdHistogram, q340KendallTau, q341MedianOfMeans)
+    q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale)
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The
@@ -1695,6 +1696,14 @@ object Eda {
       |       round(f2.b, 4) AS b_huber, round(f2.a, 4) AS a_huber,
       |       round(s2.s, 4) AS scale, f2.nd AS n_downweighted
       |FROM m0, f2, s2""") { (spark, dir) =>
+    huberIrls(spark, dir, percentile(col("ar"), lit(0.5)))
+  }
+
+  /** Shared two-round Huber IRLS body for q319 (exact-median MAD) and
+    * q347 (approx_percentile MAD — the documented petabyte-scale knob).
+    * `medianOfAr` is the aggregate that produces the residual median. */
+  private def huberIrls(spark: org.apache.spark.sql.SparkSession,
+      dir: String, medianOfAr: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
     val d = Tables.lineitem(spark, dir)
       .select($"l_quantity".as("x"), $"l_extendedprice".as("y"))
@@ -1703,7 +1712,7 @@ object Eda {
     def round2(prev: org.apache.spark.sql.DataFrame) = {
       val r = d.crossJoin(broadcast(prev.select($"a", $"b")))
         .select($"x", $"y", abs($"y" - $"a" - $"b" * $"x").as("ar"))
-      val s = r.agg((lit(1.4826) * percentile($"ar", lit(0.5))).as("s"))
+      val s = r.agg((lit(1.4826) * medianOfAr).as("s"))
       val w = r.crossJoin(broadcast(s))
         .select($"x", $"y", $"s",
           when($"ar" <= lit(1.345) * $"s", 1.0)
@@ -1724,6 +1733,25 @@ object Eda {
       .select($"n", $"b_ols", $"a_ols",
         round($"b", 4).as("b_huber"), round($"a", 4).as("a_huber"),
         round($"s", 4).as("scale"), $"nd".as("n_downweighted"))
+  }
+
+  /** q319's documented scale knob, SHIPPED: the identical two-round Huber
+    * IRLS but with the MAD scale from a mergeable `approx_percentile`
+    * quantile sketch (accuracy 10⁴ ≈ 0.01% rank error) instead of the
+    * exact-median sort-agg — the petabyte-row-count path q319's scaladoc
+    * names, retiring its forced-audit entry. No SQL oracle (DuckDB has no
+    * bit-compatible sketch); EdaSpec bounds the coefficient drift vs
+    * q319's exact fit and requires the same n / n_downweighted.
+    *
+    * 100 TB plan: identical to q319 except the per-round median is now a
+    * map-side-combinable sketch agg — no sort, no exact-percentile
+    * buffer; the whole fit is two broadcast-scalar rounds over codegen'd
+    * projections. */
+  val q347HuberApproxScale: GraftQuery = GraftQuery.rowsOnly(
+    "q347_huber_approx_scale",
+    doc = "Huber IRLS, MAD scale via approx_percentile sketch (q319's 100 TB knob)") {
+    (spark, dir) =>
+      huberIrls(spark, dir, expr("approx_percentile(ar, 0.5, 10000)"))
   }
 
   /** EXACT ROC-AUC, relationally — the evaluator WITHOUT the model fit:
@@ -1883,7 +1911,13 @@ object Eda {
     * Sturges/Scott are not), bins clamped to [lo, hi) with the last bin
     * right-closed. The output is the histogram TABLE (edges + counts +
     * share), i.e. what a plotting client actually requests from an
-    * engine; identical arithmetic fixes every edge on both engines.
+    * engine; identical arithmetic fixes every edge on both engines. The
+    * geometry is computed on INTEGER CENTS (q244's fix for the
+    * order-dependent-float flake class): the IQR's interpolated
+    * percentiles run over exactly-representable integers with dyadic
+    * interpolation fractions, so `h` and every bin edge derive from
+    * bit-identical operands on both engines — no boundary-adjacent price
+    * can land in different bins.
     *
     * 100 TB plan: one exact-percentile agg for the IQR (the documented
     * approx_percentile swap at extreme n), broadcast of the 1-row
@@ -1891,37 +1925,38 @@ object Eda {
     * per-bin scan. */
   val q339FdHistogram: GraftQuery = GraftQuery.oracled(
     "q339_fd_histogram",
-    """WITH s AS (SELECT o_totalprice AS x FROM orders),
-      |g AS (SELECT CAST(count(*) AS BIGINT) AS n, min(x) AS lo, max(x) AS hi,
-      |             quantile_cont(x, 0.75) - quantile_cont(x, 0.25) AS iqr
+    """WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n, min(xc) AS lo, max(xc) AS hi,
+      |             quantile_cont(xc, 0.75) - quantile_cont(xc, 0.25) AS iqr
       |      FROM s),
       |geo AS (SELECT n, lo, hi, 2 * iqr / pow(n, 1.0 / 3) AS h,
       |               CAST(ceil((hi - lo) / (2 * iqr / pow(n, 1.0 / 3))) AS BIGINT) AS nbins
       |        FROM g),
-      |b AS (SELECT least(CAST(floor((s.x - geo.lo) / geo.h) AS BIGINT), geo.nbins - 1) AS bin
+      |b AS (SELECT least(CAST(floor((s.xc - geo.lo) / geo.h) AS BIGINT), geo.nbins - 1) AS bin
       |      FROM s, geo)
       |SELECT b.bin,
-      |       round(geo.lo + b.bin * geo.h, 4) AS bin_lo,
-      |       round(geo.lo + (b.bin + 1) * geo.h, 4) AS bin_hi,
+      |       round((geo.lo + b.bin * geo.h) / 100, 4) AS bin_lo,
+      |       round((geo.lo + (b.bin + 1) * geo.h) / 100, 4) AS bin_hi,
       |       CAST(count(*) AS BIGINT) AS n,
       |       CAST(floor(1000000.0 * count(*) / geo.n) AS BIGINT) AS share_ppm
       |FROM b, geo
       |GROUP BY b.bin, geo.lo, geo.h, geo.n
       |ORDER BY bin""") { (spark, dir) =>
     import spark.implicits._
-    val s = Tables.orders(spark, dir).select($"o_totalprice".as("x"))
-    val g = s.agg(count(lit(1)).cast("long").as("n"), min($"x").as("lo"), max($"x").as("hi"),
-      (expr("percentile(x, 0.75)") - expr("percentile(x, 0.25)")).as("iqr"))
+    val s = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("xc"))
+    val g = s.agg(count(lit(1)).cast("long").as("n"), min($"xc").as("lo"), max($"xc").as("hi"),
+      (expr("percentile(xc, 0.75)") - expr("percentile(xc, 0.25)")).as("iqr"))
     val geo = g.select($"n", $"lo", $"hi",
       (lit(2) * $"iqr" / pow($"n", 1.0 / 3)).as("h"))
       .withColumn("nbins", ceil(($"hi" - $"lo") / $"h").cast("long"))
     s.crossJoin(broadcast(geo))
-      .select(least(floor(($"x" - $"lo") / $"h").cast("long"), $"nbins" - 1).as("bin"),
+      .select(least(floor(($"xc" - $"lo") / $"h").cast("long"), $"nbins" - 1).as("bin"),
         $"lo", $"h", $"n".as("nt"))
       .groupBy($"bin", $"lo", $"h", $"nt")
       .agg(count(lit(1)).cast("long").as("n"))
-      .select($"bin", round($"lo" + $"bin" * $"h", 4).as("bin_lo"),
-        round($"lo" + ($"bin" + 1) * $"h", 4).as("bin_hi"), $"n",
+      .select($"bin", round(($"lo" + $"bin" * $"h") / 100, 4).as("bin_lo"),
+        round(($"lo" + ($"bin" + 1) * $"h") / 100, 4).as("bin_hi"), $"n",
         floor(lit(1000000.0) * $"n" / $"nt").cast("long").as("share_ppm"))
       .orderBy($"bin")
   }

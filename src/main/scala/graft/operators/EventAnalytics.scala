@@ -17,6 +17,38 @@ import graft.sources.Tables
   * aggregate. */
 object EventAnalytics {
 
+  /** TWO-PHASE arrival-order running max (q97's machinery applied to the
+    * cumulative-max shape): bin rows by a PURE monotone function of the
+    * arrival key (`floor(event_id / 65536)` — identical on every
+    * recomputation of the shared subtree, unlike repartitionByRange whose
+    * sampled boundaries can de-sync the two consumers), take the running
+    * max WITHIN each bin (all bins in parallel — no single-task corpus
+    * window), then prefix-max the per-bin maxima EXCLUSIVE of self over
+    * the (#bins)-row offsets table (the only partition-less window, bins-
+    * sized by construction) and broadcast it back:
+    * `run_max_us = greatest(local_run_max, prev_bins_max)`.
+    *
+    * At 100 TB the bin width comes from the arrival-key range stats
+    * instead of a constant, but stays a plan-time constant, preserving
+    * the recomputation determinism. Input must carry `event_id` and `us`;
+    * all other columns pass through. */
+  private def arrivalRunningMax(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = df.withColumn("bkt", floor(col("event_id") / 65536L))
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = binned.groupBy(col("bkt")).agg(max(col("us")).as("bmax"))
+      .select(col("bkt"),
+        max(col("bmax")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)).as("prev_max"))
+    binned
+      .withColumn("lmax", max(col("us")).over(wLocal))
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("run_max_us",
+        greatest(col("lmax"), coalesce(col("prev_max"), lit(Long.MinValue))))
+      .drop("bkt", "lmax", "prev_max")
+  }
+
   /** Ordered funnel conversion view → click → purchase: a user advances to a
     * stage only with an event STRICTLY AFTER their earliest prior-stage
     * event (min-ts semantics, the standard strict-ordering funnel). Output
@@ -1017,10 +1049,11 @@ object EventAnalytics {
     * join buffers). Integer-µs arithmetic end to end.
     *
     * 100 TB plan: one GLOBAL arrival-order cumulative max is the honest
-    * formulation of cross-partition disorder, and at fleet scale it runs
-    * per ingest-partition (the unit a watermark actually advances over) —
-    * expressed here as the single-sequence census with the q97 two-phase
-    * caveat documented; the percentile reduction is constant-size. */
+    * formulation of cross-partition disorder — computed TWO-PHASE via
+    * [[arrivalRunningMax]] (per-bin local maxima + broadcast prefix
+    * offsets, q97's machinery), so no corpus-sized single-task WindowExec
+    * appears in the plan (PlanAuditSpec asserts this); the percentile
+    * reduction is constant-size. */
   val q297DisorderAudit: GraftQuery = GraftQuery.oracled(
     "q297_disorder_audit",
     """WITH e AS (SELECT event_id, epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
@@ -1037,13 +1070,10 @@ object EventAnalytics {
       |       CAST(max(late_s) AS BIGINT) AS max_s
       |FROM d""") { (spark, dir) =>
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val wCum = Window.orderBy($"event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .select($"event_id", unix_micros($"ts").as("us"))
+    arrivalRunningMax(Tables.events(spark, dir)
+        .select($"event_id", unix_micros($"ts").as("us")))
       .withColumn("late_s",
-        floor(greatest(lit(0L), max($"us").over(wCum) - $"us") / lit(1000000L)))
+        floor(greatest(lit(0L), $"run_max_us" - $"us") / lit(1000000L)))
       .agg(count(lit(1)).cast("long").as("n_events"),
         count(when($"late_s" > 0, 1)).cast("long").as("n_late"),
         floor(expr("percentile(late_s, 0.50)")).cast("long").as("p50_s"),
@@ -1846,10 +1876,11 @@ object EventAnalytics {
     * streaming one drifts from — THE number to staple to any
     * watermark-tuning decision.
     *
-    * 100 TB plan: the lateness window is the q297 single-sequence pass
-    * (arrival order is global by construction; shard by ingest file and
-    * take per-shard running maxima when arrival order is per-shard);
-    * everything after is one calendar-keyed hash-agg. */
+    * 100 TB plan: the lateness pass is q297's two-phase
+    * [[arrivalRunningMax]] (per-bin maxima + broadcast prefix offsets —
+    * no corpus-sized single-task window; shard by ingest file when
+    * arrival order is per-shard); everything after is one calendar-keyed
+    * hash-agg. */
   val q328RestatementAudit: GraftQuery = GraftQuery.oracled(
     "q328_restatement_audit",
     """WITH e AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
@@ -1870,13 +1901,10 @@ object EventAnalytics {
       |GROUP BY 1
       |ORDER BY hour""") { (spark, dir) =>
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val wCum = Window.orderBy($"event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lateDropped = count(when($"late_us" > 60000000L, 1))
-    Tables.events(spark, dir)
-      .select($"event_id", $"ts", unix_micros($"ts").as("us"))
-      .withColumn("late_us", greatest(lit(0L), max($"us").over(wCum) - $"us"))
+    arrivalRunningMax(Tables.events(spark, dir)
+        .select($"event_id", $"ts", unix_micros($"ts").as("us")))
+      .withColumn("late_us", greatest(lit(0L), $"run_max_us" - $"us"))
       .groupBy(date_trunc("hour", $"ts").as("hour"))
       .agg(count(lit(1)).cast("long").as("n_events"),
         lateDropped.cast("long").as("n_dropped"),

@@ -1,5 +1,7 @@
 package graft.plans
 
+import org.apache.spark.SparkException
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -33,17 +35,30 @@ object CartesianGuardrail extends Rule[LogicalPlan] {
   private def bounded(p: LogicalPlan): Boolean =
     p.maxRows.exists(_ <= 1000L)
 
+  /** A condition is "effectively unconditioned" when it is absent, a
+    * literal truth (ON true / ON 1=1 folds to Literal(true) by this
+    * point in the optimizer), or references at most one side — any of
+    * which still plans a cartesian/BNLJ pair blowup. */
+  private def unconditioned(cond: Option[Expression],
+      left: LogicalPlan, right: LogicalPlan): Boolean = cond match {
+    case None => true
+    case Some(Literal(true, _)) => true
+    case Some(e) =>
+      val refs = e.references
+      !(refs.intersect(left.outputSet).nonEmpty &&
+        refs.intersect(right.outputSet).nonEmpty)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val allowed = conf.getConfString(FlagKey, "false").toBoolean
     if (!allowed) {
       plan.foreach {
-        case j @ Join(left, right, Inner | Cross, None, _)
-            if !bounded(left) && !bounded(right) =>
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "_LEGACY_ERROR_TEMP_3000",
-            messageParameters = Map("message" ->
-              (s"cartesian product between unbounded relations blocked by " +
-                s"graft guardrail; set $FlagKey=true to override")))
+        case Join(left, right, Inner | Cross, cond, _)
+            if unconditioned(cond, left, right) &&
+              !bounded(left) && !bounded(right) =>
+          throw new SparkException(
+            s"cartesian product between unbounded relations blocked by " +
+              s"graft guardrail; set $FlagKey=true to override")
         case _ => ()
       }
     }

@@ -714,9 +714,10 @@ object StreamingQueries {
     * `transformWithState` state primitive after q113's ValueState and
     * q206's ListState+timers: one map entry per composite sub-key under a
     * single grouping key, the idiomatic layout when sub-key cardinality is
-    * small and per-key (counters per page, per device, per type). Under
-    * the single-batch AvailableNow replay the emitted map contents ARE the
-    * totals, so the batch GROUP BY user, type is an exact oracle. */
+    * small and per-key (counters per page, per device, per type). Each
+    * batch emits the RUNNING map contents; the drain collapses to the
+    * max-n (monotone ⇒ final) row per sub-key, so the batch GROUP BY
+    * user, type is an exact oracle at any batch granularity. */
   final case class EvTyped(user_id: Long, event_type: String)
 
   final class TypeCountsProcessor
@@ -771,9 +772,11 @@ object StreamingQueries {
   /** STREAMING QUANTILE SKETCH — q335's log₂ histogram kept as
     * transformWithState MapState per event_type: each event increments one
     * of ≤64 bucket counters, and the emitted row reads p50/p99 buckets off
-    * the state census. After the AvailableNow drain the final state IS the
-    * full-corpus histogram, so the emission is SQL-oracle'd against the
-    * batch bucket computation — streaming and batch read the SAME sketch.
+    * the state census. Every batch emits the running census per key; the
+    * drain keeps the max-n (monotone ⇒ final-state) row, so the result is
+    * the full-corpus histogram at ANY batch granularity and is SQL-oracle'd
+    * against the batch bucket computation — streaming and batch read the
+    * SAME sketch.
     *
     * 100 TB/∞-stream plan: state is ≤64 longs per key FOREVER (no TTL
     * needed — the histogram is the summary, not a buffer); bucket
@@ -808,7 +811,16 @@ object StreamingQueries {
         .transformWithState(new HistogramProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
         .toDF("event_type", "p50_bkt", "p99_bkt", "n")
+      // The processor emits one row per key per micro-batch with the
+      // running census; n is strictly monotone per key, so the max-n row
+      // is the complete (final-state) histogram whether the AvailableNow
+      // replay collapsed to one batch or split into several — no
+      // single-batch assumption.
       runToMemory(out, OutputMode.Append(), "q345")
+        .groupBy($"event_type")
+        .agg(max_by(struct($"p50_bkt", $"p99_bkt", $"n"), $"n").as("f"))
+        .select($"event_type", $"f.p50_bkt".as("p50_bkt"),
+          $"f.p99_bkt".as("p99_bkt"), $"f.n".as("n"))
         .orderBy($"event_type")
     } finally {
       prev match {
@@ -836,7 +848,11 @@ object StreamingQueries {
         .transformWithState(new TypeCountsProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
         .toDF("user_id", "event_type", "n")
+      // same monotone-census collapse as q345: the max-n emission per
+      // (user, type) is the final state regardless of batch count
       runToMemory(out, OutputMode.Append(), "q243")
+        .groupBy($"user_id", $"event_type")
+        .agg(max($"n").as("n"))
         .orderBy($"user_id", $"event_type")
     } finally {
       prev match {

@@ -31,7 +31,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q319_huber_irls", "q320_skyline", "q321_cohens_kappa", "q322_exact_auc",
     "q323_mix_waterfill", "q325_control_chart", "q328_restatement_audit",
     "q330_rfm_segmentation", "q331_quarantine_parse", "q332_customer360",
-    "q333_power_mde", "q334_rendezvous_shards", "q335_log2_histogram")
+    "q333_power_mde", "q334_rendezvous_shards", "q335_log2_histogram",
+    // round 7: every join-shaped newcomer
+    "q347_huber_approx_scale", "q348_fellegi_sunter_em", "q349_curation_lsh")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -43,7 +45,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q306_cem_matching", "q308_kwic_concordance", "q309_simpson_detector",
     "q310_apportionment", "q319_huber_irls", "q321_cohens_kappa",
     "q323_mix_waterfill", "q325_control_chart", "q330_rfm_segmentation",
-    "q334_rendezvous_shards")
+    "q334_rendezvous_shards", "q347_huber_approx_scale",
+    "q348_fellegi_sunter_em")
+
+  // The corpus-global running-max queries must run TWO-PHASE (per-bin local
+  // maxima + broadcast prefix offsets): any partition-less WindowExec in
+  // their plans must sit over an AGGREGATED (bins-sized) input, never over
+  // the raw corpus-sized scan — the single-task-funnel shape that q97's
+  // machinery exists to kill.
+  test("q297/q328 plan no partition-less window over a non-aggregated input") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (name <- Seq("q297_disorder_audit", "q328_restatement_audit")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name should still use windows (two-phase)")
+      for (w <- windows if w.partitionSpec.isEmpty) {
+        val overAggregate =
+          w.child.collect { case a: BaseAggregateExec => a }.nonEmpty
+        assert(overAggregate,
+          s"$name plans a partition-less Window over a non-aggregated " +
+            "(corpus-sized) input — the single-task funnel q97 exists to kill")
+      }
+    }
+  }
 
   test("audited queries plan no cartesian product and no broadcast nested loop") {
     for (name <- audited) {

@@ -404,6 +404,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       5L -> "keep", 6L -> "near_dup", 7L -> "keep", 10L -> "eval_holdout"))
   }
 
+  test("q349 LSH-path curation: containment law vs q127's exact path") {
+    // The LSH pair set is a superset of the exact >=0.8-jaccard pairs
+    // (recall law above), and extra pairs can only merge components — so a
+    // verdict may differ ONLY by moving a doc from the post-near_dup arms
+    // ({contaminated, keep}) to near_dup; every other arm is
+    // pair-independent and must match exactly.
+    val exact = Curation.q127CurationPipeline.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lsh = Curation.q349CurationLsh.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lsh.keySet === exact.keySet)
+    for ((id, vExact) <- exact; vLsh = lsh(id); if vLsh != vExact) {
+      assert(vLsh == "near_dup" && Set("keep", "contaminated")(vExact),
+        s"doc $id: exact=$vExact lsh=$vLsh — illegal verdict flip")
+    }
+    // near_dup flags never disappear under a pair superset
+    for ((id, v) <- exact if v == "near_dup")
+      assert(lsh(id) == "near_dup", s"doc $id lost its near_dup flag")
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)

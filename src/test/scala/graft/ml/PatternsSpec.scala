@@ -17,7 +17,11 @@ class PatternsSpec extends AnyFunSuite with SparkFixture {
       val nBaskets = baskets.count()
       val found = Patterns.q179FpGrowth.fn(spark, sf)
         .collect()
-        .map(r => (r.getSeq[Long](0).toList, r.getLong(1)))
+        .map { r =>
+          val items = r.getString(0).stripPrefix("[").stripSuffix("]")
+            .split(",").filter(_.nonEmpty).map(_.trim.toLong).toList
+          (items, r.getLong(1))
+        }
         .toMap
       assert(found.nonEmpty, "minSupport=0.2 should surface itemsets here")
       assert(found.values.forall(_ >= math.ceil(0.2 * nBaskets).toLong),

@@ -27,4 +27,27 @@ class EdaSpec extends AnyFunSuite with SparkFixture {
     val his = buckets.sortBy(_.getDouble(0)).map(_.getDouble(3))
     assert(his.zip(his.tail).forall { case (a, b) => a <= b })
   }
+
+  test("q347 approx-scale Huber tracks q319's exact fit (bounded drift)") {
+    val exact = Eda.q319HuberIrls.fn(spark, sf).collect().head
+    val approx = Eda.q347HuberApproxScale.fn(spark, sf).collect().head
+    assert(approx.getLong(approx.fieldIndex("n")) ===
+      exact.getLong(exact.fieldIndex("n")))
+    // the sketch's 1e-4 rank error can shift the MAD a hair, moving a few
+    // boundary rows across the w<1 line and nudging the coefficients —
+    // bound the drift tightly in relative terms
+    def d(name: String) = math.abs(
+      approx.getDouble(approx.fieldIndex(name)) -
+        exact.getDouble(exact.fieldIndex(name)))
+    val bExact = math.abs(exact.getDouble(exact.fieldIndex("b_huber")))
+    val sExact = math.abs(exact.getDouble(exact.fieldIndex("scale")))
+    assert(d("b_huber") <= 0.01 * math.max(bExact, 1e-9),
+      s"slope drift ${d("b_huber")} vs exact $bExact")
+    assert(d("scale") <= 0.01 * math.max(sExact, 1e-9),
+      s"scale drift ${d("scale")} vs exact $sExact")
+    val ndE = exact.getLong(exact.fieldIndex("n_downweighted")).toDouble
+    val ndA = approx.getLong(approx.fieldIndex("n_downweighted")).toDouble
+    assert(math.abs(ndA - ndE) <= math.max(5.0, 0.01 * ndE),
+      s"downweighted-count drift: $ndA vs $ndE")
+  }
 }

@@ -27,6 +27,30 @@ class GuardrailSpec extends AnyFunSuite with graft.SparkFixture {
     assert(e.getMessage.contains("graft guardrail"), e.getMessage)
   }
 
+  test("ON true and one-sided conditions are rejected like condition-less joins") {
+    val s = guarded
+    import s.implicits._
+    val big1 = s.range(10000).toDF("a")
+    val big2 = s.range(10000).toDF("b")
+    val litTrue = intercept[Exception] {
+      big1.join(big2, org.apache.spark.sql.functions.lit(true), "inner").count()
+    }
+    assert(litTrue.getMessage.contains("graft guardrail"), litTrue.getMessage)
+    val oneSided = intercept[Exception] {
+      big1.join(big2, $"a" > 5, "inner").count() // references left side only
+    }
+    assert(oneSided.getMessage.contains("graft guardrail"), oneSided.getMessage)
+  }
+
+  test("a genuine two-sided non-equi condition is NOT a guardrail matter") {
+    val s = guarded
+    import s.implicits._
+    val a = s.range(100).toDF("a")
+    val b = s.range(100).toDF("b")
+    // range joins plan as BNLJ — slow, but conditioned; policy lets them by
+    assert(a.join(b, $"a" === $"b" + 1, "inner").count() === 99L)
+  }
+
   test("scalar-broadcast cross join (bounded side) passes") {
     val s = guarded
     import s.implicits._
