@@ -44,7 +44,8 @@ object SparkEntry {
       graft.ml.Recommender.all ++
       graft.ml.Patterns.all ++
       graft.operators.Profiler.all ++
-      graft.operators.Geo.all
+      graft.operators.Geo.all ++
+      graft.operators.Governance.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

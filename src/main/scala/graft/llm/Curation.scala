@@ -147,6 +147,108 @@ object Curation {
         Dedup.neardupPairsLsh(_))
   }
 
+  /** NEYMAN-OPTIMAL EVAL ALLOCATION — how many eval docs to draw from each
+    * source: a fixed budget of 100 is split ∝ N_h·S_h (stratum size ×
+    * stddev of n_chars — Neyman 1934, the allocation that minimizes the
+    * estimator variance), then integerized by q310's largest-remainder
+    * machinery so the allocations sum EXACTLY to the budget. The float
+    * stddev is collapsed to an integer weight via floor(n·√(exact-integer
+    * variance expression)) — every operand derives from exact integer
+    * moments, so both engines floor the identical double and the
+    * remainder ranking can never flip on float jitter.
+    *
+    * 100 TB plan: one exact-moments census per source (map-side
+    * combined), then all allocation arithmetic on the source-count-sized
+    * census — the single-partition remainder rank is the correct plan
+    * there (q310's note). */
+  val q361NeymanAllocation: GraftQuery = GraftQuery.oracled(
+    "q361_neyman_allocation",
+    """WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |                  CAST(sum(n_chars) AS BIGINT) AS sx,
+      |                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      |           FROM documents GROUP BY source),
+      |w AS (SELECT source, n,
+      |             CAST(floor(n * sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |                                 / (n * (n - 1)))) AS BIGINT) AS wt
+      |      FROM m),
+      |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+      |q AS (SELECT source, n, wt, 100 * wt // tw AS fl, 100 * wt % tw AS rem
+      |      FROM w, tot),
+      |l AS (SELECT CAST(100 - sum(fl) AS BIGINT) AS leftover FROM q),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+      |SELECT r.source, r.n AS n_docs, r.wt AS weight,
+      |       CAST(r.fl AS BIGINT) AS floor_alloc,
+      |       CAST(r.fl + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r, l
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val m = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"n_chars").cast("long").as("sx"),
+        sum($"n_chars" * $"n_chars").cast("long").as("sxx"))
+    val w = m.select($"source", $"n",
+      floor($"n" * sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+        / ($"n" * ($"n" - 1)))).cast("long").as("wt"))
+    val tot = w.agg(sum($"wt").cast("long").as("tw"))
+    val q = w.crossJoin(broadcast(tot))
+      .select($"source", $"n", $"wt",
+        expr("(100 * wt) div tw").as("fl"),
+        ((lit(100) * $"wt") % $"tw").as("rem"))
+    val l = q.agg((lit(100) - sum($"fl")).cast("long").as("leftover"))
+    // source census is 5 rows — single-partition rank is the right plan
+    val r = q.withColumn("rk",
+      row_number().over(Window.orderBy($"rem".desc, $"source")))
+    r.crossJoin(broadcast(l))
+      .select($"source", $"n".as("n_docs"), $"wt".as("weight"),
+        $"fl".cast("long").as("floor_alloc"),
+        ($"fl" + when($"rk" <= $"leftover", 1).otherwise(0)).cast("long").as("alloc"))
+      .orderBy($"source")
+  }
+
+  /** CURRICULUM MANIFEST — deterministic easy-to-hard training order with
+    * reproducible within-phase shuffling: docs are quartiled by length
+    * (the standard difficulty proxy; phase 1 = shortest) with fully
+    * pinned ties, then shuffled INSIDE each phase by the md5 coin
+    * (q249's hash-as-random-oracle trick) so the order is exchangeable
+    * yet bit-identical across runs, engines and re-partitioning — the
+    * property an actual training job needs for resumability. The running
+    * token budget per phase is the number the dataloader provisions.
+    *
+    * 100 TB plan: the quartile assignment is one global ntile over the
+    * DOC census (doc-count-sized; q97's two-phase rank is the drop-in at
+    * billion-doc counts, the q330 caveat); the within-phase shuffle and
+    * budget are per-phase windows — 4-way parallel, never corpus-global. */
+  val q356CurriculumManifest: GraftQuery = GraftQuery.oracled(
+    "q356_curriculum_manifest",
+    """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |ph AS (SELECT doc_id, n_tokens, ntile(4) OVER (ORDER BY n_tokens, doc_id) AS phase FROM d),
+      |sh AS (SELECT phase, doc_id, n_tokens,
+      |              row_number() OVER (PARTITION BY phase
+      |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank_in_phase,
+      |              sum(n_tokens) OVER (PARTITION BY phase
+      |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |       FROM ph)
+      |SELECT phase, rank_in_phase, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM sh
+      |ORDER BY phase, rank_in_phase""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+    val ph = d.withColumn("phase",
+      ntile(4).over(Window.orderBy($"n_tokens", $"doc_id")))
+    val wSh = Window.partitionBy($"phase")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    ph.select($"phase",
+        row_number().over(wSh).as("rank_in_phase"),
+        $"doc_id", $"n_tokens",
+        sum($"n_tokens").over(
+          wSh.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("cum_tokens"))
+      .orderBy($"phase", $"rank_in_phase")
+  }
+
   /** Training-sequence packing, GPT-style: per source, documents are
     * concatenated in doc_id order and the token stream is cut at exact
     * B-token boundaries (docs SPLIT across sequences — the standard
@@ -621,6 +723,7 @@ object Curation {
 
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
+    q356CurriculumManifest, q361NeymanAllocation,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill)

@@ -711,6 +711,57 @@ object Dedup {
     contamination(Tables.documents(spark, dir), $"doc_id" % 50 === 0)
   }
 
+  /** CONTAINMENT-FRACTION DECONTAMINATION — the published big-run rule
+    * (Brown et al. 2020 appendix C's 13-gram filter; Lee et al. 2022):
+    * q114 answers "does a train doc share ANY eval shingle"; this scores
+    * HOW MUCH of the doc is contained — per train doc, the fraction of
+    * its distinct 8-grams that appear anywhere in the eval set, flagged
+    * at the 70% containment threshold. The graded number (contain_ppm)
+    * is what lets a pipeline rank borderline docs instead of
+    * binary-dropping them.
+    *
+    * The flag compares 10·n_hits ≥ 7·n_grams in exact integers — the
+    * threshold can never flip on float jitter. Only docs with ≥1 hit are
+    * emitted (the report shape).
+    *
+    * 100 TB plan: the eval 8-gram set is eval-sized and broadcasts
+    * (same as q114); the train side is one explode + broadcast join +
+    * per-doc agg, and the per-doc gram totals ride the SAME exploded
+    * frame — the corpus is shingled exactly once. */
+  val q353ContainmentDecontam: GraftQuery = GraftQuery.oracled(
+    "q353_containment_decontam",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |g AS (SELECT DISTINCT doc_id, doc_id % 50 = 0 AS is_eval, array_to_string(t[i:i+7], ' ') AS s
+      |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i)),
+      |ev AS (SELECT DISTINCT s FROM g WHERE is_eval),
+      |tr AS (SELECT doc_id, s FROM g WHERE NOT is_eval),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
+      |hit AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM tr JOIN ev USING (s) GROUP BY 1)
+      |SELECT h.doc_id, t.n_grams, h.n_hits,
+      |       CAST(floor(1000000.0 * h.n_hits / t.n_grams) AS BIGINT) AS contain_ppm,
+      |       CASE WHEN 10 * h.n_hits >= 7 * t.n_grams THEN 1 ELSE 0 END AS flagged
+      |FROM hit h JOIN tot t USING (doc_id)
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % 50 === 0).as("is_eval"),
+        split($"text", " ").as("t"))
+      .filter(size($"t") >= 8)
+      .select($"doc_id", $"is_eval", explode(array_distinct(
+        transform(sequence(lit(1), size($"t") - 7),
+          i => concat_ws(" ", slice($"t", i, lit(8)))))).as("s"))
+    val ev = g.filter($"is_eval").select($"s").distinct()
+    val tr = g.filter(!$"is_eval").select($"doc_id", $"s")
+    val tot = tr.groupBy($"doc_id").agg(count(lit(1)).cast("long").as("n_grams"))
+    val hit = tr.join(broadcast(ev), Seq("s"))
+      .groupBy($"doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+    hit.join(tot, Seq("doc_id"))
+      .select($"doc_id", $"n_grams", $"n_hits",
+        floor(lit(1000000.0) * $"n_hits" / $"n_grams").cast("long").as("contain_ppm"),
+        when(lit(10) * $"n_hits" >= lit(7) * $"n_grams", 1).otherwise(0).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
   /** The q114 core over any (doc_id, text, …) frame — factored out for the
     * fixture spec (planted contaminated/clean docs).
     *
@@ -999,5 +1050,6 @@ object Dedup {
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
+    q353ContainmentDecontam,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
 }

@@ -627,8 +627,57 @@ object Similarity {
       .orderBy($"vec_id", $"k")
   }
 
+  /** EMBEDDING-SPACE ANISOTROPY AUDIT (Ethayarajh 2019's diagnostic): the
+    * cosine distribution over a deterministic stride pairing (vec i with
+    * i+250 — an exchangeable sample of unrelated pairs, reproducible on
+    * both engines unlike an RNG draw). Healthy isotropic embeddings
+    * center near 0; a high mean cosine means every vector shares a
+    * dominant direction and similarity thresholds (q50/q96/q231's 0.9)
+    * silently stop discriminating — THE check to run before trusting any
+    * cosine-based dedup/ANN threshold. Exact double arithmetic via the
+    * codegen'd `graft_dot`; the oracle recomputes each cosine with q48's
+    * list_transform formulation.
+    *
+    * 100 TB plan: the pairing is a self-join on an arithmetic key (equi,
+    * map-side after one small shuffle), cosines are codegen'd
+    * projections, and the audit is one scalar moments agg — sample size
+    * is a knob, never corpus². */
+  val q360AnisotropyAudit: GraftQuery = GraftQuery.oracled(
+    "q360_anisotropy_audit",
+    """WITH n AS (SELECT vec_id, embedding,
+      |       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      |       FROM embeddings),
+      |p AS (SELECT a.vec_id,
+      |       list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+      |      FROM n a JOIN n b ON b.vec_id = a.vec_id + 250
+      |      WHERE a.vec_id < 250)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |       round(avg(cos), 6) AS mean_cos,
+      |       round(stddev_samp(cos), 6) AS sd_cos,
+      |       round(min(cos), 6) AS min_cos,
+      |       round(max(cos), 6) AS max_cos,
+      |       CAST(floor(1000000.0 * count(CASE WHEN abs(cos) > 0.5 THEN 1 END)
+      |                  / count(*)) AS BIGINT) AS high_share_ppm
+      |FROM p""") { (spark, dir) =>
+    import spark.implicits._
+    val n = normed(spark, dir)
+    val a = n.toDF("vec_id", "a_emb", "a_nrm").filter($"vec_id" < 250)
+    val b = n.toDF("b_id", "b_emb", "b_nrm")
+    a.join(b, $"b_id" === $"vec_id" + 250)
+      .withColumn("cos", dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(avg($"cos"), 6).as("mean_cos"),
+        round(stddev_samp($"cos"), 6).as("sd_cos"),
+        round(min($"cos"), 6).as("min_cos"),
+        round(max($"cos"), 6).as("max_cos"),
+        floor(lit(1000000.0) * count(when(abs($"cos") > 0.5, 1)) / count(lit(1)))
+          .cast("long").as("high_share_ppm"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
-      q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection)
+      q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection,
+      q360AnisotropyAudit)
 }

@@ -643,7 +643,161 @@ object TextAnalysis {
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,
     q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations,
     q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain,
-    q321CohensKappa, q344ZipfSlope, q346WeightedJaccard)
+    q321CohensKappa, q344ZipfSlope, q346WeightedJaccard,
+    q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration)
+
+  /** URL CANONICALIZATION + DUP CENSUS — the first dedup pass of every web
+    * corpus: raw crawl URLs differ in case, default ports, trailing
+    * slashes, tracking parameters and fragments while naming the same
+    * resource. Each document gets a deterministically SYNTHESIZED messy
+    * URL (md5-free arithmetic on doc_id — the q229 synthesis pattern, so
+    * the op is fully oracle-able), the engine canonicalizes it with
+    * `parse_url` (lowercase host, strip :443, strip trailing slash, keep
+    * only the `id` query param, drop utm_* and fragments), and the census
+    * reports every canonical URL claimed by ≥2 documents with its keeper.
+    * The ORACLE derives the canonical form independently from the
+    * synthesis rule (q247's independent-derivation pattern) — the strict
+    * match proves the parser-based normalization implements the stated
+    * semantics.
+    *
+    * 100 TB plan: canonicalization is a pure codegen'd projection; the
+    * census is one map-side-combined hash-agg on the canonical string.
+    * Nothing shuffles except the (dup-group-sized) census. */
+  val q350UrlCanonicalize: GraftQuery = GraftQuery.oracled(
+    "q350_url_canonicalize",
+    """WITH c AS (SELECT doc_id,
+      |                  'https://www.' || source || '.example.com/a/' || (doc_id % 20)
+      |                  || CASE WHEN doc_id % 3 <> 2 THEN '?id=' || (doc_id % 10) ELSE '' END
+      |                  AS canonical_url
+      |           FROM documents)
+      |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(min(doc_id) AS BIGINT) AS keep_id
+      |FROM c
+      |GROUP BY canonical_url
+      |HAVING count(*) >= 2
+      |ORDER BY canonical_url""") { (spark, dir) =>
+    import spark.implicits._
+    val host = concat(lit("www."), $"source", lit(".example.com"))
+    val raw = concat(
+      lit("https://"),
+      when($"doc_id" % 2 === 0, upper(host)).otherwise(host),
+      when($"doc_id" % 4 === 0, ":443").otherwise(""),
+      lit("/a/"), ($"doc_id" % 20).cast("string"),
+      when($"doc_id" % 6 === 0, "/").otherwise(""),
+      when($"doc_id" % 3 === 0, concat(lit("?utm_source=feed&id="), ($"doc_id" % 10).cast("string")))
+        .when($"doc_id" % 3 === 1, concat(lit("?id="), ($"doc_id" % 10).cast("string")))
+        .otherwise(""),
+      when($"doc_id" % 5 === 0, "#sec").otherwise(""))
+    Tables.documents(spark, dir)
+      .select($"doc_id", raw.as("url"))
+      .select($"doc_id",
+        concat(
+          lit("https://"),
+          regexp_replace(lower(parse_url($"url", lit("HOST"))), ":443$", ""),
+          regexp_replace(parse_url($"url", lit("PATH")), "/$", ""),
+          coalesce(concat(lit("?id="), parse_url($"url", lit("QUERY"), lit("id"))), lit("")))
+          .as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min($"doc_id").cast("long").as("keep_id"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"canonical_url")
+  }
+
+  /** HEAPS-LAW VOCABULARY-GROWTH FIT — the number that sizes a tokenizer
+    * and prices a vocab build: per source, cumulative distinct tokens V
+    * against cumulative token count N over the doc_id-ordered stream, and
+    * the Heaps exponent β = slope of ln V ~ ln N (natural text ≈ 0.4–0.6;
+    * β near 1 means the "vocabulary" never saturates — an id/hash column
+    * masquerading as text, β near 0 a template corpus). The same census
+    * machinery as q344's Zipf audit, reading the growth curve instead of
+    * the rank curve.
+    *
+    * 100 TB plan: token first-occurrence is one (source, token) min-agg
+    * (vocabulary-sized); per-doc new/total counts are map-side-combined
+    * censuses; the cumulative pass is a per-source window over DOC-count
+    * rows (not token rows), parallel across sources — a single gigantic
+    * source takes the q97 two-phase prefix-sum, the q137 caveat. */
+  val q354HeapsLaw: GraftQuery = GraftQuery.oracled(
+    "q354_heaps_law",
+    """WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |first AS (SELECT source, t, min(doc_id) AS fd FROM tok GROUP BY 1, 2),
+      |newc AS (SELECT source, fd AS doc_id, CAST(count(*) AS BIGINT) AS nn FROM first GROUP BY 1, 2),
+      |totc AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY 1, 2),
+      |cen AS (SELECT totc.source, totc.doc_id, totc.nt, coalesce(newc.nn, 0) AS nn
+      |        FROM totc LEFT JOIN newc USING (source, doc_id)),
+      |cum AS (SELECT source, doc_id,
+      |               sum(nt) OVER (PARTITION BY source ORDER BY doc_id) AS bign,
+      |               sum(nn) OVER (PARTITION BY source ORDER BY doc_id) AS v
+      |        FROM cen)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(max(bign) AS BIGINT) AS total_tokens,
+      |       CAST(max(v) AS BIGINT) AS vocab,
+      |       round(regr_slope(ln(v), ln(bign)), 6) AS beta,
+      |       round(regr_r2(ln(v), ln(bign)), 6) AS r2
+      |FROM cum WHERE v > 0
+      |GROUP BY source
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select($"source", $"doc_id", explode(split($"text", " ")).as("t"))
+    val first = tok.groupBy($"source", $"t").agg(min($"doc_id").as("fd"))
+    val newc = first.groupBy($"source", $"fd".as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("nn"))
+    val totc = tok.groupBy($"source", $"doc_id")
+      .agg(count(lit(1)).cast("long").as("nt"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val cum = totc.join(newc, Seq("source", "doc_id"), "left")
+      .select($"source", $"doc_id", $"nt", coalesce($"nn", lit(0L)).as("nn"))
+      .select($"source", $"doc_id",
+        sum($"nt").over(w).as("bign"), sum($"nn").over(w).as("v"))
+    cum.filter($"v" > 0)
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max($"bign").cast("long").as("total_tokens"),
+        max($"v").cast("long").as("vocab"),
+        round(expr("regr_slope(ln(v), ln(bign))"), 6).as("beta"),
+        round(expr("regr_r2(ln(v), ln(bign))"), 6).as("r2"))
+      .orderBy($"source")
+  }
+
+  /** CHARS-PER-TOKEN CALIBRATION — the estimator that prices a corpus in
+    * tokens before any tokenizer runs: per source, the OLS fit of
+    * n_chars on whitespace-token count (slope ≈ avg token length + 1 for
+    * the separator) plus the plain chars/token ratio. Ops teams quote
+    * corpora in tokens; storage quotes bytes — this is the exchange rate
+    * and its confidence (r²).
+    *
+    * 100 TB plan: one projection + one map-side-combined moments agg per
+    * source (regr_* are algebraic); output is source-count-sized. */
+  val q357TokenCalibration: GraftQuery = GraftQuery.oracled(
+    "q357_token_calibration",
+    """WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS c,
+      |                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS t
+      |           FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CAST(t AS BIGINT)) AS BIGINT) AS total_tokens,
+      |       round(regr_slope(c, t), 6) AS chars_per_token_slope,
+      |       round(regr_intercept(c, t), 6) AS intercept,
+      |       round(regr_r2(c, t), 6) AS r2,
+      |       round(sum(c) / sum(t), 6) AS chars_per_token_ratio
+      |FROM d
+      |GROUP BY source
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", $"n_chars".cast("double").as("c"),
+        size(split($"text", " ")).cast("double").as("t"))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"t".cast("long")).cast("long").as("total_tokens"),
+        round(expr("regr_slope(c, t)"), 6).as("chars_per_token_slope"),
+        round(expr("regr_intercept(c, t)"), 6).as("intercept"),
+        round(expr("regr_r2(c, t)"), 6).as("r2"),
+        round(sum($"c") / sum($"t"), 6).as("chars_per_token_ratio"))
+      .orderBy($"source")
+  }
 
   /** ZIPF-SLOPE AUDIT — fit ln(freq) ~ ln(rank) per source and read the
     * exponent: natural text sits near −1 (Zipf 1949); template/boilerplate

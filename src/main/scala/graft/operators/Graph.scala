@@ -365,6 +365,64 @@ object Graph {
       .orderBy($"v")
   }
 
+  /** DOC-LEVEL PAGERANK QUALITY PRIOR, fully SQL-oracle'd: build the
+    * shared-rare-phrase graph over `documents` (two docs are adjacent
+    * when they share a 5-gram with corpus df EXACTLY 2 — a phrase unique
+    * to that pair, the plagiarism/citation signal), then 3 damped (0.85)
+    * power iterations. The rank is the "centrality in the copy graph"
+    * prior curation pipelines fold into quality scores: template hubs
+    * rise, isolated originals stay at the dangling floor. Unlike q155
+    * (rows-only, spec'd on a closed form), the THREE ROUNDS ARE UNROLLED
+    * VERBATIM in the DuckDB oracle — a strict cross-engine check of the
+    * message-passing arithmetic itself. Output is every ranked vertex in
+    * doc_id order (no rank-ordered top-k — near-tied ranks must not
+    * reorder rows across engines).
+    *
+    * 100 TB plan: the rare-gram pair join is bounded by construction
+    * (df=2 grams emit exactly one pair each — no hot-shingle blowup
+    * possible); each iteration is one edge join + one hash-agg keyed on
+    * vertex, the q155/q177 message-passing shape with a CONSTANT round
+    * count (no convergence read-back). */
+  val q355DocPagerank: GraftQuery = GraftQuery.oracled(
+    "q355_doc_pagerank",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+      |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i)),
+      |rare AS (SELECT s FROM g GROUP BY s HAVING count(*) = 2),
+      |p AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |      FROM g a JOIN g b USING (s) JOIN rare USING (s)
+      |      WHERE a.doc_id < b.doc_id),
+      |e AS (SELECT da AS src, db AS dst FROM p UNION ALL SELECT db, da FROM p),
+      |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+      |r0 AS (SELECT src AS v, 1.0 AS r FROM deg),
+      |r1 AS (SELECT e.dst AS v, 0.15 + 0.85 * sum(r0.r / deg.d) AS r
+      |       FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS v, 0.15 + 0.85 * sum(r1.r / deg.d) AS r
+      |       FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS v, 0.15 + 0.85 * sum(r2.r / deg.d) AS r
+      |       FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src GROUP BY e.dst)
+      |SELECT v AS doc_id, round(r, 6) AS rank
+      |FROM r3
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 5)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"t") - 4),
+          i => concat_ws(" ", slice($"t", i, lit(5)))))).as("s"))
+    val rare = g.groupBy($"s").agg(count(lit(1)).as("df")).filter($"df" === 2)
+      .select($"s")
+    val p = g.join(broadcast(rare), Seq("s"))
+    val pairs = p.toDF("s", "da").join(p.toDF("s", "db"), Seq("s"))
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+    val ranked = pageRank(pairs.toDF("a", "b"), iters = 3)
+    ranked.select($"v".as("doc_id"), round($"rank", 6).as("rank"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
-    q207LabelPropagation, q228KCore, q279AdamicAdar, q307ClusteringCoeff)
+    q207LabelPropagation, q228KCore, q279AdamicAdar, q307ClusteringCoeff,
+    q355DocPagerank)
 }

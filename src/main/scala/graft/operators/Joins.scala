@@ -464,9 +464,65 @@ object Joins {
       .orderBy($"c_custkey")
   }
 
+  /** MARKET-SHARE STAR CHAIN (TPC-H Q8 shape): per order year, the ppm of
+    * gross revenue supplied from the ASIA region — a five-table chain
+    * (lineitem → orders for the year, lineitem → supplier → nation →
+    * region for the origin) with a conditional share aggregate. Revenue
+    * is EXACT integer 10⁻⁴-dollar units (price cents × (100 −
+    * discount %)), so the share division runs on identical BIGINT
+    * operands in both engines.
+    *
+    * 100 TB plan: supplier/nation/region collapse to ONE broadcast
+    * (supplier → is_asia flag, dims are tiny by star-schema contract);
+    * orders joins on the fact's l_orderkey hash partitioning; the final
+    * agg is per-year — dashboard-sized. One shuffle for the orders join
+    * is the entire data motion. */
+  val q362MarketShare: GraftQuery = GraftQuery.oracled(
+    "q362_market_share",
+    """WITH sup AS (SELECT s.s_suppkey,
+      |                    CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END AS is_asia
+      |             FROM supplier s
+      |             JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |             JOIN region r ON n.n_regionkey = r.r_regionkey),
+      |rev AS (SELECT year(o.o_orderdate) AS yr,
+      |               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_u,
+      |               sup.is_asia
+      |        FROM lineitem l
+      |        JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |        JOIN sup ON l.l_suppkey = sup.s_suppkey)
+      |SELECT CAST(yr AS BIGINT) AS yr,
+      |       CAST(sum(rev_u) AS BIGINT) AS total_rev_u,
+      |       CAST(sum(CASE WHEN is_asia = 1 THEN rev_u ELSE 0 END) AS BIGINT) AS asia_rev_u,
+      |       CAST(1000000 * sum(CASE WHEN is_asia = 1 THEN rev_u ELSE 0 END)
+      |            // sum(rev_u) AS BIGINT) AS asia_share_ppm
+      |FROM rev
+      |GROUP BY yr
+      |ORDER BY yr""") { (spark, dir) =>
+    import spark.implicits._
+    val sup = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", when($"r_name" === "ASIA", 1).otherwise(0).as("is_asia"))
+    val asiaRev = sum(when($"is_asia" === 1, $"rev_u").otherwise(0L))
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        (round($"l_extendedprice" * 100).cast("long")
+          * (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_u"))
+      .join(Tables.orders(spark, dir).select($"o_orderkey", year($"o_orderdate").as("yr")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"yr".cast("long").as("yr"))
+      .agg(sum($"rev_u").cast("long").as("total_rev_u"),
+        asiaRev.cast("long").as("asia_rev_u"),
+        expr("(1000000 * sum(CASE WHEN is_asia = 1 THEN rev_u ELSE 0 END)) div sum(rev_u)")
+          .cast("long").as("asia_share_ppm"))
+      .orderBy($"yr")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12StarJoin, q13ShippingPriority, q14LeftOuter, q15FullOuter,
     q16SemiJoin, q17AntiJoin, q18CrossJoin, q19RangeJoinBinned,
     q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin, q224NearestEventJoin,
-    q276NullSafeJoin, q332Customer360)
+    q276NullSafeJoin, q332Customer360, q362MarketShare)
 }

@@ -223,8 +223,51 @@ object Subqueries {
         |ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** TPC-H Q20 SHAPE (nested aggregate inside IN, hand-decorrelated) —
+    * "dominant suppliers": suppliers who, for some part, shipped more
+    * than a FIFTH of that part's total quantity (the threshold that keeps
+    * the answer non-empty at every test SF). The SQL form is an IN
+    * subquery whose HAVING holds a CORRELATED scalar aggregate — the
+    * double-nesting that breaks naive subquery rewriters. The engine
+    * side ships the decorrelated plan EXPLICITLY (per-part totals
+    * broadcast into the per-(supplier, part) census, integer 5·x > y
+    * dominance test, then one semi-join), and the oracle runs the
+    * nested-subquery text — the strict match proves the decorrelation
+    * preserves semantics. Quantities are summed as BIGINT so the
+    * dominance comparison is exact.
+    *
+    * 100 TB plan: two map-side-combined censuses over one lineitem scan
+    * (part-keyed and (supplier, part)-keyed — the second reuses the
+    * first's shuffle prefix), a broadcast of the part totals, and a
+    * semi-join against the supplier dim. No per-row subquery ever runs. */
+  val q358DominantSupplier: GraftQuery = GraftQuery.oracled(
+    "q358_dominant_supplier",
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem l1
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING 5 * sum(CAST(l_quantity AS BIGINT)) >
+      |         (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+      |          WHERE l2.l_partkey = l1.l_partkey))
+      |ORDER BY s_suppkey""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_partkey", $"l_quantity".cast("long").as("qty"))
+    val perPart = li.groupBy($"l_partkey").agg(sum($"qty").as("part_qty"))
+    val perSp = li.groupBy($"l_suppkey", $"l_partkey").agg(sum($"qty").as("sp_qty"))
+    val dominant = perSp.join(broadcast(perPart), Seq("l_partkey"))
+      .filter(lit(5) * $"sp_qty" > $"part_qty")
+      .select($"l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q79CorrelatedScalar, q80UncorrelatedScalar, q81ExistsSubquery, q82InSubquery,
     q125LateralTopk, q198RecursiveCte, q213PipeSyntax, q214GroupByAll,
-    q232SqlSurface, q329SqlUdf)
+    q232SqlSurface, q329SqlUdf, q358DominantSupplier)
 }

@@ -830,6 +830,103 @@ object StreamingQueries {
     }
   }
 
+  final case class EvItem(event_type: String, item: Long)
+  final case class SsCounter(est: Long, err: Long)
+
+  /** SPACE-SAVING heavy hitters (Metwally, Agrawal & El Abbadi 2005) in
+    * `transformWithState` MapState — BOUNDED-state streaming top-k, the
+    * sketch CMS (q136) cannot give you in a stream without a second pass:
+    * at most m=8 counters per key EVER; a new item beyond capacity evicts
+    * the minimum counter (deterministic (est, item) tie-break) and
+    * inherits its count as its error bound. Invariants the spec gates per
+    * key against exact batch counts: (1) any item with true count > n/m
+    * is resident (the heavy-hitter guarantee), (2) est ≥ true ≥ est −
+    * err for every resident item. A per-key processed-row ValueState
+    * rides along so the drain keeps exactly the final batch's state (the
+    * monotone-collapse pattern q345 uses).
+    *
+    * 100 TB/∞-stream plan: state is ≤ m (est, err) pairs + one long per
+    * key FOREVER; each row touches one map entry (plus an m-entry scan
+    * on eviction — m is a constant); only (key, item) pairs cross the
+    * shuffle. This is the real-time trending-items primitive. */
+  final class SpaceSavingProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, EvItem, (String, Long, Long, Long, Long)] {
+    private val m = 8
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[Long, SsCounter] = _
+    @transient private var nSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      counters = getHandle.getMapState[Long, SsCounter]("ss_counters",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[SsCounter],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("ss_n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[EvItem],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long, Long, Long, Long)] = {
+      var n = if (nSeen.exists()) nSeen.get() else 0L
+      rows.foreach { r =>
+        n += 1L
+        if (counters.containsKey(r.item)) {
+          val c = counters.getValue(r.item)
+          counters.updateValue(r.item, SsCounter(c.est + 1L, c.err))
+        } else {
+          val entries = counters.iterator().toArray
+          if (entries.length < m) {
+            counters.updateValue(r.item, SsCounter(1L, 0L))
+          } else {
+            val (evictItem, evictC) = entries.minBy { case (it, c) => (c.est, it) }
+            counters.removeKey(evictItem)
+            counters.updateValue(r.item, SsCounter(evictC.est + 1L, evictC.est))
+          }
+        }
+      }
+      nSeen.update(n)
+      counters.iterator().map { case (it, c) => (key, it, c.est, c.err, n) }
+    }
+  }
+
+  /** Streaming space-saving top items per event_type (see
+    * [[SpaceSavingProcessor]]); items are floor(√k) of the props payload —
+    * a deliberately skewed domain so the heavy-hitter guarantee is
+    * non-vacuous. Approximate + eviction-order-dependent → rows-only;
+    * StreamingSpec gates the space-saving invariants against exact batch
+    * counts. */
+  val q359StreamSpaceSaving: GraftQuery = GraftQuery.rowsOnly(
+    "q359_stream_space_saving",
+    doc = "space-saving m=8 heavy hitters per event_type via transformWithState MapState") {
+    (spark, dir) =>
+      import spark.implicits._
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ds = eventsStream(spark, dir)
+          .select($"event_type",
+            floor(sqrt(get_json_object($"props", "$.k").cast("double")))
+              .cast("long").as("item"))
+          .as[EvItem]
+        val out = ds.groupByKey(_.event_type)
+          .transformWithState(new SpaceSavingProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+          .toDF("event_type", "item", "est_count", "err_bound", "n_seen")
+        val drained = runToMemory(out, OutputMode.Append(), "q359")
+        val wMax = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+        drained
+          .withColumn("n_final", max($"n_seen").over(wMax))
+          .filter($"n_seen" === $"n_final") // final batch's state only
+          .select($"event_type", $"item", $"est_count", $"err_bound", $"n_seen".as("n_total"))
+          .orderBy($"event_type", $"item")
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+  }
+
   /** MapState per-user × event-type census via `transformWithState`. */
   val q243StreamMapState: GraftQuery = GraftQuery.oracled(
     "q243_stream_mapstate",
@@ -1005,5 +1102,5 @@ object StreamingQueries {
     q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
     q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState,
-    q285StreamStreamFullOuter, q345StreamHistogram)
+    q285StreamStreamFullOuter, q345StreamHistogram, q359StreamSpaceSaving)
 }

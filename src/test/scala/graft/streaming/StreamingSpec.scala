@@ -204,4 +204,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(sessions.map(_.n_events) === Seq(2L, 2L))
     assert(sessions.head.session_end === Timestamp.valueOf("2024-01-01 10:10:00"))
   }
+
+  test("space-saving stream: heavy-hitter containment and est/err bounds vs exact counts") {
+    import spark.implicits._
+    val m = 8
+    val got = StreamingQueries.q359StreamSpaceSaving.fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    val exact = graft.sources.Tables.events(spark, sf)
+      .select($"event_type",
+        floor(sqrt(get_json_object($"props", "$.k").cast("double")))
+          .cast("long").as("item"))
+      .groupBy($"event_type", $"item").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nPerKey = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val resident = got.map(r => (r.getString(0), r.getLong(1))).toSet
+    // (1) guarantee: true count > n/m  ⇒  item is resident in final state
+    for (((key, item), c) <- exact if c.toDouble > nPerKey(key).toDouble / m)
+      assert(resident((key, item)),
+        s"heavy hitter ($key, $item) with count $c > ${nPerKey(key)}/$m evicted")
+    for (r <- got) {
+      val key = r.getString(0); val item = r.getLong(1)
+      val est = r.getLong(2); val err = r.getLong(3); val nTot = r.getLong(4)
+      val c = exact.getOrElse((key, item), 0L)
+      // (2) overestimate-only, bounded by the inherited error
+      assert(est >= c, s"($key, $item): est $est < true $c")
+      assert(est - err <= c, s"($key, $item): est-err ${est - err} > true $c")
+      assert(nTot === nPerKey(key), s"$key: n_total $nTot != ${nPerKey(key)}")
+    }
+    // bounded state: at most m counters per key survived
+    got.groupBy(_.getString(0)).foreach { case (k, rows) =>
+      assert(rows.length <= m, s"$k holds ${rows.length} > $m counters")
+    }
+  }
 }
