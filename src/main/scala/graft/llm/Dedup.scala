@@ -983,6 +983,109 @@ object Dedup {
       .orderBy($"split")
   }
 
+  /** CONTRASTIVE TRAINING-PAIR MINING — the (anchor, positive, negatives)
+    * triplets an embedding-model fine-tune consumes: every member of a
+    * multi-doc near-dup cluster anchors a triplet, its positive is the
+    * smallest OTHER member of the same cluster (deterministic choice),
+    * and its k=3 negatives are hash-probed from the corpus index
+    * (md5(anchor ∥ probe) mod N — a random oracle both engines replay
+    * exactly), re-probing past same-cluster collisions with 5 probe
+    * slots. The hard part at scale is the NEGATIVES: this formulation
+    * never builds an anchor×corpus pair space — each probe is one
+    * equi-join against the (doc index → doc) table.
+    *
+    * 100 TB plan: clusters come from the audited q45→components path;
+    * probes are a bounded explode (5 per anchor) + equi-joins; the only
+    * global structure is the doc row-number index (corpus-DOC-sized,
+    * q97's two-phase rank at extreme doc counts — the q356 caveat). */
+  val q365ContrastiveNegatives: GraftQuery = GraftQuery.oracled(
+    "q365_contrastive_negatives",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b FROM pairs
+      |         JOIN sizes sa ON doc_a = sa.doc_id
+      |         JOIN sizes sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |          UNION ALL SELECT doc_b, doc_a FROM good),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      |cm AS (SELECT cluster_id, doc_id,
+      |              row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn,
+      |              count(*) OVER (PARTITION BY cluster_id) AS csize
+      |       FROM lab),
+      |cs AS (SELECT cluster_id,
+      |              min(CASE WHEN rn = 1 THEN doc_id END) AS m1,
+      |              min(CASE WHEN rn = 2 THEN doc_id END) AS m2
+      |       FROM cm GROUP BY cluster_id HAVING max(csize) >= 2),
+      |anc AS (SELECT l.doc_id AS anchor_id, l.cluster_id,
+      |               CASE WHEN l.doc_id = cs.m1 THEN cs.m2 ELSE cs.m1 END AS positive_id
+      |        FROM lab l JOIN cs USING (cluster_id)),
+      |idx AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |probe AS (SELECT a.anchor_id, a.cluster_id, a.positive_id, p.r,
+      |                 CAST(('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR) || '_' || CAST(p.r AS VARCHAR)), 1, 8)) AS BIGINT)
+      |                 % (SELECT n FROM nn) AS cand_rn
+      |          FROM anc a, LATERAL (SELECT unnest(generate_series(1, 5)) AS r) p),
+      |cand AS (SELECT pr.anchor_id, pr.positive_id, pr.r, i.doc_id AS negative_id
+      |         FROM probe pr JOIN idx i ON pr.cand_rn = i.rn
+      |         JOIN lab cl ON i.doc_id = cl.doc_id
+      |         WHERE i.doc_id <> pr.anchor_id AND cl.cluster_id <> pr.cluster_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY r) AS neg_rank FROM cand)
+      |SELECT anchor_id, positive_id, CAST(neg_rank AS BIGINT) AS neg_rank, negative_id
+      |FROM rk WHERE neg_rank <= 3
+      |ORDER BY anchor_id, neg_rank""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val pairs = q45NeardupJaccard.fn(spark, dir).select($"doc_a", $"doc_b")
+    val lab = starComponents(docs, pairs)._1
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+    val wC = Window.partitionBy($"cluster_id")
+    val cm = lab
+      .withColumn("rn", row_number().over(wC.orderBy($"doc_id")))
+      .withColumn("csize", count(lit(1)).over(wC))
+    val cs = cm.groupBy($"cluster_id")
+      .agg(min(when($"rn" === 1, $"doc_id")).as("m1"),
+        min(when($"rn" === 2, $"doc_id")).as("m2"),
+        max($"csize").as("csize"))
+      .filter($"csize" >= 2)
+      .select($"cluster_id", $"m1", $"m2")
+    val anc = lab.join(cs, Seq("cluster_id"))
+      .select($"doc_id".as("anchor_id"), $"cluster_id",
+        when($"doc_id" === $"m1", $"m2").otherwise($"m1").as("positive_id"))
+    val idx = docs
+      .withColumn("rn", row_number().over(Window.orderBy($"doc_id")) - 1)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val probe = anc
+      .withColumn("r", explode(sequence(lit(1), lit(5))))
+      .crossJoin(broadcast(n))
+      .withColumn("cand_rn",
+        conv(substring(md5(concat($"anchor_id".cast("string"), lit("_"),
+          $"r".cast("string"))), 1, 8), 16, 10).cast("long") % $"n")
+    val cand = probe
+      .join(idx.toDF("negative_id", "rn"), $"cand_rn" === $"rn")
+      .join(lab.toDF("negative_id", "neg_cluster"), Seq("negative_id"))
+      .filter($"negative_id" =!= $"anchor_id" && $"neg_cluster" =!= $"cluster_id")
+    cand
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy($"anchor_id").orderBy($"r")).cast("long"))
+      .filter($"neg_rank" <= 3)
+      .select($"anchor_id", $"positive_id", $"neg_rank", $"negative_id")
+      .orderBy($"anchor_id", $"neg_rank")
+  }
+
   /** CLUSTER CHAMPION SELECTION — the keep/drop POLICY layer over
     * q100/q109's clustering: within each multi-doc near-dup cluster,
     * keep the RICHEST variant (longest text, doc_id tie-break), not the
@@ -1050,6 +1153,6 @@ object Dedup {
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
-    q353ContainmentDecontam,
+    q353ContainmentDecontam, q365ContrastiveNegatives,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
 }

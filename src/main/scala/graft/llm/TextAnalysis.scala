@@ -644,7 +644,63 @@ object TextAnalysis {
     q211BigramLm, q217BpeApply, q242JsDivergence, q254PmiCollocations,
     q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain,
     q321CohensKappa, q344ZipfSlope, q346WeightedJaccard,
-    q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration)
+    q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
+    q366TokenizerFertility)
+
+  /** TOKENIZER FERTILITY AUDIT — the acceptance metric for a merge table:
+    * per source, tokens-per-word after applying q217's ranked BPE merges
+    * (fertility; a tokenizer is "good" for a corpus when fertility is
+    * low) and the chars→tokens compression it buys. THE number compared
+    * across tokenizer candidates before committing a vocab to a training
+    * run; per-source breakdown catches the corpus a shared tokenizer
+    * underserves. Same exact string-algebra apply as q217, so the whole
+    * audit is oracle-able.
+    *
+    * 100 TB plan: the apply chain is a pure codegen'd projection (q217's
+    * note); the audit adds one map-side-combined census per source. */
+  val q366TokenizerFertility: GraftQuery = GraftQuery.oracled(
+    "q366_tokenizer_fertility", {
+      val applied = BpeMerges.foldLeft("regexp_replace(text, '(.)', '@\\1 ', 'g')") {
+        case (acc, (x, y)) => s"replace($acc, '@$x @$y', '@$x$y')"
+      }
+      s"""WITH m AS (SELECT source,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         |                  CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+         |                  CAST(length($applied)
+         |                       - length(replace($applied, '@', ''))
+         |                       - (length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS bpe
+         |           FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(words) AS BIGINT) AS words,
+         |       CAST(sum(chars) AS BIGINT) AS chars,
+         |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |       round(CAST(sum(bpe) AS DOUBLE) / sum(words), 4) AS fertility,
+         |       round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 4) AS compression
+         |FROM m
+         |GROUP BY source
+         |ORDER BY source"""
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val applied = BpeMerges.foldLeft(
+      regexp_replace($"text", "(.)", "@$1 ")) { case (acc, (x, y)) =>
+      replace(acc, lit(s"@$x @$y"), lit(s"@$x$y"))
+    }
+    val nSpaces = length($"text") - length(replace($"text", lit(" "), lit("")))
+    Tables.documents(spark, dir)
+      .select($"source",
+        size(split($"text", " ")).cast("long").as("words"),
+        length(replace($"text", lit(" "), lit(""))).cast("long").as("chars"),
+        (length(applied) - length(replace(applied, lit("@"), lit(""))) - nSpaces)
+          .cast("long").as("bpe"))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"words").cast("long").as("words"),
+        sum($"chars").cast("long").as("chars"),
+        sum($"bpe").cast("long").as("bpe_tokens"),
+        round(sum($"bpe").cast("double") / sum($"words"), 4).as("fertility"),
+        round(sum($"chars").cast("double") / sum($"bpe"), 4).as("compression"))
+      .orderBy($"source")
+  }
 
   /** URL CANONICALIZATION + DUP CENSUS — the first dedup pass of every web
     * corpus: raw crawl URLs differ in case, default ports, trailing

@@ -53,5 +53,53 @@ object Governance {
       .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
   }
 
-  def all: Seq[GraftQuery] = Seq(q351KAnonymity)
+  /** RIGHT-TO-BE-FORGOTTEN PURGE MANIFEST — the deletion-request audit
+    * every data platform must produce before (and after) a GDPR/CCPA
+    * purge: given a tombstone predicate (here users/customers whose key
+    * ends in 7 — the synthesized request batch), report per table how
+    * many rows the purge removes and keeps, INCLUDING the FK cascade
+    * (orders of tombstoned customers, then lineitems of those orders —
+    * the two-hop cascade that naive per-table deletes miss). The ppm
+    * share is the blast-radius number the DPO signs off on.
+    *
+    * 100 TB plan: events/orders purge flags are map-side predicates (no
+    * join at all — the tombstone rule is a pure key function here; a
+    * real id LIST broadcasts); the lineitem cascade is ONE broadcast
+    * semi-join against the purged-order keys. Output is 3 rows. */
+  val q363PurgeManifest: GraftQuery = GraftQuery.oracled(
+    "q363_purge_manifest",
+    """WITH ev AS (SELECT CAST(count(CASE WHEN user_id % 10 = 7 THEN 1 END) AS BIGINT) AS purged,
+      |                   CAST(count(*) AS BIGINT) AS total
+      |            FROM events),
+      |od AS (SELECT CAST(count(CASE WHEN o_custkey % 10 = 7 THEN 1 END) AS BIGINT) AS purged,
+      |              CAST(count(*) AS BIGINT) AS total
+      |       FROM orders),
+      |li AS (SELECT CAST(count(CASE WHEN o.o_custkey % 10 = 7 THEN 1 END) AS BIGINT) AS purged,
+      |              CAST(count(*) AS BIGINT) AS total
+      |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT t.tbl, t.purged, t.total - t.purged AS kept,
+      |       CAST(1000000 * t.purged // t.total AS BIGINT) AS purge_ppm
+      |FROM (SELECT 'events' AS tbl, * FROM ev
+      |      UNION ALL SELECT 'orders', * FROM od
+      |      UNION ALL SELECT 'lineitem', * FROM li) t
+      |ORDER BY tbl""") { (spark, dir) =>
+    import spark.implicits._
+    def census(df: org.apache.spark.sql.DataFrame, tbl: String,
+        purge: org.apache.spark.sql.Column) =
+      df.agg(count(when(purge, 1)).cast("long").as("purged"),
+          count(lit(1)).cast("long").as("total"))
+        .select(lit(tbl).as("tbl"), $"purged", ($"total" - $"purged").as("kept"),
+          expr("(1000000 * purged) div total").cast("long").as("purge_ppm"))
+    val ev = census(Tables.events(spark, dir), "events", $"user_id" % 10 === 7)
+    val od = census(Tables.orders(spark, dir), "orders", $"o_custkey" % 10 === 7)
+    val purgedOrders = Tables.orders(spark, dir)
+      .select($"o_orderkey", ($"o_custkey" % 10 === 7).as("p"))
+    val li = census(
+      Tables.lineitem(spark, dir).join(broadcast(purgedOrders),
+        $"l_orderkey" === $"o_orderkey"),
+      "lineitem", $"p")
+    ev.unionByName(od).unionByName(li).orderBy($"tbl")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q351KAnonymity, q363PurgeManifest)
 }

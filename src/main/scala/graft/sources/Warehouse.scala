@@ -319,6 +319,62 @@ object Warehouse {
     agg.orderBy($"l_orderkey").limit(100)
   }
 
+  /** SCD TYPE-2 MERGE — slowly-changing-dimension maintenance, the
+    * warehouse op q149 (interval compression) reads but nothing yet
+    * WRITES: apply an update batch to a current dimension by CLOSING the
+    * old validity row (valid_to = effective date, is_current = 0) and
+    * OPENING the new one, while untouched keys pass through. The update
+    * batch is synthesized deterministically (md5 coin selects 20% of
+    * customers; the tracked attribute — the $100 balance band — shifts by
+    * +10), so the merged table is exactly stateable in SQL. This is the
+    * relational core of MERGE INTO ... WHEN MATCHED on every dimension
+    * table.
+    *
+    * 100 TB plan: one equi-join of the dim against the (typically tiny,
+    * broadcast) update batch, one union — no window, no sort until the
+    * presentation ORDER BY; at fleet scale the dim is bucketed on the key
+    * (q194's layout) so even the join is shuffle-free. */
+  val q364Scd2Merge: GraftQuery = GraftQuery.oracled(
+    "q364_scd2_merge",
+    """WITH dim AS (SELECT c_custkey AS k,
+      |                    CAST(floor(c_acctbal / 100) AS BIGINT) AS band
+      |             FROM customer),
+      |upd AS (SELECT k, band + 10 AS new_band FROM dim
+      |        WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0)
+      |SELECT d.k AS c_custkey, d.band, DATE '2024-01-01' AS valid_from,
+      |       CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+      |FROM dim d LEFT JOIN upd u ON d.k = u.k WHERE u.k IS NULL
+      |UNION ALL
+      |SELECT d.k, d.band, DATE '2024-01-01', DATE '2024-06-01', 0
+      |FROM dim d JOIN upd u ON d.k = u.k
+      |UNION ALL
+      |SELECT u.k, u.new_band, DATE '2024-06-01', CAST(NULL AS DATE), 1
+      |FROM upd u
+      |ORDER BY c_custkey, valid_from""") { (spark, dir) =>
+    import spark.implicits._
+    val dim = Tables.customer(spark, dir)
+      .select($"c_custkey".as("k"), floor($"c_acctbal" / 100).cast("long").as("band"))
+    val upd = dim
+      .filter(conv(substring(md5($"k".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5 === 0)
+      .select($"k", ($"band" + 10).as("new_band"))
+    val from0 = lit("2024-01-01").cast("date")
+    val eff = lit("2024-06-01").cast("date")
+    val nullDate = lit(null).cast("date")
+    val untouched = dim.join(broadcast(upd), Seq("k"), "left_anti")
+      .select($"k".as("c_custkey"), $"band", from0.as("valid_from"),
+        nullDate.as("valid_to"), lit(1).as("is_current"))
+    val closed = dim.join(broadcast(upd), Seq("k"))
+      .select($"k".as("c_custkey"), $"band", from0.as("valid_from"),
+        eff.as("valid_to"), lit(0).as("is_current"))
+    val opened = upd
+      .select($"k".as("c_custkey"), $"new_band".as("band"), eff.as("valid_from"),
+        nullDate.as("valid_to"), lit(1).as("is_current"))
+    untouched.unionByName(closed).unionByName(opened)
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
   def all: Seq[GraftQuery] = Seq(q194BucketedJoin, q195DppPrune,
-    q196DynamicOverwrite, q212BatchMerge, q245SnapshotDiff, q267BucketedAgg)
+    q196DynamicOverwrite, q212BatchMerge, q245SnapshotDiff, q267BucketedAgg,
+    q364Scd2Merge)
 }

@@ -1102,5 +1102,47 @@ object StreamingQueries {
     q124StreamFileSink, q130ForeachBatchUpsert, q135StreamStreamOuter,
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
     q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState,
-    q285StreamStreamFullOuter, q345StreamHistogram, q359StreamSpaceSaving)
+    q285StreamStreamFullOuter, q345StreamHistogram, q359StreamSpaceSaving,
+    q368LambdaParity)
+
+  /** LAMBDA-ARCHITECTURE PARITY AUDIT — the reconciliation report every
+    * stream+batch dual pipeline publishes: the STREAMING hourly census
+    * (q61's replay, complete mode) full-outer-joined against the BATCH
+    * recompute of the same rollup, with per-bucket drift. A healthy
+    * pipeline reports zero mismatches; the oracle (DuckDB computing the
+    * batch rollup a third way) pins that both engines' paths agree —
+    * three independent computations of one contract.
+    *
+    * 100 TB plan: the audit joins two (hour × type)-sized aggregates —
+    * dashboard-scale, never row-scale; at fleet scale the streaming side
+    * reads the sink table rather than replaying, same join. */
+  val q368LambdaParity: GraftQuery = GraftQuery.oracled(
+    "q368_lambda_parity",
+    """WITH b AS (SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS h,
+      |                  event_type, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_hours,
+      |       CAST(sum(n) AS BIGINT) AS total_events,
+      |       CAST(0 AS BIGINT) AS n_mismatch,
+      |       CAST(0 AS BIGINT) AS max_abs_drift
+      |FROM b
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val streamed = q61StreamTumbling.fn(spark, dir)
+      .select($"window_start".as("h"), $"event_type", $"n".as("sn"))
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("bn"))
+    streamed.join(batch, Seq("h", "event_type"), "full_outer")
+      .select($"event_type",
+        coalesce($"sn", lit(0L)).as("sn"), coalesce($"bn", lit(0L)).as("bn"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_hours"),
+        sum($"bn").cast("long").as("total_events"),
+        count(when($"sn" =!= $"bn", 1)).cast("long").as("n_mismatch"),
+        coalesce(max(abs($"sn" - $"bn")), lit(0L)).cast("long").as("max_abs_drift"))
+      .orderBy($"event_type")
+  }
 }

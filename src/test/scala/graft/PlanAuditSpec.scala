@@ -37,7 +37,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q350_url_canonicalize", "q351_k_anonymity", "q353_containment_decontam",
     "q354_heaps_law", "q355_doc_pagerank", "q356_curriculum_manifest",
     "q357_token_calibration", "q358_dominant_supplier",
-    "q360_anisotropy_audit", "q361_neyman_allocation", "q362_market_share")
+    "q360_anisotropy_audit", "q361_neyman_allocation", "q362_market_share",
+    "q363_purge_manifest", "q364_scd2_merge", "q365_contrastive_negatives",
+    "q366_tokenizer_fertility", "q368_lambda_parity")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -50,7 +52,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q310_apportionment", "q319_huber_irls", "q321_cohens_kappa",
     "q323_mix_waterfill", "q325_control_chart", "q330_rfm_segmentation",
     "q334_rendezvous_shards", "q347_huber_approx_scale",
-    "q348_fellegi_sunter_em", "q361_neyman_allocation")
+    "q348_fellegi_sunter_em", "q361_neyman_allocation",
+    "q365_contrastive_negatives")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in
