@@ -153,6 +153,80 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** (doc_id, sig: array<long>[16]) MinHash signatures via the codegen'd
+    * [[graft.functions.MinHash64]] kernel — one projection, no MLlib model,
+    * shared by q371 (signature dump) and q372 (banded pair join). */
+  private[llm] def minhashSigs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.functions.MinHashExpression.register(spark)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.functions.MinHashExpression.minhash64(split($"text", " ")).as("sig"))
+  }
+
+  /** MinHash signature dump (q47's twin for Jaccard space): 16 signed-min
+    * permutation hashes per doc, emitted as JSON so the driver's scalar
+    * comparator never sees an array column. Engine-specific hash →
+    * rows-only; MinHashSpec pins bit-equality against an independent
+    * Scala reference. */
+  val q371MinhashSignatures: GraftQuery = GraftQuery.rowsOnly(
+    "q371_minhash_signatures",
+    doc = "16-permutation codegen'd MinHash signatures over whitespace tokens") {
+    (spark, dir) =>
+      import spark.implicits._
+      minhashSigs(spark, dir)
+        .select($"doc_id", to_json($"sig").as("sig"))
+        .orderBy($"doc_id")
+  }
+
+  /** MinHash BANDED near-dup join on the codegen'd signatures — the
+    * relational LSH q46 gets from MLlib, without the HashingTF/model
+    * detour: 16 permutations band 4×4; docs agreeing on ALL 4 hashes of
+    * some band become candidates (P[band match] = j⁴ per band — ~0.95
+    * recall at j = 0.8 with 4 bands, and 1.0 empirically on this corpus,
+    * gated by MinHashSpec against q45's exact pairs); candidates are
+    * verified with EXACT token-set Jaccard ≥ 0.8, so false positives
+    * cannot survive. Pair dedup is q105's first-matching-band filter
+    * (computed from the two signatures alone — no global distinct
+    * shuffle).
+    *
+    * 100 TB plan: one codegen'd projection for signatures, a 4-way
+    * bounded explode, equi-joins on (band, 4-hash value) buckets — 256
+    * bits of bucket key, so hot buckets are true near-dup groups, not
+    * hash collisions; the exact verify touches candidates only. */
+  val q372MinhashBanded: GraftQuery = GraftQuery.rowsOnly(
+    "q372_minhash_banded",
+    doc = "banded (4x4) MinHash near-dup pairs, exact-Jaccard-verified at 0.8") {
+    (spark, dir) =>
+      import spark.implicits._
+      val sig = minhashSigs(spark, dir)
+      val bands = sig
+        .withColumn("b", explode(sequence(lit(0), lit(3))))
+        .withColumn("bv", slice($"sig", $"b" * 4 + 1, lit(4)))
+      val cand = bands.toDF("doc_a", "sig_a", "b", "bv")
+        .join(bands.toDF("doc_b", "sig_b", "b", "bv"), Seq("b", "bv"))
+        .filter($"doc_a" < $"doc_b")
+      // keep a pair only on the FIRST band where its signatures agree —
+      // q105's no-global-distinct dedup, a pure projection on (sig_a, sig_b)
+      val firstBand = (3 to 0 by -1).foldLeft(lit(4)) { (acc, i) =>
+        when(slice($"sig_a", i * 4 + 1, 4) === slice($"sig_b", i * 4 + 1, 4), lit(i))
+          .otherwise(acc)
+      }
+      val uniq = cand.filter($"b" === firstBand)
+        .select($"doc_a", $"doc_b")
+      val tk = Tables.documents(spark, dir)
+        .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
+      uniq
+        .join(tk.toDF("doc_a", "tk_a"), Seq("doc_a"))
+        .join(tk.toDF("doc_b", "tk_b"), Seq("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect($"tk_a", $"tk_b")).cast("double")
+            / size(array_union($"tk_a", $"tk_b")))
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+  }
+
   /** (doc_id, simhash) signatures — shared by q47 (signature dump) and q105
     * (banded pair join). One codegen'd [[graft.functions.SimHash64]] kernel
     * call per document: single projection, no shuffle, fully deterministic
@@ -1154,5 +1228,6 @@ object Dedup {
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
     q353ContainmentDecontam, q365ContrastiveNegatives,
+    q371MinhashSignatures, q372MinhashBanded,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
 }

@@ -1032,7 +1032,82 @@ object Eda {
     q293DiffInDiff, q295ProportionZTest, q303EbShrinkage, q305BhFdr,
     q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank,
     q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
-    q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale)
+    q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale,
+    q373ObserveMetrics, q374StatCovCorr, q375FreqItems)
+
+  /** `Dataset.observe` METRICS — Spark's in-flight metric channel (the
+    * named-accumulator surface streaming/batch jobs use to publish row
+    * counts and checksums WITHOUT a second scan): three metrics ride the
+    * lineitem scan to a noop sink, then the Observation's values become
+    * the query result. The DuckDB oracle recomputes the same aggregates
+    * directly — observed metrics must equal a straight aggregation, or
+    * the channel is lying. Exact integers only.
+    *
+    * 100 TB plan: observe adds accumulator updates to an EXISTING pass —
+    * zero extra scans, zero shuffles; this is how production pipelines
+    * cheaply self-audit every batch they write. */
+  val q373ObserveMetrics: GraftQuery = GraftQuery.oracled(
+    "q373_observe_metrics",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+      |       CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted
+      |FROM lineitem""") { (spark, dir) =>
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation()
+    Tables.lineitem(spark, dir)
+      .observe(obs,
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(round($"l_extendedprice" * 100).cast("long")).cast("long").as("price_cents"),
+        count(when($"l_discount" > 0.05, 1)).cast("long").as("n_discounted"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("price_cents").asInstanceOf[Long],
+      m("n_discounted").asInstanceOf[Long]))
+      .toDF("n_rows", "price_cents", "n_discounted")
+  }
+
+  /** `df.stat` covariance/correlation surface (the DataFrameStatFunctions
+    * twins of q226's SQL corr): sample covariance and Pearson r between
+    * quantity and discounted revenue, plus the exact integer moments that
+    * anchor them. One map-side-combined moments agg; round(…, 6) on both
+    * engines (the q157 float discipline). */
+  val q374StatCovCorr: GraftQuery = GraftQuery.oracled(
+    "q374_stat_cov_corr",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |       round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price,
+      |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |       round(covar_samp(l_discount, l_extendedprice), 6) AS cov_disc_price
+      |FROM lineitem""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 6).as("cov_qty_price"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_discount", $"l_extendedprice"), 6).as("cov_disc_price"))
+  }
+
+  /** `df.stat.freqItems` — the Karp–Shenker–Papadimitriou single-pass
+    * frequent-element sketch behind DataFrameStatFunctions: candidates
+    * for "appears in > 10% of rows" from one scan, false positives
+    * allowed, false negatives NOT. Sketch output is partition-order
+    * specific → rows-only; EdaSpec gates the guarantee (every value with
+    * true share > support is present) against exact counts. Emitted as
+    * sorted JSON so the driver sees a scalar column.
+    *
+    * 100 TB plan: one treeAggregate pass, counter map bounded by 1/support
+    * per partition — the cheap first look before an exact census. */
+  val q375FreqItems: GraftQuery = GraftQuery.rowsOnly(
+    "q375_freq_items",
+    doc = "freqItems(support=0.1) candidates for l_returnflag and l_linestatus") {
+    (spark, dir) =>
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .stat.freqItems(Seq("l_returnflag", "l_linestatus"), 0.1)
+        .select(
+          to_json(sort_array($"l_returnflag_freqItems")).as("flags"),
+          to_json(sort_array($"l_linestatus_freqItems")).as("statuses"))
+  }
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's
     * click→purchase user-conversion rate differ from B's? The

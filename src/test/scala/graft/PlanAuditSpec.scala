@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q357_token_calibration", "q358_dominant_supplier",
     "q360_anisotropy_audit", "q361_neyman_allocation", "q362_market_share",
     "q363_purge_manifest", "q364_scd2_merge", "q365_contrastive_negatives",
-    "q366_tokenizer_fertility", "q368_lambda_parity")
+    "q366_tokenizer_fertility", "q368_lambda_parity",
+    "q371_minhash_signatures", "q372_minhash_banded")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by

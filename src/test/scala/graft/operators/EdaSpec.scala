@@ -50,4 +50,21 @@ class EdaSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(ndA - ndE) <= math.max(5.0, 0.01 * ndE),
       s"downweighted-count drift: $ndA vs $ndE")
   }
+
+  test("q375 freqItems: no false negatives above the 10% support") {
+    import spark.implicits._
+    val row = Eda.q375FreqItems.fn(spark, sf).collect().head
+    def parse(j: String): Set[String] =
+      j.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet
+    val flags = parse(row.getString(0))
+    val statuses = parse(row.getString(1))
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val n = li.count().toDouble
+    def heavies(c: String): Set[String] = li.groupBy(col(c)).count()
+      .collect().filter(_.getLong(1) > 0.1 * n).map(_.getString(0)).toSet
+    val hf = heavies("l_returnflag"); val hs = heavies("l_linestatus")
+    assert(hf.subsetOf(flags), s"missing heavy return flags: ${hf -- flags}")
+    assert(hs.subsetOf(statuses), s"missing heavy line statuses: ${hs -- statuses}")
+  }
 }
