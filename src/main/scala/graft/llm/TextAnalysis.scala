@@ -645,7 +645,48 @@ object TextAnalysis {
     q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain,
     q321CohensKappa, q344ZipfSlope, q346WeightedJaccard,
     q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
-    q366TokenizerFertility)
+    q366TokenizerFertility, q377NfcNormalize)
+
+  /** UNICODE NFC NORMALIZATION — via the codegen'd
+    * [[graft.functions.NfcNormalize]] Expression (JDK Normalizer) checked
+    * STRICTLY against DuckDB's independent utf8proc `nfc_normalize` — a
+    * cross-implementation equivalence proof per row (the q301 pattern).
+    * Inputs are synthesized decomposed/precomposed pairs ('e' + U+0301 vs
+    * 'é', selected by doc parity), since the driver corpus is pure ASCII;
+    * the changed flag and the char-length delta are the audit numbers a
+    * multilingual ingest reports before hashing/dedup.
+    *
+    * 100 TB plan: one per-row projection inside whole-stage codegen with
+    * an allocation-free quick-check fast path for already-NFC text (the
+    * overwhelming majority at corpus scale). */
+  val q377NfcNormalize: GraftQuery = GraftQuery.oracled(
+    "q377_nfc_normalize",
+    """WITH r AS (SELECT doc_id,
+      |                  'cafe' || CAST(doc_id % 10 AS VARCHAR)
+      |                  || CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END
+      |                  AS raw
+      |           FROM documents)
+      |SELECT doc_id,
+      |       CAST(length(raw) AS BIGINT) AS raw_chars,
+      |       nfc_normalize(raw) AS nfc_text,
+      |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+      |       CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS changed
+      |FROM r
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.NfcExpression.register(spark)
+    val raw = concat(lit("cafe"), ($"doc_id" % 10).cast("string"),
+      when($"doc_id" % 2 === 0, lit("é")).otherwise(lit("é")))
+    Tables.documents(spark, dir)
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        length($"raw").cast("long").as("raw_chars"),
+        graft.functions.NfcExpression.nfc($"raw").as("nfc_text"),
+        length(graft.functions.NfcExpression.nfc($"raw")).cast("long").as("nfc_chars"),
+        when(graft.functions.NfcExpression.nfc($"raw") =!= $"raw", 1).otherwise(0)
+          .as("changed"))
+      .orderBy($"doc_id")
+  }
 
   /** TOKENIZER FERTILITY AUDIT — the acceptance metric for a merge table:
     * per source, tokens-per-word after applying q217's ranked BPE merges

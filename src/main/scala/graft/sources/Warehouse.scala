@@ -374,7 +374,56 @@ object Warehouse {
       .orderBy($"c_custkey", $"valid_from")
   }
 
+  /** CDC LOG APPLY — the change-data-capture compaction every lakehouse
+    * MERGE performs: a versioned op log (v1 full INSERT snapshot, v2
+    * UPDATEs for the md5-coin %7 slice, v3 DELETEs for the %13 slice —
+    * deletes deliberately overlap updates so the precedence is exercised)
+    * collapses to the latest-version row per key, with deletes dropping
+    * the key entirely. q364 maintains HISTORY (SCD-2); this produces the
+    * CURRENT SNAPSHOT — the other half of dimension maintenance.
+    *
+    * 100 TB plan: one arg-max-by-version hash-agg keyed on the business
+    * key (max_by is a map-side-combinable agg — no window, no sort),
+    * then a filter on the op code. At fleet scale the log is
+    * partition-pruned to the affected date range first (q83's layout). */
+  val q376CdcApply: GraftQuery = GraftQuery.oracled(
+    "q376_cdc_apply",
+    """WITH base AS (SELECT c_custkey AS k,
+      |                     CAST(floor(c_acctbal / 100) AS BIGINT) AS band,
+      |                     CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS coin
+      |              FROM customer),
+      |log AS (SELECT k, band, 1 AS v, 'I' AS op FROM base
+      |        UNION ALL
+      |        SELECT k, band + 5, 2, 'U' FROM base WHERE coin % 7 = 0
+      |        UNION ALL
+      |        SELECT k, band, 3, 'D' FROM base WHERE coin % 13 = 0),
+      |latest AS (SELECT k, arg_max(band, v) AS band, max(v) AS v, arg_max(op, v) AS op
+      |           FROM log GROUP BY k)
+      |SELECT k AS c_custkey, band, CAST(v AS BIGINT) AS version
+      |FROM latest WHERE op <> 'D'
+      |ORDER BY c_custkey""") { (spark, dir) =>
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Tables.customer(spark, dir)
+      .select($"c_custkey".as("k"),
+        floor($"c_acctbal" / 100).cast("long").as("band"),
+        conv(substring(md5($"c_custkey".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("coin"))
+    val log = base.select($"k", $"band", lit(1).as("v"), lit("I").as("op"))
+      .unionByName(base.filter($"coin" % 7 === 0)
+        .select($"k", ($"band" + 5).as("band"), lit(2).as("v"), lit("U").as("op")))
+      .unionByName(base.filter($"coin" % 13 === 0)
+        .select($"k", $"band", lit(3).as("v"), lit("D").as("op")))
+    log.groupBy($"k")
+      .agg(max_by($"band", $"v").as("band"), max($"v").as("v"),
+        max_by($"op", $"v").as("op"))
+      .filter($"op" =!= "D")
+      .select($"k".as("c_custkey"), $"band", $"v".cast("long").as("version"))
+      .orderBy($"c_custkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(q194BucketedJoin, q195DppPrune,
     q196DynamicOverwrite, q212BatchMerge, q245SnapshotDiff, q267BucketedAgg,
-    q364Scd2Merge)
+    q364Scd2Merge, q376CdcApply)
 }

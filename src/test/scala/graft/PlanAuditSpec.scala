@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q360_anisotropy_audit", "q361_neyman_allocation", "q362_market_share",
     "q363_purge_manifest", "q364_scd2_merge", "q365_contrastive_negatives",
     "q366_tokenizer_fertility", "q368_lambda_parity",
-    "q371_minhash_signatures", "q372_minhash_banded")
+    "q371_minhash_signatures", "q372_minhash_banded",
+    "q376_cdc_apply", "q377_nfc_normalize")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
