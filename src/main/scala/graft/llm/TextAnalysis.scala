@@ -830,8 +830,10 @@ object TextAnalysis {
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(max(bign) AS BIGINT) AS total_tokens,
       |       CAST(max(v) AS BIGINT) AS vocab,
-      |       round(regr_slope(ln(v), ln(bign)), 6) AS beta,
-      |       round(regr_r2(ln(v), ln(bign)), 6) AS r2
+      |       CASE WHEN min(v) = max(v) THEN NULL
+      |            ELSE round(regr_slope(ln(v), ln(bign)), 6) END AS beta,
+      |       CASE WHEN min(v) = max(v) THEN NULL
+      |            ELSE round(regr_r2(ln(v), ln(bign)), 6) END AS r2
       |FROM cum WHERE v > 0
       |GROUP BY source
       |ORDER BY source""") { (spark, dir) =>
@@ -854,8 +856,13 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_docs"),
         max($"bign").cast("long").as("total_tokens"),
         max($"v").cast("long").as("vocab"),
-        round(expr("regr_slope(ln(v), ln(bign))"), 6).as("beta"),
-        round(expr("regr_r2(ln(v), ln(bign))"), 6).as("r2"))
+        // a source whose vocab never grows past its first checkpoint has
+        // zero y-variance: slope/r2 are 0/0 — emit NULL instead of the
+        // accumulation-order-dependent junk the division produces
+        when(min($"v") === max($"v"), lit(null))
+          .otherwise(round(expr("regr_slope(ln(v), ln(bign))"), 6)).as("beta"),
+        when(min($"v") === max($"v"), lit(null))
+          .otherwise(round(expr("regr_r2(ln(v), ln(bign))"), 6)).as("r2"))
       .orderBy($"source")
   }
 

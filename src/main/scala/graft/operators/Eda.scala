@@ -1033,58 +1033,32 @@ object Eda {
     q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank,
     q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
     q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale,
-    q373ObserveMetrics, q374StatCovCorr, q375FreqItems)
+    q374StatCovCorr, q375FreqItems)
 
-  /** `Dataset.observe` METRICS — Spark's in-flight metric channel (the
-    * named-accumulator surface streaming/batch jobs use to publish row
-    * counts and checksums WITHOUT a second scan): three metrics ride the
-    * lineitem scan to a noop sink, then the Observation's values become
-    * the query result. The DuckDB oracle recomputes the same aggregates
-    * directly — observed metrics must equal a straight aggregation, or
-    * the channel is lying. Exact integers only.
+  /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
+    * (distinct from q26's covar_samp SQL aggregates: this path returns a
+    * Double straight to the driver through the df.stat entry point).
+    * The two API scalars are emitted as a 1-row result and oracle'd
+    * against DuckDB's covariance/correlation aggregates — the stat API
+    * must agree with plain SQL aggregation cross-engine, or the
+    * convenience surface is lying. NOTE df.stat.cov computes SAMPLE
+    * covariance; the oracle states covar_samp.
     *
-    * 100 TB plan: observe adds accumulator updates to an EXISTING pass —
-    * zero extra scans, zero shuffles; this is how production pipelines
-    * cheaply self-audit every batch they write. */
-  val q373ObserveMetrics: GraftQuery = GraftQuery.oracled(
-    "q373_observe_metrics",
-    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
-      |       CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted
-      |FROM lineitem""") { (spark, dir) =>
-    import spark.implicits._
-    val obs = new org.apache.spark.sql.Observation()
-    Tables.lineitem(spark, dir)
-      .observe(obs,
-        count(lit(1)).cast("long").as("n_rows"),
-        sum(round($"l_extendedprice" * 100).cast("long")).cast("long").as("price_cents"),
-        count(when($"l_discount" > 0.05, 1)).cast("long").as("n_discounted"))
-      .write.format("noop").mode("overwrite").save()
-    val m = obs.get
-    Seq((m("n_rows").asInstanceOf[Long],
-      m("price_cents").asInstanceOf[Long],
-      m("n_discounted").asInstanceOf[Long]))
-      .toDF("n_rows", "price_cents", "n_discounted")
-  }
-
-  /** `df.stat` covariance/correlation surface (the DataFrameStatFunctions
-    * twins of q226's SQL corr): sample covariance and Pearson r between
-    * quantity and discounted revenue, plus the exact integer moments that
-    * anchor them. One map-side-combined moments agg; round(…, 6) on both
-    * engines (the q157 float discipline). */
+    * 100 TB plan: each stat call is one map-side-combined moments agg —
+    * the same plan as the SQL form; only the return channel differs. */
   val q374StatCovCorr: GraftQuery = GraftQuery.oracled(
     "q374_stat_cov_corr",
-    """SELECT CAST(count(*) AS BIGINT) AS n,
-      |       round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price,
-      |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-      |       round(covar_samp(l_discount, l_extendedprice), 6) AS cov_disc_price
+    """SELECT round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price,
+      |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
       |FROM lineitem""") { (spark, dir) =>
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .agg(count(lit(1)).cast("long").as("n"),
-        round(covar_samp($"l_quantity", $"l_extendedprice"), 6).as("cov_qty_price"),
-        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
-        round(covar_samp($"l_discount", $"l_extendedprice"), 6).as("cov_disc_price"))
+    val li = Tables.lineitem(spark, dir)
+    val cov = li.stat.cov("l_quantity", "l_extendedprice")
+    val r = li.stat.corr("l_quantity", "l_extendedprice")
+    // HALF_UP to match both engines' round() semantics on the same double
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((r6(cov), r6(r))).toDF("cov_qty_price", "corr_qty_price")
   }
 
   /** `df.stat.freqItems` — the Karp–Shenker–Papadimitriou single-pass

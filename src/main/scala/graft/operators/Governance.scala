@@ -53,53 +53,50 @@ object Governance {
       .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
   }
 
-  /** RIGHT-TO-BE-FORGOTTEN PURGE MANIFEST — the deletion-request audit
-    * every data platform must produce before (and after) a GDPR/CCPA
-    * purge: given a tombstone predicate (here users/customers whose key
-    * ends in 7 — the synthesized request batch), report per table how
-    * many rows the purge removes and keeps, INCLUDING the FK cascade
-    * (orders of tombstoned customers, then lineitems of those orders —
-    * the two-hop cascade that naive per-table deletes miss). The ppm
-    * share is the blast-radius number the DPO signs off on.
+  /** RETENTION-POLICY AUDIT WITH LEGAL HOLD — the OTHER deletion regime
+    * next to q299's request-driven RTBF cascade: a TIME-based retention
+    * rule (events older than the 2024-01-15 cutoff are purgeable) with a
+    * LEGAL-HOLD exemption (users under litigation hold — the md5-coin 3%
+    * slice — are retained regardless; deleting held data is itself a
+    * violation). Per event type: purgeable rows, rows saved by holds,
+    * rows inside the window, and the reclaim share — the numbers a
+    * retention job logs before touching storage, and the hold-override
+    * count a compliance review asks for explicitly.
     *
-    * 100 TB plan: events/orders purge flags are map-side predicates (no
-    * join at all — the tombstone rule is a pure key function here; a
-    * real id LIST broadcasts); the lineitem cascade is ONE broadcast
-    * semi-join against the purged-order keys. Output is 3 rows. */
-  val q363PurgeManifest: GraftQuery = GraftQuery.oracled(
-    "q363_purge_manifest",
-    """WITH ev AS (SELECT CAST(count(CASE WHEN user_id % 10 = 7 THEN 1 END) AS BIGINT) AS purged,
-      |                   CAST(count(*) AS BIGINT) AS total
-      |            FROM events),
-      |od AS (SELECT CAST(count(CASE WHEN o_custkey % 10 = 7 THEN 1 END) AS BIGINT) AS purged,
-      |              CAST(count(*) AS BIGINT) AS total
-      |       FROM orders),
-      |li AS (SELECT CAST(count(CASE WHEN o.o_custkey % 10 = 7 THEN 1 END) AS BIGINT) AS purged,
-      |              CAST(count(*) AS BIGINT) AS total
-      |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
-      |SELECT t.tbl, t.purged, t.total - t.purged AS kept,
-      |       CAST(1000000 * t.purged // t.total AS BIGINT) AS purge_ppm
-      |FROM (SELECT 'events' AS tbl, * FROM ev
-      |      UNION ALL SELECT 'orders', * FROM od
-      |      UNION ALL SELECT 'lineitem', * FROM li) t
-      |ORDER BY tbl""") { (spark, dir) =>
+    * 100 TB plan: the age predicate prunes date-partitioned storage
+    * (q83's layout) before any read; the hold set is user-keyed and tiny
+    * (broadcast — here a pure coin of user_id, zero joins); the report is
+    * one map-side-combined census. */
+  val q363RetentionAudit: GraftQuery = GraftQuery.oracled(
+    "q363_retention_audit",
+    """WITH e AS (SELECT event_type,
+      |                  date_trunc('microseconds', ts) < TIMESTAMP '2024-01-15 00:00:00' AS aged,
+      |                  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 30000 AS held
+      |           FROM events)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(CASE WHEN aged AND NOT held THEN 1 END) AS BIGINT) AS purgeable,
+      |       CAST(count(CASE WHEN aged AND held THEN 1 END) AS BIGINT) AS hold_retained,
+      |       CAST(count(CASE WHEN NOT aged THEN 1 END) AS BIGINT) AS in_window,
+      |       CAST(1000000 * count(CASE WHEN aged AND NOT held THEN 1 END) // count(*) AS BIGINT) AS reclaim_ppm
+      |FROM e
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (spark, dir) =>
     import spark.implicits._
-    def census(df: org.apache.spark.sql.DataFrame, tbl: String,
-        purge: org.apache.spark.sql.Column) =
-      df.agg(count(when(purge, 1)).cast("long").as("purged"),
-          count(lit(1)).cast("long").as("total"))
-        .select(lit(tbl).as("tbl"), $"purged", ($"total" - $"purged").as("kept"),
-          expr("(1000000 * purged) div total").cast("long").as("purge_ppm"))
-    val ev = census(Tables.events(spark, dir), "events", $"user_id" % 10 === 7)
-    val od = census(Tables.orders(spark, dir), "orders", $"o_custkey" % 10 === 7)
-    val purgedOrders = Tables.orders(spark, dir)
-      .select($"o_orderkey", ($"o_custkey" % 10 === 7).as("p"))
-    val li = census(
-      Tables.lineitem(spark, dir).join(broadcast(purgedOrders),
-        $"l_orderkey" === $"o_orderkey"),
-      "lineitem", $"p")
-    ev.unionByName(od).unionByName(li).orderBy($"tbl")
+    val aged = $"ts" < lit("2024-01-15 00:00:00").cast("timestamp")
+    val held = conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L < 30000L
+    Tables.events(spark, dir)
+      .select($"event_type", aged.as("aged"), held.as("held"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        count(when($"aged" && !$"held", 1)).cast("long").as("purgeable"),
+        count(when($"aged" && $"held", 1)).cast("long").as("hold_retained"),
+        count(when(!$"aged", 1)).cast("long").as("in_window"),
+        expr("(1000000 * count(CASE WHEN aged AND NOT held THEN 1 END)) div count(1)")
+          .cast("long").as("reclaim_ppm"))
+      .orderBy($"event_type")
   }
 
-  def all: Seq[GraftQuery] = Seq(q351KAnonymity, q363PurgeManifest)
+  def all: Seq[GraftQuery] = Seq(q351KAnonymity, q363RetentionAudit)
 }

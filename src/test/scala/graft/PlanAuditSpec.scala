@@ -38,7 +38,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q354_heaps_law", "q355_doc_pagerank", "q356_curriculum_manifest",
     "q357_token_calibration", "q358_dominant_supplier",
     "q360_anisotropy_audit", "q361_neyman_allocation", "q362_market_share",
-    "q363_purge_manifest", "q364_scd2_merge", "q365_contrastive_negatives",
+    "q363_retention_audit", "q364_scd2_merge", "q365_contrastive_negatives",
     "q366_tokenizer_fertility", "q368_lambda_parity",
     "q371_minhash_signatures", "q372_minhash_banded",
     "q376_cdc_apply", "q377_nfc_normalize")
