@@ -467,6 +467,65 @@ object Curation {
       .orderBy($"source", $"rk")
   }
 
+  /** LENGTH-BUCKETED BATCH PLANNING (the trainer's `group_by_length`):
+    * q260 prices the no-sort policy (pad everything to the next multiple
+    * of B); this PLANS the bucketed alternative — docs are bucketed by
+    * ⌈len/64⌉, ordered deterministically inside each bucket (md5 coin,
+    * the q249 trick — grouping by length must not also sort by length,
+    * or batch composition becomes a curriculum side-effect), cut into
+    * 32-doc batches, and each batch pads only to ITS OWN max length. The
+    * report per bucket: batches, real tokens, padded tokens, padding
+    * share — the measured savings that justify the strategy (typically
+    * 2-5× less padding than global-max padding). Exact integers until
+    * the final ppm.
+    *
+    * 100 TB plan: one length projection, one bucket-keyed window for the
+    * deterministic batch assignment (buckets are parallel; within-bucket
+    * order is the md5 coin, never a global sort), one batch-max agg —
+    * the same shapes as q137/q356. */
+  val q381BucketedBatches: GraftQuery = GraftQuery.oracled(
+    "q381_bucketed_batches",
+    """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |                  CAST(ceil(len(string_split(text, ' ')) / 64.0) AS BIGINT) AS bkt
+      |           FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY bkt
+      |                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM d),
+      |b AS (SELECT bkt, (rk - 1) // 32 AS batch_id, n FROM r),
+      |m AS (SELECT bkt, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(n) AS BIGINT) AS real_toks,
+      |             CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_toks
+      |      FROM b GROUP BY bkt, batch_id)
+      |SELECT bkt, CAST(count(*) AS BIGINT) AS n_batches,
+      |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |       CAST(sum(real_toks) AS BIGINT) AS real_tokens,
+      |       CAST(sum(pad_toks) AS BIGINT) AS pad_tokens,
+      |       CAST(1000000 * sum(pad_toks) // (sum(real_toks) + sum(pad_toks)) AS BIGINT) AS pad_ppm
+      |FROM m
+      |GROUP BY bkt
+      |ORDER BY bkt""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .withColumn("bkt", ceil($"n" / 64.0).cast("long"))
+    val wB = Window.partitionBy($"bkt")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val m = d.withColumn("rk", row_number().over(wB))
+      .withColumn("batch_id", expr("(rk - 1) div 32"))
+      .groupBy($"bkt", $"batch_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"n").cast("long").as("real_toks"),
+        (count(lit(1)) * max($"n") - sum($"n")).cast("long").as("pad_toks"))
+    m.groupBy($"bkt")
+      .agg(count(lit(1)).cast("long").as("n_batches"),
+        sum($"n_docs").cast("long").as("n_docs"),
+        sum($"real_toks").cast("long").as("real_tokens"),
+        sum($"pad_toks").cast("long").as("pad_tokens"),
+        expr("(1000000 * sum(pad_toks)) div (sum(real_toks) + sum(pad_toks))")
+          .cast("long").as("pad_ppm"))
+      .orderBy($"bkt")
+  }
+
   /** PACKING-EFFICIENCY report: if every document were padded alone to the
     * next multiple of B (the no-concat batching policy), how much of the
     * batch is padding — evaluated at B ∈ {128, 256, 512}. The cost model
@@ -723,7 +782,7 @@ object Curation {
 
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
-    q356CurriculumManifest, q361NeymanAllocation,
+    q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill)

@@ -645,7 +645,39 @@ object TextAnalysis {
     q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain,
     q321CohensKappa, q344ZipfSlope, q346WeightedJaccard,
     q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
-    q366TokenizerFertility, q377NfcNormalize)
+    q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit)
+
+  /** FEATURE-HASHING COLLISION AUDIT — the sizing study behind every
+    * HashingTF/feature-hashing decision (q58's 2^18 was a guess; this is
+    * the measurement): the distinct-token vocabulary is bucketed by
+    * murmur3 `hash() pmod 2^k` for k ∈ {10, 14, 18} and each tier reports
+    * its occupied-bucket count and collision share. Engine-specific hash
+    * (Spark's murmur3 seed) → rows-only; LlmOpsSpec gates the laws
+    * (collisions non-increasing in k, occupancy bounded by both domain
+    * sizes, birthday-bound sanity).
+    *
+    * 100 TB plan: the vocabulary census is one map-side-combined distinct
+    * agg (Heaps-bounded, q162's note); each tier is a projection + one
+    * distinct-count over vocab-sized input — the corpus is scanned once. */
+  val q380HashCollisionAudit: GraftQuery = GraftQuery.rowsOnly(
+    "q380_hash_collision_audit",
+    doc = "feature-hashing collision rates at 2^10/2^14/2^18 buckets over the vocabulary") {
+    (spark, dir) =>
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select(explode(split($"text", " ")).as("tok"))
+        .filter($"tok" =!= "").distinct()
+      Seq(10, 14, 18).map { k =>
+        toks.select(pmod(hash($"tok"), lit(1 << k)).as("b"))
+          .agg(count(lit(1)).cast("long").as("toks"),
+            countDistinct($"b").cast("long").as("buckets"))
+          .select(lit(k).as("log2_buckets"),
+            $"toks".as("distinct_tokens"),
+            $"buckets".as("occupied_buckets"),
+            floor(lit(1000000.0) * ($"toks" - $"buckets") / $"toks")
+              .cast("long").as("collision_ppm"))
+      }.reduce(_ unionByName _).orderBy($"log2_buckets")
+  }
 
   /** UNICODE NFC NORMALIZATION — via the codegen'd
     * [[graft.functions.NfcNormalize]] Expression (JDK Normalizer) checked

@@ -520,9 +520,54 @@ object Joins {
       .orderBy($"yr")
   }
 
+  /** JOIN-STRATEGY HINTS as a tested contract (SURVEY §2.3's "broadcast
+    * join" row generalized to the full hint surface): the SAME
+    * orders⋈customer rollup planned three ways — BROADCAST,
+    * SHUFFLE_MERGE, SHUFFLE_HASH — with the physical operator REQUIRED
+    * in-query (the q194 self-assertion pattern: a hint Catalyst silently
+    * ignores is a 100 TB incident, not a preference). All three must
+    * produce identical results; the broadcast variant is the emitted,
+    * oracle'd one.
+    *
+    * 100 TB note: BROADCAST is only correct while the dim fits the
+    * driver/executor memory budget — the other two hints are what you
+    * reach for when it stops fitting (SHUFFLE_HASH for skew-free keys,
+    * merge for sorted/bucketed layouts). This entry pins that all three
+    * paths stay semantically interchangeable. */
+  val q379JoinHints: GraftQuery = GraftQuery.oracled(
+    "q379_join_hints",
+    """SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey
+      |ORDER BY c_nationkey""") { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_custkey", round($"o_totalprice" * 100).cast("long").as("cents"))
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    def rollup(hint: String) = orders
+      .join(cust.hint(hint), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum($"cents").cast("long").as("cents"))
+      .orderBy($"c_nationkey")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.toString
+    val bc = rollup("BROADCAST")
+    val smj = rollup("SHUFFLE_MERGE")
+    val shj = rollup("SHUFFLE_HASH")
+    require(planOf(bc).contains("BroadcastHashJoin"),
+      "BROADCAST hint must plan a BroadcastHashJoin")
+    require(planOf(smj).contains("SortMergeJoin"),
+      "SHUFFLE_MERGE hint must plan a SortMergeJoin")
+    require(planOf(shj).contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH hint must plan a ShuffledHashJoin")
+    bc
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12StarJoin, q13ShippingPriority, q14LeftOuter, q15FullOuter,
     q16SemiJoin, q17AntiJoin, q18CrossJoin, q19RangeJoinBinned,
     q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin, q224NearestEventJoin,
-    q276NullSafeJoin, q332Customer360, q362MarketShare)
+    q276NullSafeJoin, q332Customer360, q362MarketShare, q379JoinHints)
 }

@@ -446,7 +446,36 @@ object NullAndMisc {
     q86NaOps, q87DateArith, q88StringExtra, q89RightOuter, q90UnionByName,
     q91Posexplode, q92StructToJson, q119Unpivot, q134ObserveMetrics,
     q151RiAudit, q201MapHofs, q220TryArithmetic, q299TombstonePurge,
-    q331QuarantineParse)
+    q331QuarantineParse, q378ExplodeOuter)
+
+  /** `explode_outer` — the generator variant q91's plain explode CANNOT
+    * express: rows whose array is EMPTY survive with a NULL element (the
+    * LEFT JOIN LATERAL semantics). The input arrays are each doc's rare
+    * long tokens (length > 7 — most docs have none), so the outer/inner
+    * distinction is load-bearing: plain explode would silently drop the
+    * majority of documents from the report. NULL ordering is pinned
+    * NULLS FIRST on both engines (they disagree by default — the q-series
+    * ordering discipline).
+    *
+    * 100 TB plan: a per-row projection + generator, no shuffle until the
+    * presentation sort; generator output is bounded by the filtered
+    * token count. */
+  val q378ExplodeOuter: GraftQuery = GraftQuery.oracled(
+    "q378_explode_outer",
+    """WITH a AS (SELECT doc_id,
+      |                  list_filter(string_split(text, ' '), t -> length(t) > 7) AS l
+      |           FROM documents WHERE doc_id < 100)
+      |SELECT a.doc_id, u.t AS rare_tok
+      |FROM a LEFT JOIN LATERAL (SELECT unnest(a.l) AS t) u ON true
+      |ORDER BY doc_id, rare_tok NULLS FIRST""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 100)
+      .select($"doc_id",
+        filter(split($"text", " "), t => length(t) > 7).as("l"))
+      .select($"doc_id", explode_outer($"l").as("rare_tok"))
+      .orderBy($"doc_id", $"rare_tok".asc_nulls_first)
+  }
 
   /** RIGHT-TO-BE-FORGOTTEN PURGE CASCADE AUDIT — the pre-deletion impact
     * report every privacy pipeline runs before executing erasure: given a

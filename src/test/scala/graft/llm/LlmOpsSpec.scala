@@ -424,6 +424,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       assert(lsh(id) == "near_dup", s"doc $id lost its near_dup flag")
   }
 
+  test("q380 hash-collision audit: monotone in bucket count, occupancy bounded") {
+    import spark.implicits._
+    val rows = TextAnalysis.q380HashCollisionAudit.fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(10, 14, 18))
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "").distinct().count()
+    var prev = Long.MaxValue
+    for (r <- rows) {
+      val k = r.getInt(0); val toks = r.getLong(1)
+      val occ = r.getLong(2); val cppm = r.getLong(3)
+      assert(toks === vocab)
+      assert(occ <= math.min(toks, 1L << k), s"occupancy over bound at k=$k")
+      assert(occ >= 1)
+      assert(cppm <= prev, s"collisions increased with more buckets at k=$k")
+      prev = cppm
+    }
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)
