@@ -1223,11 +1223,75 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
+  /** DELTA-vs-CORPUS NEAR-DUP via banded MinHash — the INCREMENTAL-INDEX
+    * production shape q112's exact-Jaccard delta dedup documents but does
+    * not ride: a daily ingest batch (the `doc_id % 10 = 7` slice) is
+    * checked against the standing corpus by joining the DELTA's band
+    * buckets against the CORPUS's band buckets only — the corpus is never
+    * self-joined and corpus×corpus candidate pairs are never generated.
+    * Banding is q372's 4×4 over the codegen'd 16-hash signature; survivors
+    * are exact-Jaccard-verified at 0.8, so precision is exact. Per delta
+    * doc: its nearest corpus match and the match count. Engine-specific
+    * hash → rows-only; LlmOpsSpec pins the law: these pairs are EXACTLY
+    * q372's full-corpus pairs restricted to delta×corpus (same bands,
+    * same verify — incrementality loses nothing).
+    *
+    * 100 TB plan: the standing corpus's (band, bucket) index is computed
+    * once and persists in production; each delta batch projects its own
+    * signatures (codegen, map-side), equi-joins the index on (band,
+    * 4-hash bucket), and exact-verifies candidates only — cost scales
+    * with |delta| and bucket hit rate, NOT with |corpus|². */
+  val q385DeltaNeardupLsh: GraftQuery = GraftQuery.rowsOnly(
+    "q385_delta_neardup_lsh",
+    doc = "delta-batch (doc_id%10=7) vs corpus banded-MinHash near-dup, exact-verified at 0.8") {
+    (spark, dir) =>
+      import spark.implicits._
+      deltaNeardupLsh(spark, dir)
+        .groupBy($"delta_id")
+        .agg(count(lit(1)).cast("long").as("n_matches"),
+          max_by(struct($"corpus_id", $"jaccard"), struct($"jaccard", -$"corpus_id"))
+            .getField("corpus_id").cast("long").as("best_match"),
+          max($"jaccard").as("best_jaccard"))
+      .orderBy($"delta_id")
+  }
+
+  /** (delta_id, corpus_id, jaccard) banded-candidate pairs, exact-verified —
+    * shared by q385 and its LlmOpsSpec restriction law. */
+  private[llm] def deltaNeardupLsh(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val isDelta = $"doc_id" % 10 === 7
+    val sig = minhashSigs(spark, dir)
+    val bands = sig
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("bv", slice($"sig", $"b" * 4 + 1, lit(4)))
+      .select($"doc_id", $"b", $"bv", $"sig")
+    val deltaBands = bands.filter(isDelta).toDF("delta_id", "b", "bv", "sig_a")
+    val corpusBands = bands.filter(!isDelta).toDF("corpus_id", "b", "bv", "sig_b")
+    val cand = deltaBands.join(corpusBands, Seq("b", "bv"))
+    // first-matching-band dedup (q372's projection-only pair dedup)
+    val firstBand = (3 to 0 by -1).foldLeft(lit(4)) { (acc, i) =>
+      when(slice($"sig_a", i * 4 + 1, 4) === slice($"sig_b", i * 4 + 1, 4), lit(i))
+        .otherwise(acc)
+    }
+    val uniq = cand.filter($"b" === firstBand).select($"delta_id", $"corpus_id")
+    val tk = Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
+    uniq
+      .join(tk.toDF("delta_id", "tk_a"), Seq("delta_id"))
+      .join(tk.toDF("corpus_id", "tk_b"), Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect($"tk_a", $"tk_b")).cast("double")
+          / size(array_union($"tk_a", $"tk_b")))
+      .filter($"jaccard" >= 0.8)
+      .select($"delta_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
     q353ContainmentDecontam, q365ContrastiveNegatives,
-    q371MinhashSignatures, q372MinhashBanded,
+    q371MinhashSignatures, q372MinhashBanded, q385DeltaNeardupLsh,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
 }

@@ -675,9 +675,123 @@ object Similarity {
           .cast("long").as("high_share_ppm"))
   }
 
+  /** MATRYOSHKA TRUNCATION RECALL AUDIT — the sizing study behind every
+    * "store the first d′ dims" retrieval decision (Kusupati et al. 2022,
+    * arXiv:2205.13147): for each probe (vec_id < 8), the top-10 cosine
+    * neighbors under the FULL 64 dims vs under the 16-dim PREFIX, and the
+    * overlap@10 between the two lists — the recall a 4× cheaper index
+    * would actually deliver. Both rankings use the q48 float discipline
+    * (left-to-right double fold, identical on both engines), so the
+    * neighbor SETS are exact and the audit is strictly oracle-able.
+    *
+    * 100 TB plan: two brute-force probe scans (probes broadcast, corpus
+    * partition-parallel, per-query top-k via bounded window) — the same
+    * shape as q48 twice; at index scale the prefix ranking rides the
+    * IVF/PQ path (q98/q140) with identical audit algebra. */
+  val q382MatryoshkaRecall: GraftQuery = GraftQuery.oracled(
+    "q382_matryoshka_recall",
+    """WITH n AS (SELECT vec_id, embedding,
+      |       sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm64,
+      |       sqrt(list_sum(list_transform(generate_series(1, 16),
+      |         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm16
+      |       FROM embeddings),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |       list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm64 * c.nrm64) AS cos64,
+      |       list_sum(list_transform(generate_series(1, 16),
+      |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm16 * c.nrm16) AS cos16
+      |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |      WHERE q.vec_id < 8),
+      |r AS (SELECT query_id, neighbor_id,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY cos64 DESC, neighbor_id) AS rk64,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY cos16 DESC, neighbor_id) AS rk16
+      |      FROM p)
+      |SELECT query_id,
+      |       CAST(count(*) FILTER (WHERE rk64 <= 10 AND rk16 <= 10) AS BIGINT) AS overlap_at_10,
+      |       CAST(max(CASE WHEN rk64 = 1 THEN neighbor_id END) AS BIGINT) AS top1_full,
+      |       CAST(max(CASE WHEN rk16 = 1 THEN neighbor_id END) AS BIGINT) AS top1_prefix
+      |FROM r
+      |GROUP BY query_id
+      |ORDER BY query_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = normed(spark, dir)
+      .withColumn("pre", slice($"embedding", 1, 16))
+      .withColumn("nrm16", l2norm($"pre"))
+    val q = n.toDF("query_id", "q_emb", "q_nrm", "q_pre", "q_nrm16")
+      .filter($"query_id" < 8)
+    val c = n.toDF("neighbor_id", "c_emb", "c_nrm", "c_pre", "c_nrm16")
+    val w64 = Window.partitionBy($"query_id").orderBy($"cos64".desc, $"neighbor_id")
+    val w16 = Window.partitionBy($"query_id").orderBy($"cos16".desc, $"neighbor_id")
+    c.crossJoin(broadcast(q))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("cos64", dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm"))
+      .withColumn("cos16", dot($"q_pre", $"c_pre") / ($"q_nrm16" * $"c_nrm16"))
+      .select($"query_id", $"neighbor_id",
+        row_number().over(w64).as("rk64"), row_number().over(w16).as("rk16"))
+      .groupBy($"query_id")
+      .agg(
+        count(when($"rk64" <= 10 && $"rk16" <= 10, 1)).cast("long").as("overlap_at_10"),
+        max(when($"rk64" === 1, $"neighbor_id")).cast("long").as("top1_full"),
+        max(when($"rk16" === 1, $"neighbor_id")).cast("long").as("top1_prefix"))
+      .orderBy($"query_id")
+  }
+
+  /** INT8 SYMMETRIC PER-CHANNEL QUANTIZATION AUDIT — the error report
+    * behind every "can we serve the index in int8" decision: per-dimension
+    * absmax scale (absmax/127, the symmetric per-channel scheme every
+    * vector store ships), quantize q = clamp(⌊x/scale + 0.5⌋, ±127),
+    * dequantize, and report per label: element count, saturated-element
+    * count, and the mean squared error in exact fixed point (⌊e²·10¹²⌋
+    * summed as integers — float summation order can never flake the
+    * result). The rounding is pinned to ⌊x+0.5⌋ on BOTH engines (not the
+    * engines' round(), which disagree on half-even vs half-away).
+    *
+    * 100 TB plan: the per-dim absmax is one map-side-combined agg over a
+    * posexploded projection (64 groups — broadcast back); the error pass
+    * is a second map-side projection + census agg. Two corpus scans, no
+    * row-scale shuffle. */
+  val q383Int8QuantAudit: GraftQuery = GraftQuery.oracled(
+    "q383_int8_quant_audit",
+    """WITH el AS (SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+      |sc AS (SELECT dim, greatest(max(abs(x)), 1e-12) / 127 AS scale FROM el GROUP BY dim),
+      |e AS (SELECT label,
+      |             greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT))) AS q,
+      |             x, scale
+      |      FROM el JOIN sc USING (dim)),
+      |d AS (SELECT label, q, x - q * scale AS err FROM e)
+      |SELECT label,
+      |       CAST(count(*) AS BIGINT) AS n_elems,
+      |       CAST(count(*) FILTER (WHERE abs(q) = 127) AS BIGINT) AS n_saturated,
+      |       CAST(sum(CAST(floor(err * err * 1e12) AS BIGINT)) AS BIGINT) AS sum_e2_fp,
+      |       CAST(sum(CAST(floor(err * err * 1e12) AS BIGINT)) // count(*) AS BIGINT) AS mse_fp
+      |FROM d
+      |GROUP BY label
+      |ORDER BY label""") { (spark, dir) =>
+    import spark.implicits._
+    val el = Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).as("dim"), $"col".cast("double").as("x"))
+    val sc = el.groupBy($"dim")
+      .agg((greatest(max(abs($"x")), lit(1e-12)) / 127).as("scale"))
+    el.join(broadcast(sc), Seq("dim"))
+      .withColumn("q",
+        greatest(lit(-127L), least(lit(127L), floor($"x" / $"scale" + 0.5).cast("long"))))
+      .withColumn("err", $"x" - $"q" * $"scale")
+      .withColumn("e2fp", floor($"err" * $"err" * 1e12).cast("long"))
+      .groupBy($"label")
+      .agg(count(lit(1)).cast("long").as("n_elems"),
+        count(when(abs($"q") === 127, 1)).cast("long").as("n_saturated"),
+        sum($"e2fp").cast("long").as("sum_e2_fp"),
+        expr("sum(e2fp) div count(*)").cast("long").as("mse_fp"))
+      .orderBy($"label")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
       q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection,
-      q360AnisotropyAudit)
+      q360AnisotropyAudit, q382MatryoshkaRecall, q383Int8QuantAudit)
 }

@@ -645,7 +645,49 @@ object TextAnalysis {
     q263SourceJaccardMatrix, q286SketchVerifyHeavyHitters, q312BpeTrain,
     q321CohensKappa, q344ZipfSlope, q346WeightedJaccard,
     q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
-    q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit)
+    q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit,
+    q384MojibakeAudit)
+
+  /** ENCODING-ARTIFACT (MOJIBAKE) AUDIT — the ingest-quality census every
+    * web-scrape pipeline runs before training: per source, how many
+    * documents carry (a) the U+FFFD replacement character (lossy decode
+    * already happened), (b) the UTF-8-read-as-Latin-1 double-encoding
+    * signatures (`â€™`-class smart quotes, `Ã`+accent-range pairs), or
+    * (c) C0 control characters that survive real text never. Rates in ppm
+    * of the source's documents; the flagged docs are what a re-decode or
+    * drop pass would rewrite. Both engines evaluate the same code-point
+    * regexes (Java regex and RE2 agree on these classes).
+    *
+    * 100 TB plan: pure map-side projection + census hash-agg — one scan,
+    * source-sized output, no shuffle beyond the final 5-row agg. */
+  val q384MojibakeAudit: GraftQuery = GraftQuery.oracled(
+    "q384_mojibake_audit",
+    """SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE text LIKE '%�%') AS BIGINT) AS n_replacement,
+      |       CAST(count(*) FILTER (WHERE regexp_matches(text, 'â€.|Ã[¡-¿]')) AS BIGINT) AS n_double_enc,
+      |       CAST(count(*) FILTER (WHERE regexp_matches(text, '[\x00-\x08\x0b\x0e-\x1f]')) AS BIGINT) AS n_ctrl,
+      |       CAST((1000000 * count(*) FILTER (WHERE text LIKE '%�%'
+      |               OR regexp_matches(text, 'â€.|Ã[¡-¿]')
+      |               OR regexp_matches(text, '[\x00-\x08\x0b\x0e-\x1f]'))) // count(*) AS BIGINT) AS dirty_ppm
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val repl = $"text".contains("\ufffd")
+    val dbl = $"text".rlike("\u00e2\u20ac.|\u00c3[\u00a1-\u00bf]")
+    val ctrl = $"text".rlike("[\\x00-\\x08\\x0B\\x0E-\\x1F]")
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        count(when(repl, 1)).cast("long").as("n_replacement"),
+        count(when(dbl, 1)).cast("long").as("n_double_enc"),
+        count(when(ctrl, 1)).cast("long").as("n_ctrl"),
+        count(when(repl || dbl || ctrl, 1)).cast("long").as("n_dirty"))
+      .select($"source", $"n_docs", $"n_replacement", $"n_double_enc", $"n_ctrl",
+        expr("(1000000 * n_dirty) div n_docs").cast("long").as("dirty_ppm"))
+      .orderBy($"source")
+  }
 
   /** FEATURE-HASHING COLLISION AUDIT — the sizing study behind every
     * HashingTF/feature-hashing decision (q58's 2^18 was a guess; this is

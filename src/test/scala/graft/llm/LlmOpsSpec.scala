@@ -443,6 +443,57 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q385 delta-LSH near-dup == q372 banded pairs restricted to delta×corpus") {
+    import spark.implicits._
+    val deltaPairs = Dedup.deltaNeardupLsh(spark, sf)
+      .select($"delta_id", $"corpus_id", $"jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.q372MinhashBanded.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def isDelta(id: Long) = id % 10 == 7
+    val restricted = full.collect {
+      case (a, b, j) if isDelta(a) && !isDelta(b) => (a, b, j)
+      case (a, b, j) if !isDelta(a) && isDelta(b) => (b, a, j)
+    }.toSet
+    assert(deltaPairs === restricted,
+      s"incremental path diverged: delta-only=${deltaPairs -- restricted}, " +
+        s"full-only=${restricted -- deltaPairs}")
+  }
+
+  test("q382 matryoshka recall: overlaps bounded, full-dim top-1 agrees with q48") {
+    import spark.implicits._
+    val rows = Similarity.q382MatryoshkaRecall.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ov = r.getLong(1)
+      assert(ov >= 0 && ov <= 10, s"overlap@10 out of range: $ov")
+    }
+    val top1 = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val q48Top1 = Similarity.q48KnnBruteForce.fn(spark, sf)
+      .filter($"rnk" === 1 && $"query_id" < 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === q48Top1, "full-dim top-1 disagrees with q48 brute force")
+  }
+
+  test("q383 int8 quant audit: MSE within the quantization-theory bound, no saturation blowup") {
+    import spark.implicits._
+    val rows = Similarity.q383Int8QuantAudit.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // worst-case per-element error is scale/2 (round-to-nearest), so
+    // mse_fp ≤ (maxScale/2)² · 1e12 across every label
+    val maxScale = graft.sources.Tables.embeddings(spark, sf)
+      .select(posexplode($"embedding"))
+      .agg(max(abs($"col".cast("double")))).head.getDouble(0) / 127
+    val bound = math.pow(maxScale / 2, 2) * 1e12
+    for (r <- rows) {
+      val n = r.getLong(1); val sat = r.getLong(2); val mse = r.getLong(4)
+      assert(n > 0)
+      assert(mse.toDouble <= bound + 1,
+        s"label ${r.get(0)}: mse_fp $mse over theory bound $bound")
+      assert(sat * 100 <= n, s"label ${r.get(0)}: >1% saturated elements ($sat/$n)")
+    }
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)
