@@ -789,9 +789,137 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** DAVIES–BOULDIN LABEL-SEPARABILITY AUDIT (Davies & Bouldin 1979) — the
+    * "are these classes even separable in this embedding space" number a
+    * team checks before training a classifier on it: per label, the mean
+    * intra-class distance to the label centroid (Sᵢ), the nearest OTHER
+    * centroid and its distance (Mᵢⱼ), and the Davies–Bouldin component
+    * maxⱼ (Sᵢ+Sⱼ)/Mᵢⱼ — lower is more separable. Strictly oracle-able by
+    * construction: centroids are assembled from EXACT integer sums
+    * (⌊x·10⁷⌋ per element — float summation order cannot flake them),
+    * per-row distances fold left-to-right against the sorted centroid
+    * array, and the row-mean Sᵢ is again an integer sum (⌊dist·10⁹⌋).
+    *
+    * 100 TB plan: centroid pass = one posexplode + (label,dim) hash-agg
+    * (640 groups — broadcast back as sorted arrays); distance pass = one
+    * map-side fold per row + label census agg; the DB matrix is
+    * labels², driver-bounded. Two scans, no row-scale shuffle. */
+  val q386DaviesBouldin: GraftQuery = GraftQuery.oracled(
+    "q386_davies_bouldin",
+    """WITH el AS (SELECT label, vec_id, i AS dim,
+      |                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS xfp
+      |            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+      |cd AS (SELECT label, dim,
+      |              CAST(sum(xfp) AS DOUBLE) / (1e7 * count(*)) AS c
+      |       FROM el GROUP BY label, dim),
+      |ca AS (SELECT label, list(c ORDER BY dim) AS carr FROM cd GROUP BY label),
+      |d AS (SELECT e.label, e.vec_id,
+      |             sqrt(list_sum(list_transform(generate_series(1, 64),
+      |               i -> (CAST(e.embedding[i] AS DOUBLE) - ca.carr[i])
+      |                  * (CAST(e.embedding[i] AS DOUBLE) - ca.carr[i])))) AS dist
+      |      FROM embeddings e JOIN ca ON e.label = ca.label),
+      |s AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(CAST(floor(dist * 1e9) AS BIGINT)) // count(*) AS BIGINT) AS s_fp
+      |      FROM d GROUP BY label),
+      |m AS (SELECT a.label AS la, b.label AS lb,
+      |             sqrt(list_sum(list_transform(generate_series(1, 64),
+      |               i -> (a.carr[i] - b.carr[i]) * (a.carr[i] - b.carr[i])))) AS mij
+      |      FROM ca a JOIN ca b ON a.label <> b.label),
+      |r AS (SELECT m.la AS label, m.lb,
+      |             (CAST(sa.s_fp + sb.s_fp AS DOUBLE) / 1e9) / m.mij AS rij
+      |      FROM m JOIN s sa ON sa.label = m.la JOIN s sb ON sb.label = m.lb),
+      |db AS (SELECT label, max(rij) AS dbi FROM r GROUP BY label)
+      |SELECT s.label, s.n, s.s_fp, round(db.dbi, 4) AS db_component
+      |FROM s JOIN db ON s.label = db.label
+      |ORDER BY s.label""") { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val el = emb
+      .select($"label", posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).as("dim"),
+        floor($"col".cast("double") * 1e7).cast("long").as("xfp"))
+    val cd = el.groupBy($"label", $"dim")
+      .agg((sum($"xfp").cast("double") / (lit(1e7) * count(lit(1)))).as("c"))
+    val ca = cd.groupBy($"label")
+      .agg(transform(sort_array(collect_list(struct($"dim", $"c"))),
+        x => x.getField("c")).as("carr"))
+    val dists = emb.join(broadcast(ca), Seq("label"))
+      .select($"label",
+        sqrt(aggregate(
+          zip_with($"embedding", $"carr", (x, c) => {
+            val dxc = x.cast("double") - c; dxc * dxc
+          }),
+          lit(0.0), (acc, v) => acc + v)).as("dist"))
+    val s = dists.groupBy($"label")
+      .agg(count(lit(1)).cast("long").as("n"),
+        expr("sum(CAST(floor(dist * 1e9) AS BIGINT)) div count(*)")
+          .cast("long").as("s_fp"))
+    val caB = ca.toDF("la", "ca_arr")
+    val m = caB.crossJoin(ca.toDF("lb", "cb_arr"))
+      .filter($"la" =!= $"lb")
+      .select($"la", $"lb",
+        sqrt(aggregate(
+          zip_with($"ca_arr", $"cb_arr", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)).as("mij"))
+    val r = m
+      .join(s.select($"label".as("la"), $"s_fp".as("sa")), Seq("la"))
+      .join(s.select($"label".as("lb"), $"s_fp".as("sb")), Seq("lb"))
+      .select($"la".as("label"),
+        ((($"sa" + $"sb").cast("double") / 1e9) / $"mij").as("rij"))
+    val db = r.groupBy($"label").agg(max($"rij").as("dbi"))
+    s.join(db, Seq("label"))
+      .select($"label", $"n", $"s_fp", round($"dbi", 4).as("db_component"))
+      .orderBy($"label")
+  }
+
+  /** ANN RECALL EVAL AS A QUERY — the continuous index-quality audit a
+    * production vector store runs (not a one-off test): per probe, how
+    * many of the EXACT cosine top-10 the LSH candidate stage recovers
+    * (recall@10). The exact side reuses q48's machinery; the candidate
+    * side is q49's seeded BucketedRandomProjectionLSH join. Engine-
+    * specific hashing → rows-only; LlmOpsSpec floors mean recall.
+    *
+    * 100 TB plan: the exact side only runs over the PROBE set (bounded —
+    * it's an audit, not a serve path); the LSH side is the index's own
+    * bucket join. Recall regressions page before users notice. */
+  val q387AnnRecallEval: GraftQuery = GraftQuery.rowsOnly(
+    "q387_ann_recall_eval",
+    doc = "recall@10 of the seeded LSH candidate stage vs exact cosine top-10, per probe vec_id<10") {
+    (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val n = normed(spark, dir)
+      val q = n.toDF("query_id", "q_emb", "q_nrm")
+      val c = n.toDF("neighbor_id", "c_emb", "c_nrm")
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      val exact = c.crossJoin(broadcast(q.filter($"query_id" < 10)))
+        .filter($"neighbor_id" =!= $"query_id")
+        .withColumn("cos", dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"query_id", $"neighbor_id")
+      val vecs = Tables.embeddings(spark, dir)
+        .select($"vec_id", array_to_vector($"embedding").as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(2.0).setNumHashTables(4).setSeed(42)
+      val cand = lsh.fit(vecs)
+        .approxSimilarityJoin(vecs.filter($"vec_id" < 10), vecs, 1e9, "d")
+        .select($"datasetA.vec_id".as("query_id"), $"datasetB.vec_id".as("neighbor_id"))
+        .filter($"query_id" =!= $"neighbor_id")
+      exact.join(cand.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg(sum(coalesce($"hit", lit(0))).cast("long").as("recovered"),
+          count(lit(1)).cast("long").as("k"))
+        .withColumn("recall_pct", ($"recovered" * 100 / $"k").cast("long"))
+        .orderBy($"query_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
       q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection,
-      q360AnisotropyAudit, q382MatryoshkaRecall, q383Int8QuantAudit)
+      q360AnisotropyAudit, q382MatryoshkaRecall, q383Int8QuantAudit,
+      q386DaviesBouldin, q387AnnRecallEval)
 }

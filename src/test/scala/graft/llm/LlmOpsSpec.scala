@@ -494,6 +494,16 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q387 ANN recall eval: k=10 everywhere, mean candidate-stage recall floored") {
+    import spark.implicits._
+    val rows = Similarity.q387AnnRecallEval.fn(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getLong(2) == 10L), "exact side must contribute k=10 per probe")
+    val meanRecallPct = rows.map(_.getLong(3)).sum / rows.length
+    assert(meanRecallPct >= 50,
+      s"LSH candidate stage recall collapsed: mean $meanRecallPct% < 50%")
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)
