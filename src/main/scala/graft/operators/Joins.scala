@@ -565,9 +565,60 @@ object Joins {
     bc
   }
 
+  /** NATIVE BROADCAST AS-OF JOIN — q20's semantics through the custom
+    * whole-operator path ([[graft.plans.AsofBroadcastJoin]], §2.11 tier c,
+    * operator #2): the reference timeline (orders per customer) is
+    * collected, sorted, and broadcast; every event binary-searches its
+    * customer's timeline IN PLACE. The probe side never shuffles, never
+    * sorts, holds no window state — against q20's union+window plan
+    * (which shuffles and sorts probe ∪ reference) this is the
+    * broadcast-hash-join of as-of. The plan shape is REQUIRED in-query:
+    * AsofBroadcastJoinExec present, and no Exchange/Sort/Window below it
+    * on the probe side. Oracle: EXACTLY q20's SQL — the two plans must
+    * agree row-for-row (same greatest-(t, orderkey) tie rule).
+    *
+    * 100 TB contract: reference must fit in memory (rates/config/SCD dims
+    * — the dominant as-of shape); corpus-×-corpus as-of stays on q20's
+    * relational plan. */
+  val q388AsofNative: GraftQuery = GraftQuery.oracled(
+    "q388_asof_native",
+    """WITH u AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t, 0 AS tag,
+      |         o_orderkey, NULL::BIGINT AS event_id
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id, date_trunc('microseconds', ts), 1, NULL, event_id FROM events
+      |), w AS (
+      |  SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+      |    PARTITION BY k ORDER BY t, tag, o_orderkey NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+      |  FROM u
+      |)
+      |SELECT event_id, k AS user_id, asof_orderkey
+      |FROM w WHERE tag = 1 AND asof_orderkey IS NOT NULL
+      |ORDER BY event_id""") { (spark, dir) =>
+    import spark.implicits._
+    val probe = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts")
+    val ref = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_ts"), $"o_orderkey")
+    val joined = graft.plans.AsofBroadcastJoin.asof(
+      probe, ref, "user_id", "ts", "o_custkey", "o_ts", "o_orderkey")
+    val planStr = joined.queryExecution.sparkPlan.toString
+    require(planStr.contains("AsofBroadcastJoin"),
+      s"native as-of operator must appear in the physical plan:\n$planStr")
+    require(!planStr.contains("Exchange") && !planStr.contains("Window"),
+      s"probe side must stay map-only before the as-of join:\n$planStr")
+    joined
+      .filter($"o_orderkey".isNotNull)
+      .select($"event_id", $"user_id", $"o_orderkey".as("asof_orderkey"))
+      .orderBy($"event_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12StarJoin, q13ShippingPriority, q14LeftOuter, q15FullOuter,
     q16SemiJoin, q17AntiJoin, q18CrossJoin, q19RangeJoinBinned,
     q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin, q224NearestEventJoin,
-    q276NullSafeJoin, q332Customer360, q362MarketShare, q379JoinHints)
+    q276NullSafeJoin, q332Customer360, q362MarketShare, q379JoinHints,
+    q388AsofNative)
 }

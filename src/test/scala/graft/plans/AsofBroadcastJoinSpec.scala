@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native broadcast as-of operator must agree ROW-FOR-ROW with q20's
+  * relational union+window formulation (they share the oracle), and honor
+  * the no-match (null right) and tie (greatest orderkey at equal time)
+  * rules on a hand-built fixture. */
+class AsofBroadcastJoinSpec extends AnyFunSuite with graft.SparkFixture {
+
+  test("native as-of == q20 union+window formulation on the full corpus") {
+    val native = graft.operators.Joins.q388AsofNative.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val relational = graft.operators.Joins.q20AsofJoin.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native === relational,
+      s"native-only=${(native -- relational).take(5)}, " +
+        s"window-only=${(relational -- native).take(5)}")
+  }
+
+  test("fixture: no-match rows null out, equal-time ties pick the greatest tiebreak") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 10L, 100L), // after both refs for key 10 → latest (t=90) wins
+      (2L, 10L, 50L),  // between → t=40 row
+      (3L, 10L, 5L),   // before any ref → null
+      (4L, 20L, 40L),  // key 20: two refs at the SAME time 40 → greater tie wins
+      (5L, 30L, 40L)   // key with no refs at all → null
+    ).toDF("event_id", "k", "t")
+    val ref = Seq(
+      (10L, 40L, 1L), (10L, 90L, 2L),
+      (20L, 40L, 7L), (20L, 40L, 9L)
+    ).toDF("rk", "rt", "tie")
+    val out = AsofBroadcastJoin.asof(probe, ref, "k", "t", "rk", "rt", "tie")
+      .select($"event_id", $"tie")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out === Map(1L -> Some(2L), 2L -> Some(1L), 3L -> None,
+      4L -> Some(9L), 5L -> None))
+  }
+}
