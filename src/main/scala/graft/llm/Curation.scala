@@ -780,9 +780,65 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** SAMPLING-TEMPERATURE MIXING STUDY (the mT5/XLM-R α-sweep, Conneau et
+    * al. 2020 §5): multilingual/multi-source training samples source s with
+    * probability n_s^α / Σ n_t^α — α=1 is proportional (big sources
+    * dominate), α→0 is uniform (small sources oversampled). This reports
+    * the weight each source gets at α ∈ {1, 1/2, 1/4} from its TOKEN count.
+    * Cross-engine float discipline: α powers are computed with sqrt /
+    * sqrt∘sqrt only (IEEE-correctly-rounded on both engines — pow(x, 0.25)
+    * is NOT, libm differs in the last ulp), and the denominator Σ n_t^α is
+    * folded left-to-right over the source-sorted list on both sides (the
+    * q346 ordered-fold trick), so every weight is bit-reproducible.
+    *
+    * 100 TB plan: one token-census agg (source-sized output), then pure
+    * driver-scale arithmetic over ≤ sources rows; the corpus is scanned
+    * once. */
+  val q389TemperatureMixing: GraftQuery = GraftQuery.oracled(
+    "q389_temperature_mixing",
+    """WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |           FROM documents GROUP BY source),
+      |p AS (SELECT source, toks,
+      |             CAST(toks AS DOUBLE) AS p1,
+      |             sqrt(CAST(toks AS DOUBLE)) AS p2,
+      |             sqrt(sqrt(CAST(toks AS DOUBLE))) AS p4
+      |      FROM c),
+      |d AS (SELECT list_sum(list(p1 ORDER BY source)) AS d1,
+      |             list_sum(list(p2 ORDER BY source)) AS d2,
+      |             list_sum(list(p4 ORDER BY source)) AS d4
+      |      FROM p)
+      |SELECT source, toks,
+      |       round(p1 / d1, 6) AS w_alpha_1,
+      |       round(p2 / d2, 6) AS w_alpha_half,
+      |       round(p4 / d4, 6) AS w_alpha_quarter
+      |FROM p, d
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val p = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(sum(size(split($"text", " "))).cast("long").as("toks"))
+      .select($"source", $"toks",
+        $"toks".cast("double").as("p1"),
+        sqrt($"toks".cast("double")).as("p2"),
+        sqrt(sqrt($"toks".cast("double"))).as("p4"))
+    def orderedSum(c: String) = aggregate(
+      transform(sort_array(collect_list(struct($"source", col(c)))),
+        x => x.getField(c)),
+      lit(0.0), (acc, v) => acc + v)
+    val d = p.agg(orderedSum("p1").as("d1"), orderedSum("p2").as("d2"),
+      orderedSum("p4").as("d4"))
+    p.crossJoin(broadcast(d))
+      .select($"source", $"toks",
+        round($"p1" / $"d1", 6).as("w_alpha_1"),
+        round($"p2" / $"d2", 6).as("w_alpha_half"),
+        round($"p4" / $"d4", 6).as("w_alpha_quarter"))
+      .orderBy($"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
+    q389TemperatureMixing,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill)

@@ -1287,11 +1287,71 @@ object Dedup {
       .select($"delta_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
   }
 
+  /** SPLIT-LEAKAGE MATRIX — the audit q298's cluster-consistent split
+    * exists to make clean: take the NAIVE per-document hash split (q102's
+    * train/valid/test buckets) and count the near-dup pairs (q45's exact
+    * capped-Jaccard ≥ 0.8 machinery) that STRADDLE splits — each such pair
+    * is an eval answer leaked into training. The 3×3 matrix (pair counts
+    * per split combination, cross-split rows flagged) is the number a
+    * data-release review asks for; q298 is the fix, this is the detector.
+    *
+    * 100 TB plan: the pair stage is the capped inverted-index join (never
+    * all-pairs; the LSH swap is q46/q349's knob); the split tag is a
+    * map-side md5 projection; the matrix agg is 9 rows. */
+  val q391SplitLeakage: GraftQuery = GraftQuery.oracled(
+    "q391_split_leakage",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |nd AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |sp AS (SELECT doc_id,
+      |              CASE WHEN b < 16 THEN 'train' WHEN b < 18 THEN 'valid' ELSE 'test' END AS split
+      |       FROM (SELECT doc_id,
+      |                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 AS b
+      |             FROM documents))
+      |SELECT least(sa.split, sb.split) AS split_a,
+      |       greatest(sa.split, sb.split) AS split_b,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CASE WHEN sa.split = sb.split THEN 0 ELSE 1 END AS is_leak
+      |FROM nd JOIN sp sa ON nd.doc_a = sa.doc_id
+      |        JOIN sp sb ON nd.doc_b = sb.doc_id
+      |GROUP BY 1, 2, 4
+      |ORDER BY split_a, split_b""") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // the split tag is a PURE FUNCTION of doc_id (q102's md5 bucket), so
+    // pairs never join anything — two scalar projections on the pair stream
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 20
+      when(b < 16, "train").when(b < 18, "valid").otherwise("test")
+    }
+    neardupPairs(docs)
+      .select($"doc_a", $"doc_b",
+        splitOf($"doc_a").as("split_a0"), splitOf($"doc_b").as("split_b0"))
+      .groupBy(
+        least($"split_a0", $"split_b0").as("split_a"),
+        greatest($"split_a0", $"split_b0").as("split_b"),
+        when($"split_a0" === $"split_b0", 0).otherwise(1).as("is_leak"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .select($"split_a", $"split_b", $"n_pairs", $"is_leak")
+      .orderBy($"split_a", $"split_b")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
     q353ContainmentDecontam, q365ContrastiveNegatives,
     q371MinhashSignatures, q372MinhashBanded, q385DeltaNeardupLsh,
+    q391SplitLeakage,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
 }

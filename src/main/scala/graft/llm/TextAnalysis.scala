@@ -646,7 +646,56 @@ object TextAnalysis {
     q321CohensKappa, q344ZipfSlope, q346WeightedJaccard,
     q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
     q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit,
-    q384MojibakeAudit)
+    q384MojibakeAudit, q390VocabCoverage)
+
+  /** VOCABULARY COVERAGE-AT-K CURVE — the tokenizer-sizing complement to
+    * q354 (Heaps growth) and q344 (Zipf slope): if the vocabulary kept only
+    * the top-k whitespace tokens by frequency (ties broken
+    * lexicographically), what share of the CORPUS'S token occurrences is
+    * covered, at k ∈ {100, 1000, 10000}. The number that decides vocab
+    * size vs OOV/byte-fallback rate (q261's OOV audit is this curve
+    * evaluated at one chosen k). Exact integers end to end.
+    *
+    * 100 TB plan: one token census (map-side combined, vocab-sized
+    * output), one vocab-sized rank window (q97's two-phase rank is the
+    * drop-in were the vocab itself shuffle-hostile), cumulative sums read
+    * at three cutoffs. The corpus is scanned once. */
+  val q390VocabCoverage: GraftQuery = GraftQuery.oracled(
+    "q390_vocab_coverage",
+    """WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+      |           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |           WHERE t <> '' GROUP BY t),
+      |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rk,
+      |             sum(n) OVER (ORDER BY n DESC, t
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM c),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS vocab FROM c)
+      |SELECT k, vocab, total,
+      |       CAST(max(CASE WHEN rk <= k THEN cum END) AS BIGINT) AS covered,
+      |       CAST((1000000 * max(CASE WHEN rk <= k THEN cum END)) // total AS BIGINT) AS coverage_ppm
+      |FROM r, tot, (SELECT unnest([100, 1000, 10000]) AS k)
+      |GROUP BY k, vocab, total
+      |ORDER BY k""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+      .groupBy($"t").agg(count(lit(1)).cast("long").as("n"))
+    val w = Window.orderBy($"n".desc, $"t")
+    val r = c.select($"n",
+      row_number().over(w).as("rk"),
+      sum($"n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+    val tot = c.agg(sum($"n").cast("long").as("total"),
+      count(lit(1)).cast("long").as("vocab"))
+    val ks = Seq(100, 1000, 10000).toDF("k")
+    r.crossJoin(broadcast(ks)).crossJoin(broadcast(tot))
+      .groupBy($"k", $"vocab", $"total")
+      .agg(max(when($"rk" <= $"k", $"cum")).cast("long").as("covered"))
+      .select($"k", $"vocab", $"total", $"covered",
+        expr("(1000000 * covered) div total").cast("long").as("coverage_ppm"))
+      .orderBy($"k")
+  }
 
   /** ENCODING-ARTIFACT (MOJIBAKE) AUDIT — the ingest-quality census every
     * web-scrape pipeline runs before training: per source, how many
