@@ -835,10 +835,40 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** CORPUS CONTENT-CHECKSUM MANIFEST — the release-validation record an
+    * export publishes next to q300's manifest: per source, the document
+    * count, total characters, and an ORDER-INDEPENDENT content checksum
+    * (XOR of each doc's 60-bit md5 prefix — XOR is commutative/associative
+    * with no overflow, so any partitioning, any executor count, any row
+    * order produces the same fingerprint; a re-run or a consumer re-hash
+    * either matches bit-for-bit or the export changed). The md5 is over
+    * (doc_id||':'||text) so both reorderings AND id remaps are caught.
+    *
+    * 100 TB plan: one map-side projection + census hash-agg; XOR partials
+    * merge exactly like sums. The manifest is source-sized. */
+  val q394ContentChecksum: GraftQuery = GraftQuery.oracled(
+    "q394_content_checksum",
+    """SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(len(text)) AS BIGINT) AS n_chars,
+      |       CAST(bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length($"text")).cast("long").as("n_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT))")
+          .cast("long").as("checksum"))
+      .orderBy($"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
-    q389TemperatureMixing,
+    q389TemperatureMixing, q394ContentChecksum,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill)

@@ -916,10 +916,73 @@ object Similarity {
         .orderBy($"query_id")
   }
 
+  /** EMBEDDING-DRIFT AUDIT — the retraining/reindexing trigger every
+    * vector platform monitors: split the corpus into two deterministic
+    * cohorts (vec_id parity — standing in for "last month vs this month"),
+    * compute each label's centroid in BOTH cohorts, and report the
+    * centroid shift (L2 and cosine). A label whose cohort centroids
+    * diverge is drifting; cosine ≈ 1 means the index's cells are still
+    * valid. Same exact-integer centroid discipline as q386 (⌊x·10⁷⌋ sums)
+    * so the audit is strictly oracle-able — no float-order flake.
+    *
+    * 100 TB plan: one posexplode + (cohort, label, dim) hash-agg (2·640
+    * groups), then label-sized centroid algebra. One scan. */
+  val q393EmbeddingDrift: GraftQuery = GraftQuery.oracled(
+    "q393_embedding_drift",
+    """WITH el AS (SELECT label, vec_id % 2 AS cohort, i AS dim,
+      |                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS xfp
+      |            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+      |cd AS (SELECT label, cohort, dim,
+      |              CAST(sum(xfp) AS DOUBLE) / (1e7 * count(*)) AS c,
+      |              CAST(count(*) AS BIGINT) AS n
+      |       FROM el GROUP BY label, cohort, dim),
+      |ca AS (SELECT label, cohort, list(c ORDER BY dim) AS carr, max(n) AS n
+      |       FROM cd GROUP BY label, cohort),
+      |pair AS (SELECT a.label, a.n AS n_a, b.n AS n_b,
+      |                list_sum(list_transform(generate_series(1, 64),
+      |                  i -> (a.carr[i] - b.carr[i]) * (a.carr[i] - b.carr[i]))) AS d2,
+      |                list_sum(list_transform(generate_series(1, 64),
+      |                  i -> a.carr[i] * b.carr[i])) AS dot,
+      |                sqrt(list_sum(list_transform(generate_series(1, 64),
+      |                  i -> a.carr[i] * a.carr[i]))) AS na,
+      |                sqrt(list_sum(list_transform(generate_series(1, 64),
+      |                  i -> b.carr[i] * b.carr[i]))) AS nb
+      |         FROM ca a JOIN ca b ON a.label = b.label AND a.cohort = 0 AND b.cohort = 1)
+      |SELECT label, n_a, n_b,
+      |       round(sqrt(d2), 6) AS l2_shift,
+      |       round(dot / (na * nb), 6) AS cosine
+      |FROM pair
+      |ORDER BY label""") { (spark, dir) =>
+    import spark.implicits._
+    val el = Tables.embeddings(spark, dir)
+      .select($"label", ($"vec_id" % 2).as("cohort"), posexplode($"embedding"))
+      .select($"label", $"cohort", ($"pos" + 1).as("dim"),
+        floor($"col".cast("double") * 1e7).cast("long").as("xfp"))
+    val cd = el.groupBy($"label", $"cohort", $"dim")
+      .agg((sum($"xfp").cast("double") / (lit(1e7) * count(lit(1)))).as("c"),
+        count(lit(1)).cast("long").as("n"))
+    val ca = cd.groupBy($"label", $"cohort")
+      .agg(transform(sort_array(collect_list(struct($"dim", $"c"))),
+        x => x.getField("c")).as("carr"),
+        max($"n").as("n"))
+    def fold(expr: Column): Column = aggregate(expr, lit(0.0), (acc, v) => acc + v)
+    val a = ca.filter($"cohort" === 0).select($"label", $"carr".as("ca_arr"), $"n".as("n_a"))
+    val b = ca.filter($"cohort" === 1).select($"label", $"carr".as("cb_arr"), $"n".as("n_b"))
+    a.join(b, Seq("label"))
+      .select($"label", $"n_a", $"n_b",
+        round(sqrt(fold(zip_with($"ca_arr", $"cb_arr", (x, y) => (x - y) * (x - y)))), 6)
+          .as("l2_shift"),
+        round(fold(zip_with($"ca_arr", $"cb_arr", (x, y) => x * y))
+          / (sqrt(fold(zip_with($"ca_arr", $"ca_arr", (x, y) => x * y)))
+            * sqrt(fold(zip_with($"cb_arr", $"cb_arr", (x, y) => x * y)))), 6)
+          .as("cosine"))
+      .orderBy($"label")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
       q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection,
       q360AnisotropyAudit, q382MatryoshkaRecall, q383Int8QuantAudit,
-      q386DaviesBouldin, q387AnnRecallEval)
+      q386DaviesBouldin, q387AnnRecallEval, q393EmbeddingDrift)
 }

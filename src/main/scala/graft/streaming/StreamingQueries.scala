@@ -1103,7 +1103,70 @@ object StreamingQueries {
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
     q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState,
     q285StreamStreamFullOuter, q345StreamHistogram, q359StreamSpaceSaving,
-    q368LambdaParity)
+    q368LambdaParity, q392StreamDriftPsi)
+
+  /** STREAMING DISTRIBUTION-DRIFT MONITOR (PSI) — q152's train/serve
+    * drift report turned into the thing production actually runs: a
+    * CONTINUOUS monitor. The stream maintains the daily event-type census
+    * (tumbling 1-day windows, Complete mode — constant state:
+    * days × types cells); after the drain, each day's distribution is
+    * scored against the whole-corpus marginal with the PSI cell formula
+    * (pd − pc)·ln(pd/pc), add-one smoothed on the FULL day×type grid so
+    * missing cells stay finite. Per-cell contributions are emitted
+    * (q152's dodge: no cross-cell float sum to flake); the alert rule is
+    * any |contrib| spike. Oracle: the identical census + algebra in batch
+    * SQL — the AvailableNow replay must agree exactly.
+    *
+    * 100 TB plan: streaming state is the census grid (days×types — tiny),
+    * not rows; the post-drain PSI algebra is grid-sized. The corpus is
+    * read once by the replay. */
+  val q392StreamDriftPsi: GraftQuery = GraftQuery.oracled(
+    "q392_stream_drift_psi",
+    """WITH e AS (SELECT date_trunc('day', date_trunc('microseconds', ts)) AS day, event_type
+      |           FROM events),
+      |c AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+      |grid AS (SELECT d.day, t.event_type
+      |         FROM (SELECT DISTINCT day FROM c) d, (SELECT DISTINCT event_type FROM c) t),
+      |f AS (SELECT g.day, g.event_type, coalesce(c.n, 0) AS n
+      |      FROM grid g LEFT JOIN c ON g.day = c.day AND g.event_type = c.event_type),
+      |dt AS (SELECT day, sum(n) AS day_tot, count(*) AS k FROM f GROUP BY day),
+      |ct AS (SELECT event_type, sum(n) AS type_tot FROM f GROUP BY event_type),
+      |tot AS (SELECT sum(n) AS corpus_tot, count(*) AS cells FROM f),
+      |p AS (SELECT f.day, f.event_type, f.n,
+      |             (f.n + 1.0) / (dt.day_tot + dt.k) AS pd,
+      |             (ct.type_tot + 1.0) / (tot.corpus_tot + tot.cells) AS pc
+      |      FROM f JOIN dt USING (day) JOIN ct USING (event_type), tot)
+      |SELECT day, event_type, n, round(pd, 6) AS pd, round(pc, 6) AS pc,
+      |       round((pd - pc) * ln(pd / pc), 6) AS psi_contrib
+      |FROM p
+      |ORDER BY day, event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).cast("long").as("n"))
+    // localCheckpoint: the drained MemoryPlan cannot self-join (no
+    // newInstance); the checkpointed census (days×types — tiny) can
+    val c = runToMemory(agg, OutputMode.Complete(), "q392")
+      .select($"window.start".as("day"), $"event_type", $"n")
+      .localCheckpoint()
+    val grid = c.select($"day").distinct()
+      .crossJoin(c.select($"event_type").distinct())
+    val f = grid.join(c, Seq("day", "event_type"), "left")
+      .select($"day", $"event_type", coalesce($"n", lit(0L)).as("n"))
+    val dt = f.groupBy($"day")
+      .agg(sum($"n").as("day_tot"), count(lit(1)).as("k"))
+    val ct = f.groupBy($"event_type").agg(sum($"n").as("type_tot"))
+    val tot = f.agg(sum($"n").as("corpus_tot"), count(lit(1)).as("cells"))
+    f.join(broadcast(dt), Seq("day"))
+      .join(broadcast(ct), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pd", ($"n" + 1.0) / ($"day_tot" + $"k"))
+      .withColumn("pc", ($"type_tot" + 1.0) / ($"corpus_tot" + $"cells"))
+      .select($"day", $"event_type", $"n",
+        round($"pd", 6).as("pd"), round($"pc", 6).as("pc"),
+        round(($"pd" - $"pc") * log($"pd" / $"pc"), 6).as("psi_contrib"))
+      .orderBy($"day", $"event_type")
+  }
 
   /** LAMBDA-ARCHITECTURE PARITY AUDIT — the reconciliation report every
     * stream+batch dual pipeline publishes: the STREAMING hourly census
