@@ -153,15 +153,48 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Per-row 3-token shingle array (q45's similarity space, computed as a
+    * projection — no explode): shingle i = tokens[i..i+2] joined by
+    * spaces. Only meaningful for docs with ≥ 3 tokens — callers filter. */
+  private[graft] def shingleArr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = split(c, " ")
+    transform(sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+  }
+
+  /** Per-doc maxDf-CAPPED 3-gram shingle SET as a sorted array — q45's
+    * exact similarity space ((doc_id, tk) rows → capShingles drops
+    * boilerplate shingles with df > 50). Shared by the MinHash signature
+    * stage, both banded verifies, and MinHashSpec. */
+  private[graft] def cappedShingleSets(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"s")).as("tk"))
+  }
+
   /** (doc_id, sig: array<long>[16]) MinHash signatures via the codegen'd
-    * [[graft.functions.MinHash64]] kernel — one projection, no MLlib model,
-    * shared by q371 (signature dump) and q372 (banded pair join). */
+    * [[graft.functions.MinHash64]] kernel over the maxDf-CAPPED 3-gram
+    * shingle set — EXACTLY q45's similarity space, cap included. Shared by
+    * q371 (signature dump), q372 (banded pair join), and q385
+    * (delta-vs-corpus). Two design decisions, both load-bearing at scale:
+    * (1) SHINGLES, not unigram token sets — this corpus draws from a
+    * ~40-word vocabulary, so unigram-set MinHash degenerates into one
+    * giant band bucket (measured: 12.4M candidate pairs at sf0.1, 67 s);
+    * (2) the df > 50 CAP — the corpus contains a ~2400-doc template
+    * family that is one genuine near-dup clique in raw shingle space
+    * (2.8M pairs ≥ 0.8); capping drops the boilerplate shingles exactly
+    * as q45 does, so signatures, buckets, and the verified pair set all
+    * collapse to the capped semantics. Docs whose shingles are all capped
+    * away (or with < 3 tokens) carry no signature — q45's own exclusion
+    * rule. */
   private[llm] def minhashSigs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import spark.implicits._
     graft.functions.MinHashExpression.register(spark)
-    Tables.documents(spark, dir)
+    cappedShingleSets(spark, dir)
       .select($"doc_id",
-        graft.functions.MinHashExpression.minhash64(split($"text", " ")).as("sig"))
+        graft.functions.MinHashExpression.minhash64($"tk").as("sig"))
   }
 
   /** MinHash signature dump (q47's twin for Jaccard space): 16 signed-min
@@ -171,7 +204,7 @@ object Dedup {
     * Scala reference. */
   val q371MinhashSignatures: GraftQuery = GraftQuery.rowsOnly(
     "q371_minhash_signatures",
-    doc = "16-permutation codegen'd MinHash signatures over whitespace tokens") {
+    doc = "16-permutation codegen'd MinHash signatures over maxDf-capped 3-gram shingle sets") {
     (spark, dir) =>
       import spark.implicits._
       minhashSigs(spark, dir)
@@ -185,7 +218,7 @@ object Dedup {
     * some band become candidates (P[band match] = j⁴ per band — ~0.95
     * recall at j = 0.8 with 4 bands, and 1.0 empirically on this corpus,
     * gated by MinHashSpec against q45's exact pairs); candidates are
-    * verified with EXACT token-set Jaccard ≥ 0.8, so false positives
+    * verified with EXACT shingle-set Jaccard ≥ 0.8 (q45's space), so false positives
     * cannot survive. Pair dedup is q105's first-matching-band filter
     * (computed from the two signatures alone — no global distinct
     * shuffle).
@@ -196,10 +229,12 @@ object Dedup {
     * hash collisions; the exact verify touches candidates only. */
   val q372MinhashBanded: GraftQuery = GraftQuery.rowsOnly(
     "q372_minhash_banded",
-    doc = "banded (4x4) MinHash near-dup pairs, exact-Jaccard-verified at 0.8") {
+    doc = "banded (4x4) shingle-MinHash near-dup pairs, exact-shingle-Jaccard-verified at 0.8") {
     (spark, dir) =>
       import spark.implicits._
-      val sig = minhashSigs(spark, dir)
+      // localCheckpoint: the signature projection rides a shingle census;
+      // the band self-join would otherwise recompute it per side
+      val sig = minhashSigs(spark, dir).localCheckpoint()
       val bands = sig
         .withColumn("b", explode(sequence(lit(0), lit(3))))
         .withColumn("bv", slice($"sig", $"b" * 4 + 1, lit(4)))
@@ -214,8 +249,7 @@ object Dedup {
       }
       val uniq = cand.filter($"b" === firstBand)
         .select($"doc_a", $"doc_b")
-      val tk = Tables.documents(spark, dir)
-        .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
+      val tk = cappedShingleSets(spark, dir).localCheckpoint()
       uniq
         .join(tk.toDF("doc_a", "tk_a"), Seq("doc_a"))
         .join(tk.toDF("doc_b", "tk_b"), Seq("doc_b"))
@@ -1261,7 +1295,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val isDelta = $"doc_id" % 10 === 7
-    val sig = minhashSigs(spark, dir)
+    val sig = minhashSigs(spark, dir).localCheckpoint()
     val bands = sig
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("bv", slice($"sig", $"b" * 4 + 1, lit(4)))
@@ -1275,8 +1309,7 @@ object Dedup {
         .otherwise(acc)
     }
     val uniq = cand.filter($"b" === firstBand).select($"delta_id", $"corpus_id")
-    val tk = Tables.documents(spark, dir)
-      .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
+    val tk = cappedShingleSets(spark, dir).localCheckpoint()
     uniq
       .join(tk.toDF("delta_id", "tk_a"), Seq("delta_id"))
       .join(tk.toDF("corpus_id", "tk_b"), Seq("corpus_id"))

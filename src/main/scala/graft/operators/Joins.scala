@@ -515,8 +515,14 @@ object Joins {
       .groupBy($"yr".cast("long").as("yr"))
       .agg(sum($"rev_u").cast("long").as("total_rev_u"),
         asiaRev.cast("long").as("asia_rev_u"),
-        expr("(1000000 * sum(CASE WHEN is_asia = 1 THEN rev_u ELSE 0 END)) div sum(rev_u)")
-          .cast("long").as("asia_share_ppm"))
+        // DECIMAL(38,0) for the ×10⁶ numerator: yearly cent-unit sums reach
+        // ~10¹⁴ at sf0.1, so the bigint product would overflow (ANSI mode
+        // faults); DuckDB's HUGEINT sum widens implicitly — this is the
+        // explicit Spark twin of that widening
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) " +
+          "* CAST(sum(CASE WHEN is_asia = 1 THEN rev_u ELSE 0 END) AS DECIMAL(38,0))) " +
+          "div CAST(sum(rev_u) AS DECIMAL(38,0)) AS BIGINT)")
+          .as("asia_share_ppm"))
       .orderBy($"yr")
   }
 

@@ -41,7 +41,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q363_retention_audit", "q364_scd2_merge", "q365_contrastive_negatives",
     "q366_tokenizer_fertility", "q368_lambda_parity",
     "q371_minhash_signatures", "q372_minhash_banded",
-    "q376_cdc_apply", "q377_nfc_normalize")
+    "q376_cdc_apply", "q377_nfc_normalize",
+    // round 8 (driver round 5): every join-shaped newcomer
+    "q378_explode_outer", "q379_join_hints", "q380_hash_collision_audit",
+    "q381_bucketed_batches", "q382_matryoshka_recall",
+    "q383_int8_quant_audit", "q384_mojibake_audit", "q385_delta_neardup_lsh",
+    "q386_davies_bouldin", "q387_ann_recall_eval", "q388_asof_native",
+    "q389_temperature_mixing", "q390_vocab_coverage", "q391_split_leakage",
+    "q393_embedding_drift", "q394_content_checksum")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -55,7 +62,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q323_mix_waterfill", "q325_control_chart", "q330_rfm_segmentation",
     "q334_rendezvous_shards", "q347_huber_approx_scale",
     "q348_fellegi_sunter_em", "q361_neyman_allocation",
-    "q365_contrastive_negatives")
+    "q365_contrastive_negatives",
+    // q382/q387: bounded probe sets (<10 rows) broadcast-crossjoined
+    // against the corpus — q48's documented exact-audit shape; q386/q389/
+    // q390: 1-row or label-sized aggregate broadcasts
+    "q382_matryoshka_recall", "q386_davies_bouldin", "q387_ann_recall_eval",
+    "q389_temperature_mixing", "q390_vocab_coverage")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in

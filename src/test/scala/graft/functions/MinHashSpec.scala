@@ -47,17 +47,16 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     val banded = graft.llm.Dedup.q372MinhashBanded.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded.nonEmpty)
-    // q45 verifies >= 0.8 on 3-gram SHINGLE sets; q372 verifies on TOKEN
-    // sets — shingle-similar pairs are token-similar on this corpus, so
-    // exact-path pairs must all surface through some band
+    // q45 and q372 both verify >= 0.8 on 3-gram SHINGLE sets (q372's
+    // signatures hash the same space), so every exact-path pair must
+    // surface through some band
     val missed = exact -- banded
     assert(missed.isEmpty, s"banding missed exact pairs: $missed")
   }
 
-  test("q372 emits no pair below the exact token-jaccard threshold (verify kills FPs)") {
+  test("q372 emits no pair below the exact shingle-jaccard threshold (verify kills FPs)") {
     import spark.implicits._
-    val tk = graft.sources.Tables.documents(spark, sf)
-      .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
+    val tk = graft.llm.Dedup.cappedShingleSets(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     val banded = graft.llm.Dedup.q372MinhashBanded.fn(spark, sf).collect()
     for (r <- banded) {
