@@ -504,6 +504,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       s"LSH candidate stage recall collapsed: mean $meanRecallPct% < 50%")
   }
 
+  test("q395 incremental components == full recompute; untouched labels stable") {
+    import spark.implicits._
+    val incremental = Dedup.q395IncrementalComponents.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.q100DedupClusters.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incremental === full, "incremental labeling diverged from full recompute")
+    // corpus docs in components untouched by any delta edge keep their
+    // corpus-only label (the amortized-state contract)
+    val pairs = Dedup.q45NeardupJaccard.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def isDelta(id: Long) = id % 10 == 7
+    val corpusOnly = pairs.filter { case (a, b) => !isDelta(a) && !isDelta(b) }
+    val corpusDocs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id").collect().map(_.getLong(0)).filterNot(isDelta)
+    val baseLabels = {
+      // reference union-find over corpus-only edges
+      val parent = scala.collection.mutable.Map(corpusDocs.map(d => d -> d): _*)
+      def find(x: Long): Long = { val p = parent(x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      for ((a, b) <- corpusOnly) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      corpusDocs.map(d => d -> find(d)).toMap
+    }
+    val touchedBaseLabels = pairs.filter { case (a, b) => isDelta(a) || isDelta(b) }
+      .flatMap { case (a, b) => Seq(a, b).filterNot(isDelta).map(baseLabels) }.toSet
+    for (d <- corpusDocs if !touchedBaseLabels(baseLabels(d)))
+      assert(incremental(d) === baseLabels(d),
+        s"untouched corpus doc $d was relabeled ${baseLabels(d)} -> ${incremental(d)}")
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)
