@@ -1467,6 +1467,65 @@ object Dedup {
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
     q353ContainmentDecontam, q365ContrastiveNegatives,
     q371MinhashSignatures, q372MinhashBanded, q385DeltaNeardupLsh,
-    q391SplitLeakage, q395IncrementalComponents,
+    q391SplitLeakage, q395IncrementalComponents, q396BandingSweep,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
+
+  /** Candidate pairs under a (bands × rowsPerBand) banding of the 16-hash
+    * signature — q372's pairing stage parameterized by scheme. */
+  private[llm] def bandedCandidates(
+      sig: org.apache.spark.sql.DataFrame, bandsN: Int): org.apache.spark.sql.DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val r = 16 / bandsN
+    val bands = sig
+      .withColumn("b", explode(sequence(lit(0), lit(bandsN - 1))))
+      .withColumn("bv", slice($"sig", $"b" * r + 1, lit(r)))
+      .select($"doc_id", $"b", $"bv")
+    bands.toDF("doc_a", "b", "bv")
+      .join(bands.toDF("doc_b", "b", "bv"), Seq("b", "bv"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+  }
+
+  /** LSH BANDING-SCHEME SWEEP — the S-curve tuning study behind every
+    * bands×rows choice (MMDS §3.4): the SAME 16-hash signatures banded
+    * three ways — 2×8 (high precision), 4×4 (q372's operating point), 8×2
+    * (high recall) — with, per scheme: candidate pairs, exact-verified
+    * pairs (≥ 0.8 capped-shingle Jaccard), and recall vs the exact q45
+    * pair set in ppm. The laws are EXACT, not statistical, and spec'd: a
+    * pair agreeing on an r-hash band agrees on both its r/2-hash halves,
+    * so candidates(2×8) ⊆ candidates(4×4) ⊆ candidates(8×2), and verified
+    * recall is monotone in band count. Engine-specific hash → rows-only.
+    *
+    * 100 TB plan: one signature projection feeds all three schemes; each
+    * scheme is a bounded explode + bucket equi-join (q372's shape). The
+    * sweep runs on a sample in production — the operating point it picks
+    * is what q372 then runs at corpus scale. */
+  val q396BandingSweep: GraftQuery = GraftQuery.rowsOnly(
+    "q396_banding_sweep",
+    doc = "candidates/verified/recall-ppm for 2x8, 4x4, 8x2 bandings of the 16-hash MinHash signature") {
+    (spark, dir) =>
+      import spark.implicits._
+      val sig = minhashSigs(spark, dir).localCheckpoint()
+      val tk = cappedShingleSets(spark, dir).localCheckpoint()
+      val exact = q45NeardupJaccard.fn(spark, dir)
+        .select($"doc_a", $"doc_b").localCheckpoint()
+      val nExact = exact.count()
+      Seq(2, 4, 8).map { bn =>
+        val cand = bandedCandidates(sig, bn).localCheckpoint()
+        val verified = cand
+          .join(tk.toDF("doc_a", "tk_a"), Seq("doc_a"))
+          .join(tk.toDF("doc_b", "tk_b"), Seq("doc_b"))
+          .filter(size(array_intersect($"tk_a", $"tk_b")).cast("double")
+            / size(array_union($"tk_a", $"tk_b")) >= 0.8)
+          .select($"doc_a", $"doc_b")
+        val recovered = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
+        cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+          .crossJoin(verified.agg(count(lit(1)).cast("long").as("n_verified")))
+          .select(lit(bn).as("bands"), lit(16 / bn).as("rows_per_band"),
+            $"n_candidates", $"n_verified",
+            lit(if (nExact == 0) 1000000L else 1000000L * recovered / nExact)
+              .as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy($"bands")
+  }
 }

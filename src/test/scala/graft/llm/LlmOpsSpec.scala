@@ -533,6 +533,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
         s"untouched corpus doc $d was relabeled ${baseLabels(d)} -> ${incremental(d)}")
   }
 
+  test("q396 banding sweep: candidate nesting law and monotone recall") {
+    import spark.implicits._
+    val sig = Dedup.minhashSigs(spark, sf).localCheckpoint()
+    val c2 = Dedup.bandedCandidates(sig, 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c4 = Dedup.bandedCandidates(sig, 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c8 = Dedup.bandedCandidates(sig, 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c2.subsetOf(c4), s"2x8 candidates not nested in 4x4: ${(c2 -- c4).take(5)}")
+    assert(c4.subsetOf(c8), s"4x4 candidates not nested in 8x2: ${(c4 -- c8).take(5)}")
+    val rows = Dedup.q396BandingSweep.fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(2, 4, 8))
+    val recalls = rows.map(_.getLong(4))
+    assert(recalls.sameElements(recalls.sorted), s"recall not monotone: ${recalls.toSeq}")
+    val cands = rows.map(_.getLong(2))
+    assert(cands.sameElements(cands.sorted), s"candidates not monotone: ${cands.toSeq}")
+  }
+
   test("multimodal decode stub: metadata arithmetic consistent with payload bytes") {
     import spark.implicits._
     val meta = Multimodal.q56MultimodalMeta.fn(spark, sf)
