@@ -865,10 +865,114 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** CONTEXT-LENGTH TRUNCATION-LOSS CURVE — the max_seq_len sizing study:
+    * if every document were truncated to L tokens, what share of the
+    * corpus's tokens is cut, per source, at L ∈ {128, 512, 2048} — plus
+    * the share of DOCUMENTS touched (a doc losing its tail is affected
+    * even when the token share looks small). The number that arbitrates
+    * "train at 2k or 8k context" against compute cost. Exact integers.
+    *
+    * 100 TB plan: one length projection, one census agg per (source, L)
+    * over the broadcast 3-row L grid — one scan, source×3 output rows. */
+  val q397TruncationLoss: GraftQuery = GraftQuery.oracled(
+    "q397_truncation_loss",
+    """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |g AS (SELECT d.source, l.max_len, d.n,
+      |             CASE WHEN d.n > l.max_len THEN d.n - l.max_len ELSE 0 END AS cut
+      |      FROM d, (SELECT unnest([128, 512, 2048]) AS max_len) l)
+      |SELECT source, CAST(max_len AS BIGINT) AS max_len,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE cut > 0) AS BIGINT) AS docs_truncated,
+      |       CAST(sum(n) AS BIGINT) AS total_tokens,
+      |       CAST(sum(cut) AS BIGINT) AS tokens_cut,
+      |       CAST((1000000 * sum(cut)) // sum(n) AS BIGINT) AS cut_ppm
+      |FROM g
+      |GROUP BY source, max_len
+      |ORDER BY source, max_len""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("n"))
+    val ls = Seq(128L, 512L, 2048L).toDF("max_len")
+    d.crossJoin(broadcast(ls))
+      .withColumn("cut", greatest($"n" - $"max_len", lit(0L)))
+      .groupBy($"source", $"max_len")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        count(when($"cut" > 0, 1)).cast("long").as("docs_truncated"),
+        sum($"n").cast("long").as("total_tokens"),
+        sum($"cut").cast("long").as("tokens_cut"))
+      .select($"source", $"max_len", $"n_docs", $"docs_truncated",
+        $"total_tokens", $"tokens_cut",
+        expr("(1000000 * tokens_cut) div total_tokens").cast("long").as("cut_ppm"))
+      .orderBy($"source", $"max_len")
+  }
+
+  /** DUP-CLUSTER FREQUENCY REWEIGHTING — the sampling-weight fix that makes
+    * "dedup by deletion" unnecessary: every document is weighted
+    * 1/|its near-dup cluster| (q100's components), so each cluster
+    * contributes exactly one document-equivalent to training regardless of
+    * how many copies crawled in. Per source: raw docs, effective
+    * (weight-summed) docs in ppm-of-raw, and the largest in-source cluster
+    * — the report that decides whether to deduplicate or downweight.
+    * Weights are exact rationals summed as ppm integers (1e6/|cluster| per
+    * doc) — no float summation anywhere.
+    *
+    * 100 TB plan: cluster sizes are one agg over q100's labels; the
+    * weight join is label-keyed; the census is source-sized. The
+    * components run is the amortized standing index (q395). */
+  val q398ClusterReweight: GraftQuery = GraftQuery.oracled(
+    "q398_cluster_reweight",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b FROM pairs
+      |         JOIN sizes sa ON doc_a = sa.doc_id
+      |         JOIN sizes sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |          UNION ALL SELECT doc_b, doc_a FROM good),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS m FROM lab GROUP BY cluster_id),
+      |w AS (SELECT d.source, l.cluster_id, cs.m, 1000000 // cs.m AS w_ppm
+      |      FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+      |                       JOIN cs ON l.cluster_id = cs.cluster_id)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(w_ppm) AS BIGINT) AS effective_docs_ppm,
+      |       CAST(max(m) AS BIGINT) AS max_cluster
+      |FROM w
+      |GROUP BY source
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val lab = Dedup.q100DedupClusters.fn(spark, dir)
+      .select($"doc_id", $"cluster_id")
+    val cs = lab.groupBy($"cluster_id").agg(count(lit(1)).cast("long").as("m"))
+    Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(lab, Seq("doc_id"))
+      .join(broadcast(cs), Seq("cluster_id"))
+      .withColumn("w_ppm", expr("1000000 div m").cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"w_ppm").cast("long").as("effective_docs_ppm"),
+        max($"m").cast("long").as("max_cluster"))
+      .orderBy($"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
-    q389TemperatureMixing, q394ContentChecksum,
+    q389TemperatureMixing, q394ContentChecksum, q397TruncationLoss,
+    q398ClusterReweight,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill)
