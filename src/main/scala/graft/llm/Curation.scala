@@ -703,10 +703,12 @@ object Curation {
     (spark, dir) => {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val verdicts = curate(docs, $"doc_id" % 50 === 0)
-    val clusters = Dedup.minLabelComponents(
-        docs.select($"doc_id"),
-        Dedup.neardupPairs(docs).select($"doc_a", $"doc_b"))
+    // compute the capped pair join ONCE (localCheckpoint) and feed the same
+    // frame to curate's near-dup stage and the split clustering — the pair
+    // machinery is the query's dominant cost and used to run twice
+    val pairs = Dedup.neardupPairs(docs).select($"doc_a", $"doc_b").localCheckpoint()
+    val verdicts = curate(docs, $"doc_id" % 50 === 0, _ => pairs)
+    val clusters = Dedup.minLabelComponents(docs.select($"doc_id"), pairs)
       .toDF("doc_id", "cluster_id")
     def coin(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 1000000L
