@@ -1468,7 +1468,58 @@ object Dedup {
     q353ContainmentDecontam, q365ContrastiveNegatives,
     q371MinhashSignatures, q372MinhashBanded, q385DeltaNeardupLsh,
     q391SplitLeakage, q395IncrementalComponents, q396BandingSweep,
+    q399NeardupEvidence,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
+
+  /** NEAR-DUP PROVENANCE / EVIDENCE REPORT — the "why was this pair
+    * flagged" record a dedup decision needs to be auditable (and a human
+    * reviewer needs to overturn it): for every q45 near-dup pair, the
+    * shared-shingle count, both set sizes, the Jaccard, and the
+    * lexicographically-FIRST shared shingle as the displayable evidence
+    * snippet. Deterministic by construction (min over the shared set), so
+    * the whole audit is strictly oracle-able.
+    *
+    * 100 TB plan: identical shapes to q45 (capped inverted index; the
+    * evidence min rides the same (pair, shingle) aggregation that counts
+    * `shared` — zero extra joins over the pair stage). */
+  val q399NeardupEvidence: GraftQuery = GraftQuery.oracled(
+    "q399_neardup_evidence",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                 count(*) AS shared, min(a.s) AS evidence
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+      |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |       round(shared / (sa.n + sb.n - shared), 4) AS jaccard,
+      |       evidence
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE shared / (sa.n + sb.n - shared) >= 0.8
+      |ORDER BY doc_a, doc_b""") { (spark, dir) =>
+    import spark.implicits._
+    val sh = capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    sh.toDF("doc_a", "s")
+      .join(sh.toDF("doc_b", "s"), Seq("s"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared"), min($"s").as("evidence"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .filter($"shared" / ($"na" + $"nb" - $"shared") >= 0.8)
+      .select($"doc_a", $"doc_b", $"shared".cast("long").as("shared"),
+        $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+        round($"shared" / ($"na" + $"nb" - $"shared"), 4).as("jaccard"),
+        $"evidence")
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   /** Candidate pairs under a (bands × rowsPerBand) banding of the 16-hash
     * signature — q372's pairing stage parameterized by scheme. */

@@ -38,4 +38,15 @@ class AsofBroadcastJoinSpec extends AnyFunSuite with graft.SparkFixture {
     assert(out === Map(1L -> Some(2L), 2L -> Some(1L), 3L -> None,
       4L -> Some(9L), 5L -> None))
   }
+
+  test("empty reference: every probe row survives with null right side") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, 100L), (2L, 20L, 50L)).toDF("event_id", "k", "t")
+    val ref = Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "tie")
+    val out = AsofBroadcastJoin.asof(probe, ref, "k", "t", "rk", "rt", "tie")
+      .collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)),
+      "right-side columns must be null under an empty reference")
+  }
 }
