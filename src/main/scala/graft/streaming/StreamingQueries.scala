@@ -1103,7 +1103,72 @@ object StreamingQueries {
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
     q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState,
     q285StreamStreamFullOuter, q345StreamHistogram, q359StreamSpaceSaving,
-    q368LambdaParity, q392StreamDriftPsi)
+    q368LambdaParity, q392StreamDriftPsi, q400StreamAsofEnrich)
+
+  /** STREAMING AS-OF ENRICHMENT — the custom broadcast as-of operator
+    * ([[graft.plans.AsofBroadcastJoin]], q388) composed into the streaming
+    * path: each micro-batch of events is enriched with the latest order
+    * as of its timestamp via foreachBatch (the escape hatch for join
+    * shapes Structured Streaming's native stream-static join cannot
+    * express — as-of needs per-row temporal lookup, not an equi-join).
+    * The reference is loaded and broadcast per batch — in production
+    * that is exactly the desired behavior for slowly-changing reference
+    * data (each batch sees the newest version; the q364 SCD-2 dim is the
+    * same contract). Batches append with their batch id; the read side
+    * dedups per event (q130's idempotent-retry discipline). The
+    * AvailableNow replay covers every event once, so the drained result
+    * must equal q388/q20's batch as-of — the oracle.
+    *
+    * 100 TB plan: per batch the probe side is batch-sized and map-only
+    * (the operator's contract); the reference broadcast is amortized per
+    * micro-batch, not per row. No stream-side state at all. */
+  val q400StreamAsofEnrich: GraftQuery = GraftQuery.oracled(
+    "q400_stream_asof_enrich",
+    """WITH u AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t, 0 AS tag,
+      |         o_orderkey, NULL::BIGINT AS event_id
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id, date_trunc('microseconds', ts), 1, NULL, event_id FROM events
+      |), w AS (
+      |  SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+      |    PARTITION BY k ORDER BY t, tag, o_orderkey NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+      |  FROM u
+      |)
+      |SELECT event_id, k AS user_id, asof_orderkey
+      |FROM w WHERE tag = 1 AND asof_orderkey IS NOT NULL
+      |ORDER BY event_id""") { (spark, dir) =>
+    import spark.implicits._
+    val base = java.nio.file.Paths.get("/tmp/graft-io", s"asof_${System.nanoTime()}")
+    val out = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q = eventsStream(spark, dir)
+      .select($"event_id", $"user_id", $"ts")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ref = Tables.orders(batch.sparkSession, dir)
+          .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_ts"), $"o_orderkey")
+        graft.plans.AsofBroadcastJoin.asof(
+            batch.toDF(), ref, "user_id", "ts", "o_custkey", "o_ts", "o_orderkey")
+          .select($"event_id", $"user_id", $"o_orderkey".as("asof_orderkey"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_id").orderBy($"batch_id".desc)
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .filter($"asof_orderkey".isNotNull)
+      .select($"event_id", $"user_id", $"asof_orderkey")
+      .orderBy($"event_id")
+  }
 
   /** STREAMING DISTRIBUTION-DRIFT MONITOR (PSI) — q152's train/serve
     * drift report turned into the thing production actually runs: a
