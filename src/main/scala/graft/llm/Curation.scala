@@ -970,12 +970,143 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** SINKHORN OPTIMAL-TRANSPORT MIXTURE PLAN (Cuturi 2013's matrix
+    * scaling, 3 rounds) — HOW to move a corpus's language mix to a target
+    * mix, not just that they differ: q152/q392 score the gap (PSI), q389
+    * reweights marginally per source; this computes the full transport
+    * plan T (who gives probability mass to whom) between the corpus's
+    * token-share distribution over the 5 langs and the uniform target,
+    * under the rank-distance cost C_ij = |i−j|. Scaling kernel
+    * K_ij = 1/(1+C_ij) — RATIONAL, not exp(−C/λ): libm exp differs in the
+    * last ulp across engines, 1/(1+C) does not, and any positive kernel
+    * admits the same diagonal-scaling fixed point. The 5-point support is
+    * PIVOTED into fixed columns, so every Σ is a literal 5-term
+    * left-to-right chain — all three rounds bit-reproducible with no list
+    * folds. Iterations: u ← p ⊘ Kv, v ← q ⊘ Kᵀu from v⁰ = 1;
+    * T = diag(u)·K·diag(v); plan_cost = Σ T_ij·C_ij.
+    *
+    * 100 TB plan: one corpus scan into the 5-cell token census; the
+    * scaling loop is support²-sized arithmetic on one row — iteration
+    * cost independent of corpus size (a k-bin histogram at any scale). */
+  val q401SinkhornMixture: GraftQuery = GraftQuery.oracled(
+    "q401_sinkhorn_mixture", SinkhornGen.oracleSql) { (spark, dir) =>
+    SinkhornGen.plan(spark, dir)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
     q389TemperatureMixing, q394ContentChecksum, q397TruncationLoss,
-    q398ClusterReweight,
+    q398ClusterReweight, q401SinkhornMixture,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill)
+}
+
+/** Code-generated twin bodies for q401: the Spark plan and the DuckDB
+  * oracle are emitted from the SAME index loops over the fixed 5-lang
+  * support and the SAME kernel constants, so the two engines cannot drift
+  * in term order or coefficient values (the q321 lesson, applied at
+  * construction instead of by string surgery). */
+private[llm] object SinkhornGen {
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  val langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+  private val n = langs.size
+  private def cost(i: Int, j: Int): Int = math.abs(i - j)
+  private val rounds = 3
+
+  /** DuckDB oracle: CTE chain it1..itN, each computing the 5 u- and
+    * 5 v-components as explicit left-assoc 5-term sums. */
+  lazy val oracleSql: String = {
+    def k(i: Int, j: Int) = s"(CAST(1 AS DOUBLE) / ${1 + cost(i, j)})"
+    val toksCols = langs.zipWithIndex.map { case (l, i) =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS toks_$i"
+    }.mkString(", ")
+    val total = (0 until n).map(i => s"toks_$i").mkString(" + ")
+    val pCols = (0 until n).map(i =>
+      s"CAST(toks_$i AS DOUBLE) / CAST($total AS DOUBLE) AS p_$i").mkString(", ")
+    def kv(i: Int, vName: Int => String) =
+      (0 until n).map(j => s"${k(i, j)} * ${vName(j)}").mkString(" + ")
+    def ktu(j: Int, uName: Int => String) =
+      (0 until n).map(i => s"${k(i, j)} * ${uName(i)}").mkString(" + ")
+    val sb = new StringBuilder
+    sb ++= s"WITH census AS (SELECT $toksCols FROM documents),\n"
+    sb ++= s"base AS (SELECT $pCols FROM census),\n"
+    var prevV: Int => String = _ => "CAST(1 AS DOUBLE)"
+    var prevTable = "base"
+    for (r <- 1 to rounds) {
+      val us = (0 until n).map(i => s"p_$i / (${kv(i, prevV)}) AS u${r}_$i").mkString(", ")
+      sb ++= s"u$r AS (SELECT *, $us FROM $prevTable),\n"
+      val vs = (0 until n).map(j =>
+        s"(CAST(1 AS DOUBLE) / $n) / (${ktu(j, i => s"u${r}_$i")}) AS v${r}_$j").mkString(", ")
+      sb ++= s"v$r AS (SELECT *, $vs FROM u$r),\n"
+      prevV = j => s"v${r}_$j"
+      prevTable = s"v$r"
+    }
+    val tExpr = for (i <- 0 until n; j <- 0 until n)
+      yield s"u${rounds}_$i * ${k(i, j)} * v${rounds}_$j"
+    val tCols = (for (i <- 0 until n; j <- 0 until n)
+      yield s"${tExpr(i * n + j)} AS t_${i}_$j").mkString(", ")
+    sb ++= s"t AS (SELECT *, $tCols FROM v$rounds),\n"
+    val costSum = (for (i <- 0 until n; j <- 0 until n; if cost(i, j) > 0)
+      yield s"t_${i}_$j * ${cost(i, j)}").mkString(" + ")
+    sb ++= s"fin AS (SELECT *, $costSum AS plan_cost FROM t),\n"
+    val rows = (for (i <- 0 until n; j <- 0 until n) yield
+      s"SELECT '${langs(i)}' AS lang_from, '${langs(j)}' AS lang_to, " +
+        s"CAST(${cost(i, j)} AS BIGINT) AS cost, round(p_$i, 6) AS p_from, " +
+        s"round(t_${i}_$j, 6) AS t_ij, round(plan_cost, 6) AS plan_cost FROM fin")
+      .mkString("\nUNION ALL\n")
+    sb ++= s"rows_out AS (\n$rows)\n"
+    sb ++= "SELECT * FROM rows_out ORDER BY lang_from, lang_to"
+    sb.toString
+  }
+
+  /** Spark twin: identical index loops over a pivoted 1-row census; each
+    * half-step is a named projection (localCheckpoint per round keeps the
+    * tree linear). */
+  def plan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def k(i: Int, j: Int): Column = lit(1.0) / lit((1 + cost(i, j)).toDouble)
+    val census = graft.sources.Tables.documents(spark, dir)
+      .agg(langs.zipWithIndex.map { case (l, i) =>
+        sum(when($"lang" === l, size(split($"text", " "))).otherwise(0))
+          .cast("long").as(s"toks_$i")
+      }.head, langs.zipWithIndex.tail.map { case (l, i) =>
+        sum(when($"lang" === l, size(split($"text", " "))).otherwise(0))
+          .cast("long").as(s"toks_$i")
+      }: _*)
+    val total = (0 until n).map(i => col(s"toks_$i")).reduceLeft(_ + _)
+    var cur = census.select((0 until n).map(i =>
+      (col(s"toks_$i").cast("double") / total.cast("double")).as(s"p_$i")): _*)
+    var vName: Int => Column = _ => lit(1.0)
+    for (r <- 1 to rounds) {
+      val us = (0 until n).map { i =>
+        val den = (0 until n).map(j => k(i, j) * vName(j)).reduceLeft(_ + _)
+        (col(s"p_$i") / den).as(s"u${r}_$i")
+      }
+      cur = cur.select(col("*") +: us: _*)
+      val vs = (0 until n).map { j =>
+        val den = (0 until n).map(i => k(i, j) * col(s"u${r}_$i")).reduceLeft(_ + _)
+        ((lit(1.0) / lit(n.toDouble)) / den).as(s"v${r}_$j")
+      }
+      cur = cur.select(col("*") +: vs: _*).localCheckpoint(true)
+      vName = j => col(s"v${r}_$j")
+    }
+    val ts = for (i <- 0 until n; j <- 0 until n)
+      yield (col(s"u${rounds}_$i") * k(i, j) * col(s"v${rounds}_$j")).as(s"t_${i}_$j")
+    cur = cur.select(col("*") +: ts: _*)
+    val costSum = (for (i <- 0 until n; j <- 0 until n; if cost(i, j) > 0)
+      yield col(s"t_${i}_$j") * lit(cost(i, j).toDouble)).reduceLeft(_ + _)
+    cur = cur.select(col("*"), costSum.as("plan_cost"))
+    val rows = array((for (i <- 0 until n; j <- 0 until n) yield struct(
+      lit(langs(i)).as("lang_from"), lit(langs(j)).as("lang_to"),
+      lit(cost(i, j).toLong).as("cost"), round(col(s"p_$i"), 6).as("p_from"),
+      round(col(s"t_${i}_$j"), 6).as("t_ij"),
+      round(col("plan_cost"), 6).as("plan_cost"))): _*)
+    cur.select(explode(rows).as("r"))
+      .select($"r.lang_from", $"r.lang_to", $"r.cost", $"r.p_from", $"r.t_ij", $"r.plan_cost")
+      .orderBy($"lang_from", $"lang_to")
+  }
 }

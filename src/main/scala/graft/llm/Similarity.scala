@@ -979,10 +979,114 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** GRID-ACCELERATED DBSCAN (Ester et al. 1996; the grid join is the
+    * ρ-approximate-free exact cell variant) over the first two embedding
+    * dimensions: ε = 1/64, minPts = 4 (neighbors counted inclusive of the
+    * point). Points land in ε-wide grid cells — `floor(x·64)` is EXACT
+    * arithmetic on the float32 values — and candidate neighbors come only
+    * from the 3×3 adjacent-cell equi-join, never all pairs; the ε-disk
+    * test is a fixed-order double expression, so core/border/noise roles
+    * and the min-id cluster labels are bit-reproducible cross-engine.
+    * Clusters are connected components over core–core ε-edges (min-label
+    * propagation, q100's machinery); border points (non-core in a core's
+    * ε-disk) deterministically adopt the SMALLEST neighboring core's
+    * cluster (classic DBSCAN leaves this tie arbitrary — pinned here);
+    * the rest are noise. The oracle recomputes everything from the exact
+    * quadratic pair join + a recursive CTE — the grid path must agree
+    * row-for-row.
+    *
+    * 100 TB plan: the 9-cell explode + cell equi-join shuffles on cell id
+    * (ε-packing bounds per-cell occupancy, so no quadratic blowup unless
+    * the DATA is quadratic-dense at radius ε, which no metric index
+    * escapes); component rounds are cluster-diameter-bounded; nothing
+    * all-pairs, nothing driver-side. */
+  val q402GridDbscan: GraftQuery = GraftQuery.oracled(
+    "q402_grid_dbscan",
+    """WITH RECURSIVE
+      |p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
+      |      FROM embeddings),
+      |nbr AS (SELECT a.vec_id AS va, b.vec_id AS vb
+      |        FROM p a JOIN p b
+      |          ON a.vec_id <> b.vec_id
+      |         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.000244140625),
+      |deg AS (SELECT p.vec_id, 1 + COALESCE(n.c, 0) AS n_eps
+      |        FROM p LEFT JOIN (SELECT va, count(*) AS c FROM nbr GROUP BY va) n
+      |          ON n.va = p.vec_id),
+      |core AS (SELECT vec_id FROM deg WHERE n_eps >= 4),
+      |ce AS (SELECT va, vb FROM nbr
+      |       WHERE va IN (SELECT vec_id FROM core) AND vb IN (SELECT vec_id FROM core)),
+      |reach AS (SELECT vec_id AS id, vec_id AS lbl FROM core
+      |          UNION
+      |          SELECT e.vb AS id, r.lbl FROM reach r JOIN ce e ON e.va = r.id),
+      |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+      |border AS (SELECT n.va AS vec_id, min(l.cluster) AS cluster
+      |           FROM nbr n JOIN lab l ON l.id = n.vb
+      |           WHERE n.va NOT IN (SELECT vec_id FROM core)
+      |           GROUP BY n.va)
+      |SELECT d.vec_id, d.n_eps,
+      |       CASE WHEN l.id IS NOT NULL THEN 'core'
+      |            WHEN b.vec_id IS NOT NULL THEN 'border'
+      |            ELSE 'noise' END AS role,
+      |       CAST(COALESCE(l.cluster, b.cluster, -1) AS BIGINT) AS cluster
+      |FROM deg d
+      |LEFT JOIN lab l ON l.id = d.vec_id
+      |LEFT JOIN border b ON b.vec_id = d.vec_id
+      |ORDER BY d.vec_id""") { (spark, dir) =>
+    import spark.implicits._
+    val p = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        element_at($"embedding", 1).cast("double").as("x"),
+        element_at($"embedding", 2).cast("double").as("y"))
+      .withColumn("cx", floor($"x" * 64).cast("long"))
+      .withColumn("cy", floor($"y" * 64).cast("long"))
+      .localCheckpoint(true)
+    val eps2 = lit(0.000244140625) // (1/64)^2, exactly representable
+    // 9-cell probe expansion on one side; equi-join on the cell key
+    val offsets = Seq(-1L, 0L, 1L)
+    val probe = p.withColumn("dx", explode(array(offsets.map(lit): _*)))
+      .withColumn("dy", explode(array(offsets.map(lit): _*)))
+      .select($"vec_id".as("va"), $"x".as("ax"), $"y".as("ay"),
+        ($"cx" + $"dx").as("jx"), ($"cy" + $"dy").as("jy"))
+    val nbr = probe.join(
+      p.select($"vec_id".as("vb"), $"x".as("bx"), $"y".as("by"),
+        $"cx".as("jx"), $"cy".as("jy")),
+      Seq("jx", "jy"))
+      .filter($"va" =!= $"vb" &&
+        (($"ax" - $"bx") * ($"ax" - $"bx") + ($"ay" - $"by") * ($"ay" - $"by")) <= eps2)
+      .select($"va", $"vb")
+      .localCheckpoint(true)
+    val deg = p.select($"vec_id")
+      .join(nbr.groupBy($"va".as("vec_id")).agg(count(lit(1)).as("c")), Seq("vec_id"), "left")
+      .select($"vec_id", (lit(1) + coalesce($"c", lit(0))).cast("long").as("n_eps"))
+      .localCheckpoint(true)
+    val core = deg.filter($"n_eps" >= 4).select($"vec_id")
+    val ce = nbr
+      .join(core.select($"vec_id".as("va")), Seq("va"), "left_semi")
+      .join(core.select($"vec_id".as("vb")), Seq("vb"), "left_semi")
+    // star alternation, not plain min-label: ε-components of 2-D points can
+    // be long chains, so rounds must be O(log n), not diameter-bounded
+    val lab = Dedup.starComponents(core.toDF("id"),
+      ce.filter($"va" < $"vb").select($"va", $"vb"))._1
+      .toDF("id", "cluster")
+    val border = nbr
+      .join(core.select($"vec_id".as("va")), Seq("va"), "left_anti")
+      .join(lab.select($"id".as("vb"), $"cluster"), Seq("vb"))
+      .groupBy($"va".as("vec_id")).agg(min($"cluster").as("cluster"))
+    deg
+      .join(lab.select($"id".as("vec_id"), $"cluster".as("core_cluster")), Seq("vec_id"), "left")
+      .join(border.select($"vec_id", $"cluster".as("border_cluster")), Seq("vec_id"), "left")
+      .select($"vec_id", $"n_eps",
+        when($"core_cluster".isNotNull, "core")
+          .when($"border_cluster".isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce($"core_cluster", $"border_cluster", lit(-1L)).cast("long").as("cluster"))
+      .orderBy($"vec_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
       q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection,
       q360AnisotropyAudit, q382MatryoshkaRecall, q383Int8QuantAudit,
-      q386DaviesBouldin, q387AnnRecallEval, q393EmbeddingDrift)
+      q386DaviesBouldin, q387AnnRecallEval, q393EmbeddingDrift, q402GridDbscan)
 }

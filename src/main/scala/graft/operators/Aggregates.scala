@@ -501,7 +501,79 @@ object Aggregates {
     q120ArgAggs, q126StringAgg, q133SketchMergeDistinct, q145RollingActives,
     q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
     q189RevenueShares, q191AggPushdown, q209Transpose, q223WeightedMedian,
-    q225RegressionAggs, q246OrderedSetAggs, q253HllOverlap, q310Apportionment)
+    q225RegressionAggs, q246OrderedSetAggs, q253HllOverlap, q310Apportionment,
+    q406PercentileSelection)
+
+  /** EXACT PERCENTILES BY DISTRIBUTED SELECTION — the 100 TB path to an
+    * EXACT quantile that q27/q319's `percentile` cannot take: Spark's
+    * exact-percentile aggregate buffers every value in one reducer, and
+    * a full sort (q97) pays a corpus shuffle for two order statistics.
+    * This is the classic two-scan selection: (1) histogram the integer
+    * cents into 2¹⁶-wide bins (a map-side census agg) and cumulate the
+    * bin counts (census-sized window) to locate, for each target rank,
+    * the ONE bin that contains it; (2) rescan ONLY the rows of the needed
+    * bins (partition-pruned-sized work), rank them within the bin, and
+    * pick the two order statistics; interpolate. Quantiles are chosen
+    * with dyadic fractions (q ∈ {1/4, 1/2, 7/8}) so h = (n−1)·q and the
+    * interpolation (1−f)·a + f·b are EXACT in binary floating point —
+    * the engine's selection result and DuckDB's `quantile_cont` agree
+    * bit-for-bit whichever algebraically-equal formula either uses.
+    *
+    * 100 TB plan: two sequential scans, each a map-side hash-agg /
+    * filtered projection; the only sort is within the located bins
+    * (n/2¹⁶-expected rows each); no single-node value buffer, no global
+    * sort, no corpus shuffle. */
+  val q406PercentileSelection: GraftQuery = GraftQuery.oracled(
+    "q406_percentile_selection",
+    """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+      |SELECT CAST(0.25 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n,
+      |       round(quantile_cont(cents, 0.25) / CAST(100 AS DOUBLE), 4) AS value FROM c
+      |UNION ALL
+      |SELECT CAST(0.5 AS DOUBLE), CAST(count(*) AS BIGINT),
+      |       round(quantile_cont(cents, 0.5) / CAST(100 AS DOUBLE), 4) FROM c
+      |UNION ALL
+      |SELECT CAST(0.875 AS DOUBLE), CAST(count(*) AS BIGINT),
+      |       round(quantile_cont(cents, 0.875) / CAST(100 AS DOUBLE), 4) FROM c
+      |ORDER BY q""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.orders(spark, dir)
+      .select(floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    // pass 1: 2^16-wide bin census + cumulative counts (census-sized window)
+    val hist = c.groupBy(expr("cents div 65536").as("bin"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = hist.select($"bin", $"cnt",
+      (sum($"cnt").over(Window.orderBy($"bin")) - $"cnt").as("cum_before"))
+      .localCheckpoint(true)
+    val n = c.count() // driver scalar: row count only (E3)
+    val quantiles = Seq(0.25, 0.5, 0.875)
+    // target 0-indexed interpolation position h = (n-1)q → 1-indexed ranks
+    val ranks = quantiles.flatMap { q =>
+      val h = (n - 1) * q // exact: q dyadic, n-1 integer
+      val lo = math.floor(h).toLong + 1
+      val hi = math.min(lo + 1, n)
+      Seq((q, h, lo, "lo"), (q, h, hi, "hi"))
+    }.toDF("q", "h", "rank", "kind")
+    // locate the bin holding each rank (census × ranks — both tiny)
+    val located = broadcast(ranks).join(cum,
+      $"rank" > $"cum_before" && $"rank" <= $"cum_before" + $"cnt")
+      .select($"q", $"h", $"rank", $"kind", $"bin", $"cum_before")
+    val needed = located.select($"bin", $"cum_before").distinct()
+    // pass 2: rescan only the needed bins, rank within bin
+    val inBin = c.join(broadcast(needed), expr("cents div 65536") === $"bin")
+      .select($"bin", $"cum_before", $"cents",
+        row_number().over(Window.partitionBy($"bin").orderBy($"cents")).as("rk_in_bin"))
+      .select($"bin", ($"cum_before" + $"rk_in_bin").as("rank"), $"cents")
+    val picked = located.join(inBin, Seq("bin", "rank"))
+      .groupBy($"q", $"h")
+      .agg(max(when($"kind" === "lo", $"cents")).as("a"),
+        max(when($"kind" === "hi", $"cents")).as("b"))
+    picked.select($"q",
+      lit(n).as("n"),
+      round(((lit(1.0) - ($"h" - floor($"h"))) * $"a" + ($"h" - floor($"h")) * $"b")
+        / lit(100).cast("double"), 4).as("value"))
+      .orderBy($"q")
+  }
 
   /** SKETCH ALGEBRA for audience overlap: |A∩B| from HLL sketches alone
     * via inclusion–exclusion (est(A) + est(B) − est(A∪B)) — the

@@ -1033,7 +1033,7 @@ object Eda {
     q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank,
     q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
     q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale,
-    q374StatCovCorr, q375FreqItems)
+    q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -2116,5 +2116,196 @@ object Eda {
         round($"mean_raw", 4).as("mean_raw"),
         round($"mom", 4).as("mom_mean"))
       .orderBy($"event_type")
+  }
+
+  /** BRADLEY–TERRY PREFERENCE RANKING (Bradley & Terry 1952, via the MM
+    * algorithm of Hunter 2004) — the pairwise-comparison strength model
+    * behind every LLM arena leaderboard and RLHF reward-model sanity
+    * check: P(i beats j) = π_i/(π_i+π_j), fit by three minorize–maximize
+    * rounds π_i ← W_i / Σ_j g_ij/(π_i+π_j), renormalized to mean 1.
+    * Matchups here are deterministic: consecutive doc_ids with different
+    * sources "compete" and the longer text wins (ties to the
+    * lexicographically smaller source) — a stand-in for human preference
+    * pairs. Cross-engine float discipline: every Σ over opponents and the
+    * normalization Σ are ordered left-folds (q389's trick), divisions are
+    * single ops on exactly-derived values, so all three iterations are
+    * bit-reproducible and the final ranks are hash-safe.
+    *
+    * 100 TB plan: the only corpus-scale work is the matchup equi-join
+    * (doc_id+1, 1-to-1) and one census hash-agg; everything after runs on
+    * the ≤ sources² census (≤400 rows here) with broadcast-joined π
+    * vectors — iteration cost is independent of corpus size. */
+  val q403BradleyTerry: GraftQuery = GraftQuery.oracled(
+    "q403_bradley_terry",
+    """WITH m AS (SELECT a.source AS sa, b.source AS sb, a.n_chars AS ca, b.n_chars AS cb
+      |           FROM documents a JOIN documents b
+      |             ON b.doc_id = a.doc_id + 1 AND a.source <> b.source),
+      |m2 AS (SELECT CASE WHEN sa < sb THEN sa ELSE sb END AS i,
+      |              CASE WHEN sa < sb THEN sb ELSE sa END AS j,
+      |              CASE WHEN ca = cb THEN 1
+      |                   WHEN ca > cb THEN CASE WHEN sa < sb THEN 1 ELSE 0 END
+      |                   ELSE CASE WHEN sb < sa THEN 1 ELSE 0 END END AS i_won
+      |       FROM m),
+      |g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS games,
+      |             CAST(sum(i_won) AS BIGINT) AS wins_i
+      |      FROM m2 GROUP BY 1, 2),
+      |sym AS (SELECT i AS s, j AS o, games, wins_i AS wins FROM g
+      |        UNION ALL
+      |        SELECT j, i, games, games - wins_i FROM g),
+      |w AS (SELECT s, CAST(sum(wins) AS BIGINT) AS wins,
+      |             CAST(sum(games) AS BIGINT) AS games
+      |      FROM sym GROUP BY s),
+      |p0 AS (SELECT s, CAST(1 AS DOUBLE) AS pi FROM w),
+      |d1 AS (SELECT y.s,
+      |              list_sum(list(CAST(y.games AS DOUBLE) / (ps.pi + po.pi) ORDER BY y.o)) AS den
+      |       FROM sym y JOIN p0 ps ON ps.s = y.s JOIN p0 po ON po.s = y.o GROUP BY y.s),
+      |r1 AS (SELECT w.s, CASE WHEN d1.den > 0 THEN CAST(w.wins AS DOUBLE) / d1.den
+      |                        ELSE p0.pi END AS pi_raw
+      |       FROM w JOIN d1 ON d1.s = w.s JOIN p0 ON p0.s = w.s),
+      |n1 AS (SELECT list_sum(list(pi_raw ORDER BY s)) AS tot,
+      |              CAST(count(*) AS BIGINT) AS k FROM r1),
+      |p1 AS (SELECT s, pi_raw * k / tot AS pi FROM r1, n1),
+      |d2 AS (SELECT y.s,
+      |              list_sum(list(CAST(y.games AS DOUBLE) / (ps.pi + po.pi) ORDER BY y.o)) AS den
+      |       FROM sym y JOIN p1 ps ON ps.s = y.s JOIN p1 po ON po.s = y.o GROUP BY y.s),
+      |r2 AS (SELECT w.s, CASE WHEN d2.den > 0 THEN CAST(w.wins AS DOUBLE) / d2.den
+      |                        ELSE p1.pi END AS pi_raw
+      |       FROM w JOIN d2 ON d2.s = w.s JOIN p1 ON p1.s = w.s),
+      |n2 AS (SELECT list_sum(list(pi_raw ORDER BY s)) AS tot,
+      |              CAST(count(*) AS BIGINT) AS k FROM r2),
+      |p2 AS (SELECT s, pi_raw * k / tot AS pi FROM r2, n2),
+      |d3 AS (SELECT y.s,
+      |              list_sum(list(CAST(y.games AS DOUBLE) / (ps.pi + po.pi) ORDER BY y.o)) AS den
+      |       FROM sym y JOIN p2 ps ON ps.s = y.s JOIN p2 po ON po.s = y.o GROUP BY y.s),
+      |r3 AS (SELECT w.s, CASE WHEN d3.den > 0 THEN CAST(w.wins AS DOUBLE) / d3.den
+      |                        ELSE p2.pi END AS pi_raw
+      |       FROM w JOIN d3 ON d3.s = w.s JOIN p2 ON p2.s = w.s),
+      |n3 AS (SELECT list_sum(list(pi_raw ORDER BY s)) AS tot,
+      |              CAST(count(*) AS BIGINT) AS k FROM r3),
+      |p3 AS (SELECT s, pi_raw * k / tot AS pi FROM r3, n3)
+      |SELECT w.s AS source, w.games, w.wins, round(p3.pi, 6) AS strength,
+      |       CAST(row_number() OVER (ORDER BY p3.pi DESC, w.s) AS BIGINT) AS rank
+      |FROM w JOIN p3 ON p3.s = w.s
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.as("a")
+      .join(docs.as("b"),
+        $"b.doc_id" === $"a.doc_id" + 1 && $"a.source" =!= $"b.source")
+      .select($"a.source".as("sa"), $"b.source".as("sb"),
+        $"a.n_chars".as("ca"), $"b.n_chars".as("cb"))
+    val m2 = m.select(
+      when($"sa" < $"sb", $"sa").otherwise($"sb").as("i"),
+      when($"sa" < $"sb", $"sb").otherwise($"sa").as("j"),
+      when($"ca" === $"cb", 1)
+        .when($"ca" > $"cb", when($"sa" < $"sb", 1).otherwise(0))
+        .otherwise(when($"sb" < $"sa", 1).otherwise(0)).as("i_won"))
+    val g = m2.groupBy($"i", $"j")
+      .agg(count(lit(1)).cast("long").as("games"),
+        sum($"i_won").cast("long").as("wins_i"))
+    val sym = g.select($"i".as("s"), $"j".as("o"), $"games", $"wins_i".as("wins"))
+      .union(g.select($"j", $"i", $"games", ($"games" - $"wins_i").as("wins")))
+      .localCheckpoint(true)
+    val w = sym.groupBy($"s")
+      .agg(sum($"wins").cast("long").as("wins"), sum($"games").cast("long").as("games"))
+      .localCheckpoint(true)
+    // ordered left-fold of `value` by `key` — the q389 bit-reproducible sum
+    def orderedSum(key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    var pi = w.select($"s", lit(1.0).as("pi"))
+    for (_ <- 1 to 3) {
+      val den = sym
+        .join(broadcast(pi.select($"s", $"pi".as("pi_s"))), Seq("s"))
+        .join(broadcast(pi.select($"s".as("o"), $"pi".as("pi_o"))), Seq("o"))
+        .groupBy($"s")
+        .agg(orderedSum($"o", $"games".cast("double") / ($"pi_s" + $"pi_o")).as("den"))
+      val raw = w.join(broadcast(den), Seq("s")).join(broadcast(pi), Seq("s"))
+        .select($"s",
+          when($"den" > 0, $"wins".cast("double") / $"den").otherwise($"pi").as("pi_raw"))
+      val norm = raw.agg(orderedSum($"s", $"pi_raw").as("tot"),
+        count(lit(1)).cast("long").as("k"))
+      pi = raw.crossJoin(broadcast(norm))
+        .select($"s", $"pi_raw" * $"k" / $"tot" as "pi")
+        .localCheckpoint(true)
+    }
+    import org.apache.spark.sql.expressions.Window
+    w.join(broadcast(pi), Seq("s"))
+      .select($"s".as("source"), $"games", $"wins", $"pi")
+      // sources census ≤ 20 rows — the global window is census-sized
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"pi".desc, $"source")).cast("long"))
+      .select($"source", $"games", $"wins", round($"pi", 6).as("strength"), $"rank")
+      .orderBy($"source")
+  }
+
+  /** EXPECTED CALIBRATION ERROR (Naeini 2015 / Guo 2017's reliability
+    * diagram) — the standard audit of whether a classifier's confidence
+    * means what it says: bucket predictions into 10 confidence bins and
+    * compare each bin's mean confidence against its empirical accuracy;
+    * ECE is the support-weighted mean absolute gap. The scored set is a
+    * deterministic synthetic classifier: confidence = md5-derived
+    * millis ∈ [0,1000), label drawn by a second independent md5 coin with
+    * P(1) = (150 + 0.7·conf_milli)/1000 — integer-exact on both engines,
+    * so the true curve is linear-in-confidence and the audit has a known
+    * shape. All arithmetic is integer sums + single divisions; the final
+    * ECE sum is an ordered fold over the 10 bins — bit-reproducible.
+    *
+    * 100 TB plan: one map-side projection + a 10-row census hash-agg;
+    * the reliability table and ECE are census-sized arithmetic. */
+  val q404CalibrationEce: GraftQuery = GraftQuery.oracled(
+    "q404_calibration_ece",
+    """WITH s AS (SELECT doc_id,
+      |                  CAST(('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS conf_milli,
+      |                  CAST(('0x' || substr(md5('lab:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS coin
+      |           FROM documents),
+      |l AS (SELECT doc_id, conf_milli,
+      |             CASE WHEN coin < 150 + (conf_milli * 700) // 1000 THEN 1 ELSE 0 END AS label
+      |      FROM s),
+      |b AS (SELECT conf_milli // 100 AS bin, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(conf_milli) AS BIGINT) AS conf_sum,
+      |             CAST(sum(label) AS BIGINT) AS pos
+      |      FROM l GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b),
+      |gaps AS (SELECT bin, n, pos,
+      |                CAST(conf_sum AS DOUBLE) / CAST(n * 1000 AS DOUBLE) AS conf,
+      |                CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+      |         FROM b),
+      |e AS (SELECT list_sum(list(CAST(g.n AS DOUBLE) / t.total * abs(g.acc - g.conf) ORDER BY g.bin)) AS ece
+      |      FROM gaps g, t)
+      |SELECT bin, n, pos, round(conf, 6) AS mean_conf, round(acc, 6) AS accuracy,
+      |       round(abs(acc - conf), 6) AS gap, round(e.ece, 6) AS ece
+      |FROM gaps, e
+      |ORDER BY bin""") { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.documents(spark, dir).select($"doc_id",
+      (conv(substring(md5(concat(lit("cal:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000).as("conf_milli"),
+      (conv(substring(md5(concat(lit("lab:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000).as("coin"))
+    val l = s.select($"doc_id", $"conf_milli",
+      when($"coin" < lit(150) + expr("conf_milli * 700 div 1000"), 1).otherwise(0).as("label"))
+    val b = l.groupBy(expr("conf_milli div 100").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"conf_milli").cast("long").as("conf_sum"),
+        sum($"label").cast("long").as("pos"))
+    val gaps = b.select($"bin", $"n", $"pos",
+      ($"conf_sum".cast("double") / ($"n" * 1000).cast("double")).as("conf"),
+      ($"pos".cast("double") / $"n".cast("double")).as("acc"))
+    val t = b.agg(sum($"n").cast("long").as("total"))
+    def orderedSum(key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val e = gaps.crossJoin(broadcast(t))
+      .agg(orderedSum($"bin", $"n".cast("double") / $"total" * abs($"acc" - $"conf")).as("ece"))
+    gaps.crossJoin(broadcast(e))
+      .select($"bin", $"n", $"pos", round($"conf", 6).as("mean_conf"),
+        round($"acc", 6).as("accuracy"), round(abs($"acc" - $"conf"), 6).as("gap"),
+        round($"ece", 6).as("ece"))
+      .orderBy($"bin")
   }
 }

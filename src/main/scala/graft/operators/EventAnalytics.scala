@@ -1037,7 +1037,7 @@ object EventAnalytics {
     q288ClampedBalance, q291PointInTimeFeatures, q294MarkovBacktest,
     q297DisorderAudit, q302FifoAllocation, q304LogRankTest, q325ControlChart,
     q326MarkovAttribution, q328RestatementAudit, q330RfmSegmentation,
-    q336ExclusionFunnel, q337PvmDecomposition, q342TimeToConvert)
+    q336ExclusionFunnel, q337PvmDecomposition, q342TimeToConvert, q405LagXcorr)
 
   /** EVENT-TIME DISORDER AUDIT — the number that TUNES `withWatermark`:
     * per event (in arrival order = event_id), its lateness is how far its
@@ -2136,5 +2136,89 @@ object EventAnalytics {
       org.apache.spark.sql.functions.col("ts"),
       org.apache.spark.sql.functions.col("event_id"),
       org.apache.spark.sql.functions.col("event_type")))
+  }
+
+  /** LEAD–LAG CROSS-CORRELATION SWEEP — which signal leads which: Pearson
+    * correlation between the hourly click series and the hourly purchase
+    * series at every shift ∈ [−3, +3] hours, with the argmax flagged (ties
+    * to the smallest lag). Distinct from q157's rolling same-hour
+    * correlation: this sweeps the ALIGNMENT to find the delay at which the
+    * two series co-move — the classic "do clicks convert with a 2-hour
+    * lag?" diagnostic. Both series live on the full min→max hour spine
+    * (missing hours count 0 — correlations are over the calendar, not just
+    * observed hours). All Pearson moments are exact BIGINT sums; r is one
+    * quotient of exactly-derived doubles, so the per-lag values and the
+    * argmax flag are bit-reproducible cross-engine.
+    *
+    * 100 TB plan: the corpus is scanned once into an hour-level census
+    * (calendar-sized, ~10³–10⁵ rows/decade); the 7-lag sweep self-joins
+    * only the census. The spine explode and lag join never touch row-scale
+    * data; moments are map-side-combinable integer aggs. */
+  val q405LagXcorr: GraftQuery = GraftQuery.oracled(
+    "q405_lag_xcorr",
+    """WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS eh, event_type
+      |           FROM events WHERE event_type IN ('click', 'purchase')),
+      |bounds AS (SELECT min(eh) AS h0, max(eh) AS h1 FROM e),
+      |spine AS (SELECT unnest(generate_series(h0, h1)) AS eh FROM bounds),
+      |x AS (SELECT eh, CAST(count(*) AS BIGINT) AS c FROM e WHERE event_type = 'click' GROUP BY 1),
+      |y AS (SELECT eh, CAST(count(*) AS BIGINT) AS c FROM e WHERE event_type = 'purchase' GROUP BY 1),
+      |s AS (SELECT spine.eh, COALESCE(x.c, 0) AS x, COALESCE(y.c, 0) AS y
+      |      FROM spine LEFT JOIN x USING (eh) LEFT JOIN y USING (eh)),
+      |lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+      |m AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+      |             CAST(sum(a.x * b.y) AS BIGINT) AS sxy,
+      |             CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+      |             CAST(sum(b.y * b.y) AS BIGINT) AS syy
+      |      FROM lags l JOIN s a ON true JOIN s b ON b.eh = a.eh + l.lag
+      |      GROUP BY l.lag),
+      |r AS (SELECT lag, n,
+      |             CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+      |                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |                  ELSE NULL END AS r
+      |      FROM m)
+      |SELECT lag, n, round(r, 6) AS r,
+      |       CASE WHEN r IS NOT NULL
+      |                  AND CAST(row_number() OVER (ORDER BY r DESC NULLS LAST, lag) AS BIGINT) = 1
+      |            THEN 1 ELSE 0 END AS is_best
+      |FROM r
+      |ORDER BY lag""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select((unix_timestamp(date_trunc("hour", $"ts")) / 3600).cast("long").as("eh"),
+        $"event_type")
+    val bounds = e.agg(min($"eh").as("h0"), max($"eh").as("h1"))
+    val spine = bounds.select(explode(sequence($"h0", $"h1")).as("eh"))
+    val x = e.filter($"event_type" === "click").groupBy($"eh")
+      .agg(count(lit(1)).cast("long").as("xc"))
+    val y = e.filter($"event_type" === "purchase").groupBy($"eh")
+      .agg(count(lit(1)).cast("long").as("yc"))
+    // hour census: calendar-sized (≤ ~720 rows here) — broadcast both sides
+    val s = spine.join(x, Seq("eh"), "left").join(y, Seq("eh"), "left")
+      .select($"eh", coalesce($"xc", lit(0L)).as("x"), coalesce($"yc", lit(0L)).as("y"))
+      .localCheckpoint(true)
+    val lags = spark.range(-3, 4).select($"id".cast("int").as("lag"))
+    val m = lags.crossJoin(s.as("a"))
+      .join(broadcast(s.as("b")), $"b.eh" === $"a.eh" + $"lag")
+      .groupBy($"lag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"a.x").cast("long").as("sx"), sum($"b.y").cast("long").as("sy"),
+        sum($"a.x" * $"b.y").cast("long").as("sxy"),
+        sum($"a.x" * $"a.x").cast("long").as("sxx"),
+        sum($"b.y" * $"b.y").cast("long").as("syy"))
+    val r = m.select($"lag", $"n",
+      when(($"n" * $"sxx" - $"sx" * $"sx") > 0 && ($"n" * $"syy" - $"sy" * $"sy") > 0,
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+          / sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+            * ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+        .as("r"))
+    import org.apache.spark.sql.expressions.Window
+    // 7-row lag census — the global window is census-sized by construction
+    r.withColumn("rn", row_number().over(Window.orderBy($"r".desc_nulls_last, $"lag")))
+      .select($"lag", $"n", round($"r", 6).as("r"),
+        when($"r".isNotNull && $"rn" === 1, 1).otherwise(0).as("is_best"))
+      .orderBy($"lag")
   }
 }
