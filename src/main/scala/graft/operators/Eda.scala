@@ -1033,7 +1033,8 @@ object Eda {
     q306CemMatching, q309SimpsonDetector, q311Ols2Feature, q315MiFeatureRank,
     q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
     q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale,
-    q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce)
+    q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce,
+    q408ConformalCoverage)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -2307,5 +2308,91 @@ object Eda {
         round($"acc", 6).as("accuracy"), round(abs($"acc" - $"conf"), 6).as("gap"),
         round($"ece", 6).as("ece"))
       .orderBy($"bin")
+  }
+
+  /** SPLIT-CONFORMAL PREDICTION INTERVALS + COVERAGE AUDIT (Vovk 2005;
+    * Angelopoulos & Bates 2023's split recipe) — the distribution-free
+    * uncertainty wrapper every deployed predictor should carry: on a
+    * calibration half (deterministic md5 coin), score nonconformity
+    * s = |y − ŷ| against a per-group point predictor (the calibration
+    * half's lower-median price by order priority — an exact order
+    * statistic, not a float mean); the radius q̂ is the ⌈(n+1)(1−α)⌉-th
+    * smallest s (α = 0.1, pure integer rank arithmetic); then AUDIT the
+    * guarantee on the held-out half: coverage = share of |y − ŷ| ≤ q̂,
+    * which conformal theory lower-bounds by 1−α in expectation. Every
+    * quantity is an integer-cents order statistic or an integer-count
+    * ratio — strictly hash-comparable cross-engine.
+    *
+    * 100 TB plan: two per-group rank selections (window over the group's
+    * sorted cents — swap for q406's two-scan selection at petabyte group
+    * sizes) + one co-partitioned coverage agg; groups are the parallelism
+    * unit, nothing global. */
+  val q408ConformalCoverage: GraftQuery = GraftQuery.oracled(
+    "q408_conformal_coverage",
+    """WITH o AS (SELECT o_orderpriority AS grp,
+      |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |                  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS half
+      |           FROM orders),
+      |cal AS (SELECT grp, cents FROM o WHERE half = 0),
+      |tst AS (SELECT grp, cents FROM o WHERE half = 1),
+      |yhat AS (SELECT grp, cents AS yhat FROM (
+      |           SELECT grp, cents,
+      |                  row_number() OVER (PARTITION BY grp ORDER BY cents) AS rk,
+      |                  count(*) OVER (PARTITION BY grp) AS n
+      |           FROM cal) WHERE rk = (n + 1) // 2),
+      |scores AS (SELECT c.grp, abs(c.cents - y.yhat) AS s
+      |           FROM cal c JOIN yhat y ON y.grp = c.grp),
+      |qhat AS (SELECT grp, s AS qhat, n AS n_cal FROM (
+      |           SELECT grp, s,
+      |                  row_number() OVER (PARTITION BY grp ORDER BY s) AS rk,
+      |                  count(*) OVER (PARTITION BY grp) AS n
+      |           FROM scores)
+      |         WHERE rk = least(((n + 1) * 9 + 9) // 10, n)),
+      |cov AS (SELECT t.grp, CAST(count(*) AS BIGINT) AS n_test,
+      |               CAST(sum(CASE WHEN abs(t.cents - y.yhat) <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      |        FROM tst t JOIN yhat y ON y.grp = t.grp JOIN qhat q ON q.grp = t.grp
+      |        GROUP BY t.grp)
+      |SELECT c.grp AS grp, q.n_cal, c.n_test,
+      |       round(CAST(y.yhat AS DOUBLE) / CAST(100 AS DOUBLE), 2) AS yhat,
+      |       round(CAST(q.qhat AS DOUBLE) / CAST(100 AS DOUBLE), 2) AS qhat,
+      |       c.covered,
+      |       round(CAST(c.covered AS DOUBLE) / CAST(c.n_test AS DOUBLE), 6) AS coverage
+      |FROM cov c JOIN yhat y ON y.grp = c.grp JOIN qhat q ON q.grp = c.grp
+      |ORDER BY grp""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(
+      $"o_orderpriority".as("grp"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+      (conv(substring(md5($"o_orderkey".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2).as("half"))
+    val cal = o.filter($"half" === 0).select($"grp", $"cents")
+    val tst = o.filter($"half" === 1).select($"grp", $"cents")
+    val wg = Window.partitionBy($"grp")
+    val yhat = cal
+      .select($"grp", $"cents",
+        row_number().over(wg.orderBy($"cents")).as("rk"),
+        count(lit(1)).over(wg).as("n"))
+      .filter($"rk" === expr("(n + 1) div 2"))
+      .select($"grp", $"cents".as("yhat"))
+    val scores = cal.join(broadcast(yhat), Seq("grp"))
+      .select($"grp", abs($"cents" - $"yhat").as("s"))
+    val qhat = scores
+      .select($"grp", $"s",
+        row_number().over(wg.orderBy($"s")).as("rk"),
+        count(lit(1)).over(wg).as("n"))
+      .filter($"rk" === least(expr("((n + 1) * 9 + 9) div 10"), $"n"))
+      .select($"grp", $"s".as("qhat"), $"n".as("n_cal"))
+    val cov = tst.join(broadcast(yhat), Seq("grp")).join(broadcast(qhat), Seq("grp"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when(abs($"cents" - $"yhat") <= $"qhat", 1).otherwise(0)).cast("long").as("covered"))
+    cov.join(broadcast(yhat), Seq("grp")).join(broadcast(qhat), Seq("grp"))
+      .select($"grp", $"n_cal".cast("long").as("n_cal"), $"n_test",
+        round($"yhat".cast("double") / lit(100).cast("double"), 2).as("yhat"),
+        round($"qhat".cast("double") / lit(100).cast("double"), 2).as("qhat"),
+        $"covered",
+        round($"covered".cast("double") / $"n_test".cast("double"), 6).as("coverage"))
+      .orderBy($"grp")
   }
 }

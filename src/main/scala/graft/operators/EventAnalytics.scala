@@ -1037,7 +1037,8 @@ object EventAnalytics {
     q288ClampedBalance, q291PointInTimeFeatures, q294MarkovBacktest,
     q297DisorderAudit, q302FifoAllocation, q304LogRankTest, q325ControlChart,
     q326MarkovAttribution, q328RestatementAudit, q330RfmSegmentation,
-    q336ExclusionFunnel, q337PvmDecomposition, q342TimeToConvert, q405LagXcorr)
+    q336ExclusionFunnel, q337PvmDecomposition, q342TimeToConvert, q405LagXcorr,
+    q407OffPolicyEval, q410ShapleyAttribution)
 
   /** EVENT-TIME DISORDER AUDIT — the number that TUNES `withWatermark`:
     * per event (in arrival order = event_id), its lateness is how far its
@@ -2220,5 +2221,164 @@ object EventAnalytics {
       .select($"lag", $"n", round($"r", 6).as("r"),
         when($"r".isNotNull && $"rn" === 1, 1).otherwise(0).as("is_best"))
       .orderBy($"lag")
+  }
+
+  /** OFF-POLICY EVALUATION — IPS / SNIPS / effective sample size (Horvitz &
+    * Thompson 1952; Swaminathan & Joachims 2015's self-normalized variant):
+    * what value would a NEW action policy have earned on the logged event
+    * stream, without running it. The log is modeled as a uniform logging
+    * policy π₀(a)=1/5 over the 5 event types; the target policy π₁
+    * re-weights actions by fixed preferences {purchase:4, signup:2,
+    * click:1, view:1, error:0}/8. Per row the importance weight is the
+    * rational 5w/8, so every estimator is a ratio of exact BIGINT sums of
+    * (weight × value-cents): the naive mean, the IPS estimate Σρr/n, the
+    * SNIPS estimate Σρr/Σρ, and ESS = (Σρ)²/Σρ² — each one division of
+    * exactly-derived integers, bit-reproducible cross-engine. Off-support
+    * rows (π₁=0: the target never takes 'error') are counted explicitly —
+    * the diagnostic that tells you when IPS is extrapolating.
+    *
+    * 100 TB plan: ONE map-side projection + one global integer moments
+    * agg over the log — no join, no shuffle beyond the single partial-agg
+    * merge; the estimator is a scan-shaped O(n) pipeline. */
+  val q407OffPolicyEval: GraftQuery = GraftQuery.oracled(
+    "q407_offpolicy_eval",
+    """WITH e AS (SELECT event_type,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |                  CASE event_type WHEN 'purchase' THEN 4 WHEN 'signup' THEN 2
+      |                                  WHEN 'click' THEN 1 WHEN 'view' THEN 1
+      |                                  ELSE 0 END AS w
+      |           FROM events),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(cents) AS BIGINT) AS sc,
+      |             CAST(sum(w * cents) AS BIGINT) AS swc,
+      |             CAST(sum(w) AS BIGINT) AS sw,
+      |             CAST(sum(w * w) AS BIGINT) AS sww,
+      |             CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_offsupport
+      |      FROM e)
+      |SELECT n, n_offsupport,
+      |       round(CAST(sc AS DOUBLE) / CAST(n * 100 AS DOUBLE), 6) AS naive_value,
+      |       round(CAST(5 * swc AS DOUBLE) / CAST(n * 800 AS DOUBLE), 6) AS ips_value,
+      |       round(CAST(swc AS DOUBLE) / CAST(sw * 100 AS DOUBLE), 6) AS snips_value,
+      |       round(CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE), 2) AS ess
+      |FROM m""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select(
+      floor($"value" * 100 + 0.5).cast("long").as("cents"),
+      when($"event_type" === "purchase", 4L).when($"event_type" === "signup", 2L)
+        .when($"event_type" === "click", 1L).when($"event_type" === "view", 1L)
+        .otherwise(0L).as("w"))
+    e.agg(count(lit(1)).cast("long").as("n"),
+      sum($"cents").cast("long").as("sc"),
+      sum($"w" * $"cents").cast("long").as("swc"),
+      sum($"w").cast("long").as("sw"),
+      sum($"w" * $"w").cast("long").as("sww"),
+      sum(when($"w" === 0, 1).otherwise(0)).cast("long").as("n_offsupport"))
+      .select($"n", $"n_offsupport",
+        round($"sc".cast("double") / ($"n" * 100).cast("double"), 6).as("naive_value"),
+        round((lit(5) * $"swc").cast("double") / ($"n" * 800).cast("double"), 6).as("ips_value"),
+        round($"swc".cast("double") / ($"sw" * 100).cast("double"), 6).as("snips_value"),
+        round(($"sw" * $"sw").cast("double") / $"sww".cast("double"), 2).as("ess"))
+  }
+
+  /** SHAPLEY-VALUE CHANNEL ATTRIBUTION (Shapley 1953, applied to marketing
+    * touch-sets) — the third attribution lens next to q280's position rules
+    * and q326's Markov removal effects: each non-purchase channel i is
+    * credited its average marginal contribution
+    * Σ_S |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)) over all subsets S of the
+    * other channels, where v(S) is the conversion rate of users whose
+    * pre-purchase touch-set is EXACTLY S (absent cells ⇒ v=0, the standard
+    * empty-coalition convention). With 4 touch channels the game is a
+    * 16-cell census: characteristic values are single integer divisions,
+    * factorial weights are literal rationals, and each channel's Σ over
+    * its 8 subsets is an ordered fold — bit-reproducible cross-engine.
+    * Touches are events STRICTLY before the user's first purchase ts
+    * (non-converters contribute their full history).
+    *
+    * 100 TB plan: one user-keyed min-agg (first purchase) + one co-
+    * partitioned bitmask census agg; the Shapley enumeration runs on the
+    * 2ⁿ-cell census (n = channels, a catalog constant), never row-scale —
+    * same E3 shape as q326's Markov chain. */
+  val q410ShapleyAttribution: GraftQuery = GraftQuery.oracled(
+    "q410_shapley_attribution",
+    """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+      |fp AS (SELECT user_id, min(ts) AS pts FROM e WHERE event_type = 'purchase' GROUP BY 1),
+      |touch AS (SELECT e.user_id,
+      |                 CASE e.event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+      |                                   WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+      |                                   ELSE 0 END AS bit
+      |          FROM e LEFT JOIN fp ON fp.user_id = e.user_id
+      |          WHERE e.event_type <> 'purchase' AND (fp.pts IS NULL OR e.ts < fp.pts)),
+      |um AS (SELECT t.user_id, CAST(sum(DISTINCT t.bit) AS BIGINT) AS mask,
+      |              CAST(max(CASE WHEN fp.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |       FROM touch t LEFT JOIN fp ON fp.user_id = t.user_id
+      |       GROUP BY t.user_id),
+      |cells AS (SELECT mask, CAST(count(*) AS BIGINT) AS users,
+      |                 CAST(sum(conv) AS BIGINT) AS convs
+      |          FROM um GROUP BY mask),
+      |v AS (SELECT mask, users, convs,
+      |             CAST(convs AS DOUBLE) / CAST(users AS DOUBLE) AS v FROM cells),
+      |players AS (SELECT unnest([1, 2, 4, 8]) AS bit),
+      |subsets AS (SELECT p.bit, s.i AS smask
+      |            FROM players p, (SELECT unnest(generate_series(0, 15)) AS i) s
+      |            WHERE (s.i & p.bit) = 0),
+      |terms AS (SELECT sub.bit, sub.smask,
+      |                 (CASE bit_count(sub.smask) WHEN 0 THEN CAST(6 AS DOUBLE) / 24
+      |                       WHEN 1 THEN CAST(2 AS DOUBLE) / 24
+      |                       WHEN 2 THEN CAST(2 AS DOUBLE) / 24
+      |                       ELSE CAST(6 AS DOUBLE) / 24 END)
+      |                 * (COALESCE(vw.v, CAST(0 AS DOUBLE)) - COALESCE(vo.v, CAST(0 AS DOUBLE))) AS term
+      |          FROM subsets sub
+      |          LEFT JOIN v vw ON vw.mask = sub.smask + sub.bit
+      |          LEFT JOIN v vo ON vo.mask = sub.smask),
+      |shap AS (SELECT bit, list_sum(list(term ORDER BY smask)) AS phi
+      |         FROM terms GROUP BY bit)
+      |SELECT CASE bit WHEN 1 THEN 'click' WHEN 2 THEN 'view'
+      |                WHEN 4 THEN 'signup' ELSE 'error' END AS channel,
+      |       round(phi, 6) AS shapley
+      |FROM shap
+      |ORDER BY channel""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val fp = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("pts"))
+    val touch = e.filter($"event_type" =!= "purchase")
+      .join(fp, Seq("user_id"), "left")
+      .filter($"pts".isNull || $"ts" < $"pts")
+      .select($"user_id",
+        when($"event_type" === "click", 1L).when($"event_type" === "view", 2L)
+          .when($"event_type" === "signup", 4L).when($"event_type" === "error", 8L)
+          .otherwise(0L).as("bit"))
+    val um = touch.join(fp.select($"user_id", lit(1L).as("isConv")), Seq("user_id"), "left")
+      .groupBy($"user_id")
+      .agg(sum_distinct($"bit").cast("long").as("mask"),
+        max(coalesce($"isConv", lit(0L))).as("conv"))
+    val v = um.groupBy($"mask")
+      .agg(count(lit(1)).cast("long").as("users"), sum($"conv").cast("long").as("convs"))
+      .select($"mask", ($"convs".cast("double") / $"users".cast("double")).as("v"))
+      .localCheckpoint(true) // 16-cell census
+    val players = Seq(1L, 2L, 4L, 8L).toDF("bit")
+    val subsets = players
+      .crossJoin(spark.range(0, 16).select($"id".as("smask")))
+      .filter(expr("smask & bit") === 0)
+    val weight = when(expr("bit_count(smask)") === 0 || expr("bit_count(smask)") === 3,
+      lit(6.0) / lit(24.0)).otherwise(lit(2.0) / lit(24.0))
+    val terms = subsets
+      .join(broadcast(v.select($"mask".as("wmask"), $"v".as("vw"))),
+        $"wmask" === $"smask" + $"bit", "left")
+      .join(broadcast(v.select($"mask".as("omask"), $"v".as("vo"))),
+        $"omask" === $"smask", "left")
+      .select($"bit", $"smask",
+        (weight * (coalesce($"vw", lit(0.0)) - coalesce($"vo", lit(0.0)))).as("term"))
+    def orderedSum(key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, vv) => acc + vv)
+    terms.groupBy($"bit").agg(orderedSum($"smask", $"term").as("phi"))
+      .select(
+        when($"bit" === 1, "click").when($"bit" === 2, "view")
+          .when($"bit" === 4, "signup").otherwise("error").as("channel"),
+        round($"phi", 6).as("shapley"))
+      .orderBy($"channel")
   }
 }

@@ -422,7 +422,77 @@ object Graph {
       .orderBy($"doc_id")
   }
 
+  /** BORŮVKA MINIMUM SPANNING FOREST (Borůvka 1926; the MapReduce round
+    * structure of Lattanzi et al.'s filtering framework) over the q45
+    * near-dup graph with edge weight 1 − jaccard: per dedup cluster, the
+    * cheapest set of pairwise links that still connects it — the MINIMAL
+    * EVIDENCE TREE a curation audit stores per cluster instead of all
+    * O(k²) pair records (q399 keeps per-pair evidence; this keeps the
+    * skeleton). Each round every component picks its minimum outgoing
+    * edge under the STRICT total order (w, doc_a, doc_b) — ties broken
+    * lexicographically, so the forest is unique and reproducible — and
+    * components are re-derived from the forest-so-far by the star
+    * alternation. Components at least halve per round ⇒ ≤ ⌈log₂ k⌉
+    * rounds. No SQL oracle (MSF is not relationally expressible);
+    * Round7bSpec checks edge-set equality against a driver-side Kruskal
+    * union-find reference plus the |edges| = Σ(cluster size − 1) law.
+    *
+    * 100 TB plan: each round is two label hash-joins + one per-component
+    * min-agg (map-side combinable struct-min) over the CURRENT cross-
+    * component edges — shrinking every round; the driver sees only a
+    * count per round (E3). Forest recomputation rides starComponents'
+    * O(log n) alternation. */
+  val q409BoruvkaMsf: GraftQuery = GraftQuery.rowsOnly(
+    "q409_boruvka_msf",
+    doc = "Borůvka minimum spanning forest of the near-dup graph (w = 1 − jaccard)") { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.llm.Dedup.q45NeardupJaccard.fn(spark, dir)
+      .select($"doc_a", $"doc_b", round(lit(1.0) - $"jaccard", 4).as("w"))
+      .localCheckpoint(true)
+    val verts = edges.select($"doc_a".as("id"))
+      .union(edges.select($"doc_b")).distinct().localCheckpoint(true)
+    var labels = verts.select($"id", $"id".as("lbl")).localCheckpoint(true)
+    var msf = edges.limit(0).localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 20) {
+      val cross = edges
+        .join(labels.select($"id".as("doc_a"), $"lbl".as("la")), Seq("doc_a"))
+        .join(labels.select($"id".as("doc_b"), $"lbl".as("lb")), Seq("doc_b"))
+        .filter($"la" =!= $"lb")
+        .localCheckpoint(true)
+      if (cross.isEmpty) { done = true }
+      else {
+        // struct min orders by (w, doc_a, doc_b) — strictly unique — so the
+        // trailing la/lb ride along without influencing the argmin
+        val e = struct($"w", $"doc_a", $"doc_b", $"la", $"lb").as("e")
+        val picked = cross.select($"la".as("comp"), e)
+          .union(cross.select($"lb".as("comp"), struct($"w", $"doc_a", $"doc_b", $"la", $"lb")))
+          .groupBy($"comp").agg(min($"e").as("m"))
+          .select($"m.doc_a".as("doc_a"), $"m.doc_b".as("doc_b"), $"m.w".as("w"),
+            $"m.la".as("la"), $"m.lb".as("lb"))
+          .distinct() // both endpoints' components may pick the same edge
+          .localCheckpoint(true)
+        msf = msf.union(picked.select($"doc_a", $"doc_b", $"w")).localCheckpoint(true)
+        // contract on the COMPONENT graph (component-count-sized, shrinking
+        // geometrically) instead of re-deriving components of the full forest
+        val clab = graft.llm.Dedup.starComponents(
+          labels.select($"lbl".as("id")).distinct(),
+          picked.select($"la", $"lb"))._1.toDF("lbl", "newLbl")
+        labels = labels.join(clab, Seq("lbl"))
+          .select($"id", $"newLbl".as("lbl")).localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    // fail LOUDLY if cross-component edges remain (silent partial forests
+    // are worse than an error; components halve per round, so 20 is ample)
+    require(done, s"Borůvka did not converge in $rounds rounds")
+    msf.join(labels.select($"id".as("doc_a"), $"lbl".as("cluster")), Seq("doc_a"))
+      .select($"cluster", $"doc_a", $"doc_b", $"w")
+      .orderBy($"cluster", $"doc_a", $"doc_b")
+  }
+
   def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
     q207LabelPropagation, q228KCore, q279AdamicAdar, q307ClusteringCoeff,
-    q355DocPagerank)
+    q355DocPagerank, q409BoruvkaMsf)
 }

@@ -132,6 +132,101 @@ class Round7bSpec extends AnyFunSuite with SparkFixture {
     assert(sel(0.875) === r4(exact.getDouble(2) / 100))
   }
 
+  test("Boruvka forest equals a driver-side Kruskal union-find reference") {
+    import spark.implicits._
+    val msf = Graph.q409BoruvkaMsf.fn(spark, sf)
+      .select($"doc_a", $"doc_b", $"w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val edges = graft.llm.Dedup.q45NeardupJaccard.fn(spark, sf)
+      .select($"doc_a", $"doc_b", round(lit(1.0) - $"jaccard", 4).as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Kruskal with the same strict (w, doc_a, doc_b) total order
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val ref = scala.collection.mutable.Set[(Long, Long, Double)]()
+    for ((a, b, w) <- edges.sortBy(e => (e._3, e._1, e._2))) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; ref += ((a, b, w)) }
+    }
+    assert(msf === ref.toSet, "Boruvka and Kruskal must produce the same unique MSF")
+    // forest law: per component, |edges| = |vertices| - 1
+    val comp = edges.flatMap(e => Seq(e._1, e._2)).distinct.groupBy(find).view.mapValues(_.size)
+    assert(ref.size === comp.values.map(_ - 1).sum)
+  }
+
+  test("Shapley attribution satisfies the efficiency axiom") {
+    import spark.implicits._
+    val phi = EventAnalytics.q410ShapleyAttribution.fn(spark, sf)
+      .select($"channel", $"shapley").as[(String, Double)].collect().toMap
+    assert(phi.keySet === Set("click", "view", "signup", "error"))
+    // Σφ_i = v(full touch-set) − v(∅): recompute the two cells directly
+    val e = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts")
+    val fp = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("pts"))
+    val um = e.filter($"event_type" =!= "purchase")
+      .join(fp, Seq("user_id"), "left")
+      .filter($"pts".isNull || $"ts" < $"pts")
+      .select($"user_id",
+        when($"event_type" === "click", 1L).when($"event_type" === "view", 2L)
+          .when($"event_type" === "signup", 4L).otherwise(8L).as("bit"),
+        when($"pts".isNotNull, 1L).otherwise(0L).as("conv"))
+      .groupBy($"user_id")
+      .agg(sum_distinct($"bit").as("mask"), max($"conv").as("conv"))
+    def vOf(mask: Long): Double = {
+      val cell = um.filter($"mask" === mask)
+        .agg(count(lit(1)).cast("long"), sum($"conv").cast("long")).collect()(0)
+      if (cell.getLong(0) == 0) 0.0 else cell.getLong(1).toDouble / cell.getLong(0)
+    }
+    val lhs = phi.values.sum
+    val rhs = vOf(15L) - vOf(0L)
+    assert(math.abs(lhs - rhs) < 5e-6, s"efficiency: $lhs vs $rhs") // 4 × round-6 outputs
+  }
+
+  test("off-policy estimators: ESS and off-support diagnostics are consistent") {
+    import spark.implicits._
+    val r = EventAnalytics.q407OffPolicyEval.fn(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n")
+    val offs = r.getAs[Long]("n_offsupport")
+    val ess = r.getAs[Double]("ess")
+    // ESS is at most the on-support count and positive
+    assert(ess > 0 && ess <= (n - offs).toDouble)
+    val errors = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "error").count()
+    assert(offs === errors, "off-support rows are exactly the zero-weight actions")
+    // value estimates are all within the value range of the log
+    for (c <- Seq("naive_value", "ips_value", "snips_value"))
+      assert(r.getAs[Double](c) >= 0.0 && r.getAs[Double](c) <= 500.0)
+  }
+
+  test("conformal: q-hat is the ceil((n+1)*0.9) order statistic and coverage is near 1-alpha") {
+    import spark.implicits._
+    val out = Eda.q408ConformalCoverage.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    for (row <- out) {
+      val cov = row.getAs[Double]("coverage")
+      assert(cov >= 0.75 && cov <= 1.0, s"coverage ${row.getAs[String]("grp")}: $cov")
+      // rank-rule spot check: recount calibration scores ≤ q-hat — must be
+      // at least the conformal rank (ties can only push it higher)
+      val grp = row.getAs[String]("grp")
+      val yhat = math.floor(row.getAs[Double]("yhat") * 100 + 0.5).toLong
+      val qhat = math.floor(row.getAs[Double]("qhat") * 100 + 0.5).toLong
+      val cal = graft.sources.Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === grp)
+        .select(floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+          (conv(substring(md5($"o_orderkey".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).as("half"))
+        .filter($"half" === 0)
+        .select(abs($"cents" - yhat).as("s")).as[Long].collect().sorted
+      val k = math.min(((cal.length + 1) * 9 + 9) / 10, cal.length)
+      assert(cal(k - 1) === qhat, s"q-hat rank rule for $grp")
+      assert(row.getAs[Long]("n_cal") === cal.length.toLong)
+    }
+  }
+
   test("lag sweep: lag 0 equals the direct same-hour Pearson; exactly one best flag") {
     import spark.implicits._
     val r = EventAnalytics.q405LagXcorr.fn(spark, sf)
