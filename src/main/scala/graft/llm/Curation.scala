@@ -993,11 +993,82 @@ object Curation {
     SinkhornGen.plan(spark, dir)
   }
 
+  /** SYSTEMATIC (MADOW) WEIGHTED SAMPLING — the π-proportional-to-size
+    * draw that REALIZES a mixture plan into an actual doc list (q138/q323
+    * decide the shares; this draws the docs): lay every document's weight
+    * (n_chars) end-to-end in md5-shuffled order, then take k = 20
+    * equally-spaced selection points p_i = (2i+1)·W/2k. A doc is drawn
+    * once per point inside its weight interval — heavy docs can be drawn
+    * MORE THAN ONCE (with-replacement effect by design, `n_picks`
+    * reports it), and Σ n_picks = k exactly. Distinct from q146 (A-ES,
+    * without replacement) and q249 (unweighted hash ranks). Everything is
+    * INTEGER arithmetic — interval tests are scaled by 2kW so there is no
+    * float anywhere — and the corpus-scale cumulative sum runs TWO-PHASE
+    * (per-md5-prefix-bin local sums + a 256-row broadcast prefix offset,
+    * q97/q297's machinery), never a single-partition window; Round7bSpec
+    * proves two-phase ≡ one-window and the Σ n_picks = k law.
+    *
+    * 100 TB plan: one scan for the bin-local window (bins are the
+    * parallelism unit), one 256-row census window, one broadcast join —
+    * the same shape at any corpus size. */
+  val q411SystematicSample: GraftQuery = GraftQuery.oracled(
+    "q411_systematic_sample",
+    """WITH d AS (SELECT doc_id, source, n_chars AS w,
+      |                  md5(CAST(doc_id AS VARCHAR)) AS h
+      |           FROM documents),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d),
+      |c AS (SELECT doc_id, source, w,
+      |             CAST(COALESCE(sum(w) OVER (ORDER BY h, doc_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |      FROM d),
+      |p AS (SELECT doc_id, source, w, cb, tw,
+      |             CASE WHEN 40 * cb <= tw THEN 0
+      |                  ELSE (40 * cb - tw + 2 * tw - 1) // (2 * tw) END AS imin,
+      |             CASE WHEN 40 * (cb + w) <= tw THEN 0
+      |                  ELSE (40 * (cb + w) - tw + 2 * tw - 1) // (2 * tw) END AS imax
+      |      FROM c, t)
+      |SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+      |       CAST(least(imax, 20) - least(imin, 20) AS BIGINT) AS n_picks
+      |FROM p
+      |WHERE least(imax, 20) - least(imin, 20) >= 1
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars".as("w"),
+        md5($"doc_id".cast("string")).as("h"))
+      .withColumn("bin", substring($"h", 1, 2)) // 256 hex-prefix bins, order-compatible with h
+    // phase 1: bin-local running sums (parallel over bins)
+    val local = d.withColumn("cb_local",
+      coalesce(sum($"w").over(Window.partitionBy($"bin").orderBy($"h", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // phase 2: 256-row bin census → broadcast prefix offsets
+    val offsets = d.groupBy($"bin").agg(sum($"w").as("bw"))
+      .select($"bin", coalesce(sum($"bw").over(Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val tot = d.agg(sum($"w").cast("long").as("tw"))
+    val c = local.join(broadcast(offsets), Seq("bin"))
+      .select($"doc_id", $"source", $"w", ($"off" + $"cb_local").cast("long").as("cb"))
+      .crossJoin(broadcast(tot))
+    val picks = c.select($"doc_id", $"source", $"w", $"cb", $"tw",
+      when(lit(2 * k) * $"cb" <= $"tw", 0L)
+        .otherwise(expr(s"(${2 * k} * cb - tw + 2 * tw - 1) div (2 * tw)")).as("imin"),
+      when(lit(2 * k) * ($"cb" + $"w") <= $"tw", 0L)
+        .otherwise(expr(s"(${2 * k} * (cb + w) - tw + 2 * tw - 1) div (2 * tw)")).as("imax"))
+    picks
+      .select($"doc_id", $"source", $"w".cast("long").as("w"),
+        (least($"imax", lit(k.toLong)) - least($"imin", lit(k.toLong)))
+          .cast("long").as("n_picks"))
+      .filter($"n_picks" >= 1)
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
     q389TemperatureMixing, q394ContentChecksum, q397TruncationLoss,
-    q398ClusterReweight, q401SinkhornMixture,
+    q398ClusterReweight, q401SinkhornMixture, q411SystematicSample,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill)

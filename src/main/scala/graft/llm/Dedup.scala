@@ -1461,6 +1461,91 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** NEAR-DUP CLUSTER COHERENCE AUDIT — how far the 0.8-Jaccard relation
+    * is from an equivalence: connected components (q100) TREAT near-dup
+    * as transitive, but similarity isn't — a chain A≈B≈C can cluster
+    * A with C at Jaccard 0.6. This measures the damage: per multi-doc
+    * cluster, the edge DENSITY (observed pairs / k·(k−1)/2 — 1.0 means a
+    * clique, low means a chain held together by hubs), and globally the
+    * graph TRANSITIVITY 3·triangles/wedges (triangles via q154's oriented
+    * compact-forward join). The numbers that decide whether to raise the
+    * threshold or switch to star-champion dedup (q343). All-integer ppm
+    * arithmetic; the oracle re-derives pairs, clusters (recursive CTE),
+    * and both metrics from scratch.
+    *
+    * 100 TB plan: rides the capped q45 pair set (pair-scale, not
+    * row-scale); degree/wedge censuses are vertex-sized aggs; the
+    * triangle join is the compact-forward oriented shape whose wedge
+    * work is bounded by Σ deg² of the (sparse) near-dup graph. */
+  val q413ClusterCoherence: GraftQuery = GraftQuery.oracled(
+    "q413_cluster_coherence",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b FROM prs
+      |         JOIN szs sa ON doc_a = sa.doc_id
+      |         JOIN szs sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |          UNION ALL SELECT doc_b, doc_a FROM good),
+      |reach AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |          UNION
+      |          SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+      |ksz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS k FROM lab GROUP BY 1 HAVING count(*) >= 2),
+      |m AS (SELECT l.cluster, CAST(count(*) AS BIGINT) AS edges
+      |      FROM good g JOIN lab l ON l.id = g.doc_a GROUP BY 1),
+      |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS dg FROM edges GROUP BY 1),
+      |wt AS (SELECT CAST(COALESCE(sum(dg * (dg - 1) // 2), 0) AS BIGINT) AS wedges FROM deg),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS triangles
+      |        FROM good e1 JOIN good e2 ON e2.doc_a = e1.doc_b
+      |             JOIN good e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      |gl AS (SELECT triangles, wedges,
+      |              CASE WHEN wedges > 0 THEN (3000000 * triangles) // wedges ELSE 0 END AS transitivity_ppm
+      |       FROM tri, wt)
+      |SELECT k.cluster AS cluster_id, k.k AS size, m.edges,
+      |       CAST((2000000 * m.edges) // (k.k * (k.k - 1)) AS BIGINT) AS density_ppm,
+      |       gl.triangles, gl.wedges, CAST(gl.transitivity_ppm AS BIGINT) AS transitivity_ppm
+      |FROM ksz k JOIN m ON m.cluster = k.cluster, gl
+      |ORDER BY cluster_id""") { (spark, dir) =>
+    import spark.implicits._
+    val good = q45NeardupJaccard.fn(spark, dir)
+      .select($"doc_a", $"doc_b").localCheckpoint(true)
+    // q100's clustering run directly on the checkpointed pair set — calling
+    // q100.fn here would re-derive the q45 shingle join a second time
+    val lab = minLabelComponents(
+      Tables.documents(spark, dir).select($"doc_id"), good)
+      .toDF("doc_id", "cluster_id")
+    val ksz = lab.groupBy($"cluster_id").agg(count(lit(1)).cast("long").as("k"))
+      .filter($"k" >= 2)
+    val m = good.join(lab.select($"doc_id".as("doc_a"), $"cluster_id"), Seq("doc_a"))
+      .groupBy($"cluster_id").agg(count(lit(1)).cast("long").as("edges"))
+    val deg = good.select($"doc_a".as("v")).union(good.select($"doc_b"))
+      .groupBy($"v").agg(count(lit(1)).cast("long").as("dg"))
+    val wt = deg.agg(coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L))
+      .cast("long").as("wedges"))
+    val tri = good.as("e1")
+      .join(good.as("e2"), $"e2.doc_a" === $"e1.doc_b")
+      .join(good.as("e3"), $"e3.doc_a" === $"e1.doc_a" && $"e3.doc_b" === $"e2.doc_b")
+      .agg(count(lit(1)).cast("long").as("triangles"))
+    val gl = tri.crossJoin(wt).select($"triangles", $"wedges",
+      when($"wedges" > 0, expr("(3000000 * triangles) div wedges"))
+        .otherwise(0L).cast("long").as("transitivity_ppm"))
+    ksz.join(m, Seq("cluster_id"))
+      .crossJoin(broadcast(gl))
+      .select($"cluster_id", $"k".as("size"), $"edges",
+        expr("(2000000 * edges) div (k * (k - 1))").cast("long").as("density_ppm"),
+        $"triangles", $"wedges", $"transitivity_ppm")
+      .orderBy($"cluster_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
@@ -1468,7 +1553,7 @@ object Dedup {
     q353ContainmentDecontam, q365ContrastiveNegatives,
     q371MinhashSignatures, q372MinhashBanded, q385DeltaNeardupLsh,
     q391SplitLeakage, q395IncrementalComponents, q396BandingSweep,
-    q399NeardupEvidence,
+    q399NeardupEvidence, q413ClusterCoherence,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
 
   /** NEAR-DUP PROVENANCE / EVIDENCE REPORT — the "why was this pair

@@ -419,7 +419,76 @@ object FuzzyJoin {
       .orderBy($"name_a", $"name_b")
   }
 
+  /** BLOCKING-QUALITY AUDIT (Christen 2012's reduction ratio + block-size
+    * profile) — the meta-metric every entity-resolution deployment tracks:
+    * how much of the n·(n−1)/2 quadratic pair space does q160's deletion-
+    * variant blocking actually generate (reduction ratio), how much of
+    * what it generates survives verification (candidate precision), and
+    * how skewed are the blocks (max/total block membership — the straggler
+    * predictor for the candidate join). Pairs completeness is 1 by the
+    * FastSS lossless-cover law (spec'd on q160), so it is not re-measured;
+    * what remains IS this report. All-integer ppm arithmetic over the
+    * candidate/verified/block censuses — strictly oracle'd.
+    *
+    * 100 TB plan: candidates and blocks are variant-keyed censuses (the
+    * same sub-quadratic shape as the join itself); the quadratic total is
+    * arithmetic on one count, never materialized. */
+  val q414BlockingQuality: GraftQuery = GraftQuery.oracled(
+    "q414_blocking_quality",
+    """WITH v AS (SELECT DISTINCT c_name FROM customer ORDER BY c_name LIMIT 2000),
+      |var AS (SELECT c_name,
+      |               CASE WHEN i = -1 THEN c_name
+      |                    ELSE substr(c_name, 1, i) || substr(c_name, i + 2) END AS vr
+      |        FROM v, LATERAL (SELECT unnest(generate_series(-1, length(c_name) - 1)) AS i)),
+      |cand AS (SELECT DISTINCT a.c_name AS na, b.c_name AS nb
+      |         FROM var a JOIN var b ON a.vr = b.vr AND a.c_name < b.c_name),
+      |ver AS (SELECT na, nb FROM cand WHERE levenshtein(na, nb) <= 1),
+      |blocks AS (SELECT vr, CAST(count(*) AS BIGINT) AS members FROM var GROUP BY vr),
+      |s AS (SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_names,
+      |             CAST((SELECT count(*) FROM cand) AS BIGINT) AS candidates,
+      |             CAST((SELECT count(*) FROM ver) AS BIGINT) AS verified,
+      |             CAST((SELECT count(*) FROM blocks) AS BIGINT) AS n_blocks,
+      |             CAST((SELECT max(members) FROM blocks) AS BIGINT) AS max_block)
+      |SELECT n_names, n_names * (n_names - 1) // 2 AS total_pairs,
+      |       candidates, verified, n_blocks, max_block,
+      |       (1000000 * (n_names * (n_names - 1) // 2 - candidates))
+      |         // (n_names * (n_names - 1) // 2) AS reduction_ppm,
+      |       CASE WHEN candidates > 0 THEN (1000000 * verified) // candidates
+      |            ELSE 0 END AS precision_ppm
+      |FROM s""") { (spark, dir) =>
+    import spark.implicits._
+    val vocab = nameVocab(spark, dir).localCheckpoint(true)
+    val variants = vocab
+      .select($"c_name",
+        explode(concat(array(lit(-1)),
+          sequence(lit(0), length($"c_name") - 1))).as("i"))
+      .select($"c_name",
+        when($"i" === -1, $"c_name")
+          .otherwise(concat(
+            expr("substring(c_name, 1, i)"),
+            expr("substring(c_name, i + 2)"))).as("vr"))
+      .localCheckpoint(true)
+    val cand = variants.as("a")
+      .join(variants.as("b"), $"a.vr" === $"b.vr" && $"a.c_name" < $"b.c_name")
+      .select($"a.c_name".as("na"), $"b.c_name".as("nb"))
+      .distinct().localCheckpoint(true)
+    val ver = cand.filter(levenshtein($"na", $"nb") <= 1)
+    val blocks = variants.groupBy($"vr").agg(count(lit(1)).cast("long").as("members"))
+    val s = vocab.agg(count(lit(1)).cast("long").as("n_names"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).cast("long").as("candidates"))))
+      .crossJoin(broadcast(ver.agg(count(lit(1)).cast("long").as("verified"))))
+      .crossJoin(broadcast(blocks.agg(count(lit(1)).cast("long").as("n_blocks"),
+        max($"members").cast("long").as("max_block"))))
+    s.select($"n_names",
+      expr("n_names * (n_names - 1) div 2").cast("long").as("total_pairs"),
+      $"candidates", $"verified", $"n_blocks", $"max_block",
+      expr("(1000000 * (n_names * (n_names - 1) div 2 - candidates)) div (n_names * (n_names - 1) div 2)")
+        .cast("long").as("reduction_ppm"),
+      when($"candidates" > 0, expr("(1000000 * verified) div candidates"))
+        .otherwise(0L).cast("long").as("precision_ppm"))
+  }
+
   def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution,
     q275GoldenRecord, q282FellegiSunter, q301JaroWinklerMatch,
-    q348FellegiSunterEm)
+    q348FellegiSunterEm, q414BlockingQuality)
 }

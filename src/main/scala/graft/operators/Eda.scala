@@ -1034,7 +1034,7 @@ object Eda {
     q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
     q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale,
     q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce,
-    q408ConformalCoverage)
+    q408ConformalCoverage, q412SequentialObf)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -2394,5 +2394,73 @@ object Eda {
         $"covered",
         round($"covered".cast("double") / $"n_test".cast("double"), 6).as("coverage"))
       .orderBy($"grp")
+  }
+
+  /** GROUP-SEQUENTIAL MONITORING with O'Brien–Fleming boundaries (O'Brien
+    * & Fleming 1979; the K=5-look two-sided α=0.05 critical values
+    * {4.8769, 3.3569, 2.6803, 2.2898, 2.0310}) — the experimentation-
+    * platform guardrail q163's single-shot z-test cannot give: peeking at
+    * an A/B metric every few days REQUIRES inflated early boundaries or
+    * the false-positive rate balloons. Arms are the deterministic
+    * user_id-parity split; the monitored metric is the cumulative
+    * purchase-count difference, z_t = (n_A − n_B)/√(n_A + n_B) (the
+    * two-sample Poisson count test) at five equally-spaced looks over the
+    * 30-day window. Integer counts, one sqrt, one division — bit-
+    * reproducible; the first boundary crossing (if any) is flagged as the
+    * stopping look.
+    *
+    * 100 TB plan: one scan into a (day × arm) census; the five looks are
+    * census rollups, the boundary comparison is 5-row arithmetic. */
+  val q412SequentialObf: GraftQuery = GraftQuery.oracled(
+    "q412_sequential_obf",
+    """WITH e AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+      |                  date_diff('day',
+      |                    (SELECT min(CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE)) FROM events),
+      |                    CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE)) AS d
+      |           FROM events WHERE event_type = 'purchase'),
+      |looks AS (SELECT unnest(generate_series(1, 5)) AS look),
+      |m AS (SELECT l.look,
+      |             CAST(sum(CASE WHEN e.arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |             CAST(sum(CASE WHEN e.arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |      FROM looks l JOIN e ON e.d < 6 * l.look
+      |      GROUP BY l.look),
+      |z AS (SELECT look, n_a, n_b,
+      |             CASE WHEN n_a + n_b > 0
+      |                  THEN CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE))
+      |                  ELSE CAST(0 AS DOUBLE) END AS z,
+      |             CAST(CASE look WHEN 1 THEN 4.8769 WHEN 2 THEN 3.3569 WHEN 3 THEN 2.6803
+      |                            WHEN 4 THEN 2.2898 ELSE 2.0310 END AS DOUBLE) AS boundary
+      |      FROM m),
+      |f AS (SELECT min(CASE WHEN abs(z) >= boundary THEN look END) AS stop_look FROM z)
+      |SELECT look, n_a, n_b, round(z, 6) AS z, boundary,
+      |       CASE WHEN abs(z) >= boundary THEN 1 ELSE 0 END AS crossed,
+      |       CASE WHEN look = f.stop_look THEN 1 ELSE 0 END AS is_stop
+      |FROM z, f
+      |ORDER BY look""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select(($"user_id" % 2).cast("long").as("arm"), to_date($"ts").as("day"))
+    val minDay = e.agg(min($"day").as("d0"))
+    val ec = e.crossJoin(broadcast(minDay))
+      .select($"arm", datediff($"day", $"d0").as("d"))
+    val looks = spark.range(1, 6).select($"id".cast("int").as("look"))
+    val m = broadcast(looks).join(ec, $"d" < lit(6) * $"look")
+      .groupBy($"look")
+      .agg(sum(when($"arm" === 0, 1).otherwise(0)).cast("long").as("n_a"),
+        sum(when($"arm" === 1, 1).otherwise(0)).cast("long").as("n_b"))
+    val boundary = when($"look" === 1, 4.8769).when($"look" === 2, 3.3569)
+      .when($"look" === 3, 2.6803).when($"look" === 4, 2.2898).otherwise(2.0310)
+    val z = m.select($"look", $"n_a", $"n_b",
+      when($"n_a" + $"n_b" > 0,
+        ($"n_a" - $"n_b").cast("double") / sqrt(($"n_a" + $"n_b").cast("double")))
+        .otherwise(lit(0.0)).as("z"),
+      boundary.as("boundary"))
+    val f = z.agg(min(when(abs($"z") >= $"boundary", $"look")).as("stop_look"))
+    z.crossJoin(broadcast(f))
+      .select($"look", $"n_a", $"n_b", round($"z", 6).as("z"), $"boundary",
+        when(abs($"z") >= $"boundary", 1).otherwise(0).as("crossed"),
+        when($"look" === $"stop_look", 1).otherwise(0).as("is_stop"))
+      .orderBy($"look")
   }
 }

@@ -227,6 +227,71 @@ class Round7bSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("systematic sample: exactly k picks, and two-phase cumsum equals one global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.llm.Curation.q411SystematicSample.fn(spark, sf)
+    assert(out.agg(sum($"n_picks")).collect()(0).getLong(0) === 20L,
+      "Madow draw must allocate exactly k selection points")
+    // reference: identical arithmetic on a single global-window cumsum
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars".as("w"),
+        md5($"doc_id".cast("string")).as("h"))
+    val c = d.withColumn("cb",
+      coalesce(sum($"w").over(Window.orderBy($"h", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+      .crossJoin(broadcast(d.agg(sum($"w").cast("long").as("tw"))))
+    val ref = c.select($"doc_id", $"source", $"w".cast("long").as("w"),
+      (least(when(lit(40) * ($"cb" + $"w") <= $"tw", 0L)
+        .otherwise(expr("(40 * (cb + w) - tw + 2 * tw - 1) div (2 * tw)")), lit(20L))
+        - least(when(lit(40) * $"cb" <= $"tw", 0L)
+          .otherwise(expr("(40 * cb - tw + 2 * tw - 1) div (2 * tw)")), lit(20L)))
+        .cast("long").as("n_picks"))
+      .filter($"n_picks" >= 1)
+    assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty,
+      "two-phase prefix-offset cumsum must equal the single-window draw")
+  }
+
+  test("sequential OBF: monotone cumulative counts, final look covers all purchases, one stop at most") {
+    import spark.implicits._
+    val r = Eda.q412SequentialObf.fn(spark, sf).orderBy($"look").collect()
+    assert(r.length === 5)
+    val totals = r.map(x => x.getAs[Long]("n_a") + x.getAs[Long]("n_b"))
+    assert(totals.sliding(2).forall(p => p(0) <= p(1)), "looks are cumulative")
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(totals.last === purchases, "look 5 must cover the full 30-day window")
+    val stops = r.filter(_.getAs[Int]("is_stop") === 1)
+    assert(stops.length <= 1)
+    for (s <- stops; earlier <- r.filter(_.getAs[Int]("look") < s.getAs[Int]("look")))
+      assert(earlier.getAs[Int]("crossed") === 0, "stop must be the FIRST crossing")
+  }
+
+  test("cluster coherence: densities bounded, edges partition the q45 pair set") {
+    import spark.implicits._
+    val r = graft.llm.Dedup.q413ClusterCoherence.fn(spark, sf)
+    assert(r.filter($"density_ppm" < 1 || $"density_ppm" > 1000000).count() === 0)
+    assert(r.filter($"edges" > $"size" * ($"size" - 1) / 2).count() === 0)
+    val pairTotal = graft.llm.Dedup.q45NeardupJaccard.fn(spark, sf).count()
+    assert(r.agg(sum($"edges")).collect()(0).getLong(0) === pairTotal,
+      "every near-dup pair lies in exactly one cluster")
+    val t = r.select($"transitivity_ppm").distinct().as[Long].collect()
+    assert(t.length === 1 && t(0) >= 0 && t(0) <= 1000000)
+  }
+
+  test("blocking quality: verified equals the q160 join, quadratic total never materialized") {
+    import spark.implicits._
+    val r = graft.llm.FuzzyJoin.q414BlockingQuality.fn(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_names")
+    assert(r.getAs[Long]("total_pairs") === n * (n - 1) / 2)
+    val q160 = graft.llm.FuzzyJoin.q160EditDistanceJoin.fn(spark, sf).count()
+    assert(r.getAs[Long]("verified") === q160,
+      "the audit's verified count must equal the production join")
+    assert(r.getAs[Long]("candidates") >= r.getAs[Long]("verified"))
+    assert(r.getAs[Long]("reduction_ppm") <= 1000000L)
+    assert(r.getAs[Long]("max_block") >= 1L)
+  }
+
   test("lag sweep: lag 0 equals the direct same-hour Pearson; exactly one best flag") {
     import spark.implicits._
     val r = EventAnalytics.q405LagXcorr.fn(spark, sf)
