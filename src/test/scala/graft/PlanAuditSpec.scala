@@ -48,7 +48,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q383_int8_quant_audit", "q384_mojibake_audit", "q385_delta_neardup_lsh",
     "q386_davies_bouldin", "q387_ann_recall_eval", "q388_asof_native",
     "q389_temperature_mixing", "q390_vocab_coverage", "q391_split_leakage",
-    "q393_embedding_drift", "q394_content_checksum")
+    "q393_embedding_drift", "q394_content_checksum",
+    // round 9 (driver round 5, second wave): every join-shaped newcomer
+    "q401_sinkhorn_mixture", "q402_grid_dbscan", "q403_bradley_terry",
+    "q404_calibration_ece", "q405_lag_xcorr", "q406_percentile_selection",
+    "q407_offpolicy_eval", "q408_conformal_coverage", "q409_boruvka_msf",
+    "q410_shapley_attribution", "q411_systematic_sample",
+    "q412_sequential_obf", "q413_cluster_coherence", "q414_blocking_quality")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -67,7 +73,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // against the corpus — q48's documented exact-audit shape; q386/q389/
     // q390: 1-row or label-sized aggregate broadcasts
     "q382_matryoshka_recall", "q386_davies_bouldin", "q387_ann_recall_eval",
-    "q389_temperature_mixing", "q390_vocab_coverage")
+    "q389_temperature_mixing", "q390_vocab_coverage",
+    // round-9 scalar/census broadcasts: 1-row totals (q404/q411/q413/q414),
+    // ≤20-row π vectors + 1-row normalizers (q403), the 7-row lag × spine
+    // and 6-row rank × bin-census non-equi probes (q405/q406), the 4×16
+    // literal subset lattice (q410), the 5-look census (q412)
+    "q403_bradley_terry", "q404_calibration_ece", "q405_lag_xcorr",
+    "q406_percentile_selection", "q410_shapley_attribution",
+    "q411_systematic_sample", "q412_sequential_obf",
+    "q413_cluster_coherence", "q414_blocking_quality")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in
