@@ -1083,10 +1083,74 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** LATE-INTERACTION MaxSim RETRIEVAL (the ColBERT scoring rule,
+    * Khattab & Zaharia 2020): instead of one vector per document, score
+    * with per-token vectors — score(q,d) = Σ_{query tokens} max_{doc
+    * tokens} ⟨q_t, d_t⟩ — which keeps term-level matching that a single
+    * pooled vector (q48) blurs. Token vectors here are the documented
+    * synthetic split of the 64-dim embedding into 8 contiguous 8-dim
+    * slices (the real pipeline stores a token-major array column; the
+    * Spark-side plumbing — slice explosion, per-token argmax, ordered
+    * token sum, per-query top-k — is exactly what production needs).
+    * The max over doc tokens is order-independent; the Σ over the 8
+    * query tokens is an ordered fold; dot products are the q48
+    * left-to-right double HOF — all bit-reproducible, strictly oracle'd.
+    *
+    * 100 TB plan: probe tokens (|Q|·8 rows) broadcast against the doc
+    * token scan; per-(probe, doc) state is the 8-slot max vector inside
+    * one hash agg; top-k via WindowGroupLimit. At index scale the doc
+    * tokens come pre-bucketed by an ANN tier (q49/q98's plumbing) —
+    * MaxSim only ever scores the candidate set. */
+  val q417MaxsimRetrieval: GraftQuery = GraftQuery.oracled(
+    "q417_maxsim_retrieval",
+    """WITH tok AS (SELECT vec_id, ti, embedding[1 + 8 * ti : 8 + 8 * ti] AS tv
+      |            FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS ti)),
+      |probes AS (SELECT vec_id AS query_id, ti AS qi, tv AS qv FROM tok WHERE vec_id < 3),
+      |dots AS (SELECT p.query_id, t.vec_id AS doc_id, p.qi,
+      |                max(list_sum(list_transform(generate_series(1, 8),
+      |                  i -> CAST(p.qv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))) AS mx
+      |         FROM probes p JOIN tok t ON t.vec_id <> p.query_id
+      |         GROUP BY 1, 2, 3),
+      |score AS (SELECT query_id, doc_id,
+      |                 list_sum(list(mx ORDER BY qi)) AS score
+      |          FROM dots GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                ORDER BY score DESC, doc_id) AS rnk FROM score)
+      |SELECT query_id, doc_id, rnk, round(score, 6) AS score
+      |FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.embeddings(spark, dir)
+      .select($"vec_id", explode(sequence(lit(0), lit(7))).as("ti"), $"embedding")
+      .select($"vec_id", $"ti", slice($"embedding", lit(1) + lit(8) * $"ti", lit(8)).as("tv"))
+    val probes = tok.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"ti".as("qi"), $"tv".as("qv"))
+    // left-to-right double dot over the 8-dim slices (q48's HOF discipline)
+    val dot8 = aggregate(zip_with($"qv", $"tv",
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val dots = tok.join(broadcast(probes), $"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id".as("doc_id"), $"qi")
+      .agg(max(dot8).as("mx"))
+    def orderedSum(key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val score = dots.groupBy($"query_id", $"doc_id")
+      .agg(orderedSum($"qi", $"mx").as("score"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    score.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"doc_id", $"rnk", round($"score", 6).as("score"))
+      .orderBy($"query_id", $"rnk")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
       q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection,
       q360AnisotropyAudit, q382MatryoshkaRecall, q383Int8QuantAudit,
-      q386DaviesBouldin, q387AnnRecallEval, q393EmbeddingDrift, q402GridDbscan)
+      q386DaviesBouldin, q387AnnRecallEval, q393EmbeddingDrift, q402GridDbscan,
+      q417MaxsimRetrieval)
 }

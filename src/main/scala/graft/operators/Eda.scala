@@ -1034,7 +1034,7 @@ object Eda {
     q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
     q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale,
     q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce,
-    q408ConformalCoverage, q412SequentialObf)
+    q408ConformalCoverage, q412SequentialObf, q415KfoldCv, q416MannKendall)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -2462,5 +2462,160 @@ object Eda {
         when(abs($"z") >= $"boundary", 1).otherwise(0).as("crossed"),
         when($"look" === $"stop_look", 1).otherwise(0).as("is_stop"))
       .orderBy($"look")
+  }
+
+  /** K-FOLD CROSS-VALIDATION BY SUFFICIENT STATISTICS — the one-pass trick
+    * that makes exact k-fold evaluation of a linear model FREE at scale:
+    * OLS needs only the moments (n, Σx, Σy, Σxx, Σxy, Σyy), moments are
+    * ADDITIVE, so each fold's TRAINING moments are total − fold — five
+    * leave-fold-out models and their held-out MSEs from ONE scan and a
+    * 5-row census, no per-fold refit pass (the trick generalizes to any
+    * algebraic estimator; contrast q60's GBT, which genuinely refits).
+    * The same subtraction trick powers q170's incremental aggregates.
+    * x = l_quantity, y = whole-dollar price, fold = md5 coin % 5 — all
+    * moments exact BIGINTs, coefficients and MSEs single fixed-order
+    * double expressions (MSE via the expanded quadratic
+    * Σ(y−a−bx)² = Syy + na² + b²Sxx − 2aSy − 2bSxy + 2abSx), the CV mean
+    * an ordered fold — bit-reproducible. Round7bSpec re-fits each fold's
+    * complement directly and matches coefficients to 1e-9.
+    *
+    * 100 TB plan: one map-side-combined moments agg keyed by fold (k·6
+    * longs of state), then 5-row arithmetic. Nothing is scanned twice,
+    * nothing shuffles but the 5-row census. */
+  val q415KfoldCv: GraftQuery = GraftQuery.oracled(
+    "q415_kfold_cv",
+    """WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+      |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 100 AS y,
+      |                  CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+      |           FROM lineitem),
+      |m AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM d GROUP BY fold),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+      |             CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxx) AS BIGINT) AS sxx,
+      |             CAST(sum(sxy) AS BIGINT) AS sxy, CAST(sum(syy) AS BIGINT) AS syy
+      |      FROM m),
+      |c AS (SELECT m.fold,
+      |             t.n - m.n AS n_tr, t.sx - m.sx AS sx_tr, t.sy - m.sy AS sy_tr,
+      |             t.sxx - m.sxx AS sxx_tr, t.sxy - m.sxy AS sxy_tr,
+      |             m.n, m.sx, m.sy, m.sxx, m.sxy, m.syy
+      |      FROM m, t),
+      |f AS (SELECT fold, n_tr, sx_tr, sy_tr, n, sx, sy, sxx, sxy, syy,
+      |             CAST(n_tr * sxy_tr - sx_tr * sy_tr AS DOUBLE)
+      |               / CAST(n_tr * sxx_tr - sx_tr * sx_tr AS DOUBLE) AS b
+      |      FROM c),
+      |g AS (SELECT fold, n_tr AS n_train, n AS n_test, n, sx, sy, sxx, sxy, syy, b,
+      |             (CAST(sy_tr AS DOUBLE) - b * CAST(sx_tr AS DOUBLE))
+      |               / CAST(n_tr AS DOUBLE) AS a
+      |      FROM f),
+      |e AS (SELECT fold, n_train, n_test, b, a,
+      |             (CAST(syy AS DOUBLE) + n * a * a + b * b * sxx
+      |              - 2 * a * sy - 2 * b * sxy + 2 * a * b * sx) / n AS mse
+      |      FROM g),
+      |cv AS (SELECT list_sum(list(mse ORDER BY fold)) / 5 AS cv_mse FROM e)
+      |SELECT fold, n_train, n_test, round(b, 6) AS b, round(a, 4) AS a,
+      |       round(mse, 4) AS test_mse, round(cv.cv_mse, 4) AS cv_mse
+      |FROM e, cv
+      |ORDER BY fold""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.lineitem(spark, dir).select(
+      $"l_quantity".cast("long").as("x"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div 100").as("y"),
+      (conv(substring(md5(concat($"l_orderkey".cast("string"), lit(":"),
+        $"l_linenumber".cast("string"))), 1, 8), 16, 10).cast("long") % 5).as("fold"))
+    val m = d.groupBy($"fold").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum($"x").cast("long").as("sx"), sum($"y").cast("long").as("sy"),
+      sum($"x" * $"x").cast("long").as("sxx"), sum($"x" * $"y").cast("long").as("sxy"),
+      sum($"y" * $"y").cast("long").as("syy")).localCheckpoint(true)
+    val t = m.agg(sum($"n").cast("long").as("tn"), sum($"sx").cast("long").as("tsx"),
+      sum($"sy").cast("long").as("tsy"), sum($"sxx").cast("long").as("tsxx"),
+      sum($"sxy").cast("long").as("tsxy"), sum($"syy").cast("long").as("tsyy"))
+    val c = m.crossJoin(broadcast(t)).select(
+      $"fold", $"n", $"sx", $"sy", $"sxx", $"sxy", $"syy",
+      ($"tn" - $"n").as("n_tr"), ($"tsx" - $"sx").as("sx_tr"),
+      ($"tsy" - $"sy").as("sy_tr"), ($"tsxx" - $"sxx").as("sxx_tr"),
+      ($"tsxy" - $"sxy").as("sxy_tr"))
+    val f = c.select($"fold", $"n_tr".as("n_train"), $"n".as("n_test"),
+      $"n", $"sx", $"sy", $"sxx", $"sxy", $"syy", $"n_tr", $"sx_tr", $"sy_tr",
+      (($"n_tr" * $"sxy_tr" - $"sx_tr" * $"sy_tr").cast("double")
+        / ($"n_tr" * $"sxx_tr" - $"sx_tr" * $"sx_tr").cast("double")).as("b"))
+    val g = f.select($"fold", $"n_train", $"n_test", $"n", $"sx", $"sy",
+      $"sxx", $"sxy", $"syy", $"b",
+      (($"sy_tr".cast("double") - $"b" * $"sx_tr".cast("double"))
+        / $"n_tr".cast("double")).as("a"))
+    val e = g.select($"fold", $"n_train", $"n_test", $"b", $"a",
+      (($"syy".cast("double") + $"n" * $"a" * $"a" + $"b" * $"b" * $"sxx"
+        - lit(2) * $"a" * $"sy" - lit(2) * $"b" * $"sxy"
+        + lit(2) * $"a" * $"b" * $"sx") / $"n").as("mse"))
+    def orderedSum(key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val cv = e.agg((orderedSum($"fold", $"mse") / 5).as("cv_mse"))
+    e.crossJoin(broadcast(cv))
+      .select($"fold", $"n_train", $"n_test", round($"b", 6).as("b"),
+        round($"a", 4).as("a"), round($"mse", 4).as("test_mse"),
+        round($"cv_mse", 4).as("cv_mse"))
+      .orderBy($"fold")
+  }
+
+  /** MANN–KENDALL TREND TEST (Mann 1945, Kendall 1975; the nonparametric
+    * monotone-trend standard in monitoring) over the daily purchase-cents
+    * series: S = Σ_{i<j} sign(x_j − x_i) over all day pairs, tie-corrected
+    * variance [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, continuity-corrected
+    * z. Distribution-free where q181's OLS slope assumes linearity, and
+    * rank-robust where q186's ACF reads autocorrelation. S and the
+    * variance numerator are exact integers; z is one sqrt + one division.
+    *
+    * 100 TB plan: one scan into the calendar-day census; the pair sweep
+    * is census² (days², trivially bounded), ties by one value census. */
+  val q416MannKendall: GraftQuery = GraftQuery.oracled(
+    "q416_mann_kendall",
+    """WITH s AS (SELECT CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d,
+      |                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+      |sk AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |       FROM s a JOIN s b ON b.d > a.d),
+      |ties AS (SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+      |         FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY v HAVING count(*) > 1)),
+      |vr AS (SELECT n.n, sk.s, n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS var18
+      |       FROM n, sk, ties)
+      |SELECT n, s, var18,
+      |       round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18)
+      |                  WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18)
+      |                  ELSE CAST(0 AS DOUBLE) END, 6) AS z,
+      |       CASE WHEN s > 0 AND CAST(s - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18) >= 1.96 THEN 'increasing'
+      |            WHEN s < 0 AND CAST(s + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18) <= -1.96 THEN 'decreasing'
+      |            ELSE 'no_trend' END AS trend
+      |FROM vr""") { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).cast("long").as("v"))
+      .localCheckpoint(true) // calendar-day census
+    val n = s.agg(count(lit(1)).cast("long").as("n"))
+    val sk = s.as("a").join(s.as("b"), $"b.d" > $"a.d")
+      .agg(sum(when($"b.v" > $"a.v", 1).when($"b.v" < $"a.v", -1).otherwise(0))
+        .cast("long").as("s"))
+    val ties = s.groupBy($"v").agg(count(lit(1)).cast("long").as("t"))
+      .filter($"t" > 1)
+      .agg(coalesce(sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)), lit(0L))
+        .cast("long").as("tie_term"))
+    val z = ($"s".cast("double") - signum($"s".cast("double")))
+    n.crossJoin(sk).crossJoin(ties)
+      .select($"n", $"s",
+        ($"n" * ($"n" - 1) * (lit(2) * $"n" + 5) - $"tie_term").as("var18"))
+      .select($"n", $"s", $"var18",
+        round(when($"s" === 0, 0.0)
+          .otherwise(z / sqrt($"var18".cast("double") / 18)), 6).as("z"),
+        when($"s" > 0 && z / sqrt($"var18".cast("double") / 18) >= 1.96, "increasing")
+          .when($"s" < 0 && z / sqrt($"var18".cast("double") / 18) <= -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
   }
 }

@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q404_calibration_ece", "q405_lag_xcorr", "q406_percentile_selection",
     "q407_offpolicy_eval", "q408_conformal_coverage", "q409_boruvka_msf",
     "q410_shapley_attribution", "q411_systematic_sample",
-    "q412_sequential_obf", "q413_cluster_coherence", "q414_blocking_quality")
+    "q412_sequential_obf", "q413_cluster_coherence", "q414_blocking_quality",
+    "q415_kfold_cv", "q416_mann_kendall", "q417_maxsim_retrieval")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -81,7 +82,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q403_bradley_terry", "q404_calibration_ece", "q405_lag_xcorr",
     "q406_percentile_selection", "q410_shapley_attribution",
     "q411_systematic_sample", "q412_sequential_obf",
-    "q413_cluster_coherence", "q414_blocking_quality")
+    "q413_cluster_coherence", "q414_blocking_quality",
+    // q415: 1-row/5-row census broadcasts; q416: day-census pair sweep +
+    // scalar broadcasts; q417: 24-row probe-token broadcast (q48's shape)
+    "q415_kfold_cv", "q416_mann_kendall", "q417_maxsim_retrieval")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in

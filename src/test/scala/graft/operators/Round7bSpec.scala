@@ -292,6 +292,75 @@ class Round7bSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("max_block") >= 1L)
   }
 
+  test("k-fold CV coefficients equal a direct refit of each fold's complement") {
+    import spark.implicits._
+    val out = Eda.q415KfoldCv.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("fold") ->
+        ((r.getAs[Long]("n_train"), r.getAs[Double]("b"), r.getAs[Double]("a")))).toMap
+    assert(out.size === 5)
+    val d = graft.sources.Tables.lineitem(spark, sf).select(
+      $"l_quantity".cast("long").as("x"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div 100").as("y"),
+      (conv(substring(md5(concat($"l_orderkey".cast("string"), lit(":"),
+        $"l_linenumber".cast("string"))), 1, 8), 16, 10).cast("long") % 5).as("fold"))
+    val total = d.count()
+    for ((fold, (nTrain, b, a)) <- out) {
+      val ref = d.filter($"fold" =!= fold)
+        .agg(count(lit(1)), expr("regr_slope(y, x)"), expr("regr_intercept(y, x)"))
+        .collect()(0)
+      assert(ref.getLong(0) === nTrain, s"n_train($fold)")
+      assert(nTrain + d.filter($"fold" === fold).count() === total)
+      assert(math.abs(b - ref.getDouble(1)) < 2e-6, s"b($fold): $b vs ${ref.getDouble(1)}")
+      assert(math.abs(a - ref.getDouble(2)) < 2e-4, s"a($fold): $a vs ${ref.getDouble(2)}")
+    }
+  }
+
+  test("Mann-Kendall S equals the pairwise sign sum over the collected series") {
+    import spark.implicits._
+    val r = Eda.q416MannKendall.fn(spark, sf).collect()(0)
+    val series = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("v"))
+      .orderBy($"d").select($"v").as[Long].collect()
+    val s = (for (i <- series.indices; j <- i + 1 until series.length)
+      yield java.lang.Long.signum(series(j) - series(i)).toLong).sum
+    assert(r.getAs[Long]("s") === s)
+    assert(r.getAs[Long]("n") === series.length.toLong)
+    // z sign agrees with S
+    val z = r.getAs[Double]("z")
+    assert(s == 0 && z == 0.0 || s > 0 && z >= 0.0 || s < 0 && z <= 0.0)
+  }
+
+  test("MaxSim retrieval matches a driver-side reference over collected token slices") {
+    import spark.implicits._
+    val out = graft.llm.Similarity.q417MaxsimRetrieval.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Double]("score")))).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def tokens(v: Array[Float]): Array[Array[Float]] =
+      Array.tabulate(8)(t => v.slice(8 * t, 8 * t + 8))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 8) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    for (q <- 0L until 3L) {
+      val qt = tokens(vecs(q))
+      val scored = vecs.toSeq.filter(_._1 != q).map { case (d, dv) =>
+        val dt = tokens(dv)
+        d -> qt.map(qv => dt.map(tv => dot(qv, tv)).max).sum
+      }
+      val top = scored.sortBy { case (d, sc) => (-sc, d) }.take(5)
+      for (((d, sc), i) <- top.zipWithIndex) {
+        val (od, os) = out((q, i + 1))
+        assert(od === d, s"rank ${i + 1} of query $q")
+        assert(math.abs(os - math.floor(sc * 1e6 + 0.5) / 1e6) < 1e-12)
+      }
+    }
+  }
+
   test("lag sweep: lag 0 equals the direct same-hour Pearson; exactly one best flag") {
     import spark.implicits._
     val r = EventAnalytics.q405LagXcorr.fn(spark, sf)
