@@ -1121,6 +1121,19 @@ object Similarity {
       |ORDER BY query_id, rnk""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    maxsimScores(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"doc_id", $"rnk", round($"score", 6).as("score"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** q417's scoring core: MaxSim scores of every document against the
+    * 3 probes, over the 8×8-dim synthetic token split. Shared with q418's
+    * ranking-agreement audit. */
+  private def maxsimScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val tok = Tables.embeddings(spark, dir)
       .select($"vec_id", explode(sequence(lit(0), lit(7))).as("ti"), $"embedding")
       .select($"vec_id", $"ti", slice($"embedding", lit(1) + lit(8) * $"ti", lit(8)).as("tv"))
@@ -1132,18 +1145,113 @@ object Similarity {
     val dots = tok.join(broadcast(probes), $"vec_id" =!= $"query_id")
       .groupBy($"query_id", $"vec_id".as("doc_id"), $"qi")
       .agg(max(dot8).as("mx"))
-    def orderedSum(key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+    def orderedSum(key: Column, value: Column) =
       aggregate(
         transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
           x => x.getField("v")),
         lit(0.0), (acc, v) => acc + v)
-    val score = dots.groupBy($"query_id", $"doc_id")
+    dots.groupBy($"query_id", $"doc_id")
       .agg(orderedSum($"qi", $"mx").as("score"))
-    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
-    score.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
-      .select($"query_id", $"doc_id", $"rnk", round($"score", 6).as("score"))
-      .orderBy($"query_id", $"rnk")
+  }
+
+  /** RANK-BIASED OVERLAP between retrieval tiers (Webber, Moffat &
+    * Zobel 2010) — DO the pooled-vector ranking (q48's cosine) and the
+    * late-interaction ranking (q417's MaxSim) agree where it matters?
+    * RBO@10 with persistence p = 1/2 weights agreement at depth d by
+    * p^{d−1}·|A:d ∩ B:d|/d — top-heavy, the property Kendall/Spearman
+    * lack and the reason IR uses RBO for ranking drift. p = 1/2 is
+    * chosen so every weight is an EXACT power of two (1/2^{d−1} via bit
+    * shift — no libm pow, whose last ulp differs across engines); the
+    * per-depth overlap is an integer; the depth sum is an ordered fold —
+    * strictly oracle'd. Overlap@d is computed per common doc as
+    * max(rank_A, rank_B) ≤ d — one join, no per-depth set intersection.
+    *
+    * 100 TB plan: both rankings are probe-broadcast scans (q48/q417's
+    * shapes); everything after the two top-10s is (probes × 10)-sized
+    * census arithmetic. */
+  val q418RankBiasedOverlap: GraftQuery = GraftQuery.oracled(
+    "q418_rank_biased_overlap",
+    """WITH nrm AS (SELECT vec_id, embedding,
+      |       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      |       FROM embeddings),
+      |cosr AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |       list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+      |      FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+      |      WHERE q.vec_id < 3),
+      |ra AS (SELECT query_id, doc_id,
+      |              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+      |       FROM cosr QUALIFY rnk <= 10),
+      |tok AS (SELECT vec_id, ti, embedding[1 + 8 * ti : 8 + 8 * ti] AS tv
+      |        FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS ti)),
+      |probes AS (SELECT vec_id AS query_id, ti AS qi, tv AS qv FROM tok WHERE vec_id < 3),
+      |dots AS (SELECT p.query_id, t.vec_id AS doc_id, p.qi,
+      |                max(list_sum(list_transform(generate_series(1, 8),
+      |                  i -> CAST(p.qv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))) AS mx
+      |         FROM probes p JOIN tok t ON t.vec_id <> p.query_id
+      |         GROUP BY 1, 2, 3),
+      |ms AS (SELECT query_id, doc_id, list_sum(list(mx ORDER BY qi)) AS score
+      |       FROM dots GROUP BY 1, 2),
+      |rb AS (SELECT query_id, doc_id,
+      |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      |       FROM ms QUALIFY rnk <= 10),
+      |common AS (SELECT a.query_id, a.doc_id,
+      |                  CAST(greatest(a.rnk, b.rnk) AS BIGINT) AS m
+      |           FROM ra a JOIN rb b ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
+      |grid AS (SELECT q.query_id, d.d
+      |         FROM (SELECT DISTINCT query_id FROM ra) q,
+      |              (SELECT unnest(generate_series(1, 10)) AS d) d),
+      |ad AS (SELECT g.query_id, g.d,
+      |              CAST(count(c.doc_id) AS BIGINT) AS a_d
+      |       FROM grid g LEFT JOIN common c
+      |         ON c.query_id = g.query_id AND c.m <= g.d
+      |       GROUP BY 1, 2),
+      |rbo AS (SELECT query_id,
+      |               0.5 * list_sum(list(
+      |                 (CAST(1 AS DOUBLE) / (1 << (d - 1))) * a_d / d ORDER BY d)) AS rbo,
+      |               max(CASE WHEN d = 10 THEN a_d END) AS overlap10
+      |        FROM ad GROUP BY query_id)
+      |SELECT query_id, overlap10, round(rbo, 6) AS rbo
+      |FROM rbo
+      |ORDER BY query_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id")
+    val n = normed(spark, dir)
+    val q = n.toDF("query_id", "q_emb", "q_nrm").filter($"query_id" < 3)
+    val c = n.toDF("doc_id", "c_emb", "c_nrm")
+    val ra = c.crossJoin(broadcast(q))
+      .filter($"doc_id" =!= $"query_id")
+      .withColumn("cos", dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"doc_id", $"rnk")
+    val wb = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    val rb = maxsimScores(spark, dir)
+      .withColumn("rnk", row_number().over(wb))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"doc_id", $"rnk".as("rnk_b"))
+    val common = ra.join(rb, Seq("query_id", "doc_id"))
+      .select($"query_id", $"doc_id",
+        greatest($"rnk", $"rnk_b").cast("long").as("m"))
+    val grid = ra.select($"query_id".as("gq")).distinct()
+      .crossJoin(spark.range(1, 11).select($"id".cast("int").as("d")))
+    val ad = grid.join(
+        common.select($"query_id".as("cq"), $"doc_id".as("cdoc"), $"m"),
+        $"cq" === $"gq" && $"m" <= $"d", "left")
+      .groupBy($"gq".as("query_id"), $"d")
+      .agg(count($"cdoc").cast("long").as("a_d"))
+    def orderedSum(key: Column, value: Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    ad.groupBy($"query_id")
+      .agg((lit(0.5) * orderedSum($"d",
+        (lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), d - 1)")) * $"a_d" / $"d")).as("rbo"),
+        max(when($"d" === 10, $"a_d")).as("overlap10"))
+      .select($"query_id", $"overlap10", round($"rbo", 6).as("rbo"))
+      .orderBy($"query_id")
   }
 
   def all: Seq[GraftQuery] =
@@ -1152,5 +1260,117 @@ object Similarity {
       q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection,
       q360AnisotropyAudit, q382MatryoshkaRecall, q383Int8QuantAudit,
       q386DaviesBouldin, q387AnnRecallEval, q393EmbeddingDrift, q402GridDbscan,
-      q417MaxsimRetrieval)
+      q417MaxsimRetrieval, q418RankBiasedOverlap, q420RetrievalMetrics)
+
+  /** RETRIEVAL QUALITY METRICS — MRR, recall@10 and nDCG@10 of the q48
+    * cosine ranking against label relevance (relevant = same class as the
+    * probe): the eval harness every retrieval tier (q48/q49/q98/q417)
+    * gets judged by, as a QUERY rather than a notebook (q387 scores the
+    * ANN candidate stage's recall vs exact; this scores the exact ranking
+    * vs ground-truth labels). Float discipline: the log₂ rank discounts
+    * 1/log₂(d+1) and the ideal-DCG prefix sums are PINNED 17-digit
+    * literals on both engines (no libm log in either plan), the DCG is an
+    * ordered fold, MRR and recall are single exact divisions — strictly
+    * oracle'd.
+    *
+    * 100 TB plan: the ranking is q48's broadcast-probe scan; relevance
+    * joins are label-census lookups; everything after the top-10 is
+    * (probes × 10)-sized census arithmetic. */
+  val q420RetrievalMetrics: GraftQuery = GraftQuery.oracled(
+    "q420_retrieval_metrics",
+    """WITH nrm AS (SELECT vec_id, label, embedding,
+      |       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      |       FROM embeddings),
+      |r AS (SELECT q.vec_id AS query_id, q.label AS plabel, c.vec_id AS doc_id, c.label AS dlabel,
+      |       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |         list_sum(list_transform(generate_series(1, 64),
+      |           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) DESC,
+      |         c.vec_id) AS rnk
+      |      FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+      |      WHERE q.vec_id < 10 QUALIFY rnk <= 10),
+      |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+      |per AS (SELECT r.query_id, r.rnk,
+      |               CASE WHEN r.dlabel = r.plabel THEN 1 ELSE 0 END AS rel,
+      |               CAST(CASE r.rnk WHEN 1 THEN 1.0 WHEN 2 THEN 0.6309297535714575
+      |                 WHEN 3 THEN 0.5 WHEN 4 THEN 0.43067655807339306
+      |                 WHEN 5 THEN 0.38685280723454163 WHEN 6 THEN 0.3562071871080222
+      |                 WHEN 7 THEN 0.3333333333333333 WHEN 8 THEN 0.31546487678572877
+      |                 WHEN 9 THEN 0.3010299956639812 ELSE 0.2890648263178879 END AS DOUBLE) AS w
+      |        FROM r),
+      |tr AS (SELECT r.query_id, max(lc.n) - 1 AS total_rel
+      |       FROM (SELECT DISTINCT query_id, plabel FROM r) r JOIN lc ON lc.label = r.plabel
+      |       GROUP BY r.query_id),
+      |agg AS (SELECT query_id,
+      |               CAST(sum(rel) AS BIGINT) AS rel_top10,
+      |               CAST(COALESCE(min(CASE WHEN rel = 1 THEN rnk END), 0) AS BIGINT) AS first_rel,
+      |               list_sum(list(rel * w ORDER BY rnk)) AS dcg
+      |        FROM per GROUP BY query_id),
+      |fin AS (SELECT a.query_id, t.total_rel, a.rel_top10, a.first_rel, a.dcg,
+      |               CASE WHEN a.first_rel > 0 THEN CAST(1 AS DOUBLE) / a.first_rel ELSE CAST(0 AS DOUBLE) END AS rr,
+      |               CASE WHEN t.total_rel > 0 THEN (1000000 * a.rel_top10) // t.total_rel ELSE 0 END AS recall_ppm,
+      |               CAST(CASE least(t.total_rel, 10)
+      |                 WHEN 1 THEN 1.0 WHEN 2 THEN 1.6309297535714575
+      |                 WHEN 3 THEN 2.1309297535714578 WHEN 4 THEN 2.5616063116448506
+      |                 WHEN 5 THEN 2.9484591188793923 WHEN 6 THEN 3.3046663059874146
+      |                 WHEN 7 THEN 3.637999639320748 WHEN 8 THEN 3.953464516106477
+      |                 WHEN 9 THEN 4.254494511770458 ELSE 4.543559338088346 END AS DOUBLE) AS idcg
+      |        FROM agg a JOIN tr t ON t.query_id = a.query_id)
+      |SELECT query_id, total_rel, rel_top10, first_rel,
+      |       round(rr, 6) AS rr, CAST(recall_ppm AS BIGINT) AS recall_ppm,
+      |       round(CASE WHEN total_rel = 0 THEN CAST(0 AS DOUBLE) ELSE dcg / idcg END, 6) AS ndcg
+      |FROM fin
+      |ORDER BY query_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(spark)
+    val n = Tables.embeddings(spark, dir).select($"vec_id", $"label", $"embedding")
+      .withColumn("nrm", l2norm($"embedding"))
+    val q = n.select($"vec_id".as("query_id"), $"label".as("plabel"),
+      $"embedding".as("q_emb"), $"nrm".as("q_nrm")).filter($"query_id" < 10)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id")
+    val r = n.select($"vec_id".as("doc_id"), $"label".as("dlabel"),
+        $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      .crossJoin(broadcast(q))
+      .filter($"doc_id" =!= $"query_id")
+      .withColumn("cos", dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"plabel", $"doc_id", $"dlabel", $"rnk")
+    val ws = Seq(1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+      0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+      0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+    val cums = Seq(1.0, 1.6309297535714575, 2.1309297535714578,
+      2.5616063116448506, 2.9484591188793923, 3.3046663059874146,
+      3.637999639320748, 3.953464516106477, 4.254494511770458,
+      4.543559338088346)
+    val wCol = ws.zipWithIndex.foldLeft(lit(ws.last)) { case (acc, (v, i)) =>
+      when($"rnk" === i + 1, v).otherwise(acc)
+    }
+    val lc = Tables.embeddings(spark, dir).groupBy($"label")
+      .agg(count(lit(1)).cast("long").as("ln"))
+    val per = r.select($"query_id", $"plabel", $"rnk",
+      when($"dlabel" === $"plabel", 1).otherwise(0).as("rel"), wCol.as("w"))
+    def orderedSum(key: Column, value: Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val agg = per.groupBy($"query_id", $"plabel")
+      .agg(sum($"rel").cast("long").as("rel_top10"),
+        coalesce(min(when($"rel" === 1, $"rnk")), lit(0)).cast("long").as("first_rel"),
+        orderedSum($"rnk", $"rel" * $"w").as("dcg"))
+    val tr = agg.join(broadcast(lc), $"plabel" === $"label")
+      .select($"query_id", $"rel_top10", $"first_rel", $"dcg",
+        ($"ln" - 1).cast("long").as("total_rel"))
+    val idcg = cums.zipWithIndex.foldLeft(lit(cums.last)) { case (acc, (v, i)) =>
+      when(least($"total_rel", lit(10L)) === i + 1, v).otherwise(acc)
+    }
+    tr.select($"query_id", $"total_rel", $"rel_top10", $"first_rel",
+      round(when($"first_rel" > 0, lit(1.0) / $"first_rel").otherwise(0.0), 6).as("rr"),
+      when($"total_rel" > 0, expr("(1000000 * rel_top10) div total_rel"))
+        .otherwise(0L).cast("long").as("recall_ppm"),
+      round(when(least($"total_rel", lit(10L)) === 0, 0.0)
+        .otherwise($"dcg" / idcg), 6).as("ndcg"))
+      .orderBy($"query_id")
+  }
 }

@@ -446,6 +446,18 @@ object Graph {
     "q409_boruvka_msf",
     doc = "Borůvka minimum spanning forest of the near-dup graph (w = 1 − jaccard)") { (spark, dir) =>
     import spark.implicits._
+    val (msf, labels) = boruvkaForest(spark, dir)
+    msf.join(labels.select($"id".as("doc_a"), $"lbl".as("cluster")), Seq("doc_a"))
+      .select($"cluster", $"doc_a", $"doc_b", $"w")
+      .orderBy($"cluster", $"doc_a", $"doc_b")
+  }
+
+  /** q409's core, shared with q419's dendrogram cut: the Borůvka forest
+    * (doc_a, doc_b, w) of the q45 near-dup graph plus the final component
+    * labels (id, lbl). */
+  private[operators] def boruvkaForest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val edges = graft.llm.Dedup.q45NeardupJaccard.fn(spark, dir)
       .select($"doc_a", $"doc_b", round(lit(1.0) - $"jaccard", 4).as("w"))
       .localCheckpoint(true)
@@ -487,12 +499,74 @@ object Graph {
     // fail LOUDLY if cross-component edges remain (silent partial forests
     // are worse than an error; components halve per round, so 20 is ample)
     require(done, s"Borůvka did not converge in $rounds rounds")
-    msf.join(labels.select($"id".as("doc_a"), $"lbl".as("cluster")), Seq("doc_a"))
-      .select($"cluster", $"doc_a", $"doc_b", $"w")
-      .orderBy($"cluster", $"doc_a", $"doc_b")
+    (msf, labels)
+  }
+
+  /** SINGLE-LINK HIERARCHICAL CLUSTERING BY MST CUT (Gower & Ross 1969's
+    * theorem: single-link dendrogram components at threshold τ ≡ connected
+    * components of the MST edges with w ≤ τ) — the dendrogram the near-dup
+    * pipeline can store ONCE (the q409 forest, |V|−1 edges) and cut at ANY
+    * dissimilarity threshold later, instead of recomputing components per
+    * threshold over the full pair set. Cuts at w ≤ 0.05 and w ≤ 0.15
+    * (basis-point integer comparison — no float-literal boundary), labels
+    * by min reachable doc_id. The oracle takes the OTHER side of the
+    * theorem: components over ALL pairs at the same cut, via recursive
+    * CTEs — the engine's MST-cut must agree row-for-row, which is the
+    * theorem itself checked cross-engine (Round7bSpec re-proves it
+    * in-Spark against direct components).
+    *
+    * 100 TB plan: the forest is pair-scale and computed once (q409's
+    * log-bounded rounds); each cut is a components run over ≤|V|−1 edges
+    * — independent of how many pairs the corpus has. */
+  val q419SingleLinkCut: GraftQuery = GraftQuery.oracled(
+    "q419_single_link_cut",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b,
+      |                CAST(floor(round(1 - round(shared / (sa.n + sb.n - shared), 4), 4) * 10000 + 0.5) AS BIGINT) AS w_bp
+      |         FROM prs
+      |         JOIN szs sa ON doc_a = sa.doc_id
+      |         JOIN szs sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |verts AS (SELECT DISTINCT v FROM (SELECT doc_a AS v FROM good UNION ALL SELECT doc_b FROM good)),
+      |e05 AS (SELECT doc_a AS src, doc_b AS dst FROM good WHERE w_bp <= 500
+      |        UNION ALL SELECT doc_b, doc_a FROM good WHERE w_bp <= 500),
+      |r05 AS (SELECT v AS id, v AS lbl FROM verts
+      |        UNION
+      |        SELECT e.dst, r.lbl FROM r05 r JOIN e05 e ON e.src = r.id),
+      |l05 AS (SELECT id, min(lbl) AS cluster FROM r05 GROUP BY id),
+      |e15 AS (SELECT doc_a AS src, doc_b AS dst FROM good WHERE w_bp <= 1500
+      |        UNION ALL SELECT doc_b, doc_a FROM good WHERE w_bp <= 1500),
+      |r15 AS (SELECT v AS id, v AS lbl FROM verts
+      |        UNION
+      |        SELECT e.dst, r.lbl FROM r15 r JOIN e15 e ON e.src = r.id),
+      |l15 AS (SELECT id, min(lbl) AS cluster FROM r15 GROUP BY id)
+      |SELECT CAST(500 AS BIGINT) AS tau_bp, id AS doc_id, cluster FROM l05
+      |UNION ALL
+      |SELECT CAST(1500 AS BIGINT), id, cluster FROM l15
+      |ORDER BY tau_bp, doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val (msf, _) = boruvkaForest(spark, dir)
+    val cut = msf.select($"doc_a", $"doc_b",
+      floor($"w" * 10000 + 0.5).cast("long").as("w_bp")).localCheckpoint(true)
+    val verts = cut.select($"doc_a".as("id")).union(cut.select($"doc_b"))
+      .distinct().localCheckpoint(true)
+    def cutAt(bp: Long): DataFrame =
+      graft.llm.Dedup.starComponents(verts,
+        cut.filter($"w_bp" <= bp).select($"doc_a", $"doc_b"))._1
+        .select(lit(bp).as("tau_bp"), $"id".as("doc_id"), $"lbl".as("cluster"))
+    cutAt(500L).union(cutAt(1500L)).orderBy($"tau_bp", $"doc_id")
   }
 
   def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
     q207LabelPropagation, q228KCore, q279AdamicAdar, q307ClusteringCoeff,
-    q355DocPagerank, q409BoruvkaMsf)
+    q355DocPagerank, q409BoruvkaMsf, q419SingleLinkCut)
 }

@@ -55,7 +55,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q407_offpolicy_eval", "q408_conformal_coverage", "q409_boruvka_msf",
     "q410_shapley_attribution", "q411_systematic_sample",
     "q412_sequential_obf", "q413_cluster_coherence", "q414_blocking_quality",
-    "q415_kfold_cv", "q416_mann_kendall", "q417_maxsim_retrieval")
+    "q415_kfold_cv", "q416_mann_kendall", "q417_maxsim_retrieval",
+    "q418_rank_biased_overlap", "q419_single_link_cut",
+    "q420_retrieval_metrics")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -85,7 +87,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q413_cluster_coherence", "q414_blocking_quality",
     // q415: 1-row/5-row census broadcasts; q416: day-census pair sweep +
     // scalar broadcasts; q417: 24-row probe-token broadcast (q48's shape)
-    "q415_kfold_cv", "q416_mann_kendall", "q417_maxsim_retrieval")
+    "q415_kfold_cv", "q416_mann_kendall", "q417_maxsim_retrieval",
+    // q418/q420: 3/10-probe broadcast probes + depth-grid censuses
+    "q418_rank_biased_overlap", "q420_retrieval_metrics")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in

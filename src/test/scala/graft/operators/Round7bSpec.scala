@@ -361,6 +361,102 @@ class Round7bSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("RBO matches a driver-side recomputation and stays in [0, 1)") {
+    import spark.implicits._
+    val out = graft.llm.Similarity.q418RankBiasedOverlap.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("overlap10"), r.getAs[Double]("rbo")))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    // recompute from the two rankings, rebuilt driver-side from raw vectors
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotd(a: Array[Float], b: Array[Float]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cosTop10(q: Long) = {
+      val qv = e(q); val qn = math.sqrt(dotd(qv, qv))
+      e.toSeq.filter(_._1 != q).map { case (d, dv) =>
+        d -> dotd(qv, dv) / (qn * math.sqrt(dotd(dv, dv)))
+      }.sortBy { case (d, c) => (-c, d) }.take(10).map(_._1)
+    }
+    def tokens(v: Array[Float]) = Array.tabulate(8)(t => v.slice(8 * t, 8 * t + 8))
+    def maxsimTop10(q: Long) = {
+      val qt = tokens(e(q))
+      e.toSeq.filter(_._1 != q).map { case (d, dv) =>
+        val dt = tokens(dv)
+        d -> qt.map(x => dt.map(y => dotd(x, y)).max).sum
+      }.sortBy { case (d, s) => (-s, d) }.take(10).map(_._1)
+    }
+    for (q <- 0L until 3L) {
+      val (a, b) = (cosTop10(q), maxsimTop10(q))
+      val rbo = 0.5 * (1 to 10).map { d =>
+        val ov = (a.take(d).toSet intersect b.take(d).toSet).size
+        (1.0 / (1L << (d - 1))) * ov / d
+      }.sum
+      val (ov10, rboOut) = out(q)
+      assert(ov10 === (a.toSet intersect b.toSet).size.toLong)
+      assert(math.abs(rboOut - math.floor(rbo * 1e6 + 0.5) / 1e6) < 1e-9, s"rbo($q)")
+      assert(rboOut >= 0.0 && rboOut < 1.0)
+    }
+  }
+
+  test("single-link MST cut equals direct components on the sub-threshold pair set (Gower-Ross)") {
+    import spark.implicits._
+    val out = Graph.q419SingleLinkCut.fn(spark, sf)
+    val edges = graft.llm.Dedup.q45NeardupJaccard.fn(spark, sf)
+      .select($"doc_a", $"doc_b",
+        floor(round(lit(1.0) - $"jaccard", 4) * 10000 + 0.5).cast("long").as("w_bp"))
+      .localCheckpoint(true)
+    val verts = edges.select($"doc_a".as("id")).union(edges.select($"doc_b")).distinct()
+    for (bp <- Seq(500L, 1500L)) {
+      val direct = graft.llm.Dedup.starComponents(verts,
+        edges.filter($"w_bp" <= bp).select($"doc_a", $"doc_b"))._1
+        .select(lit(bp).as("tau_bp"), $"id".as("doc_id"), $"lbl".as("cluster"))
+      val cut = out.filter($"tau_bp" === bp)
+      assert(cut.exceptAll(direct).isEmpty && direct.exceptAll(cut).isEmpty,
+        s"MST cut at $bp bp must equal components over ALL sub-threshold pairs")
+    }
+  }
+
+  test("retrieval metrics match a driver-side recomputation") {
+    import spark.implicits._
+    val out = graft.llm.Similarity.q420RetrievalMetrics.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val byId = rows.map(r => r._1 -> r).toMap
+    def dotd(a: Array[Float], b: Array[Float]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val ws = Seq(1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+      0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+      0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+    for (q <- 0L until 10L) {
+      val (_, pl, qv) = byId(q)
+      val qn = math.sqrt(dotd(qv, qv))
+      val top = rows.filter(_._1 != q).map { case (d, dl, dv) =>
+        (d, dl, dotd(qv, dv) / (qn * math.sqrt(dotd(dv, dv))))
+      }.sortBy { case (d, _, c) => (-c, d) }.take(10)
+      val rel = top.map(_._2 == pl)
+      val totalRel = rows.count(r => r._1 != q && r._2 == pl)
+      val o = out(q)
+      assert(o.getAs[Long]("total_rel") === totalRel.toLong)
+      assert(o.getAs[Long]("rel_top10") === rel.count(identity).toLong)
+      val firstRel = rel.indexWhere(identity) match { case -1 => 0L; case i => i + 1L }
+      assert(o.getAs[Long]("first_rel") === firstRel)
+      val dcg = rel.zipWithIndex.map { case (r, i) => if (r) ws(i) else 0.0 }.sum
+      val idcg = ws.take(math.min(totalRel, 10)).sum
+      if (totalRel > 0) {
+        val ndcg = o.getAs[Double]("ndcg")
+        assert(math.abs(ndcg - dcg / idcg) < 2e-6, s"ndcg($q)")
+      }
+    }
+  }
+
   test("lag sweep: lag 0 equals the direct same-hour Pearson; exactly one best flag") {
     import spark.implicits._
     val r = EventAnalytics.q405LagXcorr.fn(spark, sf)
