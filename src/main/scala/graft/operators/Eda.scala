@@ -1034,7 +1034,8 @@ object Eda {
     q319HuberIrls, q322ExactAuc, q333PowerMde, q335Log2Histogram,
     q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale,
     q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce,
-    q408ConformalCoverage, q412SequentialObf, q415KfoldCv, q416MannKendall)
+    q408ConformalCoverage, q412SequentialObf, q415KfoldCv, q416MannKendall,
+    q421JackknifeRatio, q422QuantileTreatmentEffect)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -2617,5 +2618,153 @@ object Eda {
         when($"s" > 0 && z / sqrt($"var18".cast("double") / 18) >= 1.96, "increasing")
           .when($"s" < 0 && z / sqrt($"var18".cast("double") / 18) <= -1.96, "decreasing")
           .otherwise("no_trend").as("trend"))
+  }
+
+  /** DELETE-ONE-GROUP JACKKNIFE for a RATIO metric (Quenouille 1956;
+    * the experimentation-platform standard for revenue-per-event-style
+    * metrics, whose variance the naive per-row formula understates because
+    * numerator and denominator are correlated): θ = Σcents/Σcount over
+    * purchases, 16 md5 buckets, θ₍ᵢ₎ from the leave-bucket-out totals —
+    * ADDITIVE sufficient statistics again (q415's trick), so all 16
+    * refits come from one census scan. SE² = (g−1)/g · Σ(θ₍ᵢ₎ − θ̄·)²;
+    * the bucket sums are exact BIGINTs, every θ a single division, the
+    * two Σs over buckets ordered folds, the CI a pinned-1.96 literal —
+    * bit-reproducible.
+    *
+    * 100 TB plan: one map-side integer moments agg keyed by bucket
+    * (16×2 longs of state), then 16-row arithmetic. The g buckets ARE
+    * the parallelism-safe replacement for row-level resampling. */
+  val q421JackknifeRatio: GraftQuery = GraftQuery.oracled(
+    "q421_jackknife_ratio",
+    """WITH e AS (SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS b,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT b, CAST(sum(cents) AS BIGINT) AS sc, CAST(count(*) AS BIGINT) AS n
+      |      FROM e GROUP BY b),
+      |t AS (SELECT CAST(sum(sc) AS BIGINT) AS tsc, CAST(sum(n) AS BIGINT) AS tn,
+      |             CAST(count(*) AS BIGINT) AS g FROM m),
+      |loo AS (SELECT m.b, t.g, t.tsc, t.tn,
+      |               CAST(t.tsc - m.sc AS DOUBLE) / CAST(t.tn - m.n AS DOUBLE) AS theta_i
+      |        FROM m, t),
+      |mean AS (SELECT g, tsc, tn,
+      |                list_sum(list(theta_i ORDER BY b)) / g AS theta_dot FROM loo
+      |         GROUP BY g, tsc, tn),
+      |se AS (SELECT mean.g, mean.tsc, mean.tn, mean.theta_dot,
+      |              sqrt(CAST(mean.g - 1 AS DOUBLE) / mean.g
+      |                   * list_sum(list((l.theta_i - mean.theta_dot) * (l.theta_i - mean.theta_dot) ORDER BY l.b))) AS se
+      |       FROM loo l, mean GROUP BY mean.g, mean.tsc, mean.tn, mean.theta_dot)
+      |SELECT g, tn AS n, round(CAST(tsc AS DOUBLE) / CAST(tn * 100 AS DOUBLE), 6) AS theta,
+      |       round(se / 100, 6) AS se,
+      |       round(CAST(tsc AS DOUBLE) / CAST(tn * 100 AS DOUBLE) - 1.96 * (se / 100), 6) AS ci_lo,
+      |       round(CAST(tsc AS DOUBLE) / CAST(tn * 100 AS DOUBLE) + 1.96 * (se / 100), 6) AS ci_hi
+      |FROM se""") { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select((conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16).as("b"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    val m = e.groupBy($"b")
+      .agg(sum($"cents").cast("long").as("sc"), count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true)
+    val t = m.agg(sum($"sc").cast("long").as("tsc"), sum($"n").cast("long").as("tn"),
+      count(lit(1)).cast("long").as("g"))
+    val loo = m.crossJoin(broadcast(t))
+      .select($"b", $"g", $"tsc", $"tn",
+        (($"tsc" - $"sc").cast("double") / ($"tn" - $"n").cast("double")).as("theta_i"))
+    def orderedSum(key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val mean = loo.groupBy($"g", $"tsc", $"tn")
+      .agg((orderedSum($"b", $"theta_i") / $"g").as("theta_dot"))
+    val se = loo.join(broadcast(mean), Seq("g", "tsc", "tn"))
+      .groupBy($"g", $"tsc", $"tn", $"theta_dot")
+      .agg(sqrt(($"g" - 1).cast("double") / $"g"
+        * orderedSum($"b", ($"theta_i" - $"theta_dot") * ($"theta_i" - $"theta_dot"))).as("se"))
+    val theta = $"tsc".cast("double") / ($"tn" * 100).cast("double")
+    se.select($"g", $"tn".as("n"), round(theta, 6).as("theta"),
+      round($"se" / 100, 6).as("se"),
+      round(theta - lit(1.96) * ($"se" / 100), 6).as("ci_lo"),
+      round(theta + lit(1.96) * ($"se" / 100), 6).as("ci_hi"))
+  }
+
+  /** QUANTILE TREATMENT EFFECT with DISTRIBUTION-FREE CIs — A/B reads
+    * beyond the mean: Δmedian between the user-parity arms of the order
+    * book, with each arm's median bracketed by the exact binomial
+    * order-statistic bounds (ranks ⌊n/2 − 0.98√n⌋ and ⌈n/2 + 1 + 0.98√n⌉
+    * — the textbook nonparametric CI, no bootstrap, no normality) and the
+    * QTE interval by the conservative difference of brackets. Medians are
+    * interpolated on integer cents with dyadic f ∈ {0, ½} (exactly the
+    * q406 discipline ⇒ bit-equal to quantile_cont); bound ranks come from
+    * one sqrt each — identical doubles on both engines.
+    *
+    * 100 TB plan: per-arm rank selection is the q408 window shape here
+    * and q406's two-scan selection at petabyte arm sizes (documented
+    * swap); everything else is 2-row census arithmetic. */
+  val q422QuantileTreatmentEffect: GraftQuery = GraftQuery.oracled(
+    "q422_quantile_treatment_effect",
+    """WITH o AS (SELECT CAST(o_custkey % 2 AS BIGINT) AS arm,
+      |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM orders),
+      |r AS (SELECT arm, cents,
+      |             row_number() OVER (PARTITION BY arm ORDER BY cents) AS rk,
+      |             count(*) OVER (PARTITION BY arm) AS n
+      |      FROM o),
+      |st AS (SELECT arm, CAST(max(n) AS BIGINT) AS n,
+      |              CAST(sum(CASE WHEN 2 * rk = n OR 2 * rk = n + 2 THEN cents ELSE 0 END) AS BIGINT) AS med2x_even,
+      |              CAST(sum(CASE WHEN 2 * rk = n + 1 THEN 2 * cents ELSE 0 END) AS BIGINT) AS med2x_odd,
+      |              CAST(sum(CASE WHEN rk = CAST(floor(CAST(n AS DOUBLE) / 2 - 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) THEN cents ELSE 0 END) AS BIGINT) AS lo_cents,
+      |              CAST(sum(CASE WHEN rk = CAST(ceil(CAST(n AS DOUBLE) / 2 + 1 + 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) THEN cents ELSE 0 END) AS BIGINT) AS hi_cents
+      |       FROM r GROUP BY arm),
+      |q AS (SELECT arm, n,
+      |             CAST(med2x_even + med2x_odd AS DOUBLE) / 2 AS med_cents,
+      |             lo_cents, hi_cents
+      |      FROM st)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |       round(a.med_cents / 100, 4) AS med_a,
+      |       round(b.med_cents / 100, 4) AS med_b,
+      |       round((a.med_cents - b.med_cents) / 100, 4) AS qte,
+      |       round(CAST(a.lo_cents AS DOUBLE) / 100, 2) AS ci_a_lo,
+      |       round(CAST(a.hi_cents AS DOUBLE) / 100, 2) AS ci_a_hi,
+      |       round(CAST(b.lo_cents AS DOUBLE) / 100, 2) AS ci_b_lo,
+      |       round(CAST(b.hi_cents AS DOUBLE) / 100, 2) AS ci_b_hi,
+      |       round(CAST(a.lo_cents - b.hi_cents AS DOUBLE) / 100, 2) AS qte_lo,
+      |       round(CAST(a.hi_cents - b.lo_cents AS DOUBLE) / 100, 2) AS qte_hi
+      |FROM q a JOIN q b ON a.arm = 0 AND b.arm = 1""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(
+      ($"o_custkey" % 2).cast("long").as("arm"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val wa = Window.partitionBy($"arm")
+    val r = o.select($"arm", $"cents",
+      row_number().over(wa.orderBy($"cents")).as("rk"),
+      count(lit(1)).over(wa).as("n"))
+    val st = r.groupBy($"arm")
+      .agg(max($"n").cast("long").as("n"),
+        sum(when(lit(2) * $"rk" === $"n" || lit(2) * $"rk" === $"n" + 2, $"cents")
+          .otherwise(0L)).cast("long").as("med2x_even"),
+        sum(when(lit(2) * $"rk" === $"n" + 1, lit(2) * $"cents").otherwise(0L))
+          .cast("long").as("med2x_odd"),
+        sum(when($"rk" === floor($"n" / lit(2.0) - lit(0.98) * sqrt($"n".cast("double")))
+          .cast("long"), $"cents").otherwise(0L)).cast("long").as("lo_cents"),
+        sum(when($"rk" === ceil($"n" / lit(2.0) + 1 + lit(0.98) * sqrt($"n".cast("double")))
+          .cast("long"), $"cents").otherwise(0L)).cast("long").as("hi_cents"))
+    val q = st.select($"arm", $"n",
+      (($"med2x_even" + $"med2x_odd").cast("double") / 2).as("med_cents"),
+      $"lo_cents", $"hi_cents")
+    q.as("a").join(q.as("b"), $"a.arm" === 0 && $"b.arm" === 1)
+      .select($"a.n".as("n_a"), $"b.n".as("n_b"),
+        round($"a.med_cents" / 100, 4).as("med_a"),
+        round($"b.med_cents" / 100, 4).as("med_b"),
+        round(($"a.med_cents" - $"b.med_cents") / 100, 4).as("qte"),
+        round($"a.lo_cents".cast("double") / 100, 2).as("ci_a_lo"),
+        round($"a.hi_cents".cast("double") / 100, 2).as("ci_a_hi"),
+        round($"b.lo_cents".cast("double") / 100, 2).as("ci_b_lo"),
+        round($"b.hi_cents".cast("double") / 100, 2).as("ci_b_hi"),
+        round(($"a.lo_cents" - $"b.hi_cents").cast("double") / 100, 2).as("qte_lo"),
+        round(($"a.hi_cents" - $"b.lo_cents").cast("double") / 100, 2).as("qte_hi"))
   }
 }

@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q412_sequential_obf", "q413_cluster_coherence", "q414_blocking_quality",
     "q415_kfold_cv", "q416_mann_kendall", "q417_maxsim_retrieval",
     "q418_rank_biased_overlap", "q419_single_link_cut",
-    "q420_retrieval_metrics")
+    "q420_retrieval_metrics", "q421_jackknife_ratio",
+    "q422_quantile_treatment_effect")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -89,7 +90,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // scalar broadcasts; q417: 24-row probe-token broadcast (q48's shape)
     "q415_kfold_cv", "q416_mann_kendall", "q417_maxsim_retrieval",
     // q418/q420: 3/10-probe broadcast probes + depth-grid censuses
-    "q418_rank_biased_overlap", "q420_retrieval_metrics")
+    "q418_rank_biased_overlap", "q420_retrieval_metrics",
+    // q421: 16-bucket census broadcasts; q422: two 1-row arm summaries
+    "q421_jackknife_ratio", "q422_quantile_treatment_effect")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in

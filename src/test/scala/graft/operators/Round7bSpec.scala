@@ -457,6 +457,50 @@ class Round7bSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("jackknife ratio: theta is the plain ratio and the SE matches a driver recomputation") {
+    import spark.implicits._
+    val r = Eda.q421JackknifeRatio.fn(spark, sf).collect()(0)
+    val buckets = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .groupBy((conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16).as("b"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("sc"),
+        count(lit(1)).as("n"))
+      .orderBy($"b")
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    val (tsc, tn) = (buckets.map(_._1).sum, buckets.map(_._2).sum)
+    assert(r.getAs[Long]("n") === tn)
+    assert(r.getAs[Double]("theta") ===
+      math.floor(tsc.toDouble / (tn * 100).toDouble * 1e6 + 0.5) / 1e6)
+    val g = buckets.length
+    val thetas = buckets.map { case (sc, n) => (tsc - sc).toDouble / (tn - n).toDouble }
+    val mean = thetas.sum / g
+    val se = math.sqrt((g - 1).toDouble / g * thetas.map(t => (t - mean) * (t - mean)).sum) / 100
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-6)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("theta"))
+    assert(r.getAs[Double]("ci_hi") > r.getAs[Double]("theta"))
+  }
+
+  test("QTE: medians match the exact percentile and the CI brackets the median") {
+    import spark.implicits._
+    val r = Eda.q422QuantileTreatmentEffect.fn(spark, sf).collect()(0)
+    val o = graft.sources.Tables.orders(spark, sf).select(
+      ($"o_custkey" % 2).cast("long").as("arm"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val meds = o.groupBy($"arm").agg(expr("percentile(cents, 0.5)").as("m"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("med_a") === r4(meds(0L) / 100))
+    assert(r.getAs[Double]("med_b") === r4(meds(1L) / 100))
+    assert(r.getAs[Double]("qte") === r4((meds(0L) - meds(1L)) / 100))
+    assert(r.getAs[Double]("ci_a_lo") <= r.getAs[Double]("med_a"))
+    assert(r.getAs[Double]("ci_a_hi") >= r.getAs[Double]("med_a"))
+    assert(r.getAs[Double]("ci_b_lo") <= r.getAs[Double]("med_b"))
+    assert(r.getAs[Double]("ci_b_hi") >= r.getAs[Double]("med_b"))
+    assert(r.getAs[Double]("qte_lo") <= r.getAs[Double]("qte"))
+    assert(r.getAs[Double]("qte_hi") >= r.getAs[Double]("qte"))
+  }
+
   test("lag sweep: lag 0 equals the direct same-hour Pearson; exactly one best flag") {
     import spark.implicits._
     val r = EventAnalytics.q405LagXcorr.fn(spark, sf)
