@@ -1553,8 +1553,95 @@ object Dedup {
     q353ContainmentDecontam, q365ContrastiveNegatives,
     q371MinhashSignatures, q372MinhashBanded, q385DeltaNeardupLsh,
     q391SplitLeakage, q395IncrementalComponents, q396BandingSweep,
-    q399NeardupEvidence, q413ClusterCoherence,
+    q399NeardupEvidence, q413ClusterCoherence, q423CaptureRecapture,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
+
+  /** CAPTURE–RECAPTURE ESTIMATE OF NEAR-DUP COVERAGE (Chapman 1951's
+    * bias-corrected Lincoln–Petersen) — how many near-dup pairs exist
+    * that a CHEAPER detector would find, estimated from two detectors'
+    * overlap without ever running the exhaustive join at scale: two
+    * "catches" are the q45 pipeline run on complementary md5 halves of
+    * the SHINGLE space (each sees half the evidence, so each finds a
+    * noisy subset of the radius-0.8 pairs), and
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from their sizes and overlap m. The
+    * TRUE count (the full q45 join, tractable at these SFs) is reported
+    * alongside for honesty — the estimator's assumptions (independent
+    * catches) are only approximate here, and the output shows exactly
+    * how approximate. All integers — strictly oracle'd.
+    *
+    * 100 TB plan: each catch is a q45-shaped capped inverted-index join
+    * over HALF the shingle stream (the split predicate pushes to the
+    * map side); the overlap is a pair-keyed join of two pair-scale sets;
+    * the truth column is the one piece that drops at scale — which is
+    * the estimator's entire reason to exist. */
+  val q423CaptureRecapture: GraftQuery = GraftQuery.oracled(
+    "q423_capture_recapture",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |shh AS (SELECT doc_id, s,
+      |               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2 AS h
+      |        FROM sh),
+      |sz0 AS (SELECT doc_id, count(*) AS n FROM shh WHERE h = 0 GROUP BY 1),
+      |pr0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |        FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |        WHERE a.h = 0 AND b.h = 0 GROUP BY 1, 2),
+      |c0 AS (SELECT doc_a, doc_b FROM pr0
+      |       JOIN sz0 sa ON doc_a = sa.doc_id JOIN sz0 sb ON doc_b = sb.doc_id
+      |       WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |sz1 AS (SELECT doc_id, count(*) AS n FROM shh WHERE h = 1 GROUP BY 1),
+      |pr1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |        FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |        WHERE a.h = 1 AND b.h = 1 GROUP BY 1, 2),
+      |c1 AS (SELECT doc_a, doc_b FROM pr1
+      |       JOIN sz1 sa ON doc_a = sa.doc_id JOIN sz1 sb ON doc_b = sb.doc_id
+      |       WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |szf AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |prf AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      |cf AS (SELECT doc_a, doc_b FROM prf
+      |       JOIN szf sa ON doc_a = sa.doc_id JOIN szf sb ON doc_b = sb.doc_id
+      |       WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m
+      |      FROM c0 JOIN c1 ON c0.doc_a = c1.doc_a AND c0.doc_b = c1.doc_b),
+      |cnt AS (SELECT CAST((SELECT count(*) FROM c0) AS BIGINT) AS n1,
+      |               CAST((SELECT count(*) FROM c1) AS BIGINT) AS n2,
+      |               CAST((SELECT m FROM m) AS BIGINT) AS m,
+      |               CAST((SELECT count(*) FROM cf) AS BIGINT) AS true_pairs)
+      |SELECT n1, n2, m, true_pairs,
+      |       (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman_estimate
+      |FROM cnt""") { (spark, dir) =>
+    import spark.implicits._
+    val sh = capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
+      .withColumn("h",
+        conv(substring(md5($"s"), 1, 8), 16, 10).cast("long") % 2)
+      .localCheckpoint(true)
+    def catchPairs(flt: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+      val part = sh.filter(flt).select($"doc_id", $"s")
+      val sizes = part.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      part.toDF("doc_a", "s")
+        .join(part.toDF("doc_b", "s2").withColumnRenamed("s2", "s"), Seq("s"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+        .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+        .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+        .filter($"shared" / ($"na" + $"nb" - $"shared") >= 0.8)
+        .select($"doc_a", $"doc_b")
+    }
+    val c0 = catchPairs($"h" === 0).localCheckpoint(true)
+    val c1 = catchPairs($"h" === 1).localCheckpoint(true)
+    val cf = catchPairs(lit(true))
+    val counts = c0.agg(count(lit(1)).cast("long").as("n1"))
+      .crossJoin(broadcast(c1.agg(count(lit(1)).cast("long").as("n2"))))
+      .crossJoin(broadcast(c0.join(c1, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).cast("long").as("m"))))
+      .crossJoin(broadcast(cf.agg(count(lit(1)).cast("long").as("true_pairs"))))
+    counts.select($"n1", $"n2", $"m", $"true_pairs",
+      expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").cast("long").as("chapman_estimate"))
+  }
 
   /** NEAR-DUP PROVENANCE / EVIDENCE REPORT — the "why was this pair
     * flagged" record a dedup decision needs to be auditable (and a human

@@ -646,7 +646,63 @@ object TextAnalysis {
     q321CohensKappa, q344ZipfSlope, q346WeightedJaccard,
     q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
     q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit,
-    q384MojibakeAudit, q390VocabCoverage)
+    q384MojibakeAudit, q390VocabCoverage, q424GoodTuring)
+
+  /** GOOD–TURING UNSEEN-MASS ESTIMATE (Good 1953) — how much probability
+    * mass belongs to n-grams the corpus has NEVER seen: the Turing
+    * estimator P(unseen) = N₁/N from the frequency-of-frequencies census
+    * (N_r = #word-3-gram TYPES occurring exactly r times), plus the
+    * smoothed counts r* = (r+1)·N_{r+1}/N_r for r ≤ 5 — the classical
+    * LM-smoothing ingredient and the coverage diagnostic that complements
+    * q354 (Heaps growth) and q390 (kept-vocab coverage). The species are
+    * 3-gram types (q45's shingle space — the corpus's whitespace unigram
+    * vocabulary is a closed 31-word set with no rare tail, so unigram GT
+    * would be vacuously empty). Census integers + single divisions —
+    * strictly oracle'd.
+    *
+    * 100 TB plan: 3-gram census (map-side hash agg) → frequency-of-
+    * frequency census (type-count-sized agg) → ≤6-row arithmetic. */
+  val q424GoodTuring: GraftQuery = GraftQuery.oracled(
+    "q424_good_turing",
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (SELECT array_to_string(t[i:i+2], ' ') AS w
+      |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |tc AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM g GROUP BY w),
+      |ff AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY r),
+      |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+      |               CAST(sum(n_r) AS BIGINT) AS vocab,
+      |               CAST(COALESCE(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT) AS n1
+      |        FROM ff)
+      |SELECT f.r, f.n_r, CAST(COALESCE(f2.n_r, 0) AS BIGINT) AS n_r_next,
+      |       round(CAST((f.r + 1) * COALESCE(f2.n_r, 0) AS DOUBLE) / CAST(f.n_r AS DOUBLE), 6) AS r_star,
+      |       t.n_tokens, t.vocab,
+      |       round(CAST(t.n1 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6) AS p_unseen
+      |FROM ff f LEFT JOIN ff f2 ON f2.r = f.r + 1, tot t
+      |WHERE f.r <= 5
+      |ORDER BY f.r""") { (spark, dir) =>
+    import spark.implicits._
+    val tc = Tables.documents(spark, dir)
+      .select(split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select(explode(transform(sequence(lit(1), size($"t") - 2),
+        i => concat_ws(" ", slice($"t", i, lit(3))))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).cast("long").as("r"))
+    val ff = tc.groupBy($"r").agg(count(lit(1)).cast("long").as("n_r"))
+      .localCheckpoint(true) // frequency-of-frequency census
+    val tot = ff.agg(sum($"r" * $"n_r").cast("long").as("n_tokens"),
+      sum($"n_r").cast("long").as("vocab"),
+      coalesce(sum(when($"r" === 1, $"n_r")), lit(0L)).cast("long").as("n1"))
+    val ffNext = ff.toDF("r0", "n_r_next").select(($"r0" - 1).as("r"), $"n_r_next")
+    ff.filter($"r" <= 5)
+      .join(ffNext, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"r", $"n_r", coalesce($"n_r_next", lit(0L)).cast("long").as("n_r_next"),
+        round((($"r" + 1) * coalesce($"n_r_next", lit(0L))).cast("double")
+          / $"n_r".cast("double"), 6).as("r_star"),
+        $"n_tokens", $"vocab",
+        round($"n1".cast("double") / $"n_tokens".cast("double"), 6).as("p_unseen"))
+      .orderBy($"r")
+  }
 
   /** VOCABULARY COVERAGE-AT-K CURVE — the tokenizer-sizing complement to
     * q354 (Heaps growth) and q344 (Zipf slope): if the vocabulary kept only

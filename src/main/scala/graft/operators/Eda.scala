@@ -1035,7 +1035,8 @@ object Eda {
     q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale,
     q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce,
     q408ConformalCoverage, q412SequentialObf, q415KfoldCv, q416MannKendall,
-    q421JackknifeRatio, q422QuantileTreatmentEffect)
+    q421JackknifeRatio, q422QuantileTreatmentEffect, q425BrierDecomposition,
+    q426DelongAucCi)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -2688,6 +2689,163 @@ object Eda {
       round($"se" / 100, 6).as("se"),
       round(theta - lit(1.96) * ($"se" / 100), 6).as("ci_lo"),
       round(theta + lit(1.96) * ($"se" / 100), 6).as("ci_hi"))
+  }
+
+  /** BRIER SCORE with the MURPHY (1973) DECOMPOSITION — the score q404's
+    * ECE cannot give alone: Brier = reliability − resolution +
+    * uncertainty, separating "are the stated confidences honest"
+    * (reliability, lower better) from "do the forecasts discriminate"
+    * (resolution, higher better) against the irreducible base-rate term.
+    * Forecasts are q404's synthetic classifier QUANTIZED to its 10 bin
+    * centers (the quantization is what makes Murphy's three-term identity
+    * EXACT — Round7bSpec asserts Brier = REL − RES + UNC to 1e-12). The
+    * total Brier is an exact integer sum in milli² units; the per-bin
+    * terms are single-expression rationals ordered-folded over 10 bins.
+    *
+    * 100 TB plan: one projection + a 10-row census agg; the decomposition
+    * is census arithmetic. */
+  val q425BrierDecomposition: GraftQuery = GraftQuery.oracled(
+    "q425_brier_decomposition",
+    """WITH s AS (SELECT doc_id,
+      |                  CAST(('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS conf_milli,
+      |                  CAST(('0x' || substr(md5('lab:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS coin
+      |           FROM documents),
+      |l AS (SELECT (conf_milli // 100) * 100 + 50 AS fq_milli,
+      |             CASE WHEN coin < 150 + (conf_milli * 700) // 1000 THEN 1 ELSE 0 END AS label
+      |      FROM s),
+      |b AS (SELECT fq_milli, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(label) AS BIGINT) AS pos_b,
+      |             CAST(sum((fq_milli - 1000 * label) * (fq_milli - 1000 * label)) AS BIGINT) AS sq
+      |      FROM l GROUP BY fq_milli),
+      |t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(pos_b) AS BIGINT) AS pos,
+      |             CAST(sum(sq) AS BIGINT) AS sq FROM b),
+      |terms AS (SELECT b.fq_milli, b.n_b, b.pos_b, t.n, t.pos,
+      |                 b.n_b * (CAST(b.fq_milli AS DOUBLE) / 1000 - CAST(b.pos_b AS DOUBLE) / b.n_b)
+      |                       * (CAST(b.fq_milli AS DOUBLE) / 1000 - CAST(b.pos_b AS DOUBLE) / b.n_b) AS rel_t,
+      |                 b.n_b * (CAST(b.pos_b AS DOUBLE) / b.n_b - CAST(t.pos AS DOUBLE) / t.n)
+      |                       * (CAST(b.pos_b AS DOUBLE) / b.n_b - CAST(t.pos AS DOUBLE) / t.n) AS res_t
+      |          FROM b, t),
+      |agg AS (SELECT max(n) AS n, max(pos) AS pos,
+      |               list_sum(list(rel_t ORDER BY fq_milli)) AS rel_s,
+      |               list_sum(list(res_t ORDER BY fq_milli)) AS res_s
+      |        FROM terms)
+      |SELECT a.n, a.pos,
+      |       round(CAST(t.sq AS DOUBLE) / (CAST(a.n AS DOUBLE) * 1000000), 6) AS brier,
+      |       round(a.rel_s / a.n, 6) AS reliability,
+      |       round(a.res_s / a.n, 6) AS resolution,
+      |       round(CAST(a.pos AS DOUBLE) / a.n * (1 - CAST(a.pos AS DOUBLE) / a.n), 6) AS uncertainty
+      |FROM agg a, t""") { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.documents(spark, dir).select($"doc_id",
+      (conv(substring(md5(concat(lit("cal:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000).as("conf_milli"),
+      (conv(substring(md5(concat(lit("lab:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000).as("coin"))
+    val l = s.select(
+      (expr("conf_milli div 100") * 100 + 50).as("fq_milli"),
+      when($"coin" < lit(150) + expr("conf_milli * 700 div 1000"), 1).otherwise(0).as("label"))
+    val b = l.groupBy($"fq_milli")
+      .agg(count(lit(1)).cast("long").as("n_b"), sum($"label").cast("long").as("pos_b"),
+        sum(($"fq_milli" - lit(1000) * $"label") * ($"fq_milli" - lit(1000) * $"label"))
+          .cast("long").as("sq"))
+      .localCheckpoint(true)
+    val t = b.agg(sum($"n_b").cast("long").as("n"), sum($"pos_b").cast("long").as("pos"),
+      sum($"sq").cast("long").as("tsq"))
+    val terms = b.crossJoin(broadcast(t)).select($"fq_milli", $"n", $"pos", $"tsq",
+      ($"n_b" * ($"fq_milli".cast("double") / 1000 - $"pos_b".cast("double") / $"n_b")
+        * ($"fq_milli".cast("double") / 1000 - $"pos_b".cast("double") / $"n_b")).as("rel_t"),
+      ($"n_b" * ($"pos_b".cast("double") / $"n_b" - $"pos".cast("double") / $"n")
+        * ($"pos_b".cast("double") / $"n_b" - $"pos".cast("double") / $"n")).as("res_t"))
+    def orderedSum(key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    terms.groupBy($"n", $"pos", $"tsq")
+      .agg(orderedSum($"fq_milli", $"rel_t").as("rel_s"),
+        orderedSum($"fq_milli", $"res_t").as("res_s"))
+      .select($"n", $"pos",
+        round($"tsq".cast("double") / ($"n".cast("double") * 1000000), 6).as("brier"),
+        round($"rel_s" / $"n", 6).as("reliability"),
+        round($"res_s" / $"n", 6).as("resolution"),
+        round($"pos".cast("double") / $"n" * (lit(1) - $"pos".cast("double") / $"n"), 6)
+          .as("uncertainty"))
+  }
+
+  /** DeLONG CONFIDENCE INTERVAL FOR AUC (DeLong, DeLong & Clarke-Pearson
+    * 1988) — the CI q322's point estimate lacks, WITHOUT bootstrap: the
+    * AUC is the mean of per-positive placements (share of negatives
+    * scored below, ties at ½), its variance S₁₀/m + S₀₁/n from the two
+    * placement samples. Placements are exact integer numerators over
+    * 2·n_neg (midrank rule), so Σp and Σp² are exact BIGINTs from the
+    * distinct-score census — variances are fixed-order double expressions,
+    * never a per-row float sum. Round7bSpec asserts the placement-mean
+    * identity AUC = Σp/(m·2n) against q322's rank-sum value.
+    *
+    * 100 TB plan: one distinct-score census + a census-sized cumulative
+    * window (q322's shape) + one moments agg — no pair join, no
+    * resampling. */
+  val q426DelongAucCi: GraftQuery = GraftQuery.oracled(
+    "q426_delong_auc_ci",
+    """WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS v,
+      |                  CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      |           FROM embeddings),
+      |cen AS (SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+      |        FROM s GROUP BY v),
+      |rk AS (SELECT v, n, np, n - np AS nn,
+      |              CAST(COALESCE(sum(n - np) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cbn,
+      |              CAST(COALESCE(sum(np) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cbp
+      |       FROM cen),
+      |tot AS (SELECT CAST(sum(np) AS BIGINT) AS m, CAST(sum(n - np) AS BIGINT) AS nn FROM cen),
+      |mom AS (SELECT CAST(sum(r.np * (2 * r.cbn + r.nn)) AS BIGINT) AS s1,
+      |               CAST(sum(r.np * (2 * r.cbn + r.nn) * (2 * r.cbn + r.nn)) AS BIGINT) AS s2,
+      |               CAST(sum(r.nn * (2 * (t.m - r.cbp - r.np) + r.np)) AS BIGINT) AS t1,
+      |               CAST(sum(r.nn * (2 * (t.m - r.cbp - r.np) + r.np) * (2 * (t.m - r.cbp - r.np) + r.np)) AS BIGINT) AS t2
+      |        FROM rk r, tot t),
+      |fin AS (SELECT t.m, t.nn,
+      |               CAST(mom.s1 AS DOUBLE) / (CAST(t.m AS DOUBLE) * (2 * t.nn)) AS auc,
+      |               ((CAST(mom.s2 AS DOUBLE) - CAST(mom.s1 AS DOUBLE) * mom.s1 / t.m) / (t.m - 1))
+      |                 / (CAST(2 * t.nn AS DOUBLE) * (2 * t.nn)) AS s10,
+      |               ((CAST(mom.t2 AS DOUBLE) - CAST(mom.t1 AS DOUBLE) * mom.t1 / t.nn) / (t.nn - 1))
+      |                 / (CAST(2 * t.m AS DOUBLE) * (2 * t.m)) AS s01
+      |        FROM mom, tot t)
+      |SELECT m AS n_pos, nn AS n_neg, round(auc, 6) AS auc,
+      |       round(sqrt(s10 / m + s01 / nn), 6) AS se,
+      |       round(auc - 1.96 * sqrt(s10 / m + s01 / nn), 6) AS ci_lo,
+      |       round(auc + 1.96 * sqrt(s10 / m + s01 / nn), 6) AS ci_hi
+      |FROM fin""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.embeddings(spark, dir)
+      .select(element_at($"embedding", 1).cast("double").as("v"),
+        when($"label" === 0, 1).otherwise(0).as("pos"))
+    val cen = s.groupBy($"v")
+      .agg(count(lit(1)).cast("long").as("n"), sum($"pos").cast("long").as("np"))
+    // census-sized cumulative window over DISTINCT scores only (q322 shape)
+    val wv = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    val rk = cen.select($"v", $"n", $"np", ($"n" - $"np").as("nn"),
+      coalesce(sum($"n" - $"np").over(wv), lit(0L)).cast("long").as("cbn"),
+      coalesce(sum($"np").over(wv), lit(0L)).cast("long").as("cbp"))
+      .localCheckpoint(true)
+    val tot = cen.agg(sum($"np").cast("long").as("m"),
+      sum($"n" - $"np").cast("long").as("tnn"))
+    val pNum = lit(2) * $"cbn" + $"nn"
+    val qNum = lit(2) * ($"m" - $"cbp" - $"np") + $"np"
+    val mom = rk.crossJoin(broadcast(tot))
+      .agg(sum($"np" * pNum).cast("long").as("s1"),
+        sum($"np" * pNum * pNum).cast("long").as("s2"),
+        sum($"nn" * qNum).cast("long").as("t1"),
+        sum($"nn" * qNum * qNum).cast("long").as("t2"))
+    val fin = mom.crossJoin(broadcast(tot)).select($"m", $"tnn",
+      ($"s1".cast("double") / ($"m".cast("double") * (lit(2) * $"tnn"))).as("auc"),
+      ((($"s2".cast("double") - $"s1".cast("double") * $"s1" / $"m") / ($"m" - 1))
+        / ((lit(2) * $"tnn").cast("double") * (lit(2) * $"tnn"))).as("s10"),
+      ((($"t2".cast("double") - $"t1".cast("double") * $"t1" / $"tnn") / ($"tnn" - 1))
+        / ((lit(2) * $"m").cast("double") * (lit(2) * $"m"))).as("s01"))
+    val seCol = sqrt($"s10" / $"m" + $"s01" / $"tnn")
+    fin.select($"m".as("n_pos"), $"tnn".as("n_neg"), round($"auc", 6).as("auc"),
+      round(seCol, 6).as("se"),
+      round($"auc" - lit(1.96) * seCol, 6).as("ci_lo"),
+      round($"auc" + lit(1.96) * seCol, 6).as("ci_hi"))
   }
 
   /** QUANTILE TREATMENT EFFECT with DISTRIBUTION-FREE CIs — A/B reads

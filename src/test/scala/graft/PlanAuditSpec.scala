@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q415_kfold_cv", "q416_mann_kendall", "q417_maxsim_retrieval",
     "q418_rank_biased_overlap", "q419_single_link_cut",
     "q420_retrieval_metrics", "q421_jackknife_ratio",
-    "q422_quantile_treatment_effect")
+    "q422_quantile_treatment_effect", "q423_capture_recapture",
+    "q424_good_turing", "q425_brier_decomposition", "q426_delong_auc_ci")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -92,7 +93,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // q418/q420: 3/10-probe broadcast probes + depth-grid censuses
     "q418_rank_biased_overlap", "q420_retrieval_metrics",
     // q421: 16-bucket census broadcasts; q422: two 1-row arm summaries
-    "q421_jackknife_ratio", "q422_quantile_treatment_effect")
+    "q421_jackknife_ratio", "q422_quantile_treatment_effect",
+    // q423-q426: 1-row catch/census-count broadcasts only
+    "q423_capture_recapture", "q424_good_turing",
+    "q425_brier_decomposition", "q426_delong_auc_ci")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in

@@ -501,6 +501,64 @@ class Round7bSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("qte_hi") >= r.getAs[Double]("qte"))
   }
 
+  test("capture-recapture: overlap bounded by both catches, Chapman formula exact") {
+    import spark.implicits._
+    val r = graft.llm.Dedup.q423CaptureRecapture.fn(spark, sf).collect()(0)
+    val (n1, n2, m) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("m"))
+    assert(m <= math.min(n1, n2))
+    assert(r.getAs[Long]("chapman_estimate") === (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+    assert(r.getAs[Long]("true_pairs") > 0)
+  }
+
+  test("Good-Turing: totals and smoothed counts match the collected census") {
+    import spark.implicits._
+    val rows = graft.llm.TextAnalysis.q424GoodTuring.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the frequency-of-frequency census independently
+    val ff = graft.sources.Tables.documents(spark, sf)
+      .select(split($"text", " ").as("t")).filter(size($"t") >= 3)
+      .select(explode(transform(sequence(lit(1), size($"t") - 2),
+        i => concat_ws(" ", slice($"t", i, lit(3))))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("r"))
+      .groupBy($"r").agg(count(lit(1)).as("n_r"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val nTokens = ff.map { case (r, n) => r * n }.sum
+    val n1 = ff.getOrElse(1L, 0L)
+    for (row <- rows) {
+      val r = row.getAs[Long]("r")
+      assert(row.getAs[Long]("n_r") === ff(r))
+      assert(row.getAs[Long]("n_r_next") === ff.getOrElse(r + 1, 0L))
+      assert(row.getAs[Long]("n_tokens") === nTokens)
+      val rStar = (r + 1) * ff.getOrElse(r + 1, 0L).toDouble / ff(r)
+      assert(math.abs(row.getAs[Double]("r_star") - math.floor(rStar * 1e6 + 0.5) / 1e6) < 1e-12)
+      assert(row.getAs[Double]("p_unseen") ===
+        math.floor(n1.toDouble / nTokens * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("Brier decomposition satisfies Murphy's identity") {
+    val r = Eda.q425BrierDecomposition.fn(spark, sf).collect()(0)
+    val brier = r.getAs[Double]("brier")
+    val identity = r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+      r.getAs[Double]("uncertainty")
+    // four round-6 outputs → identity holds within their combined rounding
+    assert(math.abs(brier - identity) < 2.5e-6,
+      s"Brier $brier must equal REL - RES + UNC = $identity")
+    assert(r.getAs[Double]("reliability") >= 0 && r.getAs[Double]("resolution") >= 0)
+  }
+
+  test("DeLong AUC equals q322's rank-sum AUC and the CI brackets it") {
+    val d = Eda.q426DelongAucCi.fn(spark, sf).collect()(0)
+    val a = Eda.q322ExactAuc.fn(spark, sf).collect()(0)
+    assert(d.getAs[Long]("n_pos") === a.getAs[Long]("n_pos"))
+    assert(d.getAs[Long]("n_neg") === a.getAs[Long]("n_neg"))
+    // the placement-mean identity: same AUC by a different derivation
+    assert(d.getAs[Double]("auc") === a.getAs[Double]("auc"))
+    assert(d.getAs[Double]("se") > 0)
+    assert(d.getAs[Double]("ci_lo") < d.getAs[Double]("auc"))
+    assert(d.getAs[Double]("ci_hi") > d.getAs[Double]("auc"))
+  }
+
   test("lag sweep: lag 0 equals the direct same-hour Pearson; exactly one best flag") {
     import spark.implicits._
     val r = EventAnalytics.q405LagXcorr.fn(spark, sf)
