@@ -364,7 +364,113 @@ object Chunking {
       .orderBy($"ordering")
   }
 
+  /** REPEATED-SPAN DETECTION BY PREFIX DOUBLING — the distributed
+    * suffix-RANK construction (Manber & Myers, SIAM J. Comput. 1993)
+    * behind substring-level dedup (Lee et al., arXiv:2107.06499), without
+    * a suffix array: after round k every token position carries a CLASS
+    * id identifying its 2^k-token span, and round k+1 classes are the
+    * pairs (class(i), class(i + 2^k)). Two positions share a class iff
+    * their spans are exactly equal, so per-round class-size censuses give
+    * the duplicated-span profile at widths 1,2,4,8,16,32 — the curve that
+    * tells a dedup pass which span width separates boilerplate from
+    * genuine repetition. Class ids are min-position representatives, NOT
+    * dense ranks: equality is all the census needs, which removes the
+    * global sort entirely — each round is a doc-partitioned `lead` window
+    * plus one class-keyed shuffle (`min` over the class partition).
+    * Strictly oracle'd round-for-round: DuckDB unrolls the six rounds as
+    * identical CTEs.
+    *
+    * 100 TB plan: O(log L) rounds, each ONE shuffle keyed on (class,
+    * class2) — the sort-based suffix-array formulation would pay a global
+    * TeraSort per round instead; min-representative classes sidestep it.
+    * Windows partition by doc_id (bounded) and by class (span-class
+    * sized); at scale each round's frame is localCheckpoint'd (q177's
+    * iterative-graph discipline) so lineage stays flat. */
+  val q429PrefixDoublingSpans: GraftQuery = GraftQuery.oracled(
+    "q429_prefix_doubling_spans",
+    """WITH tok0 AS (
+      |  SELECT doc_id, i - 1 AS rawpos, l[i] AS t
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+      |        FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS g(i)),
+      |tok AS (
+      |  SELECT doc_id,
+      |         (row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1) AS p,
+      |         doc_id * 1000000
+      |           + (row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1) AS pid,
+      |         t
+      |  FROM tok0 WHERE t <> ''),
+      |c0 AS (SELECT doc_id, p, pid, min(pid) OVER (PARTITION BY t) AS c FROM tok),
+      |l1 AS (SELECT doc_id, p, pid, c,
+      |              lead(c, 1) OVER (PARTITION BY doc_id ORDER BY p) AS c2 FROM c0),
+      |c1 AS (SELECT doc_id, p, pid, min(pid) OVER (PARTITION BY c, c2) AS c
+      |       FROM l1 WHERE c2 IS NOT NULL),
+      |l2 AS (SELECT doc_id, p, pid, c,
+      |              lead(c, 2) OVER (PARTITION BY doc_id ORDER BY p) AS c2 FROM c1),
+      |c2 AS (SELECT doc_id, p, pid, min(pid) OVER (PARTITION BY c, c2) AS c
+      |       FROM l2 WHERE c2 IS NOT NULL),
+      |l3 AS (SELECT doc_id, p, pid, c,
+      |              lead(c, 4) OVER (PARTITION BY doc_id ORDER BY p) AS c2 FROM c2),
+      |c3 AS (SELECT doc_id, p, pid, min(pid) OVER (PARTITION BY c, c2) AS c
+      |       FROM l3 WHERE c2 IS NOT NULL),
+      |l4 AS (SELECT doc_id, p, pid, c,
+      |              lead(c, 8) OVER (PARTITION BY doc_id ORDER BY p) AS c2 FROM c3),
+      |c4 AS (SELECT doc_id, p, pid, min(pid) OVER (PARTITION BY c, c2) AS c
+      |       FROM l4 WHERE c2 IS NOT NULL),
+      |l5 AS (SELECT doc_id, p, pid, c,
+      |              lead(c, 16) OVER (PARTITION BY doc_id ORDER BY p) AS c2 FROM c4),
+      |c5 AS (SELECT doc_id, p, pid, min(pid) OVER (PARTITION BY c, c2) AS c
+      |       FROM l5 WHERE c2 IS NOT NULL),
+      |s0 AS (SELECT 1 AS w, c, count(*) AS n FROM c0 GROUP BY 2),
+      |s1 AS (SELECT 2 AS w, c, count(*) AS n FROM c1 GROUP BY 2),
+      |s2 AS (SELECT 4 AS w, c, count(*) AS n FROM c2 GROUP BY 2),
+      |s3 AS (SELECT 8 AS w, c, count(*) AS n FROM c3 GROUP BY 2),
+      |s4 AS (SELECT 16 AS w, c, count(*) AS n FROM c4 GROUP BY 2),
+      |s5 AS (SELECT 32 AS w, c, count(*) AS n FROM c5 GROUP BY 2),
+      |s AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL
+      |      SELECT * FROM s2 UNION ALL SELECT * FROM s3 UNION ALL
+      |      SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+      |SELECT CAST(w AS BIGINT) AS span_len,
+      |       CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS dup_classes,
+      |       CAST(coalesce(sum(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT) AS dup_positions,
+      |       CAST(coalesce(max(n), 0) AS BIGINT) AS max_class_size
+      |FROM s GROUP BY w
+      |ORDER BY span_len""") { (spark, dir) =>
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split(lower($"text"), "[^a-z]+")))
+      .withColumnRenamed("col", "t")
+      .filter($"t" =!= "")
+      .withColumn("p", (row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"pos")) - 1).cast("long"))
+      .select($"doc_id", $"p", ($"doc_id" * 1000000L + $"p").as("pid"), $"t")
+    def stats(df: DataFrame, w: Int): DataFrame = df
+      .groupBy($"c").agg(count(lit(1)).as("n"))
+      .agg(
+        count(when($"n" >= 2, 1)).cast("long").as("dup_classes"),
+        coalesce(sum(when($"n" >= 2, $"n")), lit(0)).cast("long")
+          .as("dup_positions"),
+        coalesce(max($"n"), lit(0)).cast("long").as("max_class_size"))
+      .select(lit(w.toLong).as("span_len"), $"dup_classes", $"dup_positions",
+        $"max_class_size")
+    var cur = tok.select($"doc_id", $"p", $"pid",
+      min($"pid").over(Window.partitionBy($"t")).as("c"))
+    var out = stats(cur, 1)
+    var half = 1
+    while (half <= 16) {
+      cur = cur
+        .withColumn("cnext", lead($"c", half).over(
+          Window.partitionBy($"doc_id").orderBy($"p")))
+        .filter($"cnext".isNotNull)
+        .select($"doc_id", $"p", $"pid",
+          min($"pid").over(Window.partitionBy($"c", $"cnext")).as("c"))
+      out = out.unionAll(stats(cur, half * 2))
+      half *= 2
+    }
+    out.orderBy($"span_len")
+  }
+
   def all: Seq[GraftQuery] = Seq(q197RagChunks, q199GramSpanDedup,
     q203PrefixJaccardJoin, q215Winnowing, q259NgramNovelty,
-    q289LayoutLocality)
+    q289LayoutLocality, q429PrefixDoublingSpans)
 }

@@ -211,6 +211,80 @@ object Profiler {
       .orderBy($"check_name")
   }
 
+  /** SKETCH-BASED JOIN-CARDINALITY ESTIMATION (Cormode & Muthukrishnan,
+    * J. Algorithms 2005: the count-min inner-product estimate) — the
+    * statistic a cost-based planner wants BEFORE executing a join:
+    * |R ⋈ S| = Σ_k n_R(k)·n_S(k) is estimated as min_d Σ_b cmsR[d][b]·
+    * cmsS[d][b] from two depth×width count grids, never touching the join
+    * itself. The sketch here is built RELATIONALLY — a (d, bucket)→count
+    * relation via a portable md5 bucket hash — so the whole estimator
+    * (both sketches, the per-depth inner products, the min, and the exact
+    * truth it brackets) is plain SQL and strictly DuckDB-oracle'd: the
+    * output pins overestimate ≥ 0 (CMS never undercounts) and the classic
+    * ε·N_R·N_S bound with ε = e/width, checked in-row.
+    *
+    * 100 TB plan: per-table key censuses are map-side-combined hash aggs;
+    * the sketches are depth·width = 4096-row relations (mergeable partials
+    * — the streaming/cross-shard form ships per-partition grids and adds
+    * them); the inner product joins two 4096-row relations. The exact
+    * side here is the small-sf verifier: at scale you'd ship ONLY the
+    * sketch path — that is the point of estimating before joining. */
+  val q428CmsJoinSize: GraftQuery = GraftQuery.oracled(
+    "q428_cms_join_size",
+    """WITH ek AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n
+      |            FROM events GROUP BY 1),
+      |ok AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+      |       FROM orders GROUP BY 1),
+      |exact AS (SELECT CAST(sum(ek.n * ok.n) AS BIGINT) AS exact_pairs
+      |          FROM ek JOIN ok USING (k)),
+      |totals AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM ek) AS n1,
+      |                  (SELECT CAST(sum(n) AS BIGINT) FROM ok) AS n2),
+      |se AS (SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 1024 AS b,
+      |              CAST(sum(n) AS BIGINT) AS c
+      |       FROM ek, UNNEST(generate_series(0, 3)) AS g(d) GROUP BY 1, 2),
+      |so AS (SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 1024 AS b,
+      |              CAST(sum(n) AS BIGINT) AS c
+      |       FROM ok, UNNEST(generate_series(0, 3)) AS g(d) GROUP BY 1, 2),
+      |ip AS (SELECT se.d, CAST(sum(se.c * so.c) AS BIGINT) AS est_d
+      |       FROM se JOIN so ON se.d = so.d AND se.b = so.b GROUP BY se.d),
+      |est AS (SELECT CAST(min(est_d) AS BIGINT) AS cms_est FROM ip)
+      |SELECT exact_pairs, cms_est,
+      |       CAST(cms_est - exact_pairs AS BIGINT) AS overestimate,
+      |       CASE WHEN cms_est >= exact_pairs
+      |             AND cms_est <= exact_pairs
+      |                 + CAST(ceil(2.718281828459045 * n1 * n2 / 1024) AS BIGINT)
+      |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bound_ok
+      |FROM exact, est, totals""") { (spark, dir) =>
+    import spark.implicits._
+    def bucket(k: Column, d: Column): Column =
+      conv(substring(md5(concat(d.cast("string"), lit(":"), k.cast("string"))),
+        1, 12), 16, 10).cast("long") % 1024L
+    def sketch(keyed: DataFrame): DataFrame = keyed
+      .select(explode(sequence(lit(0), lit(3))).as("d"), $"k", $"n")
+      .groupBy($"d", bucket($"k", $"d").as("b"))
+      .agg(sum($"n").cast("long").as("c"))
+    val ek = Tables.events(spark, dir).groupBy($"user_id".as("k"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ok = Tables.orders(spark, dir).groupBy($"o_custkey".as("k"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val exact = ek.join(ok.withColumnRenamed("n", "n2"), "k")
+      .agg(sum($"n" * $"n2").cast("long").as("exact_pairs"))
+    val totals = ek.agg(sum($"n").cast("long").as("n1"))
+      .crossJoin(ok.agg(sum($"n").cast("long").as("n2t")))
+    val ip = sketch(ek).alias("se")
+      .join(sketch(ok).alias("so"), Seq("d", "b"))
+      .groupBy($"d")
+      .agg(sum($"se.c" * $"so.c").cast("long").as("est_d"))
+    val est = ip.agg(min($"est_d").cast("long").as("cms_est"))
+    exact.crossJoin(est).crossJoin(totals)
+      .select($"exact_pairs", $"cms_est",
+        ($"cms_est" - $"exact_pairs").cast("long").as("overestimate"),
+        when($"cms_est" >= $"exact_pairs" &&
+          $"cms_est" <= $"exact_pairs" +
+            ceil(lit(2.718281828459045) * $"n1" * $"n2t" / 1024).cast("long"),
+          1L).otherwise(0L).as("bound_ok"))
+  }
+
   def all: Seq[GraftQuery] = Seq(q183ColumnProfile, q313InclusionDeps,
-    q316Expectations)
+    q316Expectations, q428CmsJoinSize)
 }

@@ -59,7 +59,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q418_rank_biased_overlap", "q419_single_link_cut",
     "q420_retrieval_metrics", "q421_jackknife_ratio",
     "q422_quantile_treatment_effect", "q423_capture_recapture",
-    "q424_good_turing", "q425_brier_decomposition", "q426_delong_auc_ci")
+    "q424_good_turing", "q425_brier_decomposition", "q426_delong_auc_ci",
+    // round-10 newcomers: q428 joins two 4096-row sketches + key censuses;
+    // q429's rounds are window+groupBy only (no joins); q427 is scan+census
+    "q427_luhn_pii", "q428_cms_join_size", "q429_prefix_doubling_spans")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -96,7 +99,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q421_jackknife_ratio", "q422_quantile_treatment_effect",
     // q423-q426: 1-row catch/census-count broadcasts only
     "q423_capture_recapture", "q424_good_turing",
-    "q425_brier_decomposition", "q426_delong_auc_ci")
+    "q425_brier_decomposition", "q426_delong_auc_ci",
+    // q428: 1-row exact/estimate/total aggregates crossjoined into the
+    // single report row — the sketches themselves join hash-keyed
+    "q428_cms_join_size")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in

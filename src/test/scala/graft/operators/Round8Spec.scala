@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Law specs for the round-10 batch (q427–q429): each test checks the
+  * property that makes the operator correct, via an independent
+  * formulation the DuckDB value-hash cannot explain (SURVEY.md §5). */
+class Round8Spec extends AnyFunSuite with SparkFixture {
+  import org.apache.spark.sql.functions._
+
+  /** Reference Luhn in plain Scala — the independent implementation. */
+  private def luhnRef(digits: Seq[Int]): Boolean = {
+    val sum = digits.reverse.zipWithIndex.map { case (d, j) =>
+      if (j % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+    }.sum
+    sum % 10 == 0
+  }
+
+  test("luhnValid matches the reference on known PANs and rejects off-by-one check digits") {
+    import spark.implicits._
+    // 4111111111111111 / 5555555555554444 are the canonical valid test
+    // PANs; each +1 on the check digit must flip the verdict.
+    val pans = Seq("4111111111111111", "4111111111111112",
+      "5555555555554444", "5555555555554445", "1234567812345670",
+      "0000000000000000")
+    val df = pans.toDF("pan").select($"pan",
+      Governance.luhnValid(transform(sequence(lit(1), length($"pan")),
+        i => $"pan".substr(i, lit(1)).cast("long"))).as("ok"))
+    for (r <- df.collect()) {
+      val pan = r.getString(0)
+      assert(r.getBoolean(1) === luhnRef(pan.map(_ - '0')),
+        s"luhnValid disagrees with the reference on $pan")
+    }
+  }
+
+  test("q427: engine Luhn verdicts equal a driver-side MD5+Luhn recompute row-for-row") {
+    import spark.implicits._
+    val got = graft.sources.Tables.customer(spark, sf)
+      .select($"c_custkey",
+        Governance.luhnValid(Governance.candidateDigits($"c_custkey")).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    for ((k, ok) <- got) {
+      val hex = mdig.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val digits = hex.map(c => Integer.parseInt(c.toString, 16) % 10)
+      assert(ok === luhnRef(digits), s"custkey $k: engine $ok vs reference")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q428: exact_pairs equals a direct join count; CMS never undercounts; ε-bound holds") {
+    import spark.implicits._
+    val row = Profiler.q428CmsJoinSize.fn(spark, sf).collect()(0)
+    val direct = graft.sources.Tables.events(spark, sf).select($"user_id")
+      .join(graft.sources.Tables.orders(spark, sf)
+        .select($"o_custkey"), $"user_id" === $"o_custkey")
+      .count()
+    assert(row.getLong(0) === direct, "exact_pairs must equal the executed join")
+    assert(row.getLong(2) >= 0L, "CMS inner product must never undercount")
+    assert(row.getLong(3) === 1L, "the ε·N1·N2 guarantee must hold")
+  }
+
+  test("q429: duplicated-span profile is halving-monotone and the width-2 row equals a direct bigram census") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.llm.Chunking.q429PrefixDoublingSpans.fn(spark, sf)
+      .orderBy($"span_len").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L, 16L, 32L))
+    // A duplicated 2w-span's left half is a duplicated w-span at the same
+    // position, so the duplicated-position count can only shrink as spans
+    // double; ditto the largest class.
+    for (i <- 1 until rows.length) {
+      assert(rows(i).getLong(2) <= rows(i - 1).getLong(2),
+        s"dup_positions must be non-increasing at span ${rows(i).getLong(0)}")
+      assert(rows(i).getLong(3) <= rows(i - 1).getLong(3),
+        s"max_class_size must be non-increasing at span ${rows(i).getLong(0)}")
+    }
+    // Independent width-2 recompute: group raw adjacent token pairs.
+    val tok = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", posexplode(split(lower($"text"), "[^a-z]+")))
+      .withColumnRenamed("col", "t").filter($"t" =!= "")
+    val big = tok
+      .withColumn("t2", lead($"t", 1).over(
+        Window.partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"t2".isNotNull)
+      .groupBy($"t", $"t2").agg(count(lit(1)).as("n"))
+      .agg(count(when($"n" >= 2, 1)).cast("long").as("dc"),
+        coalesce(sum(when($"n" >= 2, $"n")), lit(0)).cast("long").as("dp"),
+        coalesce(max($"n"), lit(0)).cast("long").as("mx"))
+      .collect()(0)
+    assert(rows(1).getLong(1) === big.getLong(0), "width-2 dup_classes")
+    assert(rows(1).getLong(2) === big.getLong(1), "width-2 dup_positions")
+    assert(rows(1).getLong(3) === big.getLong(2), "width-2 max_class_size")
+  }
+}
