@@ -1064,6 +1064,116 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** RAKING / ITERATIVE PROPORTIONAL FITTING (Deming & Stephan 1940) —
+    * 2-D quota weights: per-(source, length-bucket) cell weights that hit
+    * a TIERED source target (40/30/30 across three md5-derived source
+    * tiers, split evenly within a tier) on the row margin while PRESERVING
+    * the corpus's observed length-bucket mix on the column margin — the
+    * joint-marginal generalization of q138's 1-D mixing that survey
+    * statisticians and data-mixture tuners both reach for when two quota
+    * dimensions must hold at once. Three alternating row/column scaling
+    * rounds in EXACT INTEGER ppm fixed point (truncating div on both
+    * engines — no float ratio ever compared), unrolled identically in the
+    * DuckDB oracle; the achieved row margin is reported next to its
+    * target so convergence is visible in-row.
+    *
+    * 100 TB plan: the corpus is touched once by the cell census
+    * (map-side-combined agg to |sources|×3 rows); every IPF round is
+    * arithmetic on that census joined to census-sized margins — driver
+    * never loops over data, and the weights broadcast back for the actual
+    * weighted draw (q146's machinery). */
+  val q431IpfRaking: GraftQuery = GraftQuery.oracled(
+    "q431_ipf_raking",
+    """WITH cell AS (
+      |  SELECT source,
+      |         CASE WHEN n_chars < 220 THEN 'short'
+      |              WHEN n_chars < 380 THEN 'medium' ELSE 'long' END AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |srcs AS (SELECT source,
+      |                CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 3 AS tier
+      |         FROM (SELECT DISTINCT source FROM cell)),
+      |members AS (SELECT tier, CAST(count(*) AS BIGINT) AS m FROM srcs GROUP BY 1),
+      |ntot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cell),
+      |rtgt AS (SELECT s.source,
+      |                CAST((CASE WHEN s.tier = 0 THEN 400000
+      |                           WHEN s.tier = 1 THEN 300000
+      |                           ELSE 300000 END // m.m) * nt AS BIGINT) AS ts
+      |         FROM srcs s JOIN members m USING (tier), ntot),
+      |ctgt AS (SELECT bucket, CAST(sum(n) * 1000000 AS BIGINT) AS cb
+      |         FROM cell GROUP BY 1),
+      |c0 AS (SELECT source, bucket, n, CAST(1000000 AS BIGINT) AS w FROM cell),
+      |mr1 AS (SELECT source, CAST(sum(n * w) AS BIGINT) AS m FROM c0 GROUP BY 1),
+      |c1 AS (SELECT c.source, c.bucket, c.n, CAST(c.w * t.ts // m.m AS BIGINT) AS w
+      |       FROM c0 c JOIN mr1 m USING (source) JOIN rtgt t USING (source)),
+      |mc1 AS (SELECT bucket, CAST(sum(n * w) AS BIGINT) AS m FROM c1 GROUP BY 1),
+      |c2 AS (SELECT c.source, c.bucket, c.n, CAST(c.w * t.cb // m.m AS BIGINT) AS w
+      |       FROM c1 c JOIN mc1 m USING (bucket) JOIN ctgt t USING (bucket)),
+      |mr2 AS (SELECT source, CAST(sum(n * w) AS BIGINT) AS m FROM c2 GROUP BY 1),
+      |c3 AS (SELECT c.source, c.bucket, c.n, CAST(c.w * t.ts // m.m AS BIGINT) AS w
+      |       FROM c2 c JOIN mr2 m USING (source) JOIN rtgt t USING (source)),
+      |mc2 AS (SELECT bucket, CAST(sum(n * w) AS BIGINT) AS m FROM c3 GROUP BY 1),
+      |c4 AS (SELECT c.source, c.bucket, c.n, CAST(c.w * t.cb // m.m AS BIGINT) AS w
+      |       FROM c3 c JOIN mc2 m USING (bucket) JOIN ctgt t USING (bucket)),
+      |mr3 AS (SELECT source, CAST(sum(n * w) AS BIGINT) AS m FROM c4 GROUP BY 1),
+      |c5 AS (SELECT c.source, c.bucket, c.n, CAST(c.w * t.ts // m.m AS BIGINT) AS w
+      |       FROM c4 c JOIN mr3 m USING (source) JOIN rtgt t USING (source)),
+      |mc3 AS (SELECT bucket, CAST(sum(n * w) AS BIGINT) AS m FROM c5 GROUP BY 1),
+      |c6 AS (SELECT c.source, c.bucket, c.n, CAST(c.w * t.cb // m.m AS BIGINT) AS w
+      |       FROM c5 c JOIN mc3 m USING (bucket) JOIN ctgt t USING (bucket)),
+      |mrf AS (SELECT source, CAST(sum(n * w) AS BIGINT) AS m FROM c6 GROUP BY 1),
+      |mtot AS (SELECT CAST(sum(n * w) AS BIGINT) AS mt FROM c6)
+      |SELECT c.source, c.bucket, c.n, c.w AS w_ppm,
+      |       CAST(1000000 * f.m // mt AS BIGINT) AS ach_row_ppm,
+      |       CAST(1000000 * t.ts // (SELECT CAST(sum(ts) AS BIGINT) FROM rtgt) AS BIGINT) AS tgt_row_ppm
+      |FROM c6 c JOIN mrf f USING (source) JOIN rtgt t USING (source), mtot
+      |ORDER BY c.source, c.bucket""") { (spark, dir) =>
+    import spark.implicits._
+    val cell = Tables.documents(spark, dir)
+      .select($"source",
+        when($"n_chars" < 220, "short").when($"n_chars" < 380, "medium")
+          .otherwise("long").as("bucket"))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint()
+    val srcs = cell.select($"source").distinct()
+      .withColumn("tier",
+        conv(substring(md5($"source"), 1, 8), 16, 10).cast("long") % 3L)
+    val members = srcs.groupBy($"tier").agg(count(lit(1)).cast("long").as("m"))
+    val ntot = cell.agg(sum($"n").cast("long").as("nt"))
+    val rtgt = srcs.join(broadcast(members), "tier")
+      .crossJoin(broadcast(ntot))
+      .select($"source",
+        (expr("""(CASE WHEN tier = 0 THEN 400000
+                       WHEN tier = 1 THEN 300000
+                       ELSE 300000 END) div m""") * $"nt")
+          .cast("long").as("ts"))
+      .localCheckpoint()
+    val ctgt = cell.groupBy($"bucket")
+      .agg((sum($"n") * 1000000L).cast("long").as("cb")).localCheckpoint()
+    var cur = cell.withColumn("w", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val mr = cur.groupBy($"source").agg(sum($"n" * $"w").cast("long").as("m"))
+      cur = cur.join(broadcast(mr), "source").join(broadcast(rtgt), "source")
+        .select($"source", $"bucket", $"n",
+          expr("(w * ts) div m").cast("long").as("w"))
+      val mc = cur.groupBy($"bucket").agg(sum($"n" * $"w").cast("long").as("m"))
+      cur = cur.join(broadcast(mc), "bucket").join(broadcast(ctgt), "bucket")
+        .select($"source", $"bucket", $"n",
+          expr("(w * cb) div m").cast("long").as("w"))
+        .localCheckpoint()
+    }
+    val mrf = cur.groupBy($"source").agg(sum($"n" * $"w").cast("long").as("m"))
+    val mtot = cur.agg(sum($"n" * $"w").cast("long").as("mt"))
+    val tstot = rtgt.agg(sum($"ts").cast("long").as("tst"))
+    cur.join(broadcast(mrf), "source").join(broadcast(rtgt), "source")
+      .crossJoin(broadcast(mtot)).crossJoin(broadcast(tstot))
+      .select($"source", $"bucket", $"n", $"w".as("w_ppm"),
+        expr("(1000000 * m) div mt").cast("long").as("ach_row_ppm"),
+        expr("(1000000 * ts) div tst").cast("long").as("tgt_row_ppm"))
+      .orderBy($"source", $"bucket")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
@@ -1071,7 +1181,7 @@ object Curation {
     q398ClusterReweight, q401SinkhornMixture, q411SystematicSample,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
-    q300ExportManifest, q323MixWaterfill)
+    q300ExportManifest, q323MixWaterfill, q431IpfRaking)
 }
 
 /** Code-generated twin bodies for q401: the Spark plan and the DuckDB

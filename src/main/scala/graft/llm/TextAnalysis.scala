@@ -646,7 +646,8 @@ object TextAnalysis {
     q321CohensKappa, q344ZipfSlope, q346WeightedJaccard,
     q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
     q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit,
-    q384MojibakeAudit, q390VocabCoverage, q424GoodTuring)
+    q384MojibakeAudit, q390VocabCoverage, q424GoodTuring,
+    q430WordpieceGreedy)
 
   /** GOOD–TURING UNSEEN-MASS ESTIMATE (Good 1953) — how much probability
     * mass belongs to n-grams the corpus has NEVER seen: the Turing
@@ -1397,5 +1398,116 @@ object TextAnalysis {
     spark.createDataFrame(merges.zipWithIndex.map { case ((l, r, n), i) =>
       (i + 1, l.stripPrefix("@"), r.stripPrefix("@"), n)
     }).toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** WORDPIECE TOKENIZATION — greedy longest-match-first inference (the
+    * actual BERT-tokenizer algorithm: Wu et al., arXiv:1609.08144 §4.1)
+    * over a frequency-derived subword vocabulary, next to q312/q217's BPE
+    * pair: the vocabulary is every 1–4-char substring with weighted corpus
+    * frequency ≥ 2% of token mass, and each word is segmented by
+    * repeatedly taking the LONGEST vocab piece at the cursor (single-char
+    * fallback, so segmentation never fails). Segmentation runs on the
+    * DISTINCT-WORD census only (Heaps-bounded — the q312 trick), a
+    * driver-bounded loop of max-word-length rounds, each one round of
+    * broadcast vocab lookups; per-source fertility (wp-tokens per word)
+    * is the tokenizer-efficiency number next to q366. Strictly oracle'd:
+    * DuckDB replays the greedy cursor as a recursive CTE over the same
+    * vocab — the per-word token counts must agree exactly.
+    *
+    * 100 TB plan: word + substring censuses are map-side-combined aggs;
+    * the cursor loop touches only the distinct-word census (≤ millions of
+    * rows at 100 TB) with a broadcast vocab per round, localCheckpoint'd
+    * (q177's iterative discipline); the corpus is re-touched exactly once
+    * to weight the fertility census. */
+  val q430WordpieceGreedy: GraftQuery = GraftQuery.oracled(
+    "q430_wordpiece_greedy",
+    """WITH RECURSIVE
+      |tok AS (
+      |  SELECT source, l[i] AS t
+      |  FROM (SELECT source, string_split_regex(lower(text), '[^a-z]+') AS l
+      |        FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS g(i)
+      |  WHERE l[i] <> ''),
+      |wc AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM wc),
+      |subs AS (
+      |  SELECT substr(w, i, d) AS s, CAST(sum(n) AS BIGINT) AS f
+      |  FROM wc,
+      |       UNNEST(generate_series(1, 4)) AS dd(d),
+      |       UNNEST(generate_series(1, length(w) - d + 1)) AS ii(i)
+      |  WHERE length(w) >= d
+      |  GROUP BY 1),
+      |vocab AS (SELECT s FROM subs, tot WHERE f >= tot // 50),
+      |seg AS (
+      |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS ntok FROM wc
+      |  UNION ALL
+      |  SELECT s.w,
+      |         s.pos + CASE WHEN v4.s IS NOT NULL THEN 4
+      |                      WHEN v3.s IS NOT NULL THEN 3
+      |                      WHEN v2.s IS NOT NULL THEN 2 ELSE 1 END,
+      |         s.ntok + 1
+      |  FROM seg s
+      |  LEFT JOIN (SELECT s FROM vocab WHERE length(s) = 4) v4
+      |    ON v4.s = substr(s.w, s.pos + 1, 4)
+      |  LEFT JOIN (SELECT s FROM vocab WHERE length(s) = 3) v3
+      |    ON v3.s = substr(s.w, s.pos + 1, 3)
+      |  LEFT JOIN (SELECT s FROM vocab WHERE length(s) = 2) v2
+      |    ON v2.s = substr(s.w, s.pos + 1, 2)
+      |  WHERE s.pos < length(s.w)),
+      |fin AS (SELECT w, ntok FROM seg WHERE pos = length(w)),
+      |sw AS (SELECT source, t AS w, CAST(count(*) AS BIGINT) AS n
+      |       FROM tok GROUP BY 1, 2)
+      |SELECT source,
+      |       CAST(sum(sw.n) AS BIGINT) AS n_word_occ,
+      |       CAST(sum(sw.n * fin.ntok) AS BIGINT) AS n_wp_tokens,
+      |       CAST(1000000 * sum(sw.n * fin.ntok) // sum(sw.n) AS BIGINT) AS fertility_ppm,
+      |       CAST(max(fin.ntok) AS BIGINT) AS max_tokens_word
+      |FROM sw JOIN fin USING (w)
+      |GROUP BY source
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"source", explode(split(lower($"text"), "[^a-z]+")).as("t"))
+      .filter($"t" =!= "")
+    val wc = tok.groupBy($"t".as("w")).agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint()
+    val tot = wc.agg(sum($"n").cast("long").as("tot"))
+    val subs = wc
+      .select($"w", $"n", explode(sequence(lit(1), lit(4))).as("d"))
+      .filter(length($"w") >= $"d")
+      .select($"w", $"n", $"d",
+        explode(sequence(lit(1), length($"w") - $"d" + 1)).as("i"))
+      .groupBy($"w".substr($"i", $"d").as("s"))
+      .agg(sum($"n").cast("long").as("f"))
+    val vocab = subs.crossJoin(broadcast(tot))
+      .filter($"f" >= expr("tot div 50")).select($"s").localCheckpoint()
+    def vocabLen(d: Int) = broadcast(
+      vocab.filter(length($"s") === d).withColumnRenamed("s", s"s$d"))
+    val (v4, v3, v2) = (vocabLen(4), vocabLen(3), vocabLen(2))
+    val maxLen = wc.agg(max(length($"w"))).collect()(0).getInt(0)
+    var seg = wc.select($"w", lit(0L).as("pos"), lit(0L).as("ntok"))
+    for (_ <- 1 to maxLen) {
+      val stepped = seg.filter($"pos" < length($"w"))
+        .join(v4, $"s4" === $"w".substr(($"pos" + 1).cast("int"), lit(4)), "left")
+        .join(v3, $"s3" === $"w".substr(($"pos" + 1).cast("int"), lit(3)), "left")
+        .join(v2, $"s2" === $"w".substr(($"pos" + 1).cast("int"), lit(2)), "left")
+        .select($"w",
+          ($"pos" + when($"s4".isNotNull, 4).when($"s3".isNotNull, 3)
+            .when($"s2".isNotNull, 2).otherwise(1)).as("pos"),
+          ($"ntok" + 1).as("ntok"))
+      seg = seg.filter($"pos" === length($"w")).unionAll(stepped)
+        .localCheckpoint()
+    }
+    val fin = seg.filter($"pos" === length($"w")).select($"w", $"ntok")
+    tok.groupBy($"source", $"t".as("w"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .join(broadcast(fin), "w")
+      .groupBy($"source")
+      .agg(sum($"n").cast("long").as("n_word_occ"),
+        sum($"n" * $"ntok").cast("long").as("n_wp_tokens"),
+        expr("(1000000 * sum(n * ntok)) div sum(n)").cast("long")
+          .as("fertility_ppm"),
+        max($"ntok").cast("long").as("max_tokens_word"))
+      .orderBy($"source")
   }
 }

@@ -62,7 +62,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q424_good_turing", "q425_brier_decomposition", "q426_delong_auc_ci",
     // round-10 newcomers: q428 joins two 4096-row sketches + key censuses;
     // q429's rounds are window+groupBy only (no joins); q427 is scan+census
-    "q427_luhn_pii", "q428_cms_join_size", "q429_prefix_doubling_spans")
+    "q427_luhn_pii", "q428_cms_join_size", "q429_prefix_doubling_spans",
+    "q430_wordpiece_greedy", "q431_ipf_raking")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -102,7 +103,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q425_brier_decomposition", "q426_delong_auc_ci",
     // q428: 1-row exact/estimate/total aggregates crossjoined into the
     // single report row — the sketches themselves join hash-keyed
-    "q428_cms_join_size")
+    "q428_cms_join_size",
+    // q430: 1-row token-total broadcast gates the vocab threshold;
+    // q431: 1-row corpus-total / target-total broadcasts
+    "q430_wordpiece_greedy", "q431_ipf_raking")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in

@@ -94,4 +94,65 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     assert(rows(1).getLong(2) === big.getLong(1), "width-2 dup_positions")
     assert(rows(1).getLong(3) === big.getLong(2), "width-2 max_class_size")
   }
+
+  test("q430: per-source fertility equals a driver-side greedy longest-match reference") {
+    import spark.implicits._
+    // Rebuild the vocab + word censuses with independent one-liner SQL,
+    // run the greedy cursor in plain Scala, and compare the census.
+    val tok = graft.sources.Tables.documents(spark, sf)
+      .select($"source", explode(split(lower($"text"), "[^a-z]+")).as("t"))
+      .filter($"t" =!= "")
+    val wc = tok.groupBy($"t").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = wc.values.sum
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, n) <- wc; d <- 1 to 4; i <- 0 to w.length - d)
+      sub(w.substring(i, i + d)) = sub.getOrElse(w.substring(i, i + d), 0L) + n
+    val vocab = sub.filter(_._2 >= tot / 50).keySet
+    def greedy(w: String): Long = {
+      var pos = 0; var ntok = 0L
+      while (pos < w.length) {
+        val d = (4 to 2 by -1).find(d =>
+          pos + d <= w.length && vocab(w.substring(pos, pos + d))).getOrElse(1)
+        pos += d; ntok += 1
+      }
+      ntok
+    }
+    val expect = tok.groupBy($"source", $"t").agg(count(lit(1)).as("n"))
+      .collect().groupBy(_.getString(0)).map { case (s, rs) =>
+        val occ = rs.map(_.getLong(2)).sum
+        val tk = rs.map(r => r.getLong(2) * greedy(r.getString(1))).sum
+        s -> (occ, tk, 1000000L * tk / occ, rs.map(r => greedy(r.getString(1))).max)
+      }
+    val got = graft.llm.TextAnalysis.q430WordpieceGreedy.fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val (occ, tk, fert, mx) = expect(r.getString(0))
+      assert(r.getLong(1) === occ && r.getLong(2) === tk &&
+        r.getLong(3) === fert && r.getLong(4) === mx,
+        s"source ${r.getString(0)} disagrees with the reference greedy")
+    }
+  }
+
+  test("q431: three IPF rounds hit the tiered row target and preserve the length-bucket margin") {
+    import spark.implicits._
+    val df = graft.llm.Curation.q431IpfRaking.fn(spark, sf)
+    val rows = df.collect()
+    assert(rows.forall(_.getLong(3) > 0L), "weights must stay positive")
+    // Row margin: achieved within 100 ppm of the tiered target.
+    for (r <- rows)
+      assert(math.abs(r.getLong(4) - r.getLong(5)) <= 100L,
+        s"row margin off for ${r.getString(0)}: ${r.getLong(4)} vs ${r.getLong(5)}")
+    // Column margin: the final scaling step is a column step, so the
+    // weighted bucket mix must match the observed mix within truncation.
+    val tot = rows.map(r => r.getLong(2) * r.getLong(3)).sum
+    val ntot = rows.map(_.getLong(2)).sum
+    val byBucket = rows.groupBy(_.getString(1))
+    for ((b, rs) <- byBucket) {
+      val ach = 1000000.0 * rs.map(r => r.getLong(2) * r.getLong(3)).sum / tot
+      val obs = 1000000.0 * rs.map(_.getLong(2)).sum / ntot
+      assert(math.abs(ach - obs) <= 100.0,
+        s"bucket $b margin drifted: $ach vs $obs")
+    }
+  }
 }
