@@ -34,6 +34,14 @@ case class MinHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash64"
 
+  /** The expression itself can yield null (empty/all-null token array) even
+    * when the child cannot: without this override `nullable` would follow
+    * the child, and under a non-nullable child the generated `isNull = true`
+    * assignment targets an undeclared variable — Janino rejects the whole
+    * projection ("isNull_N is not an rvalue") and every query using the
+    * kernel silently falls back to interpreted mode. */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(tokens: Any): Any = {
     val arr = tokens.asInstanceOf[ArrayData]
     val n = arr.numElements()
