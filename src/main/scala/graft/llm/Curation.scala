@@ -1174,6 +1174,98 @@ object Curation {
       .orderBy($"source", $"bucket")
   }
 
+  /** FREQUENCY-SMOOTHED NEGATIVE SAMPLING (the SGNS noise distribution,
+    * Mikolov et al. arXiv:1310.4546 §2.2, smoothing exponent 1/2) — build
+    * the smoothed unigram table P(w) ∝ √count(w) and draw one
+    * deterministic negative per event via an md5 coin inverted through
+    * the cumulative table; the draw census against its expectation is
+    * the sanity audit every embedding pipeline wants on its sampler.
+    * Exponent 1/2 (vs word2vec's 3/4) keeps both engines bit-identical:
+    * IEEE 754 REQUIRES sqrt to be correctly rounded, and the cumulative
+    * sums accumulate in the same ORDER BY w on both sides, so every
+    * interval boundary and every u-comparison is exact — strictly
+    * oracle'd end to end, no tolerance.
+    *
+    * 100 TB plan: the vocab census is one map-side-combined agg
+    * (Heaps-bounded); intervals are bucketized (16 equal slices of the
+    * mass line) and the coin→word lookup is an EQUI join on the bucket id
+    * with a bounded residual filter — q19's binned-range-join shape, no
+    * BNLJ, no per-draw scan of the vocab. */
+  val q432NegativeSampling: GraftQuery = GraftQuery.oracled(
+    "q432_negative_sampling",
+    """WITH tok AS (
+      |  SELECT l[i] AS w
+      |  FROM (SELECT string_split_regex(lower(text), '[^a-z]+') AS l FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS g(i)
+      |  WHERE l[i] <> ''),
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      |cum AS (SELECT w, n, sqrt(CAST(n AS DOUBLE)) AS s,
+      |               sum(sqrt(CAST(n AS DOUBLE))) OVER (ORDER BY w
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      |        FROM wc),
+      |iv AS (SELECT w, n, s, hi - s AS lo, hi FROM cum),
+      |stot AS (SELECT max(hi) AS st FROM iv),
+      |ivb AS (SELECT iv.w, iv.lo, iv.hi, b
+      |        FROM iv, stot,
+      |             UNNEST(generate_series(CAST(floor(lo / (st / 16)) AS BIGINT),
+      |                                    CAST(least(floor(hi / (st / 16)), 15) AS BIGINT))) AS g(b)),
+      |draws AS (
+      |  SELECT event_id,
+      |         CAST(('0x' || substr(md5('neg:' || CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      |           / 281474976710656.0 * st AS u
+      |  FROM events, stot),
+      |hits AS (SELECT d.event_id, ivb.w
+      |         FROM (SELECT event_id, u,
+      |                      CAST(least(floor(u / (SELECT st / 16 FROM stot)), 15) AS BIGINT) AS b
+      |               FROM draws) d
+      |         JOIN ivb ON ivb.b = d.b AND d.u >= ivb.lo AND d.u < ivb.hi),
+      |ndraws AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM hits),
+      |census AS (SELECT w, CAST(count(*) AS BIGINT) AS n_drawn FROM hits GROUP BY 1)
+      |SELECT iv.w, iv.n,
+      |       CAST(coalesce(c.n_drawn, 0) AS BIGINT) AS n_drawn,
+      |       CAST(1000000 * coalesce(c.n_drawn, 0) // nd AS BIGINT) AS drawn_ppm,
+      |       round(1000000 * iv.s / st, 3) AS expect_ppm
+      |FROM iv LEFT JOIN census c USING (w), stot, ndraws
+      |ORDER BY iv.w""") { (spark, dir) =>
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
+      .filter($"w" =!= "")
+    val wc = tok.groupBy($"w").agg(count(lit(1)).cast("long").as("n"))
+    val iv = wc
+      .withColumn("s", sqrt($"n".cast("double")))
+      .withColumn("hi", sum($"s").over(Window.orderBy($"w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", $"hi" - $"s")
+      .localCheckpoint()
+    val stot = iv.agg(max($"hi").as("st"))
+    val ivb = iv.crossJoin(broadcast(stot))
+      .select($"w", $"lo", $"hi",
+        explode(sequence(floor($"lo" / ($"st" / 16)).cast("long"),
+          least(floor($"hi" / ($"st" / 16)), lit(15.0)).cast("long"))).as("b"))
+    val draws = Tables.events(spark, dir).select($"event_id")
+      .crossJoin(broadcast(stot))
+      .select($"event_id",
+        (conv(substring(md5(concat(lit("neg:"), $"event_id".cast("string"))),
+          1, 12), 16, 10).cast("double") / 281474976710656.0 * $"st").as("u"),
+        $"st")
+      .select($"event_id", $"u",
+        least(floor($"u" / ($"st" / 16)), lit(15.0)).cast("long").as("b"))
+    val hits = draws.join(broadcast(ivb),
+      draws("b") === ivb("b") && $"u" >= $"lo" && $"u" < $"hi")
+      .select($"event_id", $"w").localCheckpoint()
+    val ndraws = hits.agg(count(lit(1)).cast("long").as("nd"))
+    val census = hits.groupBy($"w").agg(count(lit(1)).cast("long").as("n_drawn"))
+    iv.join(census, Seq("w"), "left")
+      .crossJoin(broadcast(stot)).crossJoin(broadcast(ndraws))
+      .select($"w", $"n",
+        coalesce($"n_drawn", lit(0L)).cast("long").as("n_drawn"),
+        expr("(1000000 * coalesce(n_drawn, 0)) div nd").cast("long")
+          .as("drawn_ppm"),
+        round(lit(1000000) * $"s" / $"st", 3).as("expect_ppm"))
+      .orderBy($"w")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
@@ -1181,7 +1273,7 @@ object Curation {
     q398ClusterReweight, q401SinkhornMixture, q411SystematicSample,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
-    q300ExportManifest, q323MixWaterfill, q431IpfRaking)
+    q300ExportManifest, q323MixWaterfill, q431IpfRaking, q432NegativeSampling)
 }
 
 /** Code-generated twin bodies for q401: the Spark plan and the DuckDB

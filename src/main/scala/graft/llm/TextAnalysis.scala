@@ -647,7 +647,7 @@ object TextAnalysis {
     q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
     q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit,
     q384MojibakeAudit, q390VocabCoverage, q424GoodTuring,
-    q430WordpieceGreedy)
+    q430WordpieceGreedy, q433DistinctN)
 
   /** GOOD–TURING UNSEEN-MASS ESTIMATE (Good 1953) — how much probability
     * mass belongs to n-grams the corpus has NEVER seen: the Turing
@@ -1419,6 +1419,73 @@ object TextAnalysis {
     * rows at 100 TB) with a broadcast vocab per round, localCheckpoint'd
     * (q177's iterative discipline); the corpus is re-touched exactly once
     * to weight the fertility census. */
+  /** DISTINCT-n DIVERSITY CENSUS (Li et al., arXiv:1510.03055 — the
+    * distinct-1/distinct-2 degeneracy metric, here at n = 1, 2, 3):
+    * per-source type/token ratios of word n-grams — the canonical
+    * repetition/mode-collapse audit run over generated or scraped text
+    * before it is allowed into a training mix; low distinct-n flags
+    * template spam the per-doc repetition score (q111) can miss because
+    * it is cross-document. Pure census algebra, strictly oracle'd.
+    *
+    * 100 TB plan: one shingle explode per n, map-side-combined
+    * (source, gram) census, then a source-sized rollup — the same
+    * inverted-census shape as q263/q344; no joins, no windows. */
+  val q433DistinctN: GraftQuery = GraftQuery.oracled(
+    "q433_distinct_n",
+    """WITH tok AS (
+      |  SELECT source, doc_id, i AS pos, l[i] AS t, len(l) AS nl
+      |  FROM (SELECT source, doc_id,
+      |               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                           x -> x <> '') AS l
+      |        FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS g(i)),
+      |led AS (
+      |  SELECT source, pos, nl, t,
+      |         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+      |         lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      |  FROM tok),
+      |grams AS (
+      |  SELECT source, 1 AS n, t AS gram FROM led
+      |  UNION ALL
+      |  SELECT source, 2, t || ' ' || t2 FROM led WHERE pos + 1 <= nl
+      |  UNION ALL
+      |  SELECT source, 3, t || ' ' || t2 || ' ' || t3 FROM led WHERE pos + 2 <= nl)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |       CAST(count(DISTINCT gram) AS BIGINT) AS types,
+      |       CAST(count(*) AS BIGINT) AS tokens,
+      |       CAST(1000000 * count(DISTINCT gram) // count(*) AS BIGINT) AS distinct_ppm
+      |FROM grams
+      |GROUP BY source, n
+      |ORDER BY source, n""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        filter(split(lower($"text"), "[^a-z]+"), x => x =!= "").as("l"))
+      .select($"source", $"doc_id", posexplode($"l"), size($"l").as("nl"))
+      .withColumnRenamed("col", "t")
+      .withColumn("pos", $"pos" + 1)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val withLeads = base
+      .withColumn("t2", lead($"t", 1).over(w))
+      .withColumn("t3", lead($"t", 2).over(w))
+    val grams = Seq(
+      withLeads.select($"source", lit(1L).as("n"), $"t".as("gram")),
+      withLeads.filter($"pos" + 1 <= $"nl")
+        .select($"source", lit(2L).as("n"),
+          concat_ws(" ", $"t", $"t2").as("gram")),
+      withLeads.filter($"pos" + 2 <= $"nl")
+        .select($"source", lit(3L).as("n"),
+          concat_ws(" ", $"t", $"t2", $"t3").as("gram"))
+    ).reduce(_ unionAll _)
+    grams.groupBy($"source", $"n")
+      .agg(countDistinct($"gram").cast("long").as("types"),
+        count(lit(1)).cast("long").as("tokens"),
+        expr("(1000000 * count(DISTINCT gram)) div count(1)").cast("long")
+          .as("distinct_ppm"))
+      .orderBy($"source", $"n")
+  }
+
   val q430WordpieceGreedy: GraftQuery = GraftQuery.oracled(
     "q430_wordpiece_greedy",
     """WITH RECURSIVE

@@ -189,6 +189,105 @@ object Skew {
       .orderBy($"shard")
   }
 
+  /** CONSISTENT-HASH RING with virtual nodes + ELASTIC-RESIZE audit
+    * (Karger et al., STOC'97) — the OTHER sharding discipline next to
+    * q334's rendezvous routing: 5 shards × 8 vnodes, each vnode at token
+    * md5₄₈(shard:v) on a 2⁴⁸ ring; a key lands on the first vnode
+    * clockwise from md5₄₈(key) (wrap to the global minimum). The audit
+    * re-runs assignment after GROWING the ring to 6 shards — existing
+    * vnode tokens untouched, which is the entire point of the structure —
+    * and reports per-shard key counts before/after plus the keys that
+    * moved: consistency guarantees every moved key lands on the NEW shard
+    * (old shards never trade keys on a grow) and the moved share is
+    * ≈ vnodes_new/vnodes_total of the corpus. All integer md5 arithmetic,
+    * strictly oracle'd.
+    *
+    * 100 TB plan: the ring is 40/48 rows broadcast; assignment is a
+    * bounded non-equi probe against that broadcast (the q48 bounded-
+    * broadcast shape — at most |ring| comparisons per key, no shuffle);
+    * the census is one map-side-combined agg. Resize planning therefore
+    * never touches the data twice: both rings ride the same scan. */
+  val q434ConsistentRing: GraftQuery = GraftQuery.oracled(
+    "q434_consistent_ring",
+    """WITH ring1 AS (
+      |  SELECT 's' || CAST(s AS VARCHAR) AS shard,
+      |         CAST(('0x' || substr(md5('s' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) AS tok
+      |  FROM UNNEST(generate_series(0, 4)) AS gs(s),
+      |       UNNEST(generate_series(0, 7)) AS gv(v)),
+      |ring2 AS (
+      |  SELECT 's' || CAST(s AS VARCHAR) AS shard,
+      |         CAST(('0x' || substr(md5('s' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) AS tok
+      |  FROM UNNEST(generate_series(0, 5)) AS gs(s),
+      |       UNNEST(generate_series(0, 7)) AS gv(v)),
+      |keys AS (SELECT doc_id,
+      |                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+      |         FROM documents),
+      |o1 AS (SELECT k.doc_id,
+      |              coalesce(
+      |                min(CASE WHEN r.tok >= k.h THEN r.tok END),
+      |                min(r.tok)) AS otok
+      |       FROM keys k, ring1 r GROUP BY k.doc_id),
+      |a1 AS (SELECT o1.doc_id, r.shard FROM o1 JOIN ring1 r ON r.tok = o1.otok),
+      |o2 AS (SELECT k.doc_id,
+      |              coalesce(
+      |                min(CASE WHEN r.tok >= k.h THEN r.tok END),
+      |                min(r.tok)) AS otok
+      |       FROM keys k, ring2 r GROUP BY k.doc_id),
+      |a2 AS (SELECT o2.doc_id, r.shard FROM o2 JOIN ring2 r ON r.tok = o2.otok),
+      |nb AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_before FROM a1 GROUP BY 1),
+      |na AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_after FROM a2 GROUP BY 1),
+      |mv AS (SELECT a1.shard, CAST(count(*) AS BIGINT) AS moved_away
+      |       FROM a1 JOIN a2 USING (doc_id)
+      |       WHERE a1.shard <> a2.shard GROUP BY 1),
+      |shards AS (SELECT DISTINCT shard FROM ring2)
+      |SELECT s.shard,
+      |       CAST(coalesce(nb.n_before, 0) AS BIGINT) AS n_before,
+      |       CAST(coalesce(na.n_after, 0) AS BIGINT) AS n_after,
+      |       CAST(coalesce(mv.moved_away, 0) AS BIGINT) AS moved_away
+      |FROM shards s
+      |LEFT JOIN nb USING (shard)
+      |LEFT JOIN na USING (shard)
+      |LEFT JOIN mv USING (shard)
+      |ORDER BY s.shard""") { (spark, dir) =>
+    import spark.implicits._
+    def ring(nShards: Int): DataFrame =
+      spark.range(nShards).select(concat(lit("s"), $"id".cast("string")).as("shard"))
+        .crossJoin(spark.range(8).select($"id".cast("string").as("v")))
+        .select($"shard",
+          conv(substring(md5(concat($"shard", lit(":"), $"v")), 1, 12), 16, 10)
+            .cast("long").as("tok"))
+    def assign(keys: DataFrame, r: DataFrame): DataFrame = {
+      val owners = keys.crossJoin(broadcast(r))
+        .groupBy($"doc_id")
+        .agg(coalesce(min(when($"tok" >= $"h", $"tok")), min($"tok")).as("otok"))
+      owners.join(broadcast(r), $"otok" === $"tok").select($"doc_id", $"shard")
+    }
+    val keys = Tables.documents(spark, dir)
+      .select($"doc_id",
+        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+    val a1 = assign(keys, ring(5)).withColumnRenamed("shard", "s1")
+      .localCheckpoint()
+    val a2 = assign(keys, ring(6)).withColumnRenamed("shard", "s2")
+      .localCheckpoint()
+    val nb = a1.groupBy($"s1".as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_before"))
+    val na = a2.groupBy($"s2".as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_after"))
+    val mv = a1.join(a2, "doc_id").filter($"s1" =!= $"s2")
+      .groupBy($"s1".as("shard"))
+      .agg(count(lit(1)).cast("long").as("moved_away"))
+    ring(6).select($"shard").distinct()
+      .join(nb, Seq("shard"), "left")
+      .join(na, Seq("shard"), "left")
+      .join(mv, Seq("shard"), "left")
+      .select($"shard",
+        coalesce($"n_before", lit(0L)).cast("long").as("n_before"),
+        coalesce($"n_after", lit(0L)).cast("long").as("n_after"),
+        coalesce($"moved_away", lit(0L)).cast("long").as("moved_away"))
+      .orderBy($"shard")
+  }
+
   def all: Seq[GraftQuery] = Seq(q70SaltedJoin, q256SkewReport, q277SaltedAgg,
-    q334RendezvousShards)
+    q334RendezvousShards, q434ConsistentRing)
 }

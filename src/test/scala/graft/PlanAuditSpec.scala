@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // round-10 newcomers: q428 joins two 4096-row sketches + key censuses;
     // q429's rounds are window+groupBy only (no joins); q427 is scan+census
     "q427_luhn_pii", "q428_cms_join_size", "q429_prefix_doubling_spans",
-    "q430_wordpiece_greedy", "q431_ipf_raking")
+    "q430_wordpiece_greedy", "q431_ipf_raking",
+    "q432_negative_sampling", "q433_distinct_n", "q434_consistent_ring")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -106,7 +107,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q428_cms_join_size",
     // q430: 1-row token-total broadcast gates the vocab threshold;
     // q431: 1-row corpus-total / target-total broadcasts
-    "q430_wordpiece_greedy", "q431_ipf_raking")
+    "q430_wordpiece_greedy", "q431_ipf_raking",
+    // q432: 1-row mass-total broadcast (the coin->word lookup itself is
+    // an equi join on the bucket id); q434: the 40/48-row vnode ring is
+    // the documented bounded broadcast probe (q48's shape)
+    "q432_negative_sampling", "q434_consistent_ring")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in

@@ -155,4 +155,83 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
         s"bucket $b margin drifted: $ach vs $obs")
     }
   }
+
+  test("q432: one draw per event, coin inversion matches a driver reference, census tracks expectation") {
+    import spark.implicits._
+    val rows = graft.llm.Curation.q432NegativeSampling.fn(spark, sf).collect()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === nEvents,
+      "every event must contribute exactly one draw")
+    // Driver-side inversion reference: rebuild the cumulative table from
+    // the output rows (w, n are in the output; s = sqrt(n)) and re-invert
+    // 200 coins; the census of those coins must agree with a direct
+    // filtered recount of the engine's own per-event assignment.
+    val iv = rows.sortBy(_.getString(0)).map(r => (r.getString(0),
+      math.sqrt(r.getLong(1).toDouble)))
+    val cums = iv.scanLeft(("", 0.0)) { case ((_, acc), (w, s)) => (w, acc + s) }
+      .drop(1)
+    val st = cums.last._2
+    def invert(u: Double): String = cums.find(_._2 > u).get._1
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    val eventIds = graft.sources.Tables.events(spark, sf)
+      .select($"event_id").collect().map(_.getLong(0))
+    val refCensus = eventIds.map { id =>
+      val hex = mdig.digest(s"neg:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 281474976710656.0 * st
+      invert(u)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // The engine's census must equal the reference inversion EXACTLY,
+    // word for word — this checks the binned-interval join inverts the
+    // same cumulative table with the same boundaries.
+    for (r <- rows)
+      assert(r.getLong(2) === refCensus.getOrElse(r.getString(0), 0L),
+        s"word ${r.getString(0)}: engine ${r.getLong(2)} vs reference census")
+    // And the census must track expectation within 2x on high-mass words.
+    for (r <- rows if r.getDouble(4) >= 30000.0) {
+      val ratio = r.getLong(3).toDouble / r.getDouble(4)
+      assert(ratio > 0.5 && ratio < 2.0,
+        s"word ${r.getString(0)} drawn_ppm ${r.getLong(3)} vs expect ${r.getDouble(4)}")
+    }
+  }
+
+  test("q433: n-gram token-count identity and type bounds hold per source") {
+    import spark.implicits._
+    val rows = graft.llm.TextAnalysis.q433DistinctN.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // Exact identity: every doc of L tokens yields L-(n-1) n-grams, so
+    // tokens(n) = tokens(1) - (n-1) * n_docs when all docs have >= n
+    // tokens (true for this corpus: min doc length >> 3).
+    val docsPerSource = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"source").agg(count(lit(1)).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = rows.groupBy(_._1)
+    for ((s, rs) <- bySource) {
+      val t1 = rs.find(_._2 == 1L).get._4
+      for ((_, n, types, tokens, ppm) <- rs) {
+        assert(tokens === t1 - (n - 1) * docsPerSource(s),
+          s"token identity broken for $s n=$n")
+        assert(types <= tokens && types > 0)
+        assert(ppm === 1000000L * types / tokens)
+      }
+    }
+    assert(rows.length === docsPerSource.size * 3)
+  }
+
+  test("q434: on a ring grow, keys move ONLY to the new shard and totals are conserved") {
+    val rows = graft.operators.Skew.q434ConsistentRing.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byShard = rows.map(r => r._1 -> r).toMap
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === nDocs && rows.map(_._3).sum === nDocs,
+      "both assignments must cover every key exactly once")
+    val (_, nb5, na5, mv5) = byShard("s5")
+    assert(nb5 === 0L, "the new shard holds nothing before the grow")
+    assert(mv5 === 0L, "the new shard cannot lose keys it never had")
+    assert(rows.map(_._4).sum === na5,
+      "every moved key must land on the NEW shard - old shards never trade")
+    for ((s, nb, na, mv) <- rows if s != "s5")
+      assert(na === nb - mv, s"$s after-count must be before minus moved")
+  }
 }
