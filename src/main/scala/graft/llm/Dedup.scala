@@ -1546,6 +1546,48 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
+  /** ROUGE-L in-order overlap over blocked near-dup candidates (Lin 2004)
+    * — the order-SENSITIVE complement to q45's bag-of-shingles Jaccard: a
+    * doc with sentences deleted keeps a high LCS fraction, a reshuffled
+    * bag of the same words does not. Candidates come from q45's
+    * frequency-capped shingle inverted index at a LOOSER floor (≥ 3 shared
+    * capped shingles) so genuinely partial overlaps enter; each pair then
+    * gets one [[graft.functions.LcsLength]] call (codegen kernel #9) and
+    * rougeL_ppm = ⌊10⁶·2·lcs/(la+lb)⌋ — integer from integer LCS, so the
+    * emitted rows are engine-deterministic even without an oracle (LCS is
+    * not SQL-expressible; DedupSpec bit-checks the kernel against an
+    * independent full-matrix DP and fixture truths).
+    *
+    * 100 TB plan: identical skeleton to q45 — the capped inverted index
+    * bounds candidates sub-quadratically; the O(|a|·|b|) DP runs only on
+    * surviving pairs, inside whole-stage codegen, with token arrays
+    * shuffled once via the two doc-keyed joins. */
+  val q437RougeL: GraftQuery = GraftQuery.rowsOnly(
+    "q437_rouge_lcs",
+    doc = "ROUGE-L (codegen LCS kernel) over capped-shingle candidate pairs, sharedShingles >= 3") {
+    (spark, dir) =>
+    import spark.implicits._
+    graft.functions.LcsLength.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
+    val cands = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 3)
+    val toks = docs.select($"doc_id", split($"text", " ").as("toks"))
+    cands
+      .join(toks.select($"doc_id".as("doc_a"), $"toks".as("toks_a")), Seq("doc_a"))
+      .join(toks.select($"doc_id".as("doc_b"), $"toks".as("toks_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        size($"toks_a").cast("long").as("la"),
+        size($"toks_b").cast("long").as("lb"),
+        graft.functions.LcsLength.lcsLength($"toks_a", $"toks_b").as("lcs_len"))
+      .select($"doc_a", $"doc_b", $"la", $"lb", $"lcs_len",
+        expr("(1000000 * 2 * lcs_len) div (la + lb)").cast("long").as("rouge_l_ppm"))
+      .orderBy($"rouge_l_ppm".desc, $"doc_a", $"doc_b")
+      .limit(100)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
@@ -1554,7 +1596,7 @@ object Dedup {
     q371MinhashSignatures, q372MinhashBanded, q385DeltaNeardupLsh,
     q391SplitLeakage, q395IncrementalComponents, q396BandingSweep,
     q399NeardupEvidence, q413ClusterCoherence, q423CaptureRecapture,
-    q296SourceDupRate, q298ClusterSplit, q343ClusterChampion)
+    q296SourceDupRate, q298ClusterSplit, q343ClusterChampion, q437RougeL)
 
   /** CAPTURE–RECAPTURE ESTIMATE OF NEAR-DUP COVERAGE (Chapman 1951's
     * bias-corrected Lincoln–Petersen) — how many near-dup pairs exist

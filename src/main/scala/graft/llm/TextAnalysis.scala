@@ -647,7 +647,7 @@ object TextAnalysis {
     q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
     q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit,
     q384MojibakeAudit, q390VocabCoverage, q424GoodTuring,
-    q430WordpieceGreedy, q433DistinctN)
+    q430WordpieceGreedy, q433DistinctN, q435KneserNey, q439UnigramLmRound)
 
   /** GOOD–TURING UNSEEN-MASS ESTIMATE (Good 1953) — how much probability
     * mass belongs to n-grams the corpus has NEVER seen: the Turing
@@ -1484,6 +1484,164 @@ object TextAnalysis {
         expr("(1000000 * count(DISTINCT gram)) div count(1)").cast("long")
           .as("distinct_ppm"))
       .orderBy($"source", $"n")
+  }
+
+  /** INTERPOLATED KNESER–NEY bigram language model (Kneser & Ney 1995;
+    * Chen & Goodman 1998's benchmark smoother and the heart of KenLM —
+    * the LM CCNet-style corpus filters score with): absolute-discount the
+    * bigram MLE and back off to the CONTINUATION unigram — how many
+    * distinct contexts a word follows, not how often it occurs — so
+    * high-frequency-but-fixed-context words ("Francisco") stop stealing
+    * backoff mass:
+    *
+    *   P_KN(w2|w1) = max(n12 − D, 0)/n1 + D·N1+(w1,·)/n1 · N1+(·,w2)/B
+    *
+    * with D = 3/4, N1+(w1,·) = distinct successors of w1, N1+(·,w2) =
+    * distinct predecessors of w2, B = distinct bigram types. With D = 3/4
+    * the whole probability is the integer ratio
+    * (max(4·n12−3, 0)·B + 3·nf1·npre2) / (4·n1·B), so the emitted ppm is
+    * pure BIGINT arithmetic — bit-identical across engines, the q211/q244
+    * integer-exactness discipline (no double creeps in anywhere).
+    *
+    * 100 TB plan: three hash-aggs over the one exploded bigram census
+    * (pair counts, successor counts, predecessor counts — the latter two
+    * over the already-collapsed model table, which is vocab²-bounded and
+    * in practice Heaps-tiny), one broadcast scalar for B, and a
+    * TakeOrdered top-50 — the token stream is scanned once and shuffles
+    * once, exactly q211's footprint plus two model-sized aggs. */
+  val q435KneserNey: GraftQuery = GraftQuery.oracled(
+    "q435_kneser_ney",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+      |       FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1,
+      |              CAST(count(*) AS BIGINT) AS nf1 FROM c12 GROUP BY 1),
+      |c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS npre2 FROM c12 GROUP BY 1),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS nbig FROM c12)
+      |SELECT w1, w2, n12, nf1, npre2,
+      |       CAST((1000000 * (greatest(4 * n12 - 3, 0) * nbig + 3 * nf1 * npre2))
+      |            // (4 * n1 * nbig) AS BIGINT) AS pkn_ppm
+      |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN b
+      |ORDER BY n12 DESC, w1, w2
+      |LIMIT 50""") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir).select(split($"text", " ").as("w"))
+    val bg = toks
+      .filter(size($"w") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"w") - 1),
+        i => struct(element_at($"w", i).as("w1"),
+          element_at($"w", i + 1).as("w2")))).as("b"))
+      .select($"b.w1", $"b.w2")
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).cast("long").as("n12"))
+    val c1 = c12.groupBy($"w1")
+      .agg(sum($"n12").cast("long").as("n1"), count(lit(1)).cast("long").as("nf1"))
+    val c2 = c12.groupBy($"w2").agg(count(lit(1)).cast("long").as("npre2"))
+    val b = c12.agg(count(lit(1)).cast("long").as("nbig"))
+    c12.join(broadcast(c1), Seq("w1")).join(broadcast(c2), Seq("w2"))
+      .crossJoin(broadcast(b))
+      .select($"w1", $"w2", $"n12", $"nf1", $"npre2",
+        expr("(1000000 * (greatest(4 * n12 - 3, 0) * nbig + 3 * nf1 * npre2)) " +
+          "div (4 * n1 * nbig)").cast("long").as("pkn_ppm"))
+      .orderBy($"n12".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
+  /** Per-word Viterbi segmentation under a unigram piece LM — the E-step
+    * core of q439, exposed for the spec's independent-DP cross-check.
+    * Input: a word census (w, n) and a 1-row (vmap: map piece→cost) frame.
+    * Output: (w, n, pieces array, cost) — the minimum-cost segmentation,
+    * ties broken by shorter final piece (the (cost, len) struct ordering).
+    *
+    * The DP is pure HOF algebra: a forward `aggregate` builds
+    * best[0..|w|] as an array<struct<cost,len>> (each step min-reduces the
+    * ≤4 candidate pieces ending at i via `array_min` on the orderable
+    * struct), then a backward `aggregate` walks the stored argmin lengths
+    * to emit the piece sequence. O(4·|w|) map probes per word, all inside
+    * one projection over the DISTINCT-word census — the corpus itself is
+    * never rescanned. */
+  private[graft] def unigramViterbi(wc: org.apache.spark.sql.DataFrame,
+      vmapRow: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    wc.crossJoin(broadcast(vmapRow))
+      .withColumn("best", expr(
+        """aggregate(sequence(1, length(w)),
+          |  array(named_struct('cost', cast(0.0 as double), 'len', 0)),
+          |  (acc, i) -> array_append(acc,
+          |    array_min(filter(transform(sequence(1, least(i, 4)),
+          |      d -> named_struct(
+          |        'cost', element_at(acc, i - d + 1).cost +
+          |                element_at(vmap, substr(w, i - d + 1, d)),
+          |        'len', d)),
+          |      c -> c.cost is not null))))""".stripMargin))
+      .withColumn("pieces", expr(
+        """reverse(aggregate(sequence(1, length(w)),
+          |  named_struct('pos', length(w), 'out', cast(array() as array<string>)),
+          |  (st, x) -> if(st.pos > 0,
+          |    named_struct(
+          |      'pos', st.pos - element_at(best, st.pos + 1).len,
+          |      'out', array_append(st.out,
+          |        substr(w, st.pos - element_at(best, st.pos + 1).len + 1,
+          |               element_at(best, st.pos + 1).len))),
+          |    st)).out)""".stripMargin))
+      .select($"w", $"n", $"pieces",
+        expr("element_at(best, length(w) + 1).cost").as("cost"))
+  }
+
+  /** UNIGRAM-LM tokenizer, one EM round (Kudo 2018 — the SentencePiece
+    * model family, the BPE/WordPiece sibling the catalog was missing):
+    * seed a piece vocabulary (all substrings of length ≤ 4 above a
+    * frequency floor, plus every single char so any word segments), set
+    * initial piece costs −ln(f/F) from occurrence counts, E-step =
+    * Viterbi-segment every DISTINCT word under those costs
+    * ([[unigramViterbi]] — forward/backward DP as pure `aggregate` HOFs),
+    * M-step = re-estimate piece probabilities from usage weighted by word
+    * frequency. Emits the top-50 re-estimated pieces; usage counts and
+    * ppm probs are integer, so the output is engine-deterministic (the
+    * DP's doubles never leave the plan). No SQL oracle — a cost-optimal
+    * segmentation argmin is not relational; Round9Spec replays the DP in
+    * plain Scala and checks optimality + concatenation identity per word.
+    *
+    * 100 TB plan: the word census is one hash-agg (Heaps-bounded); the
+    * piece census explodes ≤ 4·|w| substrings per DISTINCT word; the DP
+    * is a projection over the census with the vocab riding a broadcast
+    * map. The corpus is scanned exactly once. */
+  val q439UnigramLmRound: GraftQuery = GraftQuery.rowsOnly(
+    "q439_unigram_lm_round",
+    doc = "SentencePiece-style unigram-LM EM round: Viterbi E-step via aggregate HOFs, piece re-estimation M-step") {
+    (spark, dir) =>
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("t"))
+      .filter($"t" =!= "")
+    val wc = tok.groupBy($"t".as("w")).agg(count(lit(1)).cast("long").as("n"))
+    val subs = wc
+      .select($"w", $"n", explode(sequence(lit(1), lit(4))).as("d"))
+      .filter(length($"w") >= $"d")
+      .select($"n", $"d",
+        explode(sequence(lit(1), length($"w") - $"d" + 1)).as("i"), $"w")
+      .select($"w".substr($"i", $"d").as("s"), $"n")
+      .groupBy($"s").agg(sum($"n").cast("long").as("f"))
+    val tot = wc.agg(sum($"n").cast("long").as("tot"))
+    // vocab: frequency floor for multi-char pieces; ALL single chars stay
+    val vocab = subs.crossJoin(broadcast(tot))
+      .filter(length($"s") === 1 || $"f" >= expr("tot div 50"))
+      .select($"s", $"f")
+    val vmapRow = vocab
+      .crossJoin(broadcast(vocab.agg(sum($"f").cast("double").as("ftot"))))
+      .select($"s", (-log($"f" / $"ftot")).as("cost"))
+      .agg(map_from_entries(sort_array(collect_list(struct($"s", $"cost"))))
+        .as("vmap"))
+    val seg = unigramViterbi(wc, vmapRow)
+    val usage = seg.select(explode($"pieces").as("piece"), $"n")
+      .groupBy($"piece").agg(sum($"n").cast("long").as("usage"))
+    usage
+      .crossJoin(broadcast(usage.agg(sum($"usage").cast("long").as("u_tot"))))
+      .select($"piece", length($"piece").cast("long").as("len"), $"usage",
+        expr("(1000000 * usage) div u_tot").cast("long").as("prob_ppm"))
+      .orderBy($"usage".desc, $"piece")
+      .limit(50)
   }
 
   val q430WordpieceGreedy: GraftQuery = GraftQuery.oracled(

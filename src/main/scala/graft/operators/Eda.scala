@@ -1036,7 +1036,7 @@ object Eda {
     q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce,
     q408ConformalCoverage, q412SequentialObf, q415KfoldCv, q416MannKendall,
     q421JackknifeRatio, q422QuantileTreatmentEffect, q425BrierDecomposition,
-    q426DelongAucCi)
+    q426DelongAucCi, q436SesBacktest, q438PlattScaling)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -2924,5 +2924,160 @@ object Eda {
         round($"b.hi_cents".cast("double") / 100, 2).as("ci_b_hi"),
         round(($"a.lo_cents" - $"b.hi_cents").cast("double") / 100, 2).as("qte_lo"),
         round(($"a.hi_cents" - $"b.lo_cents").cast("double") / 100, 2).as("qte_hi"))
+  }
+
+  /** SIMPLE EXPONENTIAL SMOOTHING one-step-ahead backtest (Brown 1956;
+    * Hyndman & Athanasopoulos FPP ch. 8) — the workhorse short-horizon
+    * forecaster, evaluated the honest way: forecast day t from days
+    * < t only, score |actual − forecast|, and compare against the naïve
+    * last-value forecast (the MASE denominator). α = 1/2 makes every
+    * weight a power of two, so the K=20-lag truncated SES
+    *   ŷ_t = Σ_{k=1..20} 2^(20−k)·y_{t−k} / (2^20 − 1)
+    * is pure BIGINT shift-multiply-divide on integer cents — bit-identical
+    * across engines (the q244/q339 integer-exactness discipline; the
+    * dropped tail mass is 2^-20 ≈ 1e-6 of the weight, absorbed by the
+    * shared integer normalizer). Lags are OBSERVATION lags (row_number
+    * over the daily census), the standard treatment for sparse/trading-day
+    * series.
+    *
+    * 100 TB plan: the fact table collapses to a per-(priority, day) cents
+    * census in one hash-agg — thousands of rows regardless of input scale;
+    * the bounded 20-lag self-join and everything after run on that census
+    * (broadcast-sized). The expensive thing happens exactly once, at the
+    * first shuffle. */
+  /** PLATT SCALING (Platt 1999) — fit σ(a·s + b) to turn a raw classifier
+    * score into a calibrated probability, the post-hoc calibration that
+    * q404's ECE audit measures the need for. The logistic MLE is solved by
+    * FOUR UNROLLED NEWTON STEPS composed directly into the plan (the q319
+    * IRLS discipline — no driver loop, no collect): each step is one
+    * 5-moment hash-agg (gradient + Hessian of the log-likelihood) and a
+    * closed-form 2×2 solve, with parameters flowing to the next step as a
+    * broadcast 1-row frame. Newton on a 1-D logistic converges
+    * quadratically — 4 steps from (0,0) lands within rounding of the
+    * optimum. Emits the fitted (a, b), the calibrated NLL, and the raw
+    * base-rate NLL it must beat; identical float-op ORDER on the DuckDB
+    * side keeps the 4dp/6dp rounding strict-matchable (q319 precedent).
+    *
+    * 100 TB plan: 4 sequential scans (or one cache), each a codegen'd
+    * projection + 7-double partial agg — embarrassingly map-side; the 2×2
+    * solves are 1-row algebra riding broadcasts. */
+  val q438PlattScaling: GraftQuery = {
+    // one Newton step as SQL text: params CTE pN -> pN+1
+    def sqlStep(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT a - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12) AS a,
+         |         b - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12) AS b
+         |  FROM (SELECT max(a) AS a, max(b) AS b,
+         |               sum((p - y) * x) AS g1, sum(p - y) AS g2,
+         |               sum(p * (1 - p) * x * x) AS h11,
+         |               sum(p * (1 - p) * x) AS h12,
+         |               sum(p * (1 - p)) AS h22
+         |        FROM (SELECT x, y, a, b,
+         |                     1.0 / (1.0 + exp(-(a * x + b))) AS p
+         |              FROM d, $prev)))""".stripMargin
+    val steps = (0 until 4).map(i => sqlStep(s"p$i", s"p${i + 1}")).mkString(",\n")
+    GraftQuery.oracled(
+      "q438_platt_scaling",
+      s"""WITH d AS (SELECT CAST(embedding[1] AS DOUBLE) AS x,
+         |                  CASE WHEN label = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+         |           FROM embeddings),
+         |p0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b),
+         |$steps,
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |                avg(y) AS pi FROM d),
+         |fit AS (SELECT count(*) AS n,
+         |               avg(-(y * ln(p) + (1 - y) * ln(1 - p))) AS nll
+         |        FROM (SELECT y, 1.0 / (1.0 + exp(-(a * x + b))) AS p FROM d, p4))
+         |SELECT base.n, base.n_pos,
+         |       round(p4.a, 4) AS a_platt, round(p4.b, 4) AS b_platt,
+         |       round(fit.nll, 6) AS nll_platt,
+         |       round(-(pi * ln(pi) + (1 - pi) * ln(1 - pi)), 6) AS nll_base
+         |FROM base, fit, p4""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = Tables.embeddings(spark, dir)
+        .select(element_at($"embedding", 1).cast("double").as("x"),
+          when($"label" === 0, 1.0).otherwise(0.0).as("y"))
+      def step(params: DataFrame): DataFrame =
+        d.crossJoin(broadcast(params))
+          .select($"x", $"y", $"a", $"b",
+            (lit(1.0) / (lit(1.0) + exp(-($"a" * $"x" + $"b")))).as("p"))
+          .agg(max($"a").as("a"), max($"b").as("b"),
+            sum(($"p" - $"y") * $"x").as("g1"), sum($"p" - $"y").as("g2"),
+            sum($"p" * (lit(1) - $"p") * $"x" * $"x").as("h11"),
+            sum($"p" * (lit(1) - $"p") * $"x").as("h12"),
+            sum($"p" * (lit(1) - $"p")).as("h22"))
+          .select(
+            ($"a" - ($"h22" * $"g1" - $"h12" * $"g2") /
+              ($"h11" * $"h22" - $"h12" * $"h12")).as("a"),
+            ($"b" - ($"h11" * $"g2" - $"h12" * $"g1") /
+              ($"h11" * $"h22" - $"h12" * $"h12")).as("b"))
+      val p0 = d.sparkSession.range(1)
+        .select(lit(0.0).as("a"), lit(0.0).as("b"))
+      val p4 = step(step(step(step(p0))))
+      val base = d.agg(count(lit(1)).cast("long").as("n"),
+        sum($"y").cast("long").as("n_pos"), avg($"y").as("pi"))
+      val fit = d.crossJoin(broadcast(p4))
+        .select($"y",
+          (lit(1.0) / (lit(1.0) + exp(-($"a" * $"x" + $"b")))).as("p"))
+        .agg(avg(-($"y" * log($"p") + (lit(1) - $"y") * log(lit(1) - $"p"))).as("nll"))
+      base.crossJoin(broadcast(fit)).crossJoin(broadcast(p4))
+        .select($"n", $"n_pos",
+          round($"a", 4).as("a_platt"), round($"b", 4).as("b_platt"),
+          round($"nll", 6).as("nll_platt"),
+          round(-($"pi" * log($"pi") + (lit(1) - $"pi") * log(lit(1) - $"pi")), 6)
+            .as("nll_base"))
+    }
+  }
+
+  val q436SesBacktest: GraftQuery = GraftQuery.oracled(
+    "q436_ses_backtest",
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS pri, o_orderdate AS d,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |idx AS (SELECT pri, d, cents,
+      |               row_number() OVER (PARTITION BY pri ORDER BY d) AS i
+      |        FROM daily),
+      |fc AS (
+      |  SELECT a.pri, a.i, a.cents,
+      |         CAST(sum(b.cents * (CAST(1 AS BIGINT) << CAST(20 - (a.i - b.i) AS INTEGER)))
+      |              // 1048575 AS BIGINT) AS ses_fc,
+      |         CAST(max(CASE WHEN a.i - b.i = 1 THEN b.cents END) AS BIGINT) AS naive_fc
+      |  FROM idx a JOIN idx b
+      |    ON a.pri = b.pri AND b.i >= a.i - 20 AND b.i <= a.i - 1
+      |  WHERE a.i > 20
+      |  GROUP BY a.pri, a.i, a.cents)
+      |SELECT pri, CAST(count(*) AS BIGINT) AS n_eval,
+      |       CAST((100 * sum(abs(cents - ses_fc))) // count(*) AS BIGINT) AS ses_mae_x100,
+      |       CAST((100 * sum(abs(cents - naive_fc))) // count(*) AS BIGINT) AS naive_mae_x100,
+      |       CAST((1000000 * sum(abs(cents - ses_fc))) // sum(abs(cents - naive_fc)) AS BIGINT)
+      |         AS mase_ppm
+      |FROM fc GROUP BY pri ORDER BY pri""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority".as("pri"), $"o_orderdate".as("d"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).cast("long").as("cents"))
+    val idx = daily
+      .withColumn("i", row_number().over(Window.partitionBy($"pri").orderBy($"d")))
+      .select($"pri", $"i", $"cents")
+    val a = idx.as("a"); val b = idx.as("b")
+    val fc = a.join(b,
+        $"a.pri" === $"b.pri" && $"b.i" >= $"a.i" - 20 && $"b.i" <= $"a.i" - 1)
+      .filter($"a.i" > 20)
+      .groupBy($"a.pri".as("pri"), $"a.i".as("i"), $"a.cents".as("cents"))
+      .agg(
+        expr("sum(b.cents * shiftleft(CAST(1 AS BIGINT), CAST(20 - (a.i - b.i) AS INT))) " +
+          "div 1048575").cast("long").as("ses_fc"),
+        max(when($"a.i" - $"b.i" === 1, $"b.cents")).cast("long").as("naive_fc"))
+    fc.groupBy($"pri")
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        expr("(100 * sum(abs(cents - ses_fc))) div count(1)").cast("long")
+          .as("ses_mae_x100"),
+        expr("(100 * sum(abs(cents - naive_fc))) div count(1)").cast("long")
+          .as("naive_mae_x100"),
+        expr("(1000000 * sum(abs(cents - ses_fc))) div sum(abs(cents - naive_fc))")
+          .cast("long").as("mase_ppm"))
+      .orderBy($"pri")
   }
 }
