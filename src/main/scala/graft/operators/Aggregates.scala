@@ -502,7 +502,7 @@ object Aggregates {
     q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
     q189RevenueShares, q191AggPushdown, q209Transpose, q223WeightedMedian,
     q225RegressionAggs, q246OrderedSetAggs, q253HllOverlap, q310Apportionment,
-    q406PercentileSelection)
+    q406PercentileSelection, q442ApproxDistinctRewrite)
 
   /** EXACT PERCENTILES BY DISTRIBUTED SELECTION — the 100 TB path to an
     * EXACT quantile that q27/q319's `percentile` cannot take: Spark's
@@ -769,5 +769,50 @@ object Aggregates {
         when($"rk" <= $"leftover", 1).otherwise(0).as("extra"),
         ($"fl" + when($"rk" <= $"leftover", 1).otherwise(0)).cast("long").as("seats"))
       .orderBy($"nationkey")
+  }
+
+  /** APPROX-DISTINCT REWRITE demo — the [[graft.plans.RewriteApproxDistinct]]
+    * optimizer rule in action: the query is written as plain
+    * `count(DISTINCT tok)` but runs as a HyperLogLog++ sketch because the
+    * session opted in via `spark.graft.approxDistinct.enabled`. The exact
+    * row count rides alongside untouched (the rule narrows itself to
+    * single-column distinct counts). The rewrite happens at OPTIMIZATION
+    * time, so the result is materialized eagerly (localCheckpoint) under
+    * the flag and session state is restored before returning — no other
+    * catalog query ever sees the approximation flag. No SQL oracle (the
+    * sketch estimate is engine-specific but deterministic);
+    * ApproxRewriteSpec proves flag-off plan identity, the sketched plan
+    * shape when on, and a ≤5% relative error vs the exact distinct.
+    *
+    * 100 TB story: this flag is the difference between a full shuffle of
+    * every distinct token and a few-KB mergeable sketch per partition —
+    * same dashboard SQL on both tiers. */
+  val q442ApproxDistinctRewrite: GraftQuery = GraftQuery.rowsOnly(
+    "q442_approx_distinct_rewrite",
+    doc = "COUNT(DISTINCT) transparently rewritten to HLL++ by the opt-in RewriteApproxDistinct rule") {
+    (spark, dir) =>
+    import spark.implicits._
+    val prevRules = spark.experimental.extraOptimizations
+    val flag = graft.plans.RewriteApproxDistinct.FlagKey
+    val prevFlag = spark.conf.getOption(flag)
+    try {
+      if (!prevRules.contains(graft.plans.RewriteApproxDistinct))
+        spark.experimental.extraOptimizations =
+          prevRules :+ graft.plans.RewriteApproxDistinct
+      spark.conf.set(flag, "true")
+      Tables.documents(spark, dir)
+        .select($"source", explode(split($"text", " ")).as("tok"))
+        .groupBy($"source")
+        .agg(countDistinct($"tok").as("approx_distinct_toks"),
+          count(lit(1)).cast("long").as("n_tokens"))
+        .orderBy($"source")
+        .localCheckpoint() // materialize UNDER the flag, then restore state
+    } finally {
+      spark.experimental.extraOptimizations = prevRules
+      prevFlag match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None => spark.conf.unset(flag)
+      }
+    }
   }
 }

@@ -1036,7 +1036,8 @@ object Eda {
     q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce,
     q408ConformalCoverage, q412SequentialObf, q415KfoldCv, q416MannKendall,
     q421JackknifeRatio, q422QuantileTreatmentEffect, q425BrierDecomposition,
-    q426DelongAucCi, q436SesBacktest, q438PlattScaling)
+    q426DelongAucCi, q436SesBacktest, q438PlattScaling, q440PoissonRegression,
+    q441NbDispersion)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -3027,6 +3028,114 @@ object Eda {
           round(-($"pi" * log($"pi") + (lit(1) - $"pi") * log(lit(1) - $"pi")), 6)
             .as("nll_base"))
     }
+  }
+
+  /** POISSON REGRESSION (log-link GLM, McCullagh & Nelder 1989) — model a
+    * per-user event COUNT as exp(a + b·span_days): the canonical
+    * count-data companion to q438's logistic fit, with the same
+    * plan-composed solver discipline (q319): four unrolled Newton steps,
+    * each one 5-moment hash-agg (score Σ(y−μ)[1,x], information
+    * Σμ[1,x][1,x]ᵀ) + a closed 2×2 solve on a broadcast row, seeded at
+    * the closed-form intercept-only MLE (a₀ = ln ȳ, b₀ = 0). Emits the
+    * fit plus the residual DEVIANCE 2Σ[y·ln(y/μ) − (y−μ)] and the
+    * deviance/df overdispersion ratio — the number that says whether
+    * Poisson is even the right family (≫1 ⇒ negative binomial).
+    *
+    * 100 TB plan: the user census is one hash-agg over events; each
+    * Newton step is a codegen'd projection + 5-double partial agg over
+    * that census. Nothing but 1-row parameter frames ever broadcasts. */
+  val q440PoissonRegression: GraftQuery = {
+    def sqlStep(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT a + (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12) AS a,
+         |         b + (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12) AS b
+         |  FROM (SELECT max(a) AS a, max(b) AS b,
+         |               sum(y - mu) AS g1, sum((y - mu) * x) AS g2,
+         |               sum(mu) AS h11, sum(mu * x) AS h12,
+         |               sum(mu * x * x) AS h22
+         |        FROM (SELECT x, y, a, b, exp(a + b * x) AS mu
+         |              FROM d, $prev)))""".stripMargin
+    val steps = (0 until 4).map(i => sqlStep(s"p$i", s"p${i + 1}")).mkString(",\n")
+    GraftQuery.oracled(
+      "q440_poisson_regression",
+      s"""WITH d AS (SELECT CAST(count(*) AS DOUBLE) AS y,
+         |                  CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS DOUBLE) AS x
+         |           FROM events GROUP BY user_id),
+         |p0 AS (SELECT ln(avg(y)) AS a, CAST(0 AS DOUBLE) AS b FROM d),
+         |$steps,
+         |fit AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               2 * sum(CASE WHEN y > 0 THEN y * ln(y / mu) ELSE 0 END - (y - mu)) AS dev
+         |        FROM (SELECT y, exp(a + b * x) AS mu FROM d, p4))
+         |SELECT fit.n, round(p4.a, 4) AS a_pois, round(p4.b, 4) AS b_pois,
+         |       round(fit.dev, 4) AS deviance,
+         |       round(fit.dev / (fit.n - 2), 4) AS dev_per_df
+         |FROM fit, p4""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).cast("double").as("y"),
+          datediff(max($"ts".cast("date")), min($"ts".cast("date")))
+            .cast("double").as("x"))
+        .select($"x", $"y")
+      def step(params: DataFrame): DataFrame =
+        d.crossJoin(broadcast(params))
+          .select($"x", $"y", $"a", $"b", exp($"a" + $"b" * $"x").as("mu"))
+          .agg(max($"a").as("a"), max($"b").as("b"),
+            sum($"y" - $"mu").as("g1"), sum(($"y" - $"mu") * $"x").as("g2"),
+            sum($"mu").as("h11"), sum($"mu" * $"x").as("h12"),
+            sum($"mu" * $"x" * $"x").as("h22"))
+          .select(
+            ($"a" + ($"h22" * $"g1" - $"h12" * $"g2") /
+              ($"h11" * $"h22" - $"h12" * $"h12")).as("a"),
+            ($"b" + ($"h11" * $"g2" - $"h12" * $"g1") /
+              ($"h11" * $"h22" - $"h12" * $"h12")).as("b"))
+      val p0 = d.agg(log(avg($"y")).as("a"), lit(0.0).as("b"))
+      val p4 = step(step(step(step(p0))))
+      val fit = d.crossJoin(broadcast(p4))
+        .select($"y", exp($"a" + $"b" * $"x").as("mu"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (lit(2) * sum(when($"y" > 0, $"y" * log($"y" / $"mu")).otherwise(0.0)
+            - ($"y" - $"mu"))).as("dev"))
+      fit.crossJoin(broadcast(p4))
+        .select($"n", round($"a", 4).as("a_pois"), round($"b", 4).as("b_pois"),
+          round($"dev", 4).as("deviance"),
+          round($"dev" / ($"n" - 2), 4).as("dev_per_df"))
+    }
+  }
+
+  /** NEGATIVE-BINOMIAL overdispersion audit (method of moments) — the
+    * triage that decides whether q440's Poisson family is adequate for a
+    * count series: per event_type, the daily event counts' dispersion
+    * index var/mean (Poisson ⇒ 1) and the MoM NB size parameter
+    * α = (s² − ȳ)/ȳ² (the Var = μ + αμ² parameterization; α ≤ 0 means no
+    * overdispersion and the Poisson stands). Pure census algebra: one
+    * integer daily-count agg, one moments agg over it.
+    *
+    * 100 TB plan: the raw table collapses to (event_type, day) integer
+    * counts in the first hash-agg; everything after is census-sized. */
+  val q441NbDispersion: GraftQuery = GraftQuery.oracled(
+    "q441_nb_dispersion",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |                      CAST(count(*) AS BIGINT) AS y
+      |               FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |       round(avg(y), 4) AS mean_daily,
+      |       round(var_samp(y), 4) AS var_daily,
+      |       round(var_samp(y) / avg(y), 4) AS dispersion_index,
+      |       round((var_samp(y) - avg(y)) / (avg(y) * avg(y)), 6) AS alpha_mom
+      |FROM daily GROUP BY event_type ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", $"ts".cast("date").as("d"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        round(avg($"y"), 4).as("mean_daily"),
+        round(var_samp($"y"), 4).as("var_daily"),
+        round(var_samp($"y") / avg($"y"), 4).as("dispersion_index"),
+        round((var_samp($"y") - avg($"y")) / (avg($"y") * avg($"y")), 6)
+          .as("alpha_mom"))
+      .orderBy($"event_type")
   }
 
   val q436SesBacktest: GraftQuery = GraftQuery.oracled(

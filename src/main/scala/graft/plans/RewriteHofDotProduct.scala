@@ -65,6 +65,7 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => RewriteHofDotProduct)
+    extensions.injectOptimizerRule(_ => RewriteApproxDistinct)
     extensions.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot"),

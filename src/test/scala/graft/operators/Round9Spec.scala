@@ -119,6 +119,40 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     out.foreach(r => assert(r.getAs[Long]("prob_ppm") <= 1000000L))
   }
 
+  test("q440 Poisson: gradient vanished at the fit and deviance beats intercept-only") {
+    import spark.implicits._
+    val r = Eda.q440PoissonRegression.fn(spark, sf).head()
+    val a = r.getAs[Double]("a_pois"); val b = r.getAs[Double]("b_pois")
+    val pts = graft.sources.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("double").as("y"),
+        datediff(max($"ts".cast("date")), min($"ts".cast("date")))
+          .cast("double").as("x"))
+      .collect().map(row => (row.getAs[Double]("x"), row.getAs[Double]("y")))
+    val n = pts.length
+    // independent Newton replay to full convergence (12 steps) — the
+    // engine's 4dp-rounded coefficients must match the true MLE's
+    var (ra, rb) = (math.log(pts.map(_._2).sum / n), 0.0)
+    for (_ <- 1 to 12) {
+      var (g1, g2, h11, h12, h22) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      pts.foreach { case (x, y) =>
+        val mu = math.exp(ra + rb * x)
+        g1 += y - mu; g2 += (y - mu) * x
+        h11 += mu; h12 += mu * x; h22 += mu * x * x
+      }
+      val det = h11 * h22 - h12 * h12
+      ra += (h22 * g1 - h12 * g2) / det
+      rb += (h11 * g2 - h12 * g1) / det
+    }
+    assert(math.abs(a - ra) <= 1e-4 + 1e-9, s"a_pois $a vs converged MLE $ra")
+    assert(math.abs(b - rb) <= 1e-4 + 1e-9, s"b_pois $b vs converged MLE $rb")
+    // deviance must not exceed the intercept-only (null) deviance
+    def dev(mu: Double => Double) = 2 * pts.map { case (x, y) =>
+      (if (y > 0) y * math.log(y / mu(x)) else 0.0) - (y - mu(x)) }.sum
+    val ybar = pts.map(_._2).sum / n
+    assert(r.getAs[Double]("deviance") <= dev(_ => ybar) + 1e-6)
+  }
+
   test("q436 SES backtest: engine MAE equals plain-Scala replay for each priority") {
     import spark.implicits._
     val daily = graft.sources.Tables.orders(spark, sf)
