@@ -1037,7 +1037,7 @@ object Eda {
     q408ConformalCoverage, q412SequentialObf, q415KfoldCv, q416MannKendall,
     q421JackknifeRatio, q422QuantileTreatmentEffect, q425BrierDecomposition,
     q426DelongAucCi, q436SesBacktest, q438PlattScaling, q440PoissonRegression,
-    q441NbDispersion)
+    q441NbDispersion, q443DtwMatrix, q444SaxWords, q445Periodogram)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -3136,6 +3136,133 @@ object Eda {
         round((var_samp($"y") - avg($"y")) / (avg($"y") * avg($"y")), 6)
           .as("alpha_mom"))
       .orderBy($"event_type")
+  }
+
+  /** DTW similarity matrix over the priority daily-revenue census — which
+    * order-priority classes share a revenue SHAPE even when their peaks
+    * drift a few days apart (the phase-elastic question Euclidean/DTW-0
+    * cannot answer). Each series is the first 56 present days' integer
+    * cents; distances come from the [[graft.functions.DtwDistance]]
+    * codegen kernel (#10) with a Sakoe–Chiba band of 7 days. Integer in,
+    * integer out — the emitted matrix is exact BIGINT and fully
+    * deterministic; no SQL oracle (a banded DP argmin is not relational),
+    * DtwSpec replays an independent full-matrix DP and the band laws.
+    *
+    * 100 TB plan: the fact table collapses to a 5-series census in one
+    * hash-agg; the 5×5 pair join and the O(56·15) DPs are census work. */
+  val q443DtwMatrix: GraftQuery = GraftQuery.rowsOnly(
+    "q443_dtw_matrix",
+    doc = "Banded-DTW (w=7, codegen kernel) distance matrix over per-priority 56-day revenue-cents series") {
+    (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.DtwDistance.register(spark)
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority".as("pri"), $"o_orderdate".as("d"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).cast("long").as("cents"))
+      .withColumn("i", row_number().over(Window.partitionBy($"pri").orderBy($"d")))
+      .filter($"i" <= 56)
+    val series = daily.groupBy($"pri")
+      .agg(transform(array_sort(collect_list(struct($"i", $"cents"))),
+        x => x.getField("cents")).as("xs"))
+    series.toDF("pri_a", "xs_a")
+      .crossJoin(broadcast(series.toDF("pri_b", "xs_b")))
+      .filter($"pri_a" < $"pri_b")
+      .select($"pri_a", $"pri_b",
+        graft.functions.DtwDistance.dtwDistance($"xs_a", $"xs_b", lit(7))
+          .as("dtw_cents"))
+      .orderBy($"pri_a", $"pri_b")
+  }
+
+  /** SAX symbolization (Lin/Keogh 2003's symbolic series representation,
+    * with EMPIRICAL-QUARTILE breakpoints instead of the Gaussian table so
+    * the whole pipeline is integer-rank algebra — the q244/q339 exactness
+    * discipline): each priority's first 32 present days of revenue cents
+    * become a 32-letter a–d word, the letter = the day's revenue quartile
+    * within its own series (`ntile(4)` over the unique (cents, day)
+    * order). The word is what downstream motif/novelty detectors hash.
+    *
+    * 100 TB plan: one hash-agg to the daily census, two census-sized
+    * windows (per-series rank + word assembly) — the scan dominates. */
+  val q444SaxWords: GraftQuery = GraftQuery.oracled(
+    "q444_sax_words",
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS pri, o_orderdate AS d,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |idx AS (SELECT pri, d, cents,
+      |               row_number() OVER (PARTITION BY pri ORDER BY d) AS i
+      |        FROM daily QUALIFY i <= 32),
+      |lett AS (SELECT pri, d,
+      |                chr(CAST(96 + ntile(4) OVER (PARTITION BY pri ORDER BY cents, d) AS INTEGER)) AS c
+      |         FROM idx)
+      |SELECT pri, string_agg(c, '' ORDER BY d) AS sax_word
+      |FROM lett GROUP BY pri ORDER BY pri""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority".as("pri"), $"o_orderdate".as("d"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).cast("long").as("cents"))
+      .withColumn("i", row_number().over(Window.partitionBy($"pri").orderBy($"d")))
+      .filter($"i" <= 32)
+    daily
+      .withColumn("c", chr(lit(96) +
+        ntile(4).over(Window.partitionBy($"pri").orderBy($"cents", $"d"))))
+      .groupBy($"pri")
+      .agg(concat_ws("", transform(array_sort(collect_list(struct($"d", $"c"))),
+        x => x.getField("c"))).as("sax_word"))
+      .orderBy($"pri")
+  }
+
+  /** FIXED-PERIOD PERIODOGRAM (direct DFT at candidate periods — the
+    * Goertzel question "is there 7-day seasonality?" asked relationally):
+    * for each candidate period p, the spectral amplitude
+    * 2·√(C² + S²)/n with C = Σ(x_t − x̄)cos(2πt/p), S likewise with sin,
+    * over the global daily revenue series (dollars). Amplitude ≈ the
+    * peak-to-center size of a sinusoid at that period; the share column
+    * normalizes by total variance for a scale-free seasonality score.
+    *
+    * 100 TB plan: one hash-agg to the daily census; the per-period sums
+    * are ONE census scan (periods explode ×4 on census rows only). */
+  val q445Periodogram: GraftQuery = GraftQuery.oracled(
+    "q445_periodogram",
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS x
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT x, CAST(row_number() OVER (ORDER BY d) AS DOUBLE) AS t FROM daily),
+      |m AS (SELECT avg(x) AS xbar, CAST(count(*) AS BIGINT) AS n,
+      |             sum(x * x) - count(*) * avg(x) * avg(x) AS ss FROM idx),
+      |per AS (SELECT CAST(unnest([7, 14, 30, 91]) AS BIGINT) AS p),
+      |comp AS (
+      |  SELECT p, m.n, m.ss,
+      |         sum((x - xbar) * cos(2 * pi() * t / p)) AS c,
+      |         sum((x - xbar) * sin(2 * pi() * t / p)) AS s
+      |  FROM idx, m, per GROUP BY p, m.n, m.ss)
+      |SELECT p, n,
+      |       round(2 * sqrt(c * c + s * s) / n, 2) AS amplitude_usd,
+      |       round((c * c + s * s) / ss, 6) AS variance_share
+      |FROM comp ORDER BY p""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderdate".as("d"))
+      .agg((sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).cast("long") / 100.0)
+        .as("x"))
+    val idx = daily
+      .withColumn("t", row_number().over(Window.orderBy($"d")).cast("double"))
+      .select($"x", $"t")
+    val m = idx.agg(avg($"x").as("xbar"), count(lit(1)).cast("long").as("n"),
+      (sum($"x" * $"x") - count(lit(1)) * avg($"x") * avg($"x")).as("ss"))
+    val per = Seq(7L, 14L, 30L, 91L).toDF("p")
+    idx.crossJoin(broadcast(m)).crossJoin(broadcast(per))
+      .groupBy($"p", $"n", $"ss")
+      .agg(sum(($"x" - $"xbar") * cos(lit(2) * lit(math.Pi) * $"t" / $"p")).as("c"),
+        sum(($"x" - $"xbar") * sin(lit(2) * lit(math.Pi) * $"t" / $"p")).as("s"))
+      .select($"p", $"n",
+        round(lit(2) * sqrt($"c" * $"c" + $"s" * $"s") / $"n", 2).as("amplitude_usd"),
+        round(($"c" * $"c" + $"s" * $"s") / $"ss", 6).as("variance_share"))
+      .orderBy($"p")
   }
 
   val q436SesBacktest: GraftQuery = GraftQuery.oracled(
