@@ -321,6 +321,73 @@ object Search {
       .orderBy($"doc_id")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * keyword miner: candidate phrases are the maximal stopword-free token
+    * runs (the gaps-and-islands trick on token positions), each word
+    * scores degree/frequency (degree = Σ lengths of phrases containing
+    * it — words that travel in long phrases are "connected"), and a
+    * phrase scores the sum of its words. Scores are kept integer
+    * (score_ppm = Σ (10⁶·deg) div freq — the q211 exactness discipline)
+    * so the ranking is bit-identical cross-engine and the whole operator
+    * is DuckDB-oracle-able.
+    *
+    * 100 TB plan: one scan → posexplode → island window per doc (doc-keyed
+    * partitions) → two vocab-sized hash-aggs (word stats, phrase stats) →
+    * a broadcast word-stats join onto DISTINCT phrases. Nothing beyond
+    * doc- and vocab-keyed shuffles; TakeOrdered top-20. */
+  val q447RakeKeyphrases: GraftQuery = GraftQuery.oracled(
+    "q447_rake_keyphrases",
+    """WITH toks AS (
+      |  SELECT doc_id, i AS pos, l[i] AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS g(i)),
+      |ns AS (SELECT doc_id, pos, tok,
+      |              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      |       FROM toks WHERE tok NOT IN ('a', 'the')),
+      |ph AS (SELECT doc_id, isl,
+      |              string_agg(tok, ' ' ORDER BY pos) AS phrase,
+      |              CAST(count(*) AS BIGINT) AS plen
+      |       FROM ns GROUP BY 1, 2),
+      |wo AS (SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM ph),
+      |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      |              CAST(sum(plen) AS BIGINT) AS deg
+      |       FROM wo GROUP BY 1),
+      |pd AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM ph GROUP BY 1),
+      |pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+      |       FROM (SELECT DISTINCT phrase FROM ph)),
+      |sc AS (SELECT phrase, CAST(sum((1000000 * deg) // freq) AS BIGINT) AS score_ppm
+      |       FROM pw JOIN ws USING (w) GROUP BY 1)
+      |SELECT pd.phrase, pd.n_occ, sc.score_ppm
+      |FROM pd JOIN sc USING (phrase)
+      |ORDER BY score_ppm DESC, phrase
+      |LIMIT 20""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("tok"))
+    val ns = toks.filter(!$"tok".isin("a", "the"))
+      .withColumn("isl",
+        $"pos" - row_number().over(Window.partitionBy($"doc_id").orderBy($"pos")))
+    val ph = ns.groupBy($"doc_id", $"isl")
+      .agg(concat_ws(" ", transform(array_sort(collect_list(struct($"pos", $"tok"))),
+        x => x.getField("tok"))).as("phrase"),
+        count(lit(1)).cast("long").as("plen"))
+    val ws = ph.select($"plen", explode(split($"phrase", " ")).as("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).cast("long").as("freq"), sum($"plen").cast("long").as("deg"))
+    val pd = ph.groupBy($"phrase").agg(count(lit(1)).cast("long").as("n_occ"))
+    val sc = ph.select($"phrase").distinct()
+      .select($"phrase", explode(split($"phrase", " ")).as("w"))
+      .join(broadcast(ws), Seq("w"))
+      .groupBy($"phrase")
+      .agg(sum(expr("(1000000 * deg) div freq")).cast("long").as("score_ppm"))
+    pd.join(sc, Seq("phrase"))
+      .select($"phrase", $"n_occ", $"score_ppm")
+      .orderBy($"score_ppm".desc, $"phrase")
+      .limit(20)
+  }
+
   def all: Seq[GraftQuery] = Seq(q159Bm25, q166BooleanRetrieval, q278RrfFusion,
-    q290MmrDiversify, q308KwicConcordance)
+    q290MmrDiversify, q308KwicConcordance, q447RakeKeyphrases)
 }

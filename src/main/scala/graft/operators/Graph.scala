@@ -566,7 +566,60 @@ object Graph {
     cutAt(500L).union(cutAt(1500L)).orderBy($"tau_bp", $"doc_id")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999), 4 fixed mutual-reinforcement
+    * rounds on the bipartite user→item click graph: auth(i) = Σ hub(u)
+    * over clicking users, hub(u) = Σ auth(i) over clicked items, each side
+    * L1-normalized per round (sum-normalization keeps the algebra
+    * join+agg-only; the fixpoint direction is the same as the classical
+    * L2 version). Top-20 authorities. Float-sum order varies across
+    * engines → rows-only (q155's discipline); GraphSpec pins the
+    * closed-form AᵀA principal-eigenvector fixture and L1 mass = 1.
+    *
+    * 100 TB plan: identical shape to q155 — per round one edge join per
+    * side + one sum-agg, scores co-shuffled on vertex id; production
+    * buckets the edge list once and reuses the partitioning. The L1
+    * normalizer is a broadcast 1-row agg, never a collect. */
+  val q446Hits: GraftQuery = GraftQuery.rowsOnly(
+    "q446_hits",
+    doc = "4-round L1-normalized HITS on the user->item click graph; top-20 authorities") {
+    (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.sources.Tables.events(spark, dir)
+      .filter($"event_type" === "click")
+      .select($"user_id".as("u"),
+        (get_json_object($"props", "$.k").cast("long") % 20).as("i"))
+      .distinct()
+    val (_, auths) = hits(edges, iters = 4)
+    auths.orderBy($"score".desc, $"i")
+      .limit(20)
+      .select($"i".as("item"), round($"score", 6).as("authority"))
+  }
+
+  /** HITS rounds over a (u, i) edge list; returns (hubs, authorities),
+    * each L1-normalized. Normalization happens ONCE at the end: the
+    * per-round scale factor commutes through the linear maps, so the
+    * direction is identical and the plan drops two broadcast-norm stages
+    * per round (growth ≈ λ_max^iters ≈ 1e16 at 4 rounds — far inside
+    * double range). Shared with GraphSpec's fixture gate. */
+  private[operators] def hits(edges: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.cache(); e.count()
+    var hubs = e.select($"u").distinct().select($"u", lit(1.0).as("h"))
+    var auths = e.select($"i").distinct().select($"i", lit(0.0).as("raw"))
+    for (_ <- 1 to iters) {
+      auths = e.join(hubs, "u").groupBy($"i").agg(sum($"h").as("raw"))
+      hubs = e.join(auths, "i").groupBy($"u").agg(sum($"raw").as("h"))
+    }
+    val aN = auths.crossJoin(broadcast(auths.agg(sum($"raw").as("z"))))
+      .select($"i", ($"raw" / $"z").as("score"))
+    val hN = hubs.crossJoin(broadcast(hubs.agg(sum($"h").as("z"))))
+      .select($"u", ($"h" / $"z").as("h"))
+    e.unpersist()
+    (hN, aN)
+  }
+
   def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
     q207LabelPropagation, q228KCore, q279AdamicAdar, q307ClusteringCoeff,
-    q355DocPagerank, q409BoruvkaMsf, q419SingleLinkCut)
+    q355DocPagerank, q409BoruvkaMsf, q419SingleLinkCut, q446Hits)
 }

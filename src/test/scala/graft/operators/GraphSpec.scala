@@ -53,6 +53,28 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(r8.toSeq === r9.toSeq, "8-round peel must be a fixpoint at test scale")
   }
 
+  test("HITS: closed-form A'A principal eigenvector on the bipartite fixture, L1 mass 1") {
+    import spark.implicits._
+    // hubs h1->{a,b}, h2->{b,c}: A'A has principal eigenvector (1,2,1)
+    // (eigenvalue 3), so authorities must converge to (0.25, 0.5, 0.25)
+    // under L1 normalization — and this fixture reaches the fixpoint in
+    // one round, so 4 rounds must sit exactly on it.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L)).toDF("u", "i")
+    val (hubs, auths) = Graph.hits(edges, iters = 4)
+    val a = auths.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(a(10L) - 0.25) < 1e-12)
+    assert(math.abs(a(11L) - 0.50) < 1e-12)
+    assert(math.abs(a(12L) - 0.25) < 1e-12)
+    val h = hubs.collect().map(_.getDouble(1))
+    assert(math.abs(h.sum - 1.0) < 1e-12, "hub mass must be 1")
+    assert(h.forall(x => math.abs(x - 0.5) < 1e-12), "symmetric hubs must tie")
+    // real-graph run: top-20 authorities, mass <= 1, deterministic repeat
+    val out1 = Graph.q446Hits.fn(spark, sf).collect()
+    val out2 = Graph.q446Hits.fn(spark, sf).collect()
+    assert(out1.nonEmpty && out1.length <= 20)
+    assert(out1.map(_.toString).toSeq === out2.map(_.toString).toSeq)
+  }
+
   test("triangle count: compact-forward join equals brute-force closed forms on fixtures") {
     import spark.implicits._
     // triangle + pendant edge: {1,2,3} closed, 3-4 open => exactly 1 triangle
