@@ -200,5 +200,114 @@ object Aggregators {
       .orderBy($"o_orderpriority")
   }
 
-  def all: Seq[GraftQuery] = Seq(q69CustomUdaf, q158GroupedTopK, q238KmvDistinct)
+  /** Centroid of a merging t-digest: running (mean, weight). */
+  final case class Centroid(mean: Double, w: Long)
+
+  /** MERGING T-DIGEST (Dunning & Ertl 2019) — the mergeable quantile
+    * sketch family the catalog's approx_percentile (GK-style) doesn't
+    * cover: centroids are capped by the k₁ scale function so bins stay
+    * FINE near the tails and coarse in the middle — rank error ~
+    * δ⁻¹·q(1−q), i.e. sub-0.1% at p99 with δ=100, where a uniform-width
+    * sketch wastes its budget mid-distribution. Buffer = sorted centroid
+    * list ≤ 2δ; `reduce` appends + periodically compresses, `merge`
+    * merge-sorts two digests and compresses — both associative-ish and
+    * partition-order stable, so the same data + same partitioning yields
+    * the same digest (the q238 KMV determinism class). `finish`
+    * interpolates p50/p95/p99.
+    *
+    * 100 TB story: per-partition state is ≤ 2δ centroids (~3 KB); the
+    * value stream never shuffles — only digests travel, exactly like the
+    * HLL/CMS sketches (q29/q136), but for QUANTILES. */
+  final class TDigest(delta: Int) extends Aggregator[Double, Seq[Centroid], Seq[Double]] {
+
+    override def zero: Seq[Centroid] = Vector.empty
+
+    /** k1 scale: max weight of a centroid covering quantile midpoint q. */
+    private def capAt(q: Double, n: Long): Long =
+      math.max(1L, math.floor(4.0 * n * q * (1.0 - q) / delta).toLong)
+
+    /** Re-cluster a SORTED centroid run to the k1 size budget. */
+    private def compress(sorted: IndexedSeq[Centroid]): Vector[Centroid] = {
+      val n = sorted.iterator.map(_.w).sum
+      val out = Vector.newBuilder[Centroid]
+      var cur: Centroid = null
+      var done = 0L // weight fully emitted before cur
+      sorted.foreach { c =>
+        if (cur == null) cur = c
+        else {
+          val qMid = (done + (cur.w + c.w) / 2.0) / n
+          if (cur.w + c.w <= capAt(qMid, n)) {
+            val w = cur.w + c.w
+            cur = Centroid(cur.mean + (c.mean - cur.mean) * c.w / w, w)
+          } else {
+            out += cur; done += cur.w; cur = c
+          }
+        }
+      }
+      if (cur != null) out += cur
+      out.result()
+    }
+
+    override def reduce(b: Seq[Centroid], x: Double): Seq[Centroid] = {
+      val appended = b :+ Centroid(x, 1L)
+      if (appended.size > 2 * delta)
+        compress(appended.sortBy(c => (c.mean, c.w)).toIndexedSeq)
+      else appended
+    }
+
+    override def merge(a: Seq[Centroid], b: Seq[Centroid]): Seq[Centroid] =
+      compress((a ++ b).sortBy(c => (c.mean, c.w)).toIndexedSeq)
+
+    override def finish(buf: Seq[Centroid]): Seq[Double] = {
+      val cs = compress(buf.sortBy(c => (c.mean, c.w)).toIndexedSeq)
+      val n = cs.iterator.map(_.w).sum
+      if (n == 0) return Vector.empty
+      def quantile(q: Double): Double = {
+        val target = q * n
+        var cum = 0.0
+        var i = 0
+        while (i < cs.length) {
+          val mid = cum + cs(i).w / 2.0
+          if (target <= mid) {
+            if (i == 0) return cs(0).mean
+            val prevMid = cum - cs(i - 1).w / 2.0
+            val f = (target - prevMid) / (mid - prevMid)
+            return cs(i - 1).mean + f * (cs(i).mean - cs(i - 1).mean)
+          }
+          cum += cs(i).w
+          i += 1
+        }
+        cs.last.mean
+      }
+      Vector(quantile(0.5), quantile(0.95), quantile(0.99))
+    }
+
+    override def bufferEncoder: Encoder[Seq[Centroid]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Centroid]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** t-digest quantile census per event_type — p50/p95/p99 of `value`
+    * from the mergeable sketch, alongside the exact count. rows-only:
+    * sketch estimates aren't SQL-reproducible; AggregatorsSpec gates the
+    * rank error of every emitted quantile against the exact sorted data
+    * and the p50 ≤ p95 ≤ p99 monotone law. */
+  val q448TdigestQuantiles: GraftQuery = GraftQuery.rowsOnly(
+    "q448_tdigest_quantiles",
+    doc = "merging t-digest (delta=100) p50/p95/p99 of event value per event_type") { (spark, dir) =>
+    import spark.implicits._
+    val td = udaf(new TDigest(100))
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n"), td($"value").as("qs"))
+      .select($"event_type", $"n",
+        round(element_at($"qs", 1), 4).as("p50"),
+        round(element_at($"qs", 2), 4).as("p95"),
+        round(element_at($"qs", 3), 4).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  def all: Seq[GraftQuery] = Seq(q69CustomUdaf, q158GroupedTopK, q238KmvDistinct,
+    q448TdigestQuantiles)
 }

@@ -1095,6 +1095,73 @@ object StreamingQueries {
       .orderBy($"click_id".asc_nulls_first, $"purchase_id".asc_nulls_first)
   }
 
+  /** OUT-OF-ORDER REPLAY PARITY — the append-mode contract a watermark
+    * pipeline actually gives you, pinned end-to-end: the events table is
+    * replayed as TWO file batches in REVERSE time order (recent rows
+    * first, then everything older than maxTs − 14 d, via maxFilesPerTrigger
+    * = 1 on mtime-ordered files), so the entire second batch arrives 13+
+    * days BELOW the watermark the first batch advanced to (maxTs − 1 h).
+    * Measured engine behavior (probed on Spark 4.1): streaming
+    * aggregation does NOT drop late input rows — they create state that
+    * the already-passed watermark closes at the same commit — so the
+    * emitted daily census must EQUAL the batch GROUP BY for every window
+    * whose end ≤ the final watermark (the last, still-open window is the
+    * one legitimate difference, and the oracle encodes that closure rule
+    * exactly). A strict hash match proves no silent loss AND no duplicate
+    * emission under maximal disorder; if a future engine version starts
+    * dropping watermark-late aggregation input, this parity breaks loudly.
+    *
+    * 100 TB story: this is the backfill-safety audit — "can I replay a
+    * cold 14-day partition into a live aggregation without corrupting
+    * closed windows" — answered with the stream itself, state bounded by
+    * the watermark as usual. */
+  val q449StreamOooParity: GraftQuery = GraftQuery.oracled(
+    "q449_stream_ooo_parity",
+    """WITH e AS (SELECT date_trunc('microseconds', ts) AS ts FROM events),
+      |m AS (SELECT max(ts) AS mx FROM e),
+      |d AS (SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      |      FROM e GROUP BY 1)
+      |SELECT CAST(day AS DATE) AS day, n
+      |FROM d, m
+      |WHERE day + INTERVAL 1 DAY <= mx - INTERVAL 1 HOUR
+      |ORDER BY day""") { (spark, dir) =>
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val e = Tables.events(spark, dir).select($"ts")
+    val mx = e.agg(max($"ts")).head().getTimestamp(0)
+    val cutoff = Timestamp.from(mx.toInstant.minus(java.time.Duration.ofDays(14)))
+    // stage the two epochs as two files, recent with the OLDER mtime so
+    // the file source (oldest-mtime-first) replays it as batch 1
+    val stage = Paths.get("/tmp/graft-stream-late",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    Files.createDirectories(stage)
+    def writeOne(df: DataFrame, name: String, mtimeSec: Long): Unit = {
+      val tmp = stage.resolve(s"_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = stage.resolve(s"$name.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeSec * 1000))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val now = System.currentTimeMillis() / 1000
+    writeOne(e.filter($"ts" >= cutoff), "a_recent", now - 200)
+    writeOne(e.filter($"ts" < cutoff), "b_old", now - 100)
+    val agg = spark.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val sink = runToMemory(agg, OutputMode.Append(), "q449")
+    sink.select($"window.start".cast("date").as("day"), $"n")
+      .orderBy($"day")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q61StreamTumbling, q62StreamSliding, q63StreamSessionWindow,
     q64StreamDedup, q65StreamStaticJoin, q66StatefulSessions,
@@ -1103,7 +1170,8 @@ object StreamingQueries {
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
     q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState,
     q285StreamStreamFullOuter, q345StreamHistogram, q359StreamSpaceSaving,
-    q368LambdaParity, q392StreamDriftPsi, q400StreamAsofEnrich)
+    q368LambdaParity, q392StreamDriftPsi, q400StreamAsofEnrich,
+    q449StreamOooParity)
 
   /** STREAMING AS-OF ENRICHMENT — the custom broadcast as-of operator
     * ([[graft.plans.AsofBroadcastJoin]], q388) composed into the streaming
