@@ -1037,7 +1037,8 @@ object Eda {
     q408ConformalCoverage, q412SequentialObf, q415KfoldCv, q416MannKendall,
     q421JackknifeRatio, q422QuantileTreatmentEffect, q425BrierDecomposition,
     q426DelongAucCi, q436SesBacktest, q438PlattScaling, q440PoissonRegression,
-    q441NbDispersion, q443DtwMatrix, q444SaxWords, q445Periodogram)
+    q441NbDispersion, q443DtwMatrix, q444SaxWords, q445Periodogram,
+    q450TheilSen, q451HodgesLehmann)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -3263,6 +3264,96 @@ object Eda {
         round(lit(2) * sqrt($"c" * $"c" + $"s" * $"s") / $"n", 2).as("amplitude_usd"),
         round(($"c" * $"c" + $"s" * $"s") / $"ss", 6).as("variance_share"))
       .orderBy($"p")
+  }
+
+  /** THEIL–SEN robust trend (Theil 1950, Sen 1968) — the estimator
+    * companion to q416's Mann–Kendall TEST: the slope is the MEDIAN of
+    * all pairwise day-census slopes (breakdown point 29%, immune to the
+    * spike days that drag q181's OLS line), the intercept the median of
+    * the slope-adjusted residual levels. Both engines derive identical
+    * slope doubles from integer (cents, day-index) pairs, so the
+    * interpolated medians match bit-for-bit at 4/6 dp. Pairs are built on
+    * the TRAILING-90-DAY daily census (O(90²) = 4 005 slopes, not
+    * O(rows²) and not O(full-history²): the raw span is ~2 400 days and
+    * an unwindowed pair sweep is 2.9M slopes whose exact-median buffer is
+    * the catalog's one measured way to OOM a driver — the trend question
+    * is about the recent window anyway).
+    *
+    * 100 TB plan: one hash-agg to the day census; the bounded pair sweep
+    * and two exact-median aggs are census work (the q416 shape). */
+  val q450TheilSen: GraftQuery = GraftQuery.oracled(
+    "q450_theil_sen",
+    """WITH daily AS (
+      |  SELECT CAST(91 - rn AS DOUBLE) AS t, y
+      |  FROM (SELECT row_number() OVER (ORDER BY d DESC) AS rn,
+      |               CAST(cents AS DOUBLE) / 100 AS y
+      |        FROM (SELECT o_orderdate AS d,
+      |                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |              FROM orders GROUP BY 1))
+      |  WHERE rn <= 90),
+      |slopes AS (SELECT (b.y - a.y) / (b.t - a.t) AS s
+      |           FROM daily a JOIN daily b ON b.t > a.t),
+      |fit AS (SELECT quantile_cont(s, 0.5) AS slope,
+      |               CAST(count(*) AS BIGINT) AS n_pairs FROM slopes),
+      |ic AS (SELECT quantile_cont(y - fit.slope * t, 0.5) AS intercept
+      |       FROM daily, fit)
+      |SELECT fit.n_pairs, round(fit.slope, 4) AS sen_slope,
+      |       round(ic.intercept, 2) AS sen_intercept
+      |FROM fit, ic""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderdate".as("d"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).cast("long").as("cents"))
+      .select(row_number().over(Window.orderBy($"d".desc)).as("rn"),
+        ($"cents".cast("double") / 100).as("y"))
+      .filter($"rn" <= 90)
+      .select((lit(91) - $"rn").cast("double").as("t"), $"y")
+    val slopes = daily.as("a").join(daily.as("b"), $"b.t" > $"a.t")
+      .select((($"b.y" - $"a.y") / ($"b.t" - $"a.t")).as("s"))
+    val fit = slopes.agg(expr("percentile(s, 0.5)").as("slope"),
+      count(lit(1)).cast("long").as("n_pairs"))
+    val ic = daily.crossJoin(broadcast(fit))
+      .agg(expr("percentile(y - slope * t, 0.5)").as("intercept"))
+    fit.crossJoin(broadcast(ic))
+      .select($"n_pairs", round($"slope", 4).as("sen_slope"),
+        round($"intercept", 2).as("sen_intercept"))
+  }
+
+  /** HODGES–LEHMANN location estimate (1963) — the median of the Walsh
+    * averages (all pairwise means, i ≤ j): the robust "typical daily
+    * volume" whose efficiency the rank tests (q284 Mann–Whitney) already
+    * assume, per event_type over the daily integer count census. Walsh
+    * averages of integers are exact halves, so the interpolated median is
+    * engine-deterministic as-is.
+    *
+    * 100 TB plan: day-census pairs per type (O(days²) on a tiny census),
+    * one exact-median agg — the q450 shape, grouped. */
+  val q451HodgesLehmann: GraftQuery = GraftQuery.oracled(
+    "q451_hodges_lehmann",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |                      CAST(count(*) AS BIGINT) AS y
+      |               FROM events GROUP BY 1, 2),
+      |walsh AS (SELECT a.event_type,
+      |                 (CAST(a.y AS DOUBLE) + b.y) / 2 AS w
+      |          FROM daily a JOIN daily b
+      |            ON a.event_type = b.event_type AND a.d <= b.d)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_walsh,
+      |       round(quantile_cont(w, 0.5), 4) AS hl_location
+      |FROM walsh GROUP BY event_type ORDER BY event_type""") { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", $"ts".cast("date").as("d"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    daily.as("a")
+      .join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.d" <= $"b.d")
+      .select($"a.event_type".as("event_type"),
+        (($"a.y".cast("double") + $"b.y") / 2).as("w"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_walsh"),
+        round(expr("percentile(w, 0.5)"), 4).as("hl_location"))
+      .orderBy($"event_type")
   }
 
   val q436SesBacktest: GraftQuery = GraftQuery.oracled(

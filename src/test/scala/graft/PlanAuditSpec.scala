@@ -64,7 +64,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // q429's rounds are window+groupBy only (no joins); q427 is scan+census
     "q427_luhn_pii", "q428_cms_join_size", "q429_prefix_doubling_spans",
     "q430_wordpiece_greedy", "q431_ipf_raking",
-    "q432_negative_sampling", "q433_distinct_n", "q434_consistent_ring")
+    "q432_negative_sampling", "q433_distinct_n", "q434_consistent_ring",
+    // round-11 newcomers (q449 is a streaming replay — audited by its
+    // oracle, not plan shape; q442 materializes eagerly under its flag)
+    "q435_kneser_ney", "q436_ses_backtest", "q437_rouge_lcs",
+    "q438_platt_scaling", "q440_poisson_regression", "q441_nb_dispersion",
+    "q443_dtw_matrix", "q444_sax_words", "q445_periodogram",
+    "q446_hits", "q447_rake_keyphrases", "q448_tdigest_quantiles")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -111,7 +117,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // q432: 1-row mass-total broadcast (the coin->word lookup itself is
     // an equi join on the bucket id); q434: the 40/48-row vnode ring is
     // the documented bounded broadcast probe (q48's shape)
-    "q432_negative_sampling", "q434_consistent_ring")
+    "q432_negative_sampling", "q434_consistent_ring",
+    // round-11: q435 1-row bigram-total; q438/q440 1-row Newton parameter
+    // frames; q443 5x5 series-census pair sweep; q445 1-row moments + 4-row
+    // period grid; q446 1-row L1 normalizers
+    "q435_kneser_ney", "q438_platt_scaling", "q440_poisson_regression",
+    "q443_dtw_matrix", "q445_periodogram", "q446_hits")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in
