@@ -1588,6 +1588,58 @@ object Dedup {
       .limit(100)
   }
 
+  /** TWO-LEVEL (shard-local → global) exact dedup — the composition law a
+    * petabyte dedup actually runs on: data arrives in arbitrary shards
+    * (here: 8 md5 buckets of doc_id, deliberately NOT keyed on content,
+    * so duplicates straddle shards), each shard keeps its min-doc_id
+    * representative per md5(text) fingerprint LOCALLY (no shuffle), and
+    * only the survivors enter the global fingerprint-keyed pass. The
+    * emitted census proves the identity two_level ≡ direct (min over
+    * shard minima = global min) per source, with the shard-pass survivor
+    * count showing how much the cheap local pass already collapsed.
+    *
+    * 100 TB story: level 1 is mapPartitions-free, shuffle-free hash-agg
+    * work within whatever partitioning the data already has; the global
+    * shuffle then moves only level-1 survivors — on a 30%-dup corpus
+    * that's the difference between shuffling 100 TB and 70 TB. */
+  val q455TwoLevelDedup: GraftQuery = GraftQuery.oracled(
+    "q455_two_level_dedup",
+    """WITH d AS (SELECT doc_id, source, md5(text) AS fp,
+      |                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 8 AS shard
+      |           FROM documents),
+      |l1 AS (SELECT shard, fp, min(doc_id) AS doc_id FROM d GROUP BY 1, 2),
+      |two AS (SELECT fp, min(doc_id) AS doc_id FROM l1 GROUP BY 1),
+      |direct AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY 1),
+      |src AS (SELECT doc_id, source FROM d),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+      |a1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_l1_survivors
+      |       FROM l1 JOIN src USING (doc_id) GROUP BY 1),
+      |a2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_two_level
+      |       FROM two JOIN src USING (doc_id) GROUP BY 1),
+      |a3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_direct
+      |       FROM direct JOIN src USING (doc_id) GROUP BY 1)
+      |SELECT source, n_docs, n_l1_survivors, n_two_level, n_direct
+      |FROM tot JOIN a1 USING (source) JOIN a2 USING (source) JOIN a3 USING (source)
+      |ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", md5($"text").as("fp"),
+        (conv(substring(md5($"doc_id".cast("string")), 1, 2), 16, 10)
+          .cast("long") % 8).as("shard"))
+    val l1 = d.groupBy($"shard", $"fp").agg(min($"doc_id").as("doc_id"))
+    val two = l1.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    val direct = d.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    val src = d.select($"doc_id", $"source")
+    def perSource(kept: org.apache.spark.sql.DataFrame, name: String) =
+      kept.join(src, Seq("doc_id")).groupBy($"source")
+        .agg(count(lit(1)).cast("long").as(name))
+    d.groupBy($"source").agg(count(lit(1)).cast("long").as("n_docs"))
+      .join(perSource(l1.select($"doc_id"), "n_l1_survivors"), Seq("source"))
+      .join(perSource(two.select($"doc_id"), "n_two_level"), Seq("source"))
+      .join(perSource(direct.select($"doc_id"), "n_direct"), Seq("source"))
+      .orderBy($"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
@@ -1596,7 +1648,8 @@ object Dedup {
     q371MinhashSignatures, q372MinhashBanded, q385DeltaNeardupLsh,
     q391SplitLeakage, q395IncrementalComponents, q396BandingSweep,
     q399NeardupEvidence, q413ClusterCoherence, q423CaptureRecapture,
-    q296SourceDupRate, q298ClusterSplit, q343ClusterChampion, q437RougeL)
+    q296SourceDupRate, q298ClusterSplit, q343ClusterChampion, q437RougeL,
+    q455TwoLevelDedup)
 
   /** CAPTURE–RECAPTURE ESTIMATE OF NEAR-DUP COVERAGE (Chapman 1951's
     * bias-corrected Lincoln–Petersen) — how many near-dup pairs exist

@@ -647,7 +647,8 @@ object TextAnalysis {
     q350UrlCanonicalize, q354HeapsLaw, q357TokenCalibration,
     q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit,
     q384MojibakeAudit, q390VocabCoverage, q424GoodTuring,
-    q430WordpieceGreedy, q433DistinctN, q435KneserNey, q439UnigramLmRound)
+    q430WordpieceGreedy, q433DistinctN, q435KneserNey, q439UnigramLmRound,
+    q454CcnetBuckets)
 
   /** GOOD–TURING UNSEEN-MASS ESTIMATE (Good 1953) — how much probability
     * mass belongs to n-grams the corpus has NEVER seen: the Turing
@@ -1642,6 +1643,63 @@ object TextAnalysis {
         expr("(1000000 * usage) div u_tot").cast("long").as("prob_ppm"))
       .orderBy($"usage".desc, $"piece")
       .limit(50)
+  }
+
+  /** CCNet HEAD/MIDDLE/TAIL perplexity buckets (Wenzek et al. 2020) — the
+    * curation step downstream of q132's LM scoring: within each language,
+    * documents are ranked by bits-per-token under the corpus unigram LM
+    * and cut into terciles (head = most fluent third, the slice CCNet
+    * keeps for pre-training). Bucketing is `ntile(3)` over the
+    * (floor(bits·1e9), doc_id) key: flooring to integer nano-bits turns
+    * any cross-engine ulp drift in the avg into a TIE that doc_id breaks
+    * deterministically (the q244/q339 float-order discipline), keeping
+    * the whole operator DuckDB-oracle-able.
+    * Emits the per-(lang, bucket) census with byte mass, the number a
+    * mixture planner consumes.
+    *
+    * 100 TB plan: q132's scan shape (explode → broadcast LM join →
+    * per-doc agg), then one lang-partitioned window over the DOC census
+    * (docs-sized, not token-sized) and a census agg. */
+  val q454CcnetBuckets: GraftQuery = GraftQuery.oracled(
+    "q454_ccnet_buckets",
+    """WITH toks AS (SELECT doc_id, lang, n_chars, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+      |scored AS (SELECT t.doc_id, t.lang, t.n_chars,
+      |                  avg(-log2(lm.c / CAST(tot.n AS DOUBLE))) AS bits
+      |           FROM toks t JOIN lm USING (tok) CROSS JOIN tot
+      |           GROUP BY t.doc_id, t.lang, t.n_chars),
+      |bucketed AS (SELECT lang, n_chars,
+      |                    ntile(3) OVER (PARTITION BY lang
+      |                      ORDER BY CAST(floor(bits * 1000000000) AS BIGINT), doc_id) AS b
+      |             FROM scored)
+      |SELECT lang,
+      |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM bucketed GROUP BY lang, b ORDER BY lang, bucket""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars", explode(split($"text", " ")).as("tok"))
+    val lm = toks.groupBy($"tok").agg(count(lit(1)).cast("long").as("c"))
+    val tot = toks.agg(count(lit(1)).cast("long").as("n"))
+    val scored = toks
+      .join(broadcast(lm), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id", $"lang", $"n_chars")
+      .agg(avg(-log2($"c" / $"n".cast("double"))).as("bits"))
+    scored
+      .withColumn("b",
+        ntile(3).over(Window.partitionBy($"lang")
+          .orderBy(floor($"bits" * 1000000000L).cast("long"), $"doc_id")))
+      .groupBy($"lang",
+        when($"b" === 1, "head").when($"b" === 2, "middle").otherwise("tail")
+          .as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_chars").cast("long").as("n_chars"))
+      .orderBy($"lang", $"bucket")
   }
 
   val q430WordpieceGreedy: GraftQuery = GraftQuery.oracled(

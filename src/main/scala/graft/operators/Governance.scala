@@ -168,5 +168,79 @@ object Governance {
       .orderBy($"c_mktsegment")
   }
 
-  def all: Seq[GraftQuery] = Seq(q351KAnonymity, q363RetentionAudit, q427LuhnPii)
+  /** T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the privacy
+    * gate k-anonymity (q351) can't see: a QI class can be large AND
+    * diverse yet still leak because its SENSITIVE-value distribution
+    * differs sharply from the table's. For the ordered sensitive
+    * attribute (global account-balance decile via integer rank), the
+    * distance is the Earth Mover's Distance over ordered categories —
+    * Σ|cumP − cumQ|/(m−1) — computed in PURE BIGINT ppm:
+    * (10⁶·Σ|c_k·N − C_k·n|) div (n·N·(m−1)), so the report hashes
+    * identically cross-engine. Emits the 20 worst classes. (BIGINT
+    * headroom: 10⁶·m·n·N needs N ≲ 10⁶ rows — widen the numerator to
+    * DECIMAL(38,0) past that, the q362 discipline.)
+    *
+    * 100 TB plan: one global decile rank (two-phase-able census window),
+    * one (class × decile) census, cum sums over the 10-bucket census per
+    * class — everything after the first agg is census algebra. */
+  val q456TCloseness: GraftQuery = GraftQuery.oracled(
+    "q456_t_closeness",
+    """WITH s AS (SELECT c_nationkey, c_mktsegment,
+      |                  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS dec
+      |           FROM customer),
+      |cls AS (SELECT c_nationkey, c_mktsegment, dec,
+      |               CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2, 3),
+      |gdec AS (SELECT dec, CAST(count(*) AS BIGINT) AS g FROM s GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS bign FROM s),
+      |grid AS (SELECT q.c_nationkey, q.c_mktsegment, q.n, d.dec,
+      |                coalesce(cls.c, 0) AS c, d.g
+      |         FROM (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      |               FROM s GROUP BY 1, 2) q
+      |         CROSS JOIN gdec d
+      |         LEFT JOIN cls ON cls.c_nationkey = q.c_nationkey
+      |           AND cls.c_mktsegment = q.c_mktsegment AND cls.dec = d.dec),
+      |cum AS (SELECT c_nationkey, c_mktsegment, n, dec,
+      |               sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+      |                            ORDER BY dec) AS cc,
+      |               sum(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+      |                            ORDER BY dec) AS cg
+      |        FROM grid),
+      |emd AS (SELECT c_nationkey, c_mktsegment, n,
+      |               CAST((1000000 * sum(abs(cc * bign - cg * n))) // (n * bign * 9) AS BIGINT) AS emd_ppm
+      |        FROM cum, tot
+      |        WHERE dec < 10
+      |        GROUP BY c_nationkey, c_mktsegment, n, bign)
+      |SELECT c_nationkey, c_mktsegment, n, emd_ppm
+      |FROM emd ORDER BY emd_ppm DESC, c_nationkey, c_mktsegment LIMIT 20""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_mktsegment",
+        ntile(10).over(Window.orderBy($"c_acctbal", $"c_custkey")).as("dec"))
+    val cls = s.groupBy($"c_nationkey", $"c_mktsegment", $"dec")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val glob = s.groupBy($"dec").agg(count(lit(1)).cast("long").as("g"))
+    val tot = s.agg(count(lit(1)).cast("long").as("bign"))
+    val q = s.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val grid = q.crossJoin(broadcast(glob))
+      .join(cls, Seq("c_nationkey", "c_mktsegment", "dec"), "left")
+      .select($"c_nationkey", $"c_mktsegment", $"n", $"dec",
+        coalesce($"c", lit(0L)).as("c"), $"g")
+    val w = Window.partitionBy($"c_nationkey", $"c_mktsegment").orderBy($"dec")
+    grid
+      .withColumn("cc", sum($"c").over(w))
+      .withColumn("cg", sum($"g").over(w))
+      .filter($"dec" < 10)
+      .crossJoin(broadcast(tot))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"n", $"bign")
+      .agg(expr("(1000000 * sum(abs(cc * bign - cg * n))) div (n * bign * 9)")
+        .cast("long").as("emd_ppm"))
+      .select($"c_nationkey", $"c_mktsegment", $"n", $"emd_ppm")
+      .orderBy($"emd_ppm".desc, $"c_nationkey", $"c_mktsegment")
+      .limit(20)
+  }
+
+  def all: Seq[GraftQuery] = Seq(q351KAnonymity, q363RetentionAudit, q427LuhnPii,
+    q456TCloseness)
 }

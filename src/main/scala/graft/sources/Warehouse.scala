@@ -423,7 +423,143 @@ object Warehouse {
       .orderBy($"c_custkey")
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE for a JOIN view — the delta rule
+    * Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, proven in-query: orders and
+    * lineitem each split into base/delta by the portable md5 coin (5%),
+    * the revenue-per-priority view is computed BOTH ways — one full join
+    * vs the four disjoint base/delta joins composed — and the emitted row
+    * carries both censuses plus the equality verdict. q170 ships the
+    * aggregate-IVM contract; this is the JOIN half every materialized
+    * view needs (the base×base term is the stored view; maintenance
+    * touches only the three delta terms).
+    *
+    * 100 TB story: at scale the three delta joins are delta-sized on one
+    * side (broadcastable) — maintenance cost scales with the batch, not
+    * the view; the full recompute here exists purely as the in-query
+    * oracle of the rule. */
+  val q452JoinIvm: GraftQuery = GraftQuery.oracled(
+    "q452_join_ivm",
+    """WITH a AS (SELECT o_orderkey, o_orderpriority,
+      |                  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 5 AS is_d
+      |           FROM orders),
+      |b AS (SELECT l_orderkey,
+      |             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+      |             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 5 AS is_d
+      |      FROM lineitem),
+      |joined AS (SELECT o_orderpriority AS pri, cents, a.is_d AS da, b.is_d AS db
+      |           FROM a JOIN b ON o_orderkey = l_orderkey),
+      |full_v AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_full,
+      |                  CAST(sum(cents) AS BIGINT) AS full_cents
+      |           FROM joined GROUP BY 1),
+      |incr AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_incr,
+      |                CAST(sum(cents) AS BIGINT) AS incr_cents
+      |         FROM (SELECT pri, cents FROM joined WHERE NOT da AND NOT db
+      |               UNION ALL SELECT pri, cents FROM joined WHERE da AND NOT db
+      |               UNION ALL SELECT pri, cents FROM joined WHERE NOT da AND db
+      |               UNION ALL SELECT pri, cents FROM joined WHERE da AND db)
+      |         GROUP BY 1)
+      |SELECT pri, n_full, full_cents, n_incr, incr_cents,
+      |       n_full = n_incr AND full_cents = incr_cents AS ivm_holds
+      |FROM full_v JOIN incr USING (pri) ORDER BY pri""") { (spark, dir) =>
+    import spark.implicits._
+    def coin(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 100 < 5
+    val a = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        coin($"o_orderkey".cast("string")).as("is_da"))
+    val b = Tables.lineitem(spark, dir)
+      .select($"l_orderkey",
+        floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100 + 0.5)
+          .cast("long").as("cents"),
+        coin(concat($"l_orderkey".cast("string"), lit("-"),
+          $"l_linenumber".cast("string"))).as("is_db"))
+    // the four disjoint IVM terms, composed as SEPARATE joins — the
+    // actual maintenance plan shape, not a post-hoc filter of one join
+    def term(fa: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        fb: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      a.filter(fa($"is_da")).join(b.filter(fb($"is_db")),
+        $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderpriority".as("pri"), $"cents")
+    val incr = term(!_, !_).unionAll(term(identity, !_))
+      .unionAll(term(!_, identity)).unionAll(term(identity, identity))
+      .groupBy($"pri")
+      .agg(count(lit(1)).cast("long").as("n_incr"),
+        sum($"cents").cast("long").as("incr_cents"))
+    val full = a.join(b, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority".as("pri"))
+      .agg(count(lit(1)).cast("long").as("n_full"),
+        sum($"cents").cast("long").as("full_cents"))
+    full.join(incr, Seq("pri"))
+      .select($"pri", $"n_full", $"full_cents", $"n_incr", $"incr_cents",
+        ($"n_full" === $"n_incr" && $"full_cents" === $"incr_cents")
+          .as("ivm_holds"))
+      .orderBy($"pri")
+  }
+
+  /** BITEMPORAL AS-OF reconstruction — "what did the warehouse BELIEVE on
+    * transaction date T about the state valid on date V": each order
+    * carries two recorded versions (the initial booking with its cents
+    * truncated to whole dollars, and a correction recorded 10 days later
+    * with exact cents; both valid [orderdate, orderdate+30)). The query
+    * resolves, per order, the LATEST version with tx_from ≤ T (window
+    * rank over transaction time — the generic resolution, not a 2-case
+    * shortcut), keeps rows whose validity covers V, and reports the
+    * believed revenue per priority with the not-yet-corrected count. The
+    * SCD-2 table (q364) tracks one time axis; this is the two-axis replay
+    * auditors actually ask for.
+    *
+    * 100 TB plan: version resolution is one order-keyed window over the
+    * (tiny) version table; validity filtering prunes before the agg. */
+  val q453BitemporalAsof: GraftQuery = GraftQuery.oracled(
+    "q453_bitemporal_asof",
+    """WITH v AS (
+      |  SELECT o_orderkey, o_orderpriority, 1 AS version,
+      |         CAST(floor(o_totalprice) AS BIGINT) * 100 AS cents,
+      |         o_orderdate AS valid_from, o_orderdate + INTERVAL 30 DAY AS valid_to,
+      |         o_orderdate AS tx_from
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, 2,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+      |         o_orderdate, o_orderdate + INTERVAL 30 DAY,
+      |         o_orderdate + INTERVAL 10 DAY
+      |  FROM orders),
+      |believed AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY tx_from DESC, version DESC) AS rn
+      |  FROM v WHERE tx_from <= DATE '1996-05-20'),
+      |state AS (SELECT * FROM believed
+      |          WHERE rn = 1 AND valid_from <= DATE '1996-05-15'
+      |            AND valid_to > DATE '1996-05-15')
+      |SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uncorrected,
+      |       CAST(sum(cents) AS BIGINT) AS believed_cents
+      |FROM state GROUP BY 1 ORDER BY 1""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val v1 = o.select($"o_orderkey", $"o_orderpriority", lit(1).as("version"),
+      (floor($"o_totalprice").cast("long") * 100).cast("long").as("cents"),
+      $"o_orderdate".as("valid_from"), date_add($"o_orderdate", 30).as("valid_to"),
+      $"o_orderdate".as("tx_from"))
+    val v2 = o.select($"o_orderkey", $"o_orderpriority", lit(2).as("version"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+      $"o_orderdate".as("valid_from"), date_add($"o_orderdate", 30).as("valid_to"),
+      date_add($"o_orderdate", 10).as("tx_from"))
+    val txCut = lit("1996-05-20").cast("date")
+    val vAt = lit("1996-05-15").cast("date")
+    val w = Window.partitionBy($"o_orderkey").orderBy($"tx_from".desc, $"version".desc)
+    v1.unionAll(v2)
+      .filter($"tx_from" <= txCut)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"valid_from" <= vAt && $"valid_to" > vAt)
+      .groupBy($"o_orderpriority".as("pri"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(when($"version" === 1, 1).otherwise(0)).cast("long").as("n_uncorrected"),
+        sum($"cents").cast("long").as("believed_cents"))
+      .orderBy($"pri")
+  }
+
   def all: Seq[GraftQuery] = Seq(q194BucketedJoin, q195DppPrune,
     q196DynamicOverwrite, q212BatchMerge, q245SnapshotDiff, q267BucketedAgg,
-    q364Scd2Merge, q376CdcApply)
+    q364Scd2Merge, q376CdcApply, q452JoinIvm, q453BitemporalAsof)
 }

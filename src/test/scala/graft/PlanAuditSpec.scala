@@ -70,7 +70,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q435_kneser_ney", "q436_ses_backtest", "q437_rouge_lcs",
     "q438_platt_scaling", "q440_poisson_regression", "q441_nb_dispersion",
     "q443_dtw_matrix", "q444_sax_words", "q445_periodogram",
-    "q446_hits", "q447_rake_keyphrases", "q448_tdigest_quantiles")
+    "q446_hits", "q447_rake_keyphrases", "q448_tdigest_quantiles",
+    "q450_theil_sen", "q451_hodges_lehmann",
+    "q452_join_ivm", "q453_bitemporal_asof", "q454_ccnet_buckets",
+    "q455_two_level_dedup", "q456_t_closeness")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -122,7 +125,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // frames; q443 5x5 series-census pair sweep; q445 1-row moments + 4-row
     // period grid; q446 1-row L1 normalizers
     "q435_kneser_ney", "q438_platt_scaling", "q440_poisson_regression",
-    "q443_dtw_matrix", "q445_periodogram", "q446_hits")
+    "q443_dtw_matrix", "q445_periodogram", "q446_hits",
+    // q450: 1-row fit broadcast + the 90-row census pair sweep; q451: the
+    // day-census pair sweep (equi on type, non-equi residual); q456: the
+    // 10-row global-decile census crossjoin
+    "q450_theil_sen", "q451_hodges_lehmann", "q456_t_closeness",
+    // q454: q132's 1-row token-total broadcast
+    "q454_ccnet_buckets")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in
