@@ -142,6 +142,70 @@ object PartitionedSink {
       .orderBy($"l_returnflag")
   }
 
+  /** ROW-GROUP ZONE-MAP AUDIT — the footer statistics data skipping runs
+    * on, surfaced as a table: orders are written ONCE, sorted by
+    * o_orderkey into small row groups (parquet.block.size=32 KB), then the
+    * engine reads the file's OWN footer via parquet-hadoop
+    * (`ParquetFileReader.open(...).getFooter` — metadata only, zero data
+    * pages) and emits per row group its row count, o_orderkey min/max,
+    * null count, and whether the probe predicate `BETWEEN 3000 AND 3999`
+    * could SKIP it (max < lo OR min > hi — the exact test a reader's
+    * filter pushdown applies). The DuckDB oracle reads THE SAME FILE with
+    * its independent `parquet_metadata()` parser, so a strict match is a
+    * cross-IMPLEMENTATION proof of the footer reader (the q301
+    * Jaro–Winkler discipline), not a recompute.
+    *
+    * 100 TB story: this table IS the skipping story — a sorted layout
+    * turns a point/range predicate into "read 1 row group, skip the
+    * rest", and this audit is how a platform verifies its layout actually
+    * produces disjoint zones before betting a petabyte scan on it. */
+  val q457RowgroupStats: GraftQuery = GraftQuery.oracled(
+    "q457_rowgroup_stats",
+    """SELECT CAST(row_group_id AS BIGINT) AS rg,
+      |       CAST(row_group_num_rows AS BIGINT) AS n_rows,
+      |       CAST(stats_min_value AS BIGINT) AS min_okey,
+      |       CAST(stats_max_value AS BIGINT) AS max_okey,
+      |       CAST(stats_null_count AS BIGINT) AS n_nulls,
+      |       CAST(stats_max_value AS BIGINT) < 3000
+      |         OR CAST(stats_min_value AS BIGINT) > 3999 AS skippable
+      |FROM parquet_metadata('/tmp/graft-io/q457_rowgroups/*.parquet')
+      |WHERE path_in_schema = 'o_orderkey'
+      |ORDER BY rg""") { (spark, dir) =>
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val out = "/tmp/graft-io/q457_rowgroups"
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_orderkey")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", "32768")
+      .option("parquet.page.size", "8192")
+      .parquet(out)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, conf))
+    val rows = try {
+      reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+        case (block, i) =>
+          val col = block.getColumns.asScala
+            .find(_.getPath.toDotString == "o_orderkey").get
+          val st = col.getStatistics
+          (i.toLong, block.getRowCount,
+            st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue(),
+            st.getNumNulls)
+      }
+    } finally reader.close()
+    rows.toDF("rg", "n_rows", "min_okey", "max_okey", "n_nulls")
+      .select($"rg", $"n_rows", $"min_okey", $"max_okey", $"n_nulls",
+        ($"max_okey" < 3000 || $"min_okey" > 3999).as("skippable"))
+      .orderBy($"rg")
+  }
+
   def all: Seq[GraftQuery] = Seq(q83PartitionedWrite, q131ClusteredWrite,
-    q176ZorderWrite)
+    q176ZorderWrite, q457RowgroupStats)
 }
