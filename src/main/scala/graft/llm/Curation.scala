@@ -1271,9 +1271,54 @@ object Curation {
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
     q389TemperatureMixing, q394ContentChecksum, q397TruncationLoss,
     q398ClusterReweight, q401SinkhornMixture, q411SystematicSample,
+    q458EpochShuffle,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill, q431IpfRaking, q432NegativeSampling)
+
+  /** SEEDED GLOBAL EPOCH SHUFFLE — the dataloader-order primitive every
+    * multi-epoch training run needs: each epoch e gets an independent,
+    * SEEDED, engine-portable permutation of the corpus via the md5 coin
+    * (order key = md5(e || ':' || doc_id) — the q102/q138 determinism
+    * family, so the exact order is reproducible across engines, restarts
+    * and cluster sizes, never `rand()`). Emits, per epoch, the first 5
+    * doc_ids of the permutation plus an order checksum
+    * Σ rank·doc_id mod 2³¹−1 over the WHOLE epoch — the cheap integrity
+    * pin a training job logs so a re-run can prove it consumed the same
+    * order.
+    *
+    * 100 TB plan: the permutation is sort-by-hash — a total-order
+    * repartitionByRange at scale (one range shuffle per epoch, no driver
+    * involvement); the checksum is a map-side-combinable integer agg. */
+  val q458EpochShuffle: GraftQuery = GraftQuery.oracled(
+    "q458_epoch_shuffle",
+    """WITH epochs AS (SELECT unnest(generate_series(1, 3)) AS epoch),
+      |ordered AS (
+      |  SELECT epoch, doc_id,
+      |         row_number() OVER (PARTITION BY epoch
+      |           ORDER BY md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents, epochs)
+      |SELECT CAST(epoch AS BIGINT) AS epoch,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       string_agg(CASE WHEN rnk <= 5 THEN CAST(doc_id AS VARCHAR) END, ' ' ORDER BY rnk) AS first5,
+      |       CAST(sum(rnk * doc_id) % 2147483647 AS BIGINT) AS order_checksum
+      |FROM ordered GROUP BY epoch ORDER BY epoch""") { (spark, dir) =>
+    import spark.implicits._
+    val epochs = Seq(1L, 2L, 3L).toDF("epoch")
+    val ordered = Tables.documents(spark, dir).select($"doc_id")
+      .crossJoin(broadcast(epochs))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"epoch").orderBy(
+          md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))),
+          $"doc_id")))
+    ordered.groupBy($"epoch")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when($"rnk" <= 5, struct($"rnk", $"doc_id".cast("string").as("d"))))),
+          x => x.getField("d"))).as("first5"),
+        (sum($"rnk" * $"doc_id") % 2147483647L).cast("long").as("order_checksum"))
+      .orderBy($"epoch")
+  }
 }
 
 /** Code-generated twin bodies for q401: the Spark plan and the DuckDB
@@ -1382,4 +1427,5 @@ private[llm] object SinkhornGen {
       .select($"r.lang_from", $"r.lang_to", $"r.cost", $"r.p_from", $"r.t_ij", $"r.plan_cost")
       .orderBy($"lang_from", $"lang_to")
   }
+
 }

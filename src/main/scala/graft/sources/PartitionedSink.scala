@@ -206,6 +206,59 @@ object PartitionedSink {
       .orderBy($"rg")
   }
 
+  /** SCAN-PARTITIONING KNOB AUDIT — `spark.sql.files.maxPartitionBytes`
+    * is the lever that decides how many tasks read a file set (too big ⇒
+    * no parallelism; too small ⇒ task-launch overhead swamps I/O), and
+    * this query measures it empirically: the same lineitem scan is
+    * counted at 64 KB / 1 MB / 128 MB settings and the emitted rows carry
+    * the observed scan-task counts (FilePartitions via rdd.getNumPartitions,
+    * evaluated EAGERLY under each setting, session state restored after —
+    * NOT row-bearing partition ids: splits are byte ranges and only the
+    * range owning a row group's midpoint produces rows, so a 1-row-group
+    * file always has exactly one non-empty split no matter the budget).
+    * rows-only (the counts are engine/layout-specific); Round9Spec pins
+    * the monotone law (bigger budget ⇒ never more partitions) and that
+    * the 64 KB setting actually splits the file.
+    *
+    * 100 TB story: with files.maxPartitionBytes=128 MB a 100 TB scan is
+    * ~800k tasks; this audit is how a platform sanity-checks the knob
+    * against its real file sizes before a big run (the
+    * `spark.sql.shuffle.partitions` sibling is covered by the bench
+    * harness config itself). */
+  val q459ScanPartitioning: GraftQuery = GraftQuery.rowsOnly(
+    "q459_scan_partitioning",
+    doc = "observed scan-task counts for maxPartitionBytes in {64KB, 1MB, 128MB} on the lineitem scan") {
+    (spark, dir) =>
+    import spark.implicits._
+    val key = "spark.sql.files.maxPartitionBytes"
+    val costKey = "spark.sql.files.openCostInBytes"
+    val prev = spark.conf.getOption(key)
+    val prevCost = spark.conf.getOption(costKey)
+    try {
+      // openCostInBytes floors the split size (maxSplitBytes =
+      // min(maxPartitionBytes, max(openCost, bytes/parallelism))) — the
+      // audit drops it to 4 KB so the byte budget is what's measured
+      spark.conf.set(costKey, "4096")
+      val rows = Seq(64L * 1024, 1L << 20, 128L * 1024 * 1024).map { bytes =>
+        spark.conf.set(key, bytes.toString)
+        val n = Tables.lineitem(spark, dir).select($"l_orderkey")
+          .rdd.getNumPartitions.toLong
+        (bytes, n)
+      }
+      rows.toDF("max_partition_bytes", "n_scan_partitions")
+        .orderBy($"max_partition_bytes")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      prevCost match {
+        case Some(v) => spark.conf.set(costKey, v)
+        case None => spark.conf.unset(costKey)
+      }
+    }
+  }
+
   def all: Seq[GraftQuery] = Seq(q83PartitionedWrite, q131ClusteredWrite,
-    q176ZorderWrite, q457RowgroupStats)
+    q176ZorderWrite, q457RowgroupStats, q459ScanPartitioning)
 }

@@ -153,6 +153,18 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("deviance") <= dev(_ => ybar) + 1e-6)
   }
 
+  test("q459 scan partitioning: bigger byte budget never yields more partitions") {
+    val rows = graft.sources.PartitionedSink.q459ScanPartitioning.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(rows.length === 3)
+    assert(rows.sliding(2).forall { case Array((_, a), (_, b)) => b <= a },
+      "partition count must be monotone non-increasing in maxPartitionBytes")
+    assert(rows.head._2 > 1L, "64KB budget must actually split the scan")
+    assert(spark.conf.getOption("spark.sql.files.maxPartitionBytes").isEmpty ||
+      spark.conf.get("spark.sql.files.maxPartitionBytes") != "65536",
+      "q459 must restore the session setting")
+  }
+
   test("q436 SES backtest: engine MAE equals plain-Scala replay for each priority") {
     import spark.implicits._
     val daily = graft.sources.Tables.orders(spark, sf)
