@@ -1038,7 +1038,8 @@ object Eda {
     q421JackknifeRatio, q422QuantileTreatmentEffect, q425BrierDecomposition,
     q426DelongAucCi, q436SesBacktest, q438PlattScaling, q440PoissonRegression,
     q441NbDispersion, q443DtwMatrix, q444SaxWords, q445Periodogram,
-    q450TheilSen, q451HodgesLehmann)
+    q450TheilSen, q451HodgesLehmann, q460KruskalWallis, q461McNemar,
+    q462BrownForsythe)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -3354,6 +3355,151 @@ object Eda {
       .agg(count(lit(1)).cast("long").as("n_walsh"),
         round(expr("percentile(w, 0.5)"), 4).as("hl_location"))
       .orderBy($"event_type")
+  }
+
+  /** KRUSKAL–WALLIS k-sample rank test (1952) — "do the k groups share a
+    * location?", the k-group generalization of q284's Mann–Whitney and the
+    * nonparametric sibling of q273's ANOVA F: H = (12/(N(N+1)))·Σnᵢ(R̄ᵢ −
+    * R̄)² over mid-ranks, divided by the tie correction 1 − Σ(tⱼ³−tⱼ)/
+    * (N³−N). Mid-ranks come from integer rank algebra (cum-count + half
+    * the tie run — exact halves), ties from the value census — every
+    * input to the statistic is integer-derived, so the 4dp H matches
+    * strictly cross-engine.
+    *
+    * 100 TB plan: one value census (hash-agg), one census-sized rank
+    * window, per-group moment aggs — the q284 scan shape with k groups. */
+  val q460KruskalWallis: GraftQuery = GraftQuery.oracled(
+    "q460_kruskal_wallis",
+    """WITH s AS (SELECT event_type AS g, value AS v FROM events),
+      |cen AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY v),
+      |rk AS (SELECT v, t,
+      |              coalesce(sum(t) OVER (ORDER BY v
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |                + (t + 1) / 2.0 AS midrank
+      |       FROM cen),
+      |gr AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(midrank) AS rsum
+      |       FROM s JOIN rk USING (v) GROUP BY g),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS bign FROM gr),
+      |ties AS (SELECT sum(t * t * t - t) AS tcorr FROM cen),
+      |h AS (SELECT 12.0 / (bign * (bign + 1)) *
+      |             sum(rsum * rsum / n) - 3 * (bign + 1) AS h_raw,
+      |             max(bign) AS bign
+      |      FROM gr, tot GROUP BY bign)
+      |SELECT CAST(h.bign AS BIGINT) AS n,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM gr) AS k,
+      |       round(h.h_raw / (1 - ties.tcorr / (CAST(h.bign AS DOUBLE) * h.bign * h.bign - h.bign)), 4) AS h_stat
+      |FROM h, ties""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.events(spark, dir).select($"event_type".as("g"), $"value".as("v"))
+    val cen = s.groupBy($"v").agg(count(lit(1)).cast("long").as("t"))
+    val rk = cen.withColumn("midrank",
+      coalesce(sum($"t").over(Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + ($"t" + 1) / 2.0)
+    val gr = s.join(rk, Seq("v"))
+      .groupBy($"g").agg(count(lit(1)).cast("long").as("n"), sum($"midrank").as("rsum"))
+    val tot = gr.agg(sum($"n").cast("long").as("bign"))
+    val ties = cen.agg(sum($"t" * $"t" * $"t" - $"t").as("tcorr"))
+    val k = gr.agg(count(lit(1)).cast("long").as("k"))
+    gr.crossJoin(broadcast(tot))
+      .groupBy($"bign")
+      .agg((lit(12.0) / ($"bign" * ($"bign" + 1)) *
+        sum($"rsum" * $"rsum" / $"n") - lit(3) * ($"bign" + 1)).as("h_raw"))
+      .crossJoin(broadcast(ties)).crossJoin(broadcast(k))
+      .select($"bign".as("n"), $"k",
+        round($"h_raw" / (lit(1) - $"tcorr" /
+          ($"bign".cast("double") * $"bign" * $"bign" - $"bign")), 4).as("h_stat"))
+  }
+
+  /** McNEMAR paired-classifier test (1947, with Edwards' continuity
+    * correction) — "do two models disagree SYMMETRICALLY?": two portable
+    * rule classifiers (price-band rule vs priority rule, both predicting
+    * the urgent flag) score the SAME orders, and only the discordant
+    * cells b (A right, B wrong) and c (A wrong, B right) matter:
+    * χ² = (|b−c|−1)²/(b+c). The within-pair dependence is exactly what
+    * q295's two-proportion z-test gets wrong on paired data — this is the
+    * honest comparison for two models evaluated on one test set.
+    *
+    * 100 TB plan: one projection computing both predictions per row, one
+    * 4-cell census agg. */
+  val q461McNemar: GraftQuery = GraftQuery.oracled(
+    "q461_mcnemar",
+    """WITH p AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y,
+      |         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN o_orderkey % 5 < 2 THEN 1 ELSE 0 END AS b
+      |  FROM orders),
+      |cells AS (SELECT
+      |  CAST(count(CASE WHEN a = y AND b <> y THEN 1 END) AS BIGINT) AS b_cell,
+      |  CAST(count(CASE WHEN a <> y AND b = y THEN 1 END) AS BIGINT) AS c_cell,
+      |  CAST(count(CASE WHEN a = y THEN 1 END) AS BIGINT) AS a_correct,
+      |  CAST(count(CASE WHEN b = y THEN 1 END) AS BIGINT) AS b_correct,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM p)
+      |SELECT n, a_correct, b_correct, b_cell, c_cell,
+      |       round((abs(b_cell - c_cell) - 1) * (abs(b_cell - c_cell) - 1)
+      |             / CAST(b_cell + c_cell AS DOUBLE), 4) AS chi2_mcnemar
+      |FROM cells""") { (spark, dir) =>
+    import spark.implicits._
+    val p = Tables.orders(spark, dir).select(
+      when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"),
+      when($"o_totalprice" > 150000, 1).otherwise(0).as("a"),
+      when($"o_orderkey" % 5 < 2, 1).otherwise(0).as("b"))
+    p.agg(
+      count(when($"a" === $"y" && $"b" =!= $"y", 1)).cast("long").as("b_cell"),
+      count(when($"a" =!= $"y" && $"b" === $"y", 1)).cast("long").as("c_cell"),
+      count(when($"a" === $"y", 1)).cast("long").as("a_correct"),
+      count(when($"b" === $"y", 1)).cast("long").as("b_correct"),
+      count(lit(1)).cast("long").as("n"))
+      .select($"n", $"a_correct", $"b_correct", $"b_cell", $"c_cell",
+        round((abs($"b_cell" - $"c_cell") - 1) * (abs($"b_cell" - $"c_cell") - 1)
+          / ($"b_cell" + $"c_cell").cast("double"), 4).as("chi2_mcnemar"))
+  }
+
+  /** BROWN–FORSYTHE variance-homogeneity test (1974) — the robust Levene
+    * variant: one-way ANOVA F on |x − group MEDIAN| decides whether the
+    * k groups even share a variance (the assumption q273's ANOVA and
+    * q163's pooled z silently make; heavy-tailed groups break plain
+    * Levene, the median centering is the fix). Exact group medians on
+    * integer cents; the F is plain moment algebra on the centered
+    * deviations.
+    *
+    * 100 TB plan: one exact-median agg per group (the q319 percentile
+    * shape), one centered-moments agg — two passes, both group-keyed. */
+  val q462BrownForsythe: GraftQuery = GraftQuery.oracled(
+    "q462_brown_forsythe",
+    """WITH s AS (SELECT event_type AS g,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |med AS (SELECT g, quantile_cont(cents, 0.5) AS m FROM s GROUP BY g),
+      |z AS (SELECT s.g, abs(s.cents - med.m) AS z FROM s JOIN med USING (g)),
+      |gm AS (SELECT g, CAST(count(*) AS BIGINT) AS n, avg(z) AS zbar,
+      |              sum(z * z) AS zz FROM z GROUP BY g),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS bign, CAST(count(*) AS BIGINT) AS k,
+      |               sum(n * zbar) / sum(n) AS zgrand
+      |        FROM gm),
+      |f AS (SELECT (sum(n * (zbar - zgrand) * (zbar - zgrand)) / (k - 1))
+      |             / (sum(zz - n * zbar * zbar) / (bign - k)) AS f_stat,
+      |             max(bign) AS bign, max(k) AS k
+      |      FROM gm, tot GROUP BY bign, k)
+      |SELECT CAST(bign AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |       round(f_stat, 4) AS f_bf
+      |FROM f""") { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.events(spark, dir)
+      .select($"event_type".as("g"), round($"value" * 100).cast("long").as("cents"))
+    val med = s.groupBy($"g").agg(expr("percentile(cents, 0.5)").as("m"))
+    val z = s.join(broadcast(med), Seq("g")).select($"g", abs($"cents" - $"m").as("z"))
+    val gm = z.groupBy($"g").agg(count(lit(1)).cast("long").as("n"),
+      avg($"z").as("zbar"), sum($"z" * $"z").as("zz"))
+    val tot = gm.agg(sum($"n").cast("long").as("bign"),
+      count(lit(1)).cast("long").as("k"),
+      (sum($"n" * $"zbar") / sum($"n")).as("zgrand"))
+    gm.crossJoin(broadcast(tot))
+      .groupBy($"bign", $"k")
+      .agg(((sum($"n" * ($"zbar" - $"zgrand") * ($"zbar" - $"zgrand")) / ($"k" - 1))
+        / (sum($"zz" - $"n" * $"zbar" * $"zbar") / ($"bign" - $"k"))).as("f_stat"))
+      .select($"bign".as("n"), $"k", round($"f_stat", 4).as("f_bf"))
   }
 
   val q436SesBacktest: GraftQuery = GraftQuery.oracled(
