@@ -1271,7 +1271,7 @@ object Curation {
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
     q389TemperatureMixing, q394ContentChecksum, q397TruncationLoss,
     q398ClusterReweight, q401SinkhornMixture, q411SystematicSample,
-    q458EpochShuffle,
+    q458EpochShuffle, q463SftTranscripts,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
     q300ExportManifest, q323MixWaterfill, q431IpfRaking, q432NegativeSampling)
@@ -1290,6 +1290,59 @@ object Curation {
     * 100 TB plan: the permutation is sort-by-hash — a total-order
     * repartitionByRange at scale (one range shuffle per epoch, no driver
     * involvement); the checksum is a map-side-combinable integer agg. */
+  /** SFT TRANSCRIPT ASSEMBLY — the conversation-side counterpart to q137's
+    * token packing: each user's event journey becomes an ordered
+    * chat transcript (view/click = user turns, the rest = assistant
+    * turns; per-turn token cost = template + payload, a deterministic
+    * integer proxy), then the three ops every SFT dataset builder runs:
+    * SUFFIX truncation to a 64-token context (keep the most-RECENT turns
+    * that fit — a reverse-cumulative-sum window, never a driver loop),
+    * LOSS MASKING (only assistant tokens kept in the context count toward
+    * loss), and the fit census. Emits the first 50 users' rows.
+    *
+    * 100 TB plan: one user-keyed window for the reverse cumsum, one
+    * user-keyed agg — the sessionize scan shape; nothing global but the
+    * presentation sort. */
+  val q463SftTranscripts: GraftQuery = GraftQuery.oracled(
+    "q463_sft_transcripts",
+    """WITH t AS (
+      |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+      |         CASE WHEN event_type IN ('view', 'click') THEN 'user'
+      |              ELSE 'assistant' END AS role,
+      |         CAST(3 + length(event_type)
+      |              + CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS toks
+      |  FROM events),
+      |r AS (SELECT user_id, role, toks,
+      |             sum(toks) OVER (PARTITION BY user_id
+      |               ORDER BY ts DESC, event_id DESC) AS rev_cum
+      |      FROM t)
+      |SELECT user_id,
+      |       CAST(count(*) AS BIGINT) AS n_turns_total,
+      |       CAST(count(CASE WHEN rev_cum <= 64 THEN 1 END) AS BIGINT) AS n_turns_kept,
+      |       CAST(coalesce(sum(CASE WHEN rev_cum <= 64 THEN toks END), 0) AS BIGINT) AS toks_kept,
+      |       CAST(coalesce(sum(CASE WHEN rev_cum <= 64 AND role = 'assistant' THEN toks END), 0) AS BIGINT) AS toks_loss,
+      |       count(CASE WHEN rev_cum > 64 THEN 1 END) > 0 AS truncated
+      |FROM r GROUP BY user_id ORDER BY user_id LIMIT 50""") { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables.events(spark, dir).select($"user_id", $"ts", $"event_id",
+      when($"event_type".isin("view", "click"), "user").otherwise("assistant")
+        .as("role"),
+      (lit(3) + length($"event_type")
+        + get_json_object($"props", "$.k").cast("long") % 10).cast("long").as("toks"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    t.withColumn("rev_cum", sum($"toks").over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("long").as("n_turns_total"),
+        count(when($"rev_cum" <= 64, 1)).cast("long").as("n_turns_kept"),
+        coalesce(sum(when($"rev_cum" <= 64, $"toks")), lit(0L)).cast("long")
+          .as("toks_kept"),
+        coalesce(sum(when($"rev_cum" <= 64 && $"role" === "assistant", $"toks")),
+          lit(0L)).cast("long").as("toks_loss"),
+        (count(when($"rev_cum" > 64, 1)) > 0).as("truncated"))
+      .orderBy($"user_id")
+      .limit(50)
+  }
+
   val q458EpochShuffle: GraftQuery = GraftQuery.oracled(
     "q458_epoch_shuffle",
     """WITH epochs AS (SELECT unnest(generate_series(1, 3)) AS epoch),

@@ -559,7 +559,54 @@ object Warehouse {
       .orderBy($"pri")
   }
 
+  /** CACHE-REUSE CONTRACT — `.cache()` is the lever for iterative /
+    * multi-consumer plans (every ML fit and graph loop in this catalog
+    * leans on it), and this query asserts it actually ENGAGES: a
+    * returnflag census is cached and consumed TWICE (once for the per-flag
+    * rows, once for the grand total behind the share column); the
+    * executed plan must contain InMemoryTableScan for BOTH consumers (a
+    * regression to recompute-from-scan fails correctness here, not just
+    * the bench — the q194 in-query-require discipline). The result is
+    * materialized eagerly (localCheckpoint) so the cache can be released
+    * before returning — no cached state leaks into later queries.
+    *
+    * 100 TB story: the census (5 rows) is what gets cached, never the
+    * scan — caching INPUT-sized data is the classic OOM; caching the
+    * post-aggregation census makes every downstream consumer free. */
+  val q464CacheReuse: GraftQuery = GraftQuery.oracled(
+    "q464_cache_reuse",
+    """WITH census AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents FROM census)
+      |SELECT l_returnflag, n, cents,
+      |       CAST((1000000 * cents) // tot_cents AS BIGINT) AS share_ppm
+      |FROM census, tot ORDER BY l_returnflag""") { (spark, dir) =>
+    import spark.implicits._
+    val census = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).cast("long")
+          .as("cents"))
+      .cache()
+    census.count() // materialize the cache
+    val tot = census.agg(sum($"cents").cast("long").as("tot_cents"))
+    val out = census.crossJoin(broadcast(tot))
+      .select($"l_returnflag", $"n", $"cents",
+        expr("(1000000 * cents) div tot_cents").cast("long").as("share_ppm"))
+      .orderBy($"l_returnflag")
+    val scans = out.queryExecution.executedPlan.toString
+      .split("InMemoryTableScan").length - 1
+    require(scans >= 2,
+      s"cache must serve BOTH consumers (saw $scans InMemoryTableScan nodes)")
+    val result = out.localCheckpoint() // eager — safe to release the cache
+    census.unpersist()
+    result
+  }
+
   def all: Seq[GraftQuery] = Seq(q194BucketedJoin, q195DppPrune,
     q196DynamicOverwrite, q212BatchMerge, q245SnapshotDiff, q267BucketedAgg,
-    q364Scd2Merge, q376CdcApply, q452JoinIvm, q453BitemporalAsof)
+    q364Scd2Merge, q376CdcApply, q452JoinIvm, q453BitemporalAsof,
+    q464CacheReuse)
 }
