@@ -45,7 +45,8 @@ object SparkEntry {
       graft.ml.Patterns.all ++
       graft.operators.Profiler.all ++
       graft.operators.Geo.all ++
-      graft.operators.Governance.all
+      graft.operators.Governance.all ++
+      graft.plans.Lineage.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -502,7 +502,8 @@ object Aggregates {
     q150BitmapDistinct, q170IncrementalAgg, q173ApproxPercentile,
     q189RevenueShares, q191AggPushdown, q209Transpose, q223WeightedMedian,
     q225RegressionAggs, q246OrderedSetAggs, q253HllOverlap, q310Apportionment,
-    q406PercentileSelection, q442ApproxDistinctRewrite)
+    q406PercentileSelection, q442ApproxDistinctRewrite,
+    q465SampledJoinEstimate)
 
   /** EXACT PERCENTILES BY DISTRIBUTED SELECTION — the 100 TB path to an
     * EXACT quantile that q27/q319's `percentile` cannot take: Spark's
@@ -787,6 +788,64 @@ object Aggregates {
     * 100 TB story: this flag is the difference between a full shuffle of
     * every distinct token and a few-KB mergeable sketch per partition —
     * same dashboard SQL on both tiers. */
+  /** SAMPLED-JOIN ESTIMATOR AUDIT (online-aggregation style AQP, Hellerstein
+    * et al. 1997) — the third approximation family next to sketches (q29/
+    * q136) and the q442 rewrite: estimate the join aggregate from a 10%
+    * Bernoulli sample of the FACT side (portable md5 coin, so the sampled
+    * set — and therefore the estimate — is engine-exact), Horvitz–Thompson
+    * scale-up x/p, and the classical variance estimate
+    * Var(T̂) = Σ x²(1−p)/p² from the sample itself → a 95% CI. The x²
+    * sum is accumulated EXACTLY (DECIMAL(38,0) / HUGEINT — a double sum
+    * of cents² passes 2^53 and goes order-dependent) and converted to
+    * double only for the single sqrt, so the CI is bit-identical
+    * cross-engine. Emits, per
+    * priority, the exact total, the estimate, the signed error in ppm, the
+    * CI half-width, and whether the CI covered the truth — the audit table
+    * that decides if sampled dashboards are safe.
+    *
+    * 100 TB plan: the estimate path scans and joins 10% of the fact rows
+    * (the coin is a scan-side predicate — pushed down, never a shuffle);
+    * the exact path exists here as the in-query truth. */
+  val q465SampledJoinEstimate: GraftQuery = GraftQuery.oracled(
+    "q465_sampled_join_estimate",
+    """WITH li AS (SELECT l_orderkey,
+      |                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |                   CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0 AS sampled
+      |            FROM lineitem),
+      |j AS (SELECT o.o_orderpriority AS pri, li.cents, li.sampled
+      |      FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+      |agg AS (SELECT pri,
+      |               CAST(sum(cents) AS BIGINT) AS exact_cents,
+      |               CAST(10 * sum(CASE WHEN sampled THEN cents END) AS BIGINT) AS est_cents,
+      |               CAST(90 * sum(CASE WHEN sampled THEN cents * cents END) AS DOUBLE) AS var_est
+      |        FROM j GROUP BY pri)
+      |SELECT pri, exact_cents, est_cents,
+      |       CAST((1000000 * (est_cents - exact_cents)) // exact_cents AS BIGINT) AS err_ppm,
+      |       CAST(floor(1.96 * sqrt(var_est)) AS BIGINT) AS ci95_cents,
+      |       abs(est_cents - exact_cents) <= CAST(floor(1.96 * sqrt(var_est)) AS BIGINT) AS covered
+      |FROM agg ORDER BY pri""") { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey",
+      floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"),
+      (conv(substring(md5(concat($"l_orderkey".cast("string"), lit("-"),
+        $"l_linenumber".cast("string"))), 1, 8), 16, 10).cast("long") % 10 === 0)
+        .as("sampled"))
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority".as("pri"))
+      .agg(sum($"cents").cast("long").as("exact_cents"),
+        (lit(10) * sum(when($"sampled", $"cents"))).cast("long").as("est_cents"),
+        (lit(90) * sum(when($"sampled", ($"cents" * $"cents").cast("decimal(38,0)"))))
+          .cast("double").as("var_est"))
+      .select($"pri", $"exact_cents", $"est_cents",
+        expr("(1000000 * (est_cents - exact_cents)) div exact_cents")
+          .cast("long").as("err_ppm"),
+        floor(lit(1.96) * sqrt($"var_est")).cast("long").as("ci95_cents"),
+        (abs($"est_cents" - $"exact_cents") <=
+          floor(lit(1.96) * sqrt($"var_est")).cast("long")).as("covered"))
+      .orderBy($"pri")
+  }
+
   val q442ApproxDistinctRewrite: GraftQuery = GraftQuery.rowsOnly(
     "q442_approx_distinct_rewrite",
     doc = "COUNT(DISTINCT) transparently rewritten to HLL++ by the opt-in RewriteApproxDistinct rule") {
