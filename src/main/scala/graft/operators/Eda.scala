@@ -1039,7 +1039,7 @@ object Eda {
     q426DelongAucCi, q436SesBacktest, q438PlattScaling, q440PoissonRegression,
     q441NbDispersion, q443DtwMatrix, q444SaxWords, q445Periodogram,
     q450TheilSen, q451HodgesLehmann, q460KruskalWallis, q461McNemar,
-    q462BrownForsythe)
+    q462BrownForsythe, q467HillEstimator)
 
   /** `DataFrameStatFunctions.cov` / `.corr` — the DRIVER-SCALAR stat API
     * (distinct from q26's covar_samp SQL aggregates: this path returns a
@@ -3500,6 +3500,52 @@ object Eda {
       .agg(((sum($"n" * ($"zbar" - $"zgrand") * ($"zbar" - $"zgrand")) / ($"k" - 1))
         / (sum($"zz" - $"n" * $"zbar" * $"zbar") / ($"bign" - $"k"))).as("f_stat"))
       .select($"bign".as("n"), $"k", round($"f_stat", 4).as("f_bf"))
+  }
+
+  /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is the tail?":
+    * α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top-k order statistics,
+    * the standard estimator behind q344's Zipf read but for VALUE
+    * distributions (order totals here). Heavy tails (α < 2: infinite
+    * variance) break every mean-based monitor upstream — this is the
+    * number that says whether q341's median-of-means is optional or
+    * mandatory. Computed at k ∈ {50, 100, 200} to show estimator
+    * stability (the Hill-plot read). Order statistics come from integer
+    * rank over exact cents; the log-sum runs over ≤200 doubles derived
+    * from integers — engine-deterministic at 4dp.
+    *
+    * 100 TB plan: top-(k+1) per the rank window is a TakeOrdered-sized
+    * selection (the q97/q406 shape at scale); the estimator is a k-row
+    * census agg. */
+  val q467HillEstimator: GraftQuery = GraftQuery.oracled(
+    "q467_hill_estimator",
+    """WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |                  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r
+      |           FROM orders),
+      |ks AS (SELECT unnest([50, 100, 200]) AS k),
+      |thr AS (SELECT k, cents AS x_k1 FROM ks JOIN v ON v.r = k + 1),
+      |hill AS (SELECT thr.k, thr.x_k1,
+      |                sum(ln(CAST(v.cents AS DOUBLE) / thr.x_k1)) AS logsum
+      |         FROM thr JOIN v ON v.r <= thr.k
+      |         GROUP BY thr.k, thr.x_k1)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |       round(CAST(x_k1 AS DOUBLE) / 100, 2) AS threshold_usd,
+      |       round(k / logsum, 4) AS alpha_hill
+      |FROM hill ORDER BY k""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.orders(spark, dir)
+      .select(floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+        row_number().over(Window.orderBy($"o_totalprice".desc, $"o_orderkey")).as("r"))
+      .filter($"r" <= 201)
+    val ks = Seq(50, 100, 200).toDF("k")
+    val thr = ks.join(v, $"r" === $"k" + 1).select($"k", $"cents".as("x_k1"))
+    thr.join(v, $"r" <= $"k")
+      .groupBy($"k", $"x_k1")
+      .agg(sum(log($"cents".cast("double") / $"x_k1")).as("logsum"))
+      .select($"k".cast("long").as("k"),
+        round($"x_k1".cast("double") / 100, 2).as("threshold_usd"),
+        round($"k" / $"logsum", 4).as("alpha_hill"))
+      .orderBy($"k")
   }
 
   val q436SesBacktest: GraftQuery = GraftQuery.oracled(

@@ -73,7 +73,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q446_hits", "q447_rake_keyphrases", "q448_tdigest_quantiles",
     "q450_theil_sen", "q451_hodges_lehmann",
     "q452_join_ivm", "q453_bitemporal_asof", "q454_ccnet_buckets",
-    "q455_two_level_dedup", "q456_t_closeness")
+    "q455_two_level_dedup", "q456_t_closeness",
+    "q460_kruskal_wallis", "q461_mcnemar", "q462_brown_forsythe",
+    "q463_sft_transcripts", "q464_cache_reuse", "q465_sampled_join_estimate",
+    "q467_hill_estimator")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -131,7 +134,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // 10-row global-decile census crossjoin
     "q450_theil_sen", "q451_hodges_lehmann", "q456_t_closeness",
     // q454: q132's 1-row token-total broadcast
-    "q454_ccnet_buckets")
+    "q454_ccnet_buckets",
+    // q460/q462: 1-row grand-total / k-count broadcasts; q467: the 3-row
+    // k-grid joined to the top-201 census (bounded non-equi probe)
+    "q460_kruskal_wallis", "q462_brown_forsythe", "q467_hill_estimator")
 
   // The corpus-global running-max queries must run TWO-PHASE (per-bin local
   // maxima + broadcast prefix offsets): any partition-less WindowExec in
