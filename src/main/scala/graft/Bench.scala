@@ -64,6 +64,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val mode = if (force) "force" else "count"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"mode":"$mode","sf":"$sfDir"}""")
+    // Second, COMPACT summary line (no per-query map). The driver captures a
+    // stdout TAIL; the full line above exceeds that capture at 460+ queries,
+    // so all five BENCH_r0*.json artifacts parsed null. This line is small
+    // enough to always survive tail truncation and carries the headline
+    // total + error census the per-round gate actually reads.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"mode":"$mode","sf":"$sfDir"}""")
     spark.stop()
   }
 }

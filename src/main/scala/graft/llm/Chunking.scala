@@ -291,12 +291,13 @@ object Chunking {
     * sort. Complements the physical-layout family (q83 partitioned, q174
     * range-clustered, q191 Z-order) with a CONTENT-similarity criterion.
     *
-    * 100 TB plan: the global row_number over documents is census-scale
-    * (one row per doc, not per token) and production replaces it with
-    * q97's two-phase rank / repartitionByRange before writing; the
-    * neighbor join is rank-keyed (r ↔ r+1), and the token-intersection
-    * join is keyed on the token — every stage is an equi-join, nothing
-    * quadratic. */
+    * 100 TB plan: BOTH global row_numbers run TWO-PHASE
+    * (TwoPhase.rowNumber — arrival buckets by a doc_id bin, clustered
+    * buckets by the (lang, source) pair itself, the natural parallel
+    * unit): per-bin parallel ranks + bins-sized broadcast offsets, never
+    * a single-task doc-census sort; the neighbor join is rank-keyed
+    * (r ↔ r+1), and the token-intersection join is keyed on the token —
+    * every stage is an equi-join, nothing quadratic. */
   val q289LayoutLocality: GraftQuery = GraftQuery.oracled(
     "q289_layout_locality",
     """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -332,9 +333,13 @@ object Chunking {
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .distinct()
     val sz = tok.groupBy($"doc_id").agg(count(lit(1)).cast("long").as("n"))
-    val ord = docs.select($"doc_id",
-      row_number().over(Window.orderBy($"doc_id")).as("r_arrival"),
-      row_number().over(Window.orderBy($"lang", $"source", $"doc_id")).as("r_clustered"))
+    val ord = graft.operators.TwoPhase.rowNumber(
+        graft.operators.TwoPhase.rowNumber(
+          docs.select($"doc_id", $"lang", $"source"),
+          floor($"doc_id" / 4096.0), Seq($"doc_id"), out = "r_arrival"),
+        struct($"lang", $"source"),
+        Seq($"lang", $"source", $"doc_id"), out = "r_clustered")
+      .select($"doc_id", $"r_arrival", $"r_clustered")
     def neighbors(rank: String, label: String) =
       ord.as("a").join(ord.as("b"), col(s"b.$rank") === col(s"a.$rank") + 1)
         .select(lit(label).as("ordering"),

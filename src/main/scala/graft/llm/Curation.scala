@@ -215,10 +215,12 @@ object Curation {
     * property an actual training job needs for resumability. The running
     * token budget per phase is the number the dataloader provisions.
     *
-    * 100 TB plan: the quartile assignment is one global ntile over the
-    * DOC census (doc-count-sized; q97's two-phase rank is the drop-in at
-    * billion-doc counts, the q330 caveat); the within-phase shuffle and
-    * budget are per-phase windows — 4-way parallel, never corpus-global. */
+    * 100 TB plan: the quartile assignment runs TWO-PHASE over the DOC
+    * census (TwoPhase.rowNumber, bucket = n_tokens itself — trivially
+    * monotone in the leading sort key): per-bin parallel ranks +
+    * bins-sized broadcast offsets, never a single-task census sort even
+    * at billion-doc counts; the within-phase shuffle and budget are
+    * per-phase windows — 4-way parallel, never corpus-global. */
   val q356CurriculumManifest: GraftQuery = GraftQuery.oracled(
     "q356_curriculum_manifest",
     """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
@@ -236,8 +238,13 @@ object Curation {
     import spark.implicits._
     val d = Tables.documents(spark, dir)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
-    val ph = d.withColumn("phase",
-      ntile(4).over(Window.orderBy($"n_tokens", $"doc_id")))
+    val ph = graft.operators.TwoPhase.rowNumber(d,
+        bucket = $"n_tokens",
+        sort = Seq($"n_tokens", $"doc_id"),
+        out = "__rn", totalOut = Some("__n"))
+      .withColumn("phase",
+        graft.operators.TwoPhase.ntileFromRn($"__rn", $"__n", 4))
+      .drop("__rn", "__n")
     val wSh = Window.partitionBy($"phase")
       .orderBy(md5($"doc_id".cast("string")), $"doc_id")
     ph.select($"phase",
@@ -694,19 +701,25 @@ object Curation {
     * for. One query = the handoff contract between data curation and the
     * training job.
     *
-    * 100 TB plan: every stage reuses an already-audited shape (q45 capped
-    * inverted index, q109 star closure, broadcast eval-grams, hash
-    * census); the manifest rollup is map-side-combined over (split,
-    * source) — the output is dashboard-sized. */
+    * 100 TB plan: every stage reuses an already-audited shape — the pair
+    * stage is the SUB-QUADRATIC sketch-then-verify default
+    * ([[Dedup.neardupPairsLshVerified]]: banded minhash candidates,
+    * exact-verified; q45's capped index stays the oracle-able verifier),
+    * q109 star closure, broadcast eval-grams, hash census; the manifest
+    * rollup is map-side-combined over (split, source) — the output is
+    * dashboard-sized. */
   val q300ExportManifest: GraftQuery = GraftQuery(
     "q300_export_manifest",
     (spark, dir) => {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // compute the capped pair join ONCE (localCheckpoint) and feed the same
-    // frame to curate's near-dup stage and the split clustering — the pair
-    // machinery is the query's dominant cost and used to run twice
-    val pairs = Dedup.neardupPairs(docs).select($"doc_a", $"doc_b").localCheckpoint()
+    // DEFAULT = the sub-quadratic sketch-then-verify path (banded-minhash
+    // candidates, exact-Jaccard-verified — equals the exact capped-index
+    // pairs wherever the recall law holds, so the DuckDB oracle stays
+    // exact); computed ONCE (localCheckpoint) and fed to both curate's
+    // near-dup stage and the split clustering
+    val pairs = Dedup.neardupPairsLshVerified(docs)
+      .select($"doc_a", $"doc_b").localCheckpoint()
     val verdicts = curate(docs, $"doc_id" % 50 === 0, _ => pairs)
     val clusters = Dedup.minLabelComponents(docs.select($"doc_id"), pairs)
       .toDF("doc_id", "cluster_id")
@@ -918,9 +931,13 @@ object Curation {
     * Weights are exact rationals summed as ppm integers (1e6/|cluster| per
     * doc) — no float summation anywhere.
     *
-    * 100 TB plan: cluster sizes are one agg over q100's labels; the
-    * weight join is label-keyed; the census is source-sized. The
-    * components run is the amortized standing index (q395). */
+    * 100 TB plan: pairs ride the sub-quadratic sketch-then-verify default
+    * ([[Dedup.neardupPairsLshVerified]] — equals the exact pairs under
+    * the recall law, keeping this oracle exact); cluster sizes are one
+    * agg over the labels, GUARDED by [[Dedup.guardClusterSizes]] (a
+    * mega-cluster fails loudly); the weight join is label-keyed; the
+    * census is source-sized. The components run is the amortized
+    * standing index (q395). */
   val q398ClusterReweight: GraftQuery = GraftQuery.oracled(
     "q398_cluster_reweight",
     """WITH RECURSIVE
@@ -956,8 +973,16 @@ object Curation {
       |GROUP BY source
       |ORDER BY source""") { (spark, dir) =>
     import spark.implicits._
-    val lab = Dedup.q100DedupClusters.fn(spark, dir)
-      .select($"doc_id", $"cluster_id")
+    // DEFAULT = sub-quadratic sketch-then-verify pairs (== q45's exact
+    // pairs under the recall law, so the recursive-CTE oracle stays
+    // exact); the guard fails loudly on a pathological mega-cluster
+    // before the size census ever runs
+    val docsIn = Tables.documents(spark, dir)
+    val lab = Dedup.guardClusterSizes(
+      Dedup.minLabelComponents(
+          docsIn.select($"doc_id"),
+          Dedup.neardupPairsLshVerified(docsIn).select($"doc_a", $"doc_b"))
+        .toDF("doc_id", "cluster_id"))
     val cs = lab.groupBy($"cluster_id").agg(count(lit(1)).cast("long").as("m"))
     Tables.documents(spark, dir).select($"doc_id", $"source")
       .join(lab, Seq("doc_id"))

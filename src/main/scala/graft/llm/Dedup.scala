@@ -145,6 +145,37 @@ object Dedup {
       .filter($"doc_a" < $"doc_b")
   }
 
+  /** SKETCH-THEN-VERIFY near-dup pairs — the 100 TB DEFAULT the capstones
+    * (q300/q343/q398) ride: [[neardupPairsLsh]]'s banded candidates
+    * (sub-quadratic — candidate pairs only hash-join on minhash band
+    * buckets, never shingle×shingle) exact-Jaccard-VERIFIED on q45's capped
+    * shingle space, so the output is `neardupPairs ∩ candidates`. Because
+    * the banding recall law holds (LlmOpsSpec: every exact ≥0.8 pair is
+    * recovered — 0.8 similarity sits deep inside the 0.3-distance cut with
+    * 5 OR-amplified tables, P(miss) ≤ 0.2⁵ per pair), the output EQUALS
+    * [[neardupPairs]] on the verified corpora — which is what keeps the
+    * capstones' DuckDB oracles exact while their pair stage runs the
+    * sub-quadratic plan. The verify cost is candidate-pair-scale: each
+    * candidate joins its two capped shingle sets through one shingle-keyed
+    * equi-join, never a corpus-wide pair space. */
+  private[llm] def neardupPairsLshVerified(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cand = neardupPairsLsh(docs).select($"doc_a", $"doc_b")
+    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val jac = $"shared" / ($"na" + $"nb" - $"shared")
+    cand
+      .join(sh.toDF("doc_a", "s"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
+      .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
+      .filter(jac >= 0.8)
+      .select($"doc_a", $"doc_b", $"shared", stat(jac).as("jaccard"))
+  }
+
   val q46NeardupMinhashLsh: GraftQuery = GraftQuery.rowsOnly(
     "q46_neardup_minhash_lsh",
     doc = "MinHashLSH(numHashTables=5, seed=42) over 3-gram shingles, jaccardDist <= 0.3") { (spark, dir) =>
@@ -475,6 +506,31 @@ object Dedup {
     require(changed == 0,
       s"min-label propagation did not converge in $iter rounds; " +
         "use starComponents (large-star/small-star) for high-diameter graphs")
+    labels
+  }
+
+  /** Cluster-keyed windows downstream (q343's champion rank, q398's size
+    * census) assume near-dup clusters are SMALL; past this size a cluster
+    * is a dedup bug (degenerate banding / an uncapped hot shingle — the
+    * q372 round-5 incident shape), not a plan input. */
+  private[llm] val MaxDedupClusterSize = 1000L
+
+  /** Loud MEGA-CLUSTER guard — q100's non-convergence-guard pattern applied
+    * to cluster SIZE: one census agg over the (checkpointed) labels, then a
+    * driver-side `require` naming the offending cluster. Turns the
+    * "clusters are small by construction" scaladoc assumption into an
+    * enforced check, so a pathological mega-cluster fails the job loudly
+    * instead of silently serializing one giant window partition. */
+  private[llm] def guardClusterSizes(
+      labels: org.apache.spark.sql.DataFrame,
+      cap: Long = MaxDedupClusterSize): org.apache.spark.sql.DataFrame = {
+    val worst = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+      .orderBy(col("m").desc).limit(1).collect()
+    for (r <- worst; m = r.getLong(1); if m > cap)
+      throw new IllegalStateException(
+        s"mega-cluster guard: near-dup cluster ${r.get(0)} has $m members " +
+          s"(cap $cap) — a dedup bug (degenerate banding / uncapped hot " +
+          "shingle), not a plan input; fix the pair stage before windowing")
     labels
   }
 
@@ -1103,9 +1159,10 @@ object Dedup {
     * equi-join against the (doc index → doc) table.
     *
     * 100 TB plan: clusters come from the audited q45→components path;
-    * probes are a bounded explode (5 per anchor) + equi-joins; the only
-    * global structure is the doc row-number index (corpus-DOC-sized,
-    * q97's two-phase rank at extreme doc counts — the q356 caveat). */
+    * probes are a bounded explode (5 per anchor) + equi-joins; the doc
+    * row-number index runs TWO-PHASE (TwoPhase.rowNumber, bucket = a
+    * doc_id bin): per-bin parallel ranks + bins-sized broadcast offsets,
+    * never a single-task doc-census sort. */
   val q365ContrastiveNegatives: GraftQuery = GraftQuery.oracled(
     "q365_contrastive_negatives",
     """WITH RECURSIVE
@@ -1173,8 +1230,9 @@ object Dedup {
     val anc = lab.join(cs, Seq("cluster_id"))
       .select($"doc_id".as("anchor_id"), $"cluster_id",
         when($"doc_id" === $"m1", $"m2").otherwise($"m1").as("positive_id"))
-    val idx = docs
-      .withColumn("rn", row_number().over(Window.orderBy($"doc_id")) - 1)
+    val idx = graft.operators.TwoPhase.rowNumber(docs,
+        floor($"doc_id" / 4096.0), Seq($"doc_id"), out = "rn1")
+      .select($"doc_id", ($"rn1" - 1).as("rn"))
     val n = docs.agg(count(lit(1)).as("n"))
     val probe = anc
       .withColumn("r", explode(sequence(lit(1), lit(5))))
@@ -1202,10 +1260,17 @@ object Dedup {
     * champion manifest per non-trivial cluster; q275 does the same
     * survivorship for entity ATTRIBUTES, this does it for documents.
     *
-    * 100 TB plan: one label join (cluster-keyed) + one per-cluster
-    * window over cluster-sized partitions (near-dup clusters are small
-    * by construction; a pathological mega-cluster is a dedup bug, not a
-    * plan input). */
+    * 100 TB plan: the pair stage rides [[neardupPairsLshVerified]] —
+    * banded-minhash candidates, exact-verified, sub-quadratic — as the
+    * DEFAULT (q45's capped inverted index remains the oracle-able
+    * verifier, and the verified-LSH output equals it wherever the recall
+    * law holds, which keeps this query's DuckDB oracle exact); then one
+    * label join (cluster-keyed) + one per-cluster window over
+    * cluster-sized partitions. Near-dup clusters are small by
+    * construction, and [[guardClusterSizes]] now ENFORCES that: a
+    * pathological mega-cluster (a degenerate banding scheme — q372's
+    * round-5 incident shape) fails loudly instead of serializing one
+    * giant window partition. */
   val q343ClusterChampion: GraftQuery = GraftQuery.oracled(
     "q343_cluster_champion",
     """WITH RECURSIVE
@@ -1242,10 +1307,11 @@ object Dedup {
       |ORDER BY cluster_id""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = q45NeardupJaccard.fn(spark, dir).select($"doc_a", $"doc_b")
+    val pairs = neardupPairsLshVerified(Tables.documents(spark, dir))
+      .select($"doc_a", $"doc_b")
     val verts = Tables.documents(spark, dir).select($"doc_id")
-    val lab = starComponents(verts, pairs)._1
-      .select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+    val lab = guardClusterSizes(starComponents(verts, pairs)._1
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id")))
     val j = lab.join(Tables.documents(spark, dir).select($"doc_id", $"n_chars"),
       Seq("doc_id"))
     val w = Window.partitionBy($"cluster_id")

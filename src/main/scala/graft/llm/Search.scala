@@ -117,11 +117,13 @@ object Search {
     * adjacent ranks; remaining ties break by doc_id on both sides.
     *
     * 100 TB plan: the candidate set is bounded by the query terms'
-    * postings, not the corpus — both rankings and the fusion operate on
-    * that set; the rank windows are candidate-set-sized by construction
-    * (production top-K's each ranker first via TopKPerGroup, RRF only
-    * needs each ranker's top k). The QL smoothing grid is candidates ×
-    * |query| rows — linear in candidates. */
+    * postings, not the corpus — but a hot term's postings can still be
+    * corpus-scale, so BOTH rank assignments run TWO-PHASE
+    * (TwoPhase.rowNumber, bucket = a score-monotone bin over the rounded
+    * scores): per-bin parallel ranks + bins-sized broadcast offsets, never
+    * a single-task candidate sort (production additionally top-K's each
+    * ranker first via TopKPerGroup — RRF only needs each ranker's top k).
+    * The QL smoothing grid is candidates × |query| rows — linear. */
   val q278RrfFusion: GraftQuery = GraftQuery.oracled(
     "q278_rrf_fusion",
     """WITH tok AS (
@@ -195,10 +197,10 @@ object Search {
         log(($"tf" + lit(2000) * $"cf" / $"c") / ($"dl" + 2000)))
       .groupBy($"doc_id")
       .agg(round(sum($"term"), 6).as("ql"))
-    val ra = bm.withColumn("r",
-      row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
-    val rb = ql.withColumn("r",
-      row_number().over(Window.orderBy($"ql".desc, $"doc_id")))
+    val ra = graft.operators.TwoPhase.rowNumber(
+      bm, floor(-$"bm25" * 8), Seq($"bm25".desc, $"doc_id"), out = "r")
+    val rb = graft.operators.TwoPhase.rowNumber(
+      ql, floor(-$"ql" * 8), Seq($"ql".desc, $"doc_id"), out = "r")
     ra.as("ra").join(rb.as("rb"), "doc_id")
       .select($"doc_id",
         $"ra.r".cast("long").as("rank_bm25"),

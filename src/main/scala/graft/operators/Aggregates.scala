@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.engine.GraftQuery
 import graft.sources.Tables
@@ -149,15 +150,31 @@ object Aggregates {
   }
 
   /** HyperLogLog++ approximate distinct — 100 TB cardinality estimation.
-    * Not oracle-able (different sketch than DuckDB); ScalaTest asserts the
-    * ≤5%-relative-error bound against the exact count (SURVEY.md §2.4). */
-  val q29ApproxDistinct: GraftQuery = GraftQuery.rowsOnly(
+    * The raw estimate is not oracle-able (a different sketch than DuckDB's),
+    * so the query emits the PRINT-BOTH form (the q150/q253/q465 pattern):
+    * the exact count — strict-oracle'd — next to `est_within_5pct`, the
+    * error-bound CONTRACT as a boolean the oracle pins to TRUE. A sketch
+    * regression (estimate drifting past 2.5× its rsd) now hash-mismatches
+    * at the DRIVER, not just in ScalaTest; AggregatesSpec still gates the
+    * numeric bound. The exact column is the small-sf verifier — at 100 TB
+    * production keeps only the estimate.
+    *
+    * Scale shape: both aggregates are one map-side-combined hash-agg over
+    * the same scan; the HLL partial is ~KB per group. */
+  val q29ApproxDistinct: GraftQuery = GraftQuery.oracled(
     "q29_approx_distinct",
-    doc = "approx_count_distinct(user_id) per event_type, rsd=0.02") { (spark, dir) =>
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      |       CAST(1 AS BOOLEAN) AS est_within_5pct
+      |FROM events GROUP BY 1 ORDER BY 1""") { (spark, dir) =>
     import spark.implicits._
     Tables.events(spark, dir)
       .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"))
+      .agg(countDistinct($"user_id").cast("long").as("n_users_exact"),
+        approx_count_distinct($"user_id", rsd = 0.02).as("est"))
+      .select($"event_type", $"n_users_exact",
+        (abs($"est".cast("double") / $"n_users_exact" - 1.0) <= 0.05)
+          .as("est_within_5pct"))
       .orderBy($"event_type")
   }
 
@@ -245,18 +262,36 @@ object Aggregates {
     * cannot do: its estimate is final, while `hll_sketch_agg` materializes
     * the mergeable state, making distinct counts roll up like sums across
     * any slice (days → months, per-partition → global). Sketch bytes are
-    * engine-specific → rows-only; AggregatesSpec gates the merged estimate
-    * within 5% of exact and proves sketch-merge == direct-sketch. */
-  val q133SketchMergeDistinct: GraftQuery = GraftQuery.rowsOnly(
+    * engine-specific, so the entry ships the PRINT-BOTH form (q29's
+    * pattern): the sketch-count and exact distinct are strict-oracle'd,
+    * and the two CONTRACTS — merged estimate within 5% of exact, and
+    * merge-of-dailies == direct one-shot sketch — ride as booleans the
+    * oracle pins to TRUE, so a merge regression hash-mismatches at the
+    * driver. AggregatesSpec still gates the numeric bound. */
+  val q133SketchMergeDistinct: GraftQuery = GraftQuery.oracled(
     "q133_sketch_merge_distinct",
-    doc = "daily hll_sketch_agg(user_id) per event_type, hll_union_agg rollup, lgK=14") { (spark, dir) =>
+    """SELECT event_type,
+      |       CAST(count(DISTINCT CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE)) AS BIGINT) AS n_daily_sketches,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      |       CAST(1 AS BOOLEAN) AS merged_within_5pct,
+      |       CAST(1 AS BOOLEAN) AS merge_eq_direct
+      |FROM events GROUP BY 1 ORDER BY 1""") { (spark, dir) =>
     import spark.implicits._
-    Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val merged = ev
       .groupBy(to_date($"ts").as("d"), $"event_type")
       .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
       .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_daily_sketches"),
-        hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+      .agg(count(lit(1)).cast("long").as("n_daily_sketches"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
+    val direct = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").cast("long").as("n_users_exact"),
+        hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("est_direct"))
+    merged.join(direct, Seq("event_type"))
+      .select($"event_type", $"n_daily_sketches", $"n_users_exact",
+        (abs($"est_merged".cast("double") / $"n_users_exact" - 1.0) <= 0.05)
+          .as("merged_within_5pct"),
+        ($"est_merged" === $"est_direct").as("merge_eq_direct"))
       .orderBy($"event_type")
   }
 
@@ -269,10 +304,28 @@ object Aggregates {
     * The exact-rolling-distinct alternative replays every event row into 7
     * windows and shuffles the full (day, user) stream — this replaces that
     * with a few-KB sketch per day. lgK=14 ≈ 0.8% rse; AggWindowSpec gates
-    * WAU ≤5% of exact rolling distinct. */
-  val q145RollingActives: GraftQuery = GraftQuery.rowsOnly(
+    * WAU ≤5% of exact rolling distinct.
+    *
+    * PRINT-BOTH (q29's pattern): DAU and the exact rolling WAU — a
+    * day-census range join over distinct (day, user) pairs, the small-sf
+    * verifier that "drops at scale" (q253's wording) — are
+    * strict-oracle'd; the sketch WAU rides as the `wau_within_5pct`
+    * error-bound boolean the oracle pins to TRUE, so a sketch-window
+    * regression hash-mismatches at the driver. The days-sized sketch
+    * window stays the 100 TB path. */
+  val q145RollingActives: GraftQuery = GraftQuery.oracled(
     "q145_rolling_actives",
-    doc = "daily hll_sketch_agg(user_id, lgK=14) -> hll_union_agg over RANGE -6..0 day window: exact DAU + approx rolling WAU") { (spark, dir) =>
+    """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d,
+      |                            user_id
+      |            FROM events),
+      |days AS (SELECT DISTINCT d FROM du)
+      |SELECT days.d,
+      |       CAST(count(DISTINCT CASE WHEN du.d = days.d THEN du.user_id END) AS BIGINT) AS dau,
+      |       CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau_exact,
+      |       CAST(1 AS BOOLEAN) AS wau_within_5pct
+      |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      |GROUP BY days.d
+      |ORDER BY days.d""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)
@@ -281,9 +334,27 @@ object Aggregates {
         hll_sketch_agg($"user_id", lit(14)).as("sk"))
       .withColumn("epoch_d", datediff($"d", lit("1970-01-01").cast("date")))
     val w = Window.orderBy($"epoch_d").rangeBetween(-6, 0)
-    daily
+    val approx = daily
       .withColumn("wau_approx", hll_sketch_estimate(hll_union_agg($"sk").over(w)))
       .select($"d", $"dau", $"wau_approx")
+    // exact rolling WAU — the verification twin ("drops at scale"):
+    // each distinct (day, user) pair contributes to the 7 windows ending
+    // on days d..d+6 (bounded ×7 explode), then one equi semi-join prunes
+    // to observed days and one distinct-agg counts — all equi-keyed,
+    // never a range join
+    val du = Tables.events(spark, dir)
+      .select(to_date($"ts").as("ud"), $"user_id").distinct()
+    val days = du.select($"ud".as("d")).distinct()
+    val exact = du
+      .select(explode(sequence(lit(0), lit(6))).as("off"), $"ud", $"user_id")
+      .select(date_add($"ud", $"off").as("d"), $"user_id")
+      .join(days, Seq("d"), "left_semi")
+      .groupBy($"d")
+      .agg(countDistinct($"user_id").cast("long").as("wau_exact"))
+    approx.join(exact, Seq("d"))
+      .select($"d", $"dau".cast("long").as("dau"), $"wau_exact",
+        (abs($"wau_approx".cast("double") / $"wau_exact" - 1.0) <= 0.05)
+          .as("wau_within_5pct"))
       .orderBy($"d")
   }
 
@@ -357,24 +428,53 @@ object Aggregates {
   /** Sketch-based percentiles (`percentile_approx`, accuracy 10000) per
     * event_type — the mergeable quantile sketch that replaces q27's exact
     * `percentile` once a segment no longer fits the exact aggregation
-    * comfortably. No SQL oracle (DuckDB's `approx_quantile` is a different
-    * sketch with different answers); AggWindowSpec gates it against the
-    * exact percentile with a 1%-of-range error bound.
+    * comfortably. DuckDB's `approx_quantile` is a different sketch with
+    * different answers, so the entry ships PRINT-BOTH (q29's pattern):
+    * per group, the row count is strict-oracle'd and each approx quantile
+    * rides as its RANK-ERROR CONTRACT — `rank(approx value) - target
+    * rank| ≤ n/1000 + 1` (the sketch guarantees n/10000; the gate takes
+    * 10× slack so it never flakes) — as a boolean the oracle pins TRUE.
+    * The rank of the returned value is measured against the data itself
+    * (one conditional count per group), so a sketch regression
+    * hash-mismatches at the driver. AggWindowSpec still gates the
+    * numeric error.
     *
     * 100 TB story: the sketch buffer is bounded (~accuracy entries) and
     * merges associatively across partitions — the same contract as q29's
     * HLL and q69's Welford buffer. Exact per-group percentile sorts each
-    * group; this never does. */
-  val q173ApproxPercentile: GraftQuery = GraftQuery.rowsOnly(
+    * group; this never does. The rank-check join is group-census-sized. */
+  val q173ApproxPercentile: GraftQuery = GraftQuery.oracled(
     "q173_approx_percentile",
-    doc = "percentile_approx(value, [0.5, 0.95], 10000) per event_type") {
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(1 AS BOOLEAN) AS p50_rank_ok,
+      |       CAST(1 AS BOOLEAN) AS p95_rank_ok
+      |FROM events GROUP BY 1 ORDER BY 1""") {
     (spark, dir) =>
       import spark.implicits._
-      Tables.events(spark, dir)
+      val appr = Tables.events(spark, dir)
         .groupBy($"event_type")
         .agg(
           expr("percentile_approx(value, 0.5D, 10000)").as("p50_approx"),
           expr("percentile_approx(value, 0.95D, 10000)").as("p95_approx"))
+      // tie-robust rank interval: any rank in [count(<v), count(<=v)] is
+      // attributable to the returned value v — the flag passes iff that
+      // interval comes within tolerance of the target rank
+      def rankOk(lo: Column, hi: Column, q: Double) = {
+        val tol = $"n" / 1000.0 + 1
+        (lo - tol <= $"n" * q) && ($"n" * q <= hi + tol)
+      }
+      Tables.events(spark, dir)
+        .select($"event_type", $"value")
+        .join(broadcast(appr), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when($"value" < $"p50_approx", 1L).otherwise(0L)).as("lo50"),
+          sum(when($"value" <= $"p50_approx", 1L).otherwise(0L)).as("hi50"),
+          sum(when($"value" < $"p95_approx", 1L).otherwise(0L)).as("lo95"),
+          sum(when($"value" <= $"p95_approx", 1L).otherwise(0L)).as("hi95"))
+        .select($"event_type", $"n",
+          rankOk($"lo50", $"hi50", 0.5).as("p50_rank_ok"),
+          rankOk($"lo95", $"hi95", 0.95).as("p95_rank_ok"))
         .orderBy($"event_type")
   }
 

@@ -230,11 +230,12 @@ object Eda {
     * positive rate (status F) — the model-evaluation staple (calibration
     * curves, uplift decile charts) expressed relationally.
     *
-    * Scale note: `ntile` over a global ORDER BY is a single-task window at
-    * the limit; the q97 two-phase global-rank pattern is the drop-in once
-    * the scored table outgrows one task. Kept direct here because the
-    * decile table input is orders-sized, and the oracle must see identical
-    * tile boundaries. */
+    * Scale plan: the decile cut runs TWO-PHASE (TwoPhase.rowNumber — q97's
+    * bin + broadcast-offset machinery, bucket = a price-monotone bin), so
+    * the orders-sized input ranks in parallel per bin and the only
+    * partition-less window is the bins-sized offsets prefix; ntile(10) is
+    * recovered arithmetically from (rn, N) with SQL's remainder rule, so
+    * the oracle sees bit-identical tile boundaries. */
   val q175DecileLift: GraftQuery = GraftQuery.oracled(
     "q175_decile_lift",
     """WITH r AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
@@ -246,12 +247,14 @@ object Eda {
       |FROM r GROUP BY decile
       |ORDER BY decile""") { (spark, dir) =>
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
-    Tables.orders(spark, dir)
-      .select(
-        when($"o_orderstatus" === "F", 1).otherwise(0).as("pos"),
-        ntile(10).over(w).as("decile"))
+    val scored = Tables.orders(spark, dir)
+      .select($"o_totalprice", $"o_orderkey",
+        when($"o_orderstatus" === "F", 1).otherwise(0).as("pos"))
+    TwoPhase.rowNumber(scored,
+        bucket = floor($"o_totalprice" / 10000.0),
+        sort = Seq($"o_totalprice", $"o_orderkey"),
+        out = "rn", totalOut = Some("n_total"))
+      .select($"pos", TwoPhase.ntileFromRn($"rn", $"n_total", 10).as("decile"))
       .groupBy($"decile")
       .agg(
         count(lit(1)).cast("long").as("n"),
@@ -792,11 +795,10 @@ object Eda {
     * reporting its exact cents and the cumulative share in ppm. "The top
     * decile holds X% of revenue" — whale analysis, exactly.
     *
-    * 100 TB plan: one per-customer rollup, one global sort of the
-    * (customer-sized, not order-sized) rollup for ntile, constant-size
-    * output; at extreme customer counts the decile cut swaps for approx
-    * quantile boundaries (q97's two-phase trick) with the same output
-    * contract. */
+    * 100 TB plan: one per-customer rollup, then a TWO-PHASE decile cut
+    * (TwoPhase.rowNumber: per-bin parallel ranks + bins-sized broadcast
+    * offsets) over the customer census — no single-task census sort at any
+    * customer count; constant-size output. */
   val q271LorenzDeciles: GraftQuery = GraftQuery.oracled(
     "q271_lorenz_deciles",
     """WITH c AS (SELECT o_custkey,
@@ -818,8 +820,14 @@ object Eda {
     val c = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
-    val d = c.withColumn("decile",
-      ntile(10).over(Window.orderBy($"cents", $"o_custkey")))
+    // two-phase decile cut over the customer census (bucket = spend-monotone
+    // cents bin): parallel per-bin ranks + bins-sized broadcast offsets —
+    // never a single-task census sort, even at billion-customer counts
+    val d = TwoPhase.rowNumber(c,
+        bucket = floor($"cents" / 1000000.0),
+        sort = Seq($"cents", $"o_custkey"),
+        out = "rn", totalOut = Some("n_total"))
+      .withColumn("decile", TwoPhase.ntileFromRn($"rn", $"n_total", 10))
     val g = d.groupBy($"decile")
       .agg(count(lit(1)).cast("long").as("n_customers"),
         sum($"cents").cast("long").as("cents"))
@@ -969,10 +977,12 @@ object Eda {
     * sums are ORDER-INDEPENDENT and exact — the statistic is bit-identical
     * across engines before the final division.
     *
-    * 100 TB plan: one hash-agg census (map-side combined), a cumulative
-    * window over DISTINCT values only (never per-row ranks — the
-    * single-task stage q226's rewrite eliminated), and a constant-size
-    * final reduction. */
+    * 100 TB plan: one hash-agg census (map-side combined), then the
+    * cumulative "below" over DISTINCT values runs TWO-PHASE
+    * (TwoPhase.runningSum, bucket = floor(value)): per-bin parallel
+    * cumsums + a bins-sized broadcast prefix — no single-task census
+    * window even when the distinct-value census is itself row-scale —
+    * and a constant-size final reduction. */
   val q284MannWhitney: GraftQuery = GraftQuery.oracled(
     "q284_mann_whitney",
     """WITH e AS (
@@ -1006,10 +1016,12 @@ object Eda {
       .groupBy($"value")
       .agg(count(lit(1)).cast("double").as("cnt"),
         sum($"isa").cast("double").as("cnta"))
-    val wCum = Window.orderBy($"value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val s = c
-      .withColumn("below", sum($"cnt").over(wCum) - $"cnt")
+    val s = TwoPhase.runningSum(c,
+        bucket = floor($"value"),
+        sort = Seq($"value"),
+        value = $"cnt",
+        out = "cum")
+      .withColumn("below", $"cum" - $"cnt")
       .agg(sum($"cnta" * ($"below" + ($"cnt" + 1) / 2)).as("ra"),
         sum($"cnta").as("na"), sum($"cnt").as("n"),
         sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie"))
@@ -1054,17 +1066,21 @@ object Eda {
     * the same plan as the SQL form; only the return channel differs. */
   val q374StatCovCorr: GraftQuery = GraftQuery.oracled(
     "q374_stat_cov_corr",
-    """SELECT round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price,
-      |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    """SELECT round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+      |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
       |FROM lineitem""") { (spark, dir) =>
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
     val cov = li.stat.cov("l_quantity", "l_extendedprice")
     val r = li.stat.corr("l_quantity", "l_extendedprice")
-    // HALF_UP to match both engines' round() semantics on the same double
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    Seq((r6(cov), r6(r))).toDF("cov_qty_price", "corr_qty_price")
+    // HALF_UP to match both engines' round() semantics on the same double.
+    // Rounding margin (ADVICE r5): these are driver-scalar API calls whose
+    // summation order can't be pinned; cov (magnitude ~10³) rounds at 2dp
+    // and corr (|corr| ≤ 1) at 4dp so order jitter (~1e-10 relative) sits
+    // orders of magnitude inside the rounding cell on both engines.
+    def rd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((rd(cov, 2), rd(r, 4))).toDF("cov_qty_price", "corr_qty_price")
   }
 
   /** `df.stat.freqItems` — the Karp–Shenker–Papadimitriou single-pass
@@ -1483,10 +1499,10 @@ object Eda {
     * ATT = Σ_cell n_t · (ȳ_treated − ȳ_control) / Σ_cell n_t, reported
     * next to the naive unmatched difference it corrects.
     *
-    * 100 TB plan: one user-level census (map-side combined), a
-    * quartile boundary that is one tiny agg, then a cell-level
-    * conditional agg — three hash-aggs on shrinking keys, no joins of
-    * row-scale data at all. */
+    * 100 TB plan: one user-level census (map-side combined), a TWO-PHASE
+    * quartile cut over it (TwoPhase.rowNumber: per-bin parallel ranks +
+    * bins-sized broadcast offsets — never a single-task census sort), then
+    * a cell-level conditional agg on shrinking keys. */
   val q306CemMatching: GraftQuery = GraftQuery.oracled(
     "q306_cem_matching",
     """WITH u AS (
@@ -1525,10 +1541,16 @@ object Eda {
         max(when($"event_type" === "error", 1).otherwise(0)).as("treat"),
         sum(when($"event_type" === "purchase", $"value").otherwise(0)).as("y"),
         weekofyear(min($"ts")).cast("long").as("wk"))
-    // users are a census-scale frame (one row per user); the ntile quartile
-    // over it is the documented small-side single-partition window
-    val r = u.withColumn("act_q",
-      ntile(4).over(Window.orderBy($"n_events", $"user_id")))
+    // two-phase activity-quartile cut over the user census (bucket =
+    // n_events itself, trivially monotone in the leading sort key): per-bin
+    // parallel ranks + a bins-sized broadcast offsets table — no
+    // single-task census sort at any user count
+    val r = TwoPhase.rowNumber(u,
+        bucket = $"n_events",
+        sort = Seq($"n_events", $"user_id"),
+        out = "rn", totalOut = Some("n_total"))
+      .withColumn("act_q", TwoPhase.ntileFromRn($"rn", $"n_total", 4))
+      .drop("rn", "n_total")
     val cells = r.groupBy($"act_q", $"wk")
       .agg(sum($"treat").cast("long").as("n_t"),
         sum(lit(1) - $"treat").cast("long").as("n_c"),
@@ -3510,21 +3532,25 @@ object Eda {
     * number that says whether q341's median-of-means is optional or
     * mandatory. Computed at k ∈ {50, 100, 200} to show estimator
     * stability (the Hill-plot read). Order statistics come from integer
-    * rank over exact cents; the log-sum runs over ≤200 doubles derived
-    * from integers — engine-deterministic at 4dp.
+    * rank over exact cents; the log-sum is an ORDERED left fold by rank
+    * on BOTH engines (the q403 sort_array/list_sum trick) so the ≤200
+    * double additions happen in one pinned order — no summation-order
+    * flake at any SF or partition count.
     *
-    * 100 TB plan: top-(k+1) per the rank window is a TakeOrdered-sized
-    * selection (the q97/q406 shape at scale); the estimator is a k-row
-    * census agg. */
+    * 100 TB plan: the top-201 selection is `orderBy().limit(201)` →
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 201-row
+    * tops — never a global sort); the rank window then rides the BOUNDED
+    * 201-row output, and the estimator is a k-row census agg. */
   val q467HillEstimator: GraftQuery = GraftQuery.oracled(
     "q467_hill_estimator",
-    """WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-      |                  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r
-      |           FROM orders),
+    """WITH v AS (SELECT cents, r FROM (
+      |             SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |                    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r
+      |             FROM orders) WHERE r <= 201),
       |ks AS (SELECT unnest([50, 100, 200]) AS k),
       |thr AS (SELECT k, cents AS x_k1 FROM ks JOIN v ON v.r = k + 1),
       |hill AS (SELECT thr.k, thr.x_k1,
-      |                sum(ln(CAST(v.cents AS DOUBLE) / thr.x_k1)) AS logsum
+      |                list_sum(list(ln(CAST(v.cents AS DOUBLE) / thr.x_k1) ORDER BY v.r)) AS logsum
       |         FROM thr JOIN v ON v.r <= thr.k
       |         GROUP BY thr.k, thr.x_k1)
       |SELECT CAST(k AS BIGINT) AS k,
@@ -3533,15 +3559,26 @@ object Eda {
       |FROM hill ORDER BY k""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val v = Tables.orders(spark, dir)
+    // top-201 via TakeOrderedAndProject (per-partition heaps, no global
+    // sort); the rank window rides the bounded 201-row output
+    val top = Tables.orders(spark, dir)
       .select(floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
-        row_number().over(Window.orderBy($"o_totalprice".desc, $"o_orderkey")).as("r"))
-      .filter($"r" <= 201)
+        $"o_totalprice", $"o_orderkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey").limit(201)
+    val v = top
+      .withColumn("r",
+        row_number().over(Window.orderBy($"o_totalprice".desc, $"o_orderkey")))
+      .select($"cents", $"r")
     val ks = Seq(50, 100, 200).toDF("k")
     val thr = ks.join(v, $"r" === $"k" + 1).select($"k", $"cents".as("x_k1"))
     thr.join(v, $"r" <= $"k")
       .groupBy($"k", $"x_k1")
-      .agg(sum(log($"cents".cast("double") / $"x_k1")).as("logsum"))
+      // pinned-order fold by rank — bit-reproducible logsum (q403's trick)
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct($"r".as("k"),
+          log($"cents".cast("double") / $"x_k1").as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, x) => acc + x).as("logsum"))
       .select($"k".cast("long").as("k"),
         round($"x_k1".cast("double") / 100, 2).as("threshold_usd"),
         round($"k" / $"logsum", 4).as("alpha_hill"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.engine.GraftQuery
 import graft.sources.Tables
@@ -1923,10 +1923,11 @@ object EventAnalytics {
     * against the corpus horizon.
     *
     * 100 TB plan: one purchase-filtered user census (map-side combined),
-    * then three ntile windows over the USER census — user-count-sized,
-    * not event-sized. For billions of users swap ntile for the q97
-    * two-phase rank (quintile = rank on percentile boundaries); at
-    * dashboard scale the single sort is correct. */
+    * then THREE TWO-PHASE quintile cuts over the user census
+    * (TwoPhase.rowNumber, buckets = the small-integer recency/frequency
+    * keys and a cents bin): each axis ranks per-bin in parallel with a
+    * bins-sized broadcast offsets table — no single-task census sort on
+    * any axis, at any user count. */
   val q330RfmSegmentation: GraftQuery = GraftQuery.oracled(
     "q330_rfm_segmentation",
     """WITH g AS (SELECT max(CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE)) AS gmax FROM events),
@@ -1962,11 +1963,20 @@ object EventAnalytics {
       .crossJoin(broadcast(gmax))
       .select($"user_id", datediff($"gmax", $"last_d").cast("long").as("recency_d"),
         $"frequency", $"monetary_cents")
-    // user census: the three ntile windows run on user-count-sized data
-    val s = u
-      .withColumn("r", ntile(5).over(Window.orderBy($"recency_d".desc, $"user_id")))
-      .withColumn("f", ntile(5).over(Window.orderBy($"frequency".asc, $"user_id")))
-      .withColumn("m", ntile(5).over(Window.orderBy($"monetary_cents".asc, $"user_id")))
+    // three two-phase quintile cuts over the user census: each axis buckets
+    // by a sort-monotone key (negated days for the DESC axis), ranks
+    // per-bin in parallel, and recovers ntile(5) from (rn, N)
+    def quintile(df: DataFrame, bucket: Column, sort: Seq[Column], out: String) =
+      TwoPhase.rowNumber(df, bucket, sort, out = "__rn", totalOut = Some("__n"))
+        .withColumn(out, TwoPhase.ntileFromRn($"__rn", $"__n", 5))
+        .drop("__rn", "__n")
+    val s3 = quintile(
+      quintile(
+        quintile(u, -$"recency_d", Seq($"recency_d".desc, $"user_id"), "r"),
+        $"frequency", Seq($"frequency".asc, $"user_id"), "f"),
+      floor($"monetary_cents" / 100000.0),
+      Seq($"monetary_cents".asc, $"user_id"), "m")
+    val s = s3
     s.select($"user_id", $"recency_d", $"frequency", $"monetary_cents",
         $"r", $"f", $"m",
         when($"r" >= 4 && $"f" >= 4, "champion")

@@ -189,8 +189,10 @@ object Governance {
     * headroom: 10⁶·m·n·N needs N ≲ 10⁶ rows — widen the numerator to
     * DECIMAL(38,0) past that, the q362 discipline.)
     *
-    * 100 TB plan: one global decile rank (two-phase-able census window),
-    * one (class × decile) census, cum sums over the 10-bucket census per
+    * 100 TB plan: the global decile rank runs TWO-PHASE
+    * (TwoPhase.rowNumber — per-bin parallel ranks + bins-sized broadcast
+    * offsets, never a single-task customer sort); then one
+    * (class × decile) census, cum sums over the 10-bucket census per
     * class — everything after the first agg is census algebra. */
   val q456TCloseness: GraftQuery = GraftQuery.oracled(
     "q456_t_closeness",
@@ -223,9 +225,17 @@ object Governance {
       |FROM emd ORDER BY emd_ppm DESC, c_nationkey, c_mktsegment LIMIT 20""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val s = Tables.customer(spark, dir)
+    // two-phase global decile rank (bucket = a balance-monotone bin):
+    // per-bin parallel ranks + bins-sized broadcast offsets — never a
+    // single-task customer sort
+    val s = TwoPhase.rowNumber(
+        Tables.customer(spark, dir)
+          .select($"c_nationkey", $"c_mktsegment", $"c_acctbal", $"c_custkey"),
+        bucket = floor($"c_acctbal" / 100.0),
+        sort = Seq($"c_acctbal", $"c_custkey"),
+        out = "rn", totalOut = Some("n_total"))
       .select($"c_nationkey", $"c_mktsegment",
-        ntile(10).over(Window.orderBy($"c_acctbal", $"c_custkey")).as("dec"))
+        TwoPhase.ntileFromRn($"rn", $"n_total", 10).as("dec"))
     val cls = s.groupBy($"c_nationkey", $"c_mktsegment", $"dec")
       .agg(count(lit(1)).cast("long").as("c"))
     val glob = s.groupBy($"dec").agg(count(lit(1)).cast("long").as("g"))

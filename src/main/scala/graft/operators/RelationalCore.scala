@@ -292,8 +292,13 @@ object RelationalCore {
     * FIRST on ASC; DuckDB: NULLS LAST), so any query sorting a nullable
     * key portably must pin them. cume_dist completes q36's rank family.
     *
-    * Scale note: same single window shuffle as any ranking query; the
-    * nullable keys change comparator behavior, not the plan. */
+    * Scale plan: both global ranks run TWO-PHASE (TwoPhase.rowNumber,
+    * bucket = a val_n-monotone bin with nulls pinned to the last bucket —
+    * the null-ordering semantics survive binning because NULLS LAST just
+    * means "the greatest bucket"): per-bin parallel ranks + bins-sized
+    * broadcast offsets, never a single-task global sort. cume_dist is
+    * recovered as rn/N — exact here because the event_id tie-break makes
+    * the sort key unique, so every row is the last of its peer group. */
   val q192NullOrdering: GraftQuery = GraftQuery.oracled(
     "q192_null_ordering",
     """WITH e AS (SELECT event_id,
@@ -315,12 +320,20 @@ object RelationalCore {
       .select($"event_id",
         when($"event_type" === "view", lit(null)).otherwise($"value").as("val_n"),
         when(chanRaw % 7 === 0, lit(null)).otherwise(chanRaw % 5).as("chan"))
-    val wCd = Window.orderBy($"val_n".desc_nulls_last, $"event_id")
-    val wRn = Window.orderBy($"val_n".desc_nulls_last,
-      $"chan".asc_nulls_first, $"event_id")
-    e.select($"event_id", round($"val_n", 2).as("val_n"), $"chan",
-      round(cume_dist().over(wCd), 6).as("cd"),
-      row_number().over(wRn).as("rn"))
+    // nulls-last bucket: any finite val_n bins by floor(-val_n) (monotone
+    // along DESC), nulls pin to a strictly-greater constant bucket
+    val bkt = when($"val_n".isNull, lit(1000000L))
+      .otherwise(floor(-$"val_n").cast("long"))
+    val ranked = TwoPhase.rowNumber(
+      TwoPhase.rowNumber(e, bkt,
+        Seq($"val_n".desc_nulls_last, $"event_id"),
+        out = "rn_cd", totalOut = Some("n_total")),
+      bkt,
+      Seq($"val_n".desc_nulls_last, $"chan".asc_nulls_first, $"event_id"),
+      out = "rn")
+    ranked.select($"event_id", round($"val_n", 2).as("val_n"), $"chan",
+      round($"rn_cd".cast("double") / $"n_total", 6).as("cd"),
+      $"rn".cast("int").as("rn"))
       .orderBy($"rn")
   }
 
@@ -336,10 +349,12 @@ object RelationalCore {
     * points tie — neither dominates — and survive together on both
     * engines.
     *
-    * 100 TB plan: one sort by price, constant memory, no self-join. The
-    * ordering window is global — at extreme cardinality it two-phases
-    * exactly like q97 (per-partition frontier, then frontier-of-
-    * frontiers: skylines compose), which is the documented scale path. */
+    * 100 TB plan: no self-join, and no global sort either — the dominance
+    * test runs on the PRICE CENSUS (one hash-agg row per distinct price
+    * carrying the group max), whose exclusive running max is TWO-PHASE
+    * (TwoPhase.runningMaxExclusive: per-bin parallel frontier + bins-sized
+    * broadcast prefix — skylines compose), then one price-keyed equi-join
+    * back to the parts. */
   val q320Skyline: GraftQuery = GraftQuery.oracled(
     "q320_skyline",
     """WITH p AS (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
@@ -355,15 +370,19 @@ object RelationalCore {
       |WHERE best_cheaper < p_size AND best_equal <= p_size
       |ORDER BY price_cents, p_partkey""") { (spark, dir) =>
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val p = Tables.part(spark, dir)
       .select($"p_partkey", round($"p_retailprice" * 100).cast("long").as("price_cents"),
         $"p_size".cast("long").as("p_size"))
-    val wCheaper = Window.orderBy($"price_cents")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wEqual = Window.partitionBy($"price_cents")
-    p.withColumn("best_cheaper", coalesce(max($"p_size").over(wCheaper), lit(-1L)))
-      .withColumn("best_equal", max($"p_size").over(wEqual))
+    // price census: one row per distinct price with its group max; the
+    // RANGE-to-−1 frame over prices ≡ ROWS-to-−1 over the census
+    val gm = p.groupBy($"price_cents").agg(max($"p_size").as("best_equal"))
+    val census = TwoPhase.runningMaxExclusive(gm,
+        bucket = floor($"price_cents" / 1000.0),
+        sort = Seq($"price_cents"),
+        value = $"best_equal",
+        out = "bc")
+      .withColumn("best_cheaper", coalesce($"bc", lit(-1L)))
+    p.join(census, Seq("price_cents"))
       .filter($"best_cheaper" < $"p_size" && $"best_equal" <= $"p_size")
       .select($"p_partkey", $"price_cents", $"p_size")
       .orderBy($"price_cents", $"p_partkey")

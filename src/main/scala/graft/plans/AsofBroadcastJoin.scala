@@ -65,23 +65,39 @@ final case class AsofBroadcastJoinExec(
   // no requiredChildDistribution/Ordering: the probe side must stay a
   // map-only scan — that IS the operator's contract.
 
+  /** Hard cap on collected reference rows — the broadcast-join discipline
+    * made loud: past this the reference is not a "small dimension" and the
+    * caller should use q20's declarative window formulation instead. */
+  private val MaxBuildRows = 10000000
+
   override protected def doExecute(): RDD[InternalRow] = {
     // ---- build side: collect, group per key, sort each timeline ----
     val rightRows = right.executeCollect()
+    require(rightRows.length <= MaxBuildRows,
+      s"as-of broadcast build side has ${rightRows.length} rows " +
+        s"(cap $MaxBuildRows) — the reference is not a small dimension; " +
+        "use the declarative window as-of (q20) for corpus-scale references")
     val keyProj = UnsafeProjection.create(Seq(rightKey), right.output)
     val timeEval = BindReferences.bindReference(rightTime, right.output)
     val tieEval = BindReferences.bindReference(rightTie, right.output)
     val grouped = new java.util.HashMap[UnsafeRow,
       scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]()
     rightRows.foreach { row =>
-      val k = keyProj(row)
-      var buf = grouped.get(k)
-      if (buf == null) {
-        buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, InternalRow)]
-        grouped.put(k.copy(), buf)
+      // SQL comparison semantics: a NULL-time/tie reference row can never
+      // satisfy `time <= probe` deterministically — skip it instead of
+      // NPE-ing inside Number.longValue (ADVICE r5).
+      val tv = timeEval.eval(row)
+      val xv = tieEval.eval(row)
+      if (tv != null && xv != null) {
+        val k = keyProj(row)
+        var buf = grouped.get(k)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, InternalRow)]
+          grouped.put(k.copy(), buf)
+        }
+        buf += ((tv.asInstanceOf[Number].longValue(),
+          xv.asInstanceOf[Number].longValue(), row.copy()))
       }
-      buf += ((timeEval.eval(row).asInstanceOf[Number].longValue(),
-        tieEval.eval(row).asInstanceOf[Number].longValue(), row.copy()))
     }
     import scala.jdk.CollectionConverters._
     val index: Map[UnsafeRow, (Array[Long], Array[InternalRow])] =
@@ -105,8 +121,12 @@ final case class AsofBroadcastJoinExec(
       val nullRight = new GenericInternalRow(rightWidth)
       val resultProj = UnsafeProjection.create(allOutput.map(_.asInstanceOf[Expression]), allOutput)
       iter.map { row =>
-        val t = probeTimeEval.eval(row).asInstanceOf[Number].longValue()
-        val hit = idx.get(probeKeyProj(row)) match {
+        // NULL probe time: no reference row can qualify (SQL semantics of
+        // `ref.time <= NULL`) → null enrichment, never an NPE
+        val tObj = probeTimeEval.eval(row)
+        val t = if (tObj == null) Long.MinValue else tObj.asInstanceOf[Number].longValue()
+        val hit = if (tObj == null) null
+        else idx.get(probeKeyProj(row)) match {
           case Some((times, rows)) =>
             // greatest index with times(i) <= t (timelines sorted asc,
             // equal times asc by tie → the last qualifying row wins)
@@ -155,9 +175,26 @@ object AsofBroadcastJoin {
       p.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${p.output.map(_.name).mkString(", ")}"))
-    val node = AsofBroadcastJoinPlan(l, r,
-      attr(l, probeKey), attr(l, probeTime),
-      attr(r, refKey), attr(r, refTime), attr(r, refTie))
+    val (lk, lt) = (attr(l, probeKey), attr(l, probeTime))
+    val (rk, rt, tie) = (attr(r, refKey), attr(r, refTime), attr(r, refTie))
+    // key types must MATCH EXACTLY: the build index is keyed on UnsafeRow
+    // bytes, so an int probe key never finds a bigint reference key — that
+    // would come back as silent all-null enrichment, not an error.
+    require(lk.dataType == rk.dataType,
+      s"as-of key type mismatch: $probeKey is ${lk.dataType.simpleString}, " +
+        s"$refKey is ${rk.dataType.simpleString} — cast one side; a mismatch " +
+        "makes every UnsafeRow lookup miss silently")
+    // time/tie columns must be long-backed (timestamp micros / long / int —
+    // eval'd via Number.longValue): anything else NPEs or truncates inside
+    // the exec's binary search.
+    import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+    val longBacked: Set[org.apache.spark.sql.types.DataType] =
+      Set(TimestampType, LongType, IntegerType)
+    for ((a, side) <- Seq(lt -> probeTime, rt -> refTime, tie -> refTie))
+      require(longBacked(a.dataType),
+        s"as-of time/tie column $side is ${a.dataType.simpleString}; " +
+          "must be timestamp/long/int — cast dates upstream")
+    val node = AsofBroadcastJoinPlan(l, r, lk, lt, rk, rt, tie)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ExprId, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Project, Window => WindowNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Project, Union, Window => WindowNode}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 import graft.engine.GraftQuery
@@ -53,6 +53,15 @@ object Lineage {
             val srcs = g.generator.references.toSeq
               .flatMap(r => m.getOrElse(r.exprId, Set.empty[String])).toSet
             g.generatorOutput.foreach(a => m(a.exprId) = srcs)
+          case u: Union =>
+            // Union output reuses the FIRST child's exprIds; a column is fed
+            // by the corresponding position of EVERY branch — merge them, or
+            // later-branch sources vanish from impact analysis (ADVICE r5)
+            u.output.zipWithIndex.foreach { case (a, i) =>
+              m(a.exprId) = u.children
+                .flatMap(c => m.getOrElse(c.output(i).exprId, Set.empty[String]))
+                .toSet
+            }
           case _ => ()
         }
     }

@@ -21,9 +21,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * through unchanged. Multi-argument COUNT(DISTINCT a, b) is left alone
   * (no sketch equivalent with the same null semantics).
   *
-  * Activation: [[GraftExtensions]] (`spark.sql.extensions`) for cluster
-  * deploy, or `spark.experimental.extraOptimizations` at runtime (the
-  * spec path). Flag-off is the default — the rule is a no-op unless the
+  * Activation: [[GraftExtensions]] (`spark.sql.extensions`) is the
+  * RECOMMENDED path — its rules run inside the main optimizer batches,
+  * before `RewriteDistinctAggregates` expands anything, so every
+  * single-column COUNT(DISTINCT x) is caught. The runtime fallback
+  * (`spark.experimental.extraOptimizations`, the spec path) runs AFTER
+  * Spark's own batches: an Aggregate holding TWO OR MORE distinct
+  * aggregates has already been expanded into the Expand/double-Aggregate
+  * shape by then and is deliberately NOT rewritten on that path — only
+  * aggregates with a single distinct survive expansion un-rewritten and
+  * get sketched. Flag-off is the default — the rule is a no-op unless the
   * session explicitly opts in (ApproxRewriteSpec proves plan identity in
   * that case, and a ≤5%-of-exact estimate + sketched-plan shape when on). */
 object RewriteApproxDistinct extends Rule[LogicalPlan] {

@@ -139,26 +139,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // k-grid joined to the top-201 census (bounded non-equi probe)
     "q460_kruskal_wallis", "q462_brown_forsythe", "q467_hill_estimator")
 
-  // The corpus-global running-max queries must run TWO-PHASE (per-bin local
-  // maxima + broadcast prefix offsets): any partition-less WindowExec in
-  // their plans must sit over an AGGREGATED (bins-sized) input, never over
-  // the raw corpus-sized scan — the single-task-funnel shape that q97's
-  // machinery exists to kill.
-  test("q297/q328 plan no partition-less window over a non-aggregated input") {
+  // Queries whose partition-less windows ride a NON-aggregated input that is
+  // nonetheless BOUNDED by construction — each justified here, the
+  // scalarBroadcastExempt pattern applied to windows:
+  //  - q403: the rank window rides the ≤20-row source census, but the census
+  //    is localCheckpoint'ed (iterative Bradley–Terry fit), which TRUNCATES
+  //    the plan — the upstream aggregate is invisible to this walker, not
+  //    absent (Eda.scala, the `w` frame).
+  private val boundedWindowExempt: Set[String] = Set("q403_bradley_terry")
+
+  // CATALOG-WIDE two-phase-window audit (round-5 verdict prescription #1,
+  // generalizing the original q297/q328 assertion): ANY partition-less
+  // WindowExec in an audited query's plan must sit over an AGGREGATED
+  // (census/bins-sized) input, never over a raw corpus-sized scan — the
+  // single-task-funnel shape that q97's machinery (now TwoPhase.scala)
+  // exists to kill. The two-phase rewrites keep exactly one partition-less
+  // window each: the bins-sized offsets prefix, which sits over a hash-agg
+  // and therefore passes the over-aggregate rule by construction.
+  test("audited queries plan no partition-less window over a non-aggregated input") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    for (name <- Seq("q297_disorder_audit", "q328_restatement_audit")) {
-      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
-      val windows = plan.collect { case w: WindowExec => w }
-      assert(windows.nonEmpty, s"$name should still use windows (two-phase)")
-      for (w <- windows if w.partitionSpec.isEmpty) {
-        val overAggregate =
-          w.child.collect { case a: BaseAggregateExec => a }.nonEmpty
-        assert(overAggregate,
-          s"$name plans a partition-less Window over a non-aggregated " +
-            "(corpus-sized) input — the single-task funnel q97 exists to kill")
-      }
-    }
+    val names = (audited ++ Seq(
+      "q297_disorder_audit", "q328_restatement_audit",
+      // the ten round-5 `weak` sites, now riding TwoPhase
+      "q175_decile_lift", "q192_null_ordering", "q271_lorenz_deciles",
+      "q278_rrf_fusion", "q284_mann_whitney", "q289_layout_locality",
+      "q306_cem_matching", "q330_rfm_segmentation",
+      "q356_curriculum_manifest", "q365_contrastive_negatives"
+    )).distinct.filterNot(boundedWindowExempt)
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, GlobalLimitExec, CollectLimitExec}
+    // a partition-less window is scale-safe when its input is either
+    // AGGREGATED (census/bins-sized) or LIMIT-BOUNDED (top-k selection via
+    // TakeOrderedAndProject per-partition heaps — q467's shape)
+    def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case a: BaseAggregateExec => a: Any
+        case t: TakeOrderedAndProjectExec => t
+        case g: GlobalLimitExec => g
+        case c: CollectLimitExec => c
+      }.nonEmpty
+    val violations = for {
+      name <- names
+      plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      w <- plan.collect { case w: WindowExec => w }
+      if w.partitionSpec.isEmpty
+      if !bounded(w.child)
+    } yield name
+    assert(violations.isEmpty,
+      s"partition-less Window over a non-aggregated (corpus-sized) input — " +
+        s"the single-task funnel q97 exists to kill — in: " +
+        violations.distinct.mkString(", "))
   }
 
   test("audited queries plan no cartesian product and no broadcast nested loop") {

@@ -404,6 +404,34 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       5L -> "keep", 6L -> "near_dup", 7L -> "keep", 10L -> "eval_holdout"))
   }
 
+  test("sketch-then-verify pairs equal the exact capped-index pairs (capstone oracle precondition)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exact = Dedup.neardupPairs(docs).select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshv = Dedup.neardupPairsLshVerified(docs).select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshv === exact,
+      "LSH-verified pairs must equal the exact pairs — q300/q343/q398's " +
+        "strict oracles ride this identity")
+  }
+
+  test("mega-cluster guard: passes small clusters, fails loudly past the cap") {
+    import spark.implicits._
+    // real labels (tiny clusters) pass through untouched
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val lab = Dedup.minLabelComponents(
+        docs.select($"doc_id"),
+        Dedup.neardupPairs(docs).select($"doc_a", $"doc_b"))
+      .toDF("doc_id", "cluster_id")
+    assert(Dedup.guardClusterSizes(lab).count() === docs.count())
+    // a synthetic mega-cluster (cap+1 members under one label) fails loudly
+    val mega = spark.range(0, Dedup.MaxDedupClusterSize + 1)
+      .select($"id".as("doc_id"), lit(0L).as("cluster_id"))
+    val e = intercept[IllegalStateException](Dedup.guardClusterSizes(mega))
+    assert(e.getMessage.contains("mega-cluster guard"))
+  }
+
   test("q349 LSH-path curation: containment law vs q127's exact path") {
     // The LSH pair set is a superset of the exact >=0.8-jaccard pairs
     // (recall law above), and extra pairs can only merge components — so a

@@ -10,7 +10,11 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
 
   test("approx_count_distinct is within 5% of exact per event_type") {
     import spark.implicits._
-    val approx = Aggregates.q29ApproxDistinct.fn(spark, sf)
+    // raw sketch gate — the catalog entry now emits the CONTRACT as a
+    // driver-oracle'd boolean; this checks the numbers behind the flag
+    val approx = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("a"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.events(spark, sf)
       .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
@@ -20,12 +24,20 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
       val a = approx(k).toDouble
       assert(math.abs(a - e) / e <= 0.05, s"$k: approx $a vs exact $e")
     }
+    // and the entry's driver-facing flags are all true
+    Aggregates.q29ApproxDistinct.fn(spark, sf).collect()
+      .foreach(r => assert(r.getAs[Boolean]("est_within_5pct"),
+        s"${r.getString(0)}: est_within_5pct is false"))
   }
 
   test("hll sketch union: daily-merged estimate tracks exact and the unpartitioned sketch") {
     import spark.implicits._
-    val merged = Aggregates.q133SketchMergeDistinct.fn(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val merged = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("d"), $"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val direct = Tables.events(spark, sf)
       .groupBy($"event_type")
       .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("n"))
@@ -40,6 +52,11 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
       // union of same-lgK partials must agree with the one-shot sketch
       assert(math.abs(merged(k).toDouble - direct(k)) / direct(k) <= 0.005,
         s"$k: merged ${merged(k)} vs direct ${direct(k)}")
+    }
+    // the entry's driver-facing contract flags are all true
+    Aggregates.q133SketchMergeDistinct.fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("merged_within_5pct"), s"${r.getString(0)}: bound flag false")
+      assert(r.getAs[Boolean]("merge_eq_direct"), s"${r.getString(0)}: merge law flag false")
     }
   }
 
@@ -80,7 +97,17 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
 
   test("rolling 7-day actives: sketch-window WAU within 5% of exact rolling distinct") {
     import spark.implicits._
-    val rolled = Aggregates.q145RollingActives.fn(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    // raw sketch-window WAU (the 100 TB path), gated against an
+    // independently-computed exact rolling distinct
+    val rolled = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(countDistinct($"user_id").as("dau"),
+        hll_sketch_agg($"user_id", lit(14)).as("sk"))
+      .withColumn("epoch_d", datediff($"d", lit("1970-01-01").cast("date")))
+      .withColumn("wau", hll_sketch_estimate(hll_union_agg($"sk").over(
+        Window.orderBy($"epoch_d").rangeBetween(-6, 0))))
+      .select($"d", $"dau", $"wau")
       .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
     // exact rolling distinct: day grid x distinct (day, user) pairs in range
     val pairs = Tables.events(spark, sf)
@@ -96,6 +123,14 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
         s"$d: sketch WAU $wau vs exact rolling distinct $e")
       assert(wau >= dau * 95 / 100, s"$d: WAU $wau implausibly below DAU $dau")
     }
+    // the catalog entry's exact column matches this recomputation and its
+    // driver-facing bound flag is true everywhere
+    val entry = Aggregates.q145RollingActives.fn(spark, sf).collect()
+    for (r <- entry) {
+      assert(r.getAs[Long]("wau_exact") === exact(r.getDate(0).toString))
+      assert(r.getAs[Boolean]("wau_within_5pct"),
+        s"${r.getDate(0)}: wau_within_5pct is false")
+    }
   }
 
   test("q173 approx percentile: returned values sit within 1% of target rank") {
@@ -104,7 +139,10 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
     // an actual data value whose rank is within accuracy⁻¹ of the target —
     // in a sparse tail adjacent values can be far apart, so a value-distance
     // gate would be testing the data, not the sketch.
-    val approx = Aggregates.q173ApproxPercentile.fn(spark, sf)
+    val approx = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(expr("percentile_approx(value, 0.5D, 10000)").as("p50"),
+        expr("percentile_approx(value, 0.95D, 10000)").as("p95"))
       .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val ev = Tables.events(spark, sf).select($"event_type", $"value").cache()
@@ -119,6 +157,11 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
           s"$k p$q: approx value $a covers rank [${below / n}, ${atOrBelow / n}]")
       }
     } finally ev.unpersist()
+    // the catalog entry's driver-facing rank-contract flags are all true
+    Aggregates.q173ApproxPercentile.fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("p50_rank_ok"), s"${r.getString(0)}: p50 flag false")
+      assert(r.getAs[Boolean]("p95_rank_ok"), s"${r.getString(0)}: p95 flag false")
+    }
   }
 
   test("HLL overlap: inclusion-exclusion estimate tracks the exact intersection") {

@@ -31,6 +31,20 @@ class LineageSpec extends AnyFunSuite with SparkFixture {
     assert(m("gross") === Seq("lineitem.l_extendedprice", "lineitem.l_quantity"))
   }
 
+  test("union merges per-position sources across ALL branches") {
+    import spark.implicits._
+    // branch 1 feeds the column from lineitem, branch 2 from orders; Union
+    // reuses branch 1's exprIds, so without the Union case the orders
+    // source would vanish (ADVICE r5)
+    val a = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey".as("k"), $"l_extendedprice".as("v"))
+    val b = graft.sources.Tables.orders(spark, sf)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("v"))
+    val m = Lineage.columnLineage(a.unionByName(b)).toMap
+    assert(m("k") === Seq("lineitem.l_orderkey", "orders.o_orderkey"))
+    assert(m("v") === Seq("lineitem.l_extendedprice", "orders.o_totalprice"))
+  }
+
   test("no phantom sources: every reported table.column exists in its table") {
     import spark.implicits._
     val cols = Map(
