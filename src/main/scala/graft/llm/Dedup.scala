@@ -146,34 +146,48 @@ object Dedup {
   }
 
   /** SKETCH-THEN-VERIFY near-dup pairs — the 100 TB DEFAULT the capstones
-    * (q300/q343/q398) ride: [[neardupPairsLsh]]'s banded candidates
-    * (sub-quadratic — candidate pairs only hash-join on minhash band
-    * buckets, never shingle×shingle) exact-Jaccard-VERIFIED on q45's capped
-    * shingle space, so the output is `neardupPairs ∩ candidates`. Because
-    * the banding recall law holds (LlmOpsSpec: every exact ≥0.8 pair is
-    * recovered — 0.8 similarity sits deep inside the 0.3-distance cut with
-    * 5 OR-amplified tables, P(miss) ≤ 0.2⁵ per pair), the output EQUALS
+    * (q300/q343/q398) ride: q372's codegen'd 4×4 banded MinHash candidates
+    * (sub-quadratic — candidates only equi-join on (band, 4-hash bucket),
+    * never shingle×shingle; far more selective than MLlib's OR-amplified
+    * 5×1 banding, which floods candidates at P = 1−(1−j)⁵) exact-Jaccard-
+    * VERIFIED on q45's capped shingle space, so the output is
+    * `neardupPairs ∩ candidates`. Because the banding recall law holds
+    * (MinHashSpec gates recall = 1 vs q45 on this corpus; LlmOpsSpec pins
+    * lshVerified ≡ exact — true near-dups here sit at j ≈ 0.9–1.0 where
+    * P[all 4 bands miss] = (1−j⁴)⁴ < 10⁻³), the output EQUALS
     * [[neardupPairs]] on the verified corpora — which is what keeps the
     * capstones' DuckDB oracles exact while their pair stage runs the
     * sub-quadratic plan. The verify cost is candidate-pair-scale: each
-    * candidate joins its two capped shingle sets through one shingle-keyed
-    * equi-join, never a corpus-wide pair space. */
+    * candidate compares its two (checkpointed) capped shingle arrays. */
   private[llm] def neardupPairsLshVerified(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val cand = neardupPairsLsh(docs).select($"doc_a", $"doc_b")
-    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val jac = $"shared" / ($"na" + $"nb" - $"shared")
-    cand
-      .join(sh.toDF("doc_a", "s"), Seq("doc_a"))
-      .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
-      .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
-      .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
-      .filter(jac >= 0.8)
-      .select($"doc_a", $"doc_b", $"shared", stat(jac).as("jaccard"))
+    graft.functions.MinHashExpression.register(spark)
+    val tk = cappedShingleSetsOf(docs).localCheckpoint()
+    val sig = tk.select($"doc_id",
+      graft.functions.MinHashExpression.minhash64($"tk").as("sig"))
+    val bands = sig
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("bv", slice($"sig", $"b" * 4 + 1, lit(4)))
+    val cand = bands.toDF("doc_a", "sig_a", "b", "bv")
+      .join(bands.toDF("doc_b", "sig_b", "b", "bv"), Seq("b", "bv"))
+      .filter($"doc_a" < $"doc_b")
+    // q105's first-matching-band dedup — a pure projection, no global
+    // distinct shuffle
+    val firstBand = (3 to 0 by -1).foldLeft(lit(4)) { (acc, i) =>
+      when(slice($"sig_a", i * 4 + 1, 4) === slice($"sig_b", i * 4 + 1, 4), lit(i))
+        .otherwise(acc)
+    }
+    val uniq = cand.filter($"b" === firstBand).select($"doc_a", $"doc_b")
+    uniq
+      .join(tk.toDF("doc_a", "tk_a"), Seq("doc_a"))
+      .join(tk.toDF("doc_b", "tk_b"), Seq("doc_b"))
+      .withColumn("shared", size(array_intersect($"tk_a", $"tk_b")).cast("long"))
+      .withColumn("jac",
+        $"shared" / (size($"tk_a") + size($"tk_b") - $"shared"))
+      .filter($"jac" >= 0.8)
+      .select($"doc_a", $"doc_b", $"shared", stat($"jac").as("jaccard"))
   }
 
   val q46NeardupMinhashLsh: GraftQuery = GraftQuery.rowsOnly(
@@ -198,12 +212,16 @@ object Dedup {
     * boilerplate shingles with df > 50). Shared by the MinHash signature
     * stage, both banded verifies, and MinHashSpec. */
   private[graft] def cappedShingleSets(
-      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list($"s")).as("tk"))
-  }
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cappedShingleSetsOf(Tables.documents(spark, dir))
+
+  /** [[cappedShingleSets]] over any (doc_id, text, …) frame — shared with
+    * the sketch-then-verify pair stage the capstones default to. */
+  private[graft] def cappedShingleSetsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    capShingles(shingleDocs(docs), MaxShingleDf)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("tk"))
 
   /** (doc_id, sig: array<long>[16]) MinHash signatures via the codegen'd
     * [[graft.functions.MinHash64]] kernel over the maxDf-CAPPED 3-gram
