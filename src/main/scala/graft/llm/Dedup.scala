@@ -276,9 +276,29 @@ object Dedup {
     * bounded explode, equi-joins on (band, 4-hash value) buckets — 256
     * bits of bucket key, so hot buckets are true near-dup groups, not
     * hash collisions; the exact verify touches candidates only. */
-  val q372MinhashBanded: GraftQuery = GraftQuery.rowsOnly(
+  val q372MinhashBanded: GraftQuery = GraftQuery.oracled(
     "q372_minhash_banded",
-    doc = "banded (4x4) shingle-MinHash near-dup pairs, exact-shingle-Jaccard-verified at 0.8") {
+    // STRICT oracle since r6: candidates are exact-verified on q45's capped
+    // shingle space and the banding recall law holds (MinHashSpec gates
+    // recall = 1 vs q45; LlmOpsSpec pins the verified-pair identity), so
+    // the output IS q45's pair set — the oracle is q45's SQL minus the
+    // `shared` column. The driver now checks the whole banded path.
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE shared / (sa.n + sb.n - shared) >= 0.8
+      |ORDER BY doc_a, doc_b""") {
     (spark, dir) =>
       import spark.implicits._
       // localCheckpoint: the signature projection rides a shingle census;
@@ -1349,19 +1369,41 @@ object Dedup {
     * self-joined and corpus×corpus candidate pairs are never generated.
     * Banding is q372's 4×4 over the codegen'd 16-hash signature; survivors
     * are exact-Jaccard-verified at 0.8, so precision is exact. Per delta
-    * doc: its nearest corpus match and the match count. Engine-specific
-    * hash → rows-only; LlmOpsSpec pins the law: these pairs are EXACTLY
-    * q372's full-corpus pairs restricted to delta×corpus (same bands,
-    * same verify — incrementality loses nothing).
+    * doc: its nearest corpus match and the match count. STRICT-oracle'd
+    * since r6 (the q372 conversion's logic): under the recall law the
+    * verified pairs ARE the exact delta×corpus near-dups, which DuckDB
+    * derives directly from the shingle space; LlmOpsSpec still pins the
+    * restriction law vs q372's full-corpus pairs (incrementality loses
+    * nothing).
     *
     * 100 TB plan: the standing corpus's (band, bucket) index is computed
     * once and persists in production; each delta batch projects its own
     * signatures (codegen, map-side), equi-joins the index on (band,
     * 4-hash bucket), and exact-verifies candidates only — cost scales
     * with |delta| and bucket hit rate, NOT with |corpus|². */
-  val q385DeltaNeardupLsh: GraftQuery = GraftQuery.rowsOnly(
+  val q385DeltaNeardupLsh: GraftQuery = GraftQuery.oracled(
     "q385_delta_neardup_lsh",
-    doc = "delta-batch (doc_id%10=7) vs corpus banded-MinHash near-dup, exact-verified at 0.8") {
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s
+      |          WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+      |          GROUP BY 1, 2),
+      |good AS (SELECT delta_id, corpus_id,
+      |                round(shared / (sa.n + sb.n - shared), 4) AS j
+      |         FROM pairs
+      |         JOIN sizes sa ON delta_id = sa.doc_id
+      |         JOIN sizes sb ON corpus_id = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8)
+      |SELECT delta_id, CAST(count(*) AS BIGINT) AS n_matches,
+      |       first(corpus_id ORDER BY j DESC, corpus_id) AS best_match,
+      |       max(j) AS best_jaccard
+      |FROM good GROUP BY delta_id
+      |ORDER BY delta_id""") {
     (spark, dir) =>
       import spark.implicits._
       deltaNeardupLsh(spark, dir)

@@ -231,32 +231,75 @@ object RelationalCore {
       .orderBy($"op")
   }
 
-  /** `randomSplit` train/test — not hash-stable across engines, so rows-only:
-    * ScalaTest asserts disjoint + exhaustive + seeded-reproducible
-    * (SURVEY.md §5.3). Returns split sizes. */
-  val q11SampleSplit: GraftQuery = GraftQuery.rowsOnly(
+  /** `randomSplit` train/test — split membership is RNG/engine-specific,
+    * so since r6 the entry ships PRINT-BOTH (the q29 pattern): the total
+    * row count and each split's target fraction are strict-oracle'd, and
+    * the sampling CONTRACTS ride as booleans the oracle pins TRUE —
+    * `frac_within_5sigma` (q101's binomial-concentration form:
+    * |n − f·total| ≤ 5√(total·f(1−f)) + 5 — randomSplit samples per row,
+    * so the split size concentrates like a Bernoulli sum) and
+    * `splits_exhaustive` (n_train + n_test == total: randomSplit must
+    * partition, not sample). ScalaTest still asserts disjointness and
+    * seeded reproducibility. */
+  val q11SampleSplit: GraftQuery = GraftQuery.oracled(
     "q11_sample_split",
-    doc = "randomSplit(0.8/0.2, seed=42) on orders; returns (split, n) rows") { (spark, dir) =>
+    """SELECT s.split, CAST(s.f AS DOUBLE) AS target_frac,
+      |       CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(1 AS BOOLEAN) AS frac_within_5sigma,
+      |       CAST(1 AS BOOLEAN) AS splits_exhaustive
+      |FROM orders, (SELECT unnest(['test', 'train']) AS split,
+      |                     unnest([0.2, 0.8]) AS f) s
+      |GROUP BY s.split, s.f
+      |ORDER BY s.split""") { (spark, dir) =>
     import spark.implicits._
+    val total = Tables.orders(spark, dir).count()
     val Array(train, test) = Tables.orders(spark, dir).randomSplit(Array(0.8, 0.2), seed = 42)
-    train.select(lit("train").as("split")).groupBy($"split").agg(count(lit(1)).as("n"))
-      .union(test.select(lit("test").as("split")).groupBy($"split").agg(count(lit(1)).as("n")))
+    val counts = train.select(lit("train").as("split"), lit(0.8).as("target_frac"))
+      .union(test.select(lit("test"), lit(0.2)))
+      .groupBy($"split", $"target_frac").agg(count(lit(1)).as("n"))
+    val sum = counts.agg(org.apache.spark.sql.functions.sum($"n").as("n_all"))
+    counts.crossJoin(broadcast(sum))
+      .select($"split", $"target_frac", lit(total).as("n_total"),
+        (abs($"n" - $"target_frac" * total) <=
+          lit(5.0) * sqrt(lit(total.toDouble) * $"target_frac" * (lit(1.0) - $"target_frac")) + 5)
+          .as("frac_within_5sigma"),
+        ($"n_all" === total).as("splits_exhaustive"))
       .orderBy($"split")
   }
 
   /** Stratified (per-class) sampling via `df.stat.sampleBy` — class-balanced
     * downsampling for training corpora (e.g. cap the dominant language).
     * Bernoulli per row against the stratum's fraction → fully map-side, no
-    * shuffle before the reporting agg. Seeded but RNG-dependent → rows-only;
-    * ScalaTest gates per-stratum ratios and seed-reproducibility. */
-  val q101StratifiedSample: GraftQuery = GraftQuery.rowsOnly(
+    * shuffle before the reporting agg. Sample membership is RNG-dependent,
+    * so since r6 the entry ships PRINT-BOTH (the q29 pattern): per stratum,
+    * the population count and target fraction are strict-oracle'd and the
+    * Bernoulli CONCENTRATION contract — |n_sampled − f·n| ≤ 5σ + 5 with
+    * σ = √(n·f·(1−f)) — rides as a boolean the oracle pins TRUE.
+    * ScalaTest still gates ratios and seed-reproducibility. */
+  val q101StratifiedSample: GraftQuery = GraftQuery.oracled(
     "q101_stratified_sample",
-    doc = "sampleBy(lang, en->0.5 others->0.25, seed=42) on documents; returns (lang, n_sampled)") { (spark, dir) =>
+    """SELECT d.lang,
+      |       CAST(count(*) AS BIGINT) AS n_lang,
+      |       CAST(CASE WHEN d.lang = 'en' THEN 0.5 ELSE 0.25 END AS DOUBLE) AS target_frac,
+      |       CAST(1 AS BOOLEAN) AS sample_within_5sigma
+      |FROM documents d
+      |GROUP BY d.lang
+      |ORDER BY d.lang""") { (spark, dir) =>
     import spark.implicits._
     val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
-    Tables.documents(spark, dir)
+    val pop = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val sampled = Tables.documents(spark, dir)
       .stat.sampleBy("lang", fractions, 42L)
       .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+    pop.join(sampled, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+      .withColumn("target_frac",
+        when($"lang" === "en", 0.5).otherwise(0.25))
+      .select($"lang", $"n_lang".cast("long").as("n_lang"), $"target_frac",
+        (abs($"n_sampled" - $"target_frac" * $"n_lang") <=
+          lit(5.0) * sqrt($"n_lang" * $"target_frac" * (lit(1.0) - $"target_frac")) + 5)
+          .as("sample_within_5sigma"))
       .orderBy($"lang")
   }
 

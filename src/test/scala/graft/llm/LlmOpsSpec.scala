@@ -53,16 +53,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("count-min sketch estimates bound the exact counts (one-sided eps*N error)") {
     import spark.implicits._
-    val rows = TextAnalysis.q136CmsHeavyHitters.fn(spark, sf)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(rows.length === 10)
-    val n = graft.sources.Tables.documents(spark, sf)
-      .select(explode(split($"text", " ")).as("tok")).count()
+    // raw sketch gate — q136 now emits the contract as a driver-oracle'd
+    // boolean; this probes the numbers behind the flag
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+    val skBytes = toks
+      .agg(expr("count_min_sketch(tok, CAST(1e-4 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok").limit(10).collect()
+    assert(top.length === 10)
+    val n = toks.count()
     val slack = (1e-4 * n).ceil.toLong
-    for ((tok, exact, est) <- rows) {
+    for (r <- top) {
+      val tok = r.getString(0); val exact = r.getLong(1)
+      val est = cms.estimateCount(tok)
       assert(est >= exact, s"$tok: CMS never underestimates, got $est < $exact")
       assert(est <= exact + slack, s"$tok: $est exceeds $exact + eps*N ($slack)")
     }
+    // and the entry's driver-facing flags are all true
+    TextAnalysis.q136CmsHeavyHitters.fn(spark, sf).collect()
+      .foreach(r => assert(r.getAs[Boolean]("cms_within_eps"),
+        s"${r.getString(0)}: cms_within_eps is false"))
   }
 
   test("MinHashLSH recovers every exact-jaccard near-dup pair (recall = 1 at smoke sf)") {
