@@ -39,6 +39,38 @@ class AsofBroadcastJoinSpec extends AnyFunSuite with graft.SparkFixture {
       4L -> Some(9L), 5L -> None))
   }
 
+  test("API guards: key-type mismatch and non-long-backed time fail loudly") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, 100L)).toDF("event_id", "k", "t")
+    // int key vs the probe's long key — would silently null-enrich via
+    // UnsafeRow byte mismatch without the guard (ADVICE r5)
+    val refIntKey = Seq((10, 40L, 1L)).toDF("rk", "rt", "tie")
+    val e1 = intercept[IllegalArgumentException](
+      AsofBroadcastJoin.asof(probe, refIntKey, "k", "t", "rk", "rt", "tie"))
+    assert(e1.getMessage.contains("key type mismatch"))
+    // string time column — would NPE/ClassCastException inside the exec
+    val refStrTime = Seq((10L, "x", 1L)).toDF("rk", "rt", "tie")
+    val e2 = intercept[IllegalArgumentException](
+      AsofBroadcastJoin.asof(probe, refStrTime, "k", "t", "rk", "rt", "tie"))
+    assert(e2.getMessage.contains("must be timestamp/long/int"))
+  }
+
+  test("null times: null-time reference rows are skipped, null-time probes null-enrich") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 10L, Some(100L)), // normal probe: only the non-null-time ref qualifies
+      (2L, 10L, None)        // null-time probe: no ref can satisfy <= NULL
+    ).toDF("event_id", "k", "t")
+    val ref = Seq(
+      (10L, Some(40L), 1L),
+      (10L, None, 2L) // null-time ref: can never win deterministically
+    ).toDF("rk", "rt", "tie")
+    val out = AsofBroadcastJoin.asof(probe, ref, "k", "t", "rk", "rt", "tie")
+      .select($"event_id", $"tie")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out === Map(1L -> Some(1L), 2L -> None))
+  }
+
   test("empty reference: every probe row survives with null right side") {
     import spark.implicits._
     val probe = Seq((1L, 10L, 100L), (2L, 20L, 50L)).toDF("event_id", "k", "t")
