@@ -680,33 +680,48 @@ object Aggregates {
     * via inclusion–exclusion (est(A) + est(B) − est(A∪B)) — the
     * two-audience overlap question answered WITHOUT co-shuffling the two
     * event sets (the union happens in sketch space, q133's merge law).
-    * Output reports the estimates alongside the exact overlap, so the
-    * error is visible; AggWindowSpec gates the estimate within 5%.
+    * PRINT-BOTH (q29's pattern) since r6: the exact audience sizes and
+    * exact overlap are strict-oracle'd; the inclusion–exclusion estimate
+    * rides as its 5% error CONTRACT plus the union-subadditivity law as
+    * booleans the oracle pins TRUE. AggWindowSpec still gates the raw
+    * numeric estimate.
     *
     * 100 TB plan: each arm is one map-side-combined sketch agg over its
-    * filter; the merge is constant-size. The exact-overlap column (a
-    * distinct-count semi-join) exists for honesty and drops at scale. */
-  val q253HllOverlap: GraftQuery = GraftQuery.rowsOnly(
+    * filter; the merge is constant-size. The exact columns (distinct
+    * counts + a semi-join) exist for verification and drop at scale. */
+  val q253HllOverlap: GraftQuery = GraftQuery.oracled(
     "q253_hll_overlap",
-    doc = "clickers vs purchasers: HLL inclusion-exclusion overlap estimate + exact overlap") { (spark, dir) =>
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS exact_a,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM b) AS exact_b,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM c JOIN b USING (user_id)) AS exact_overlap,
+      |       CAST(1 AS BOOLEAN) AS overlap_within_5pct,
+      |       CAST(1 AS BOOLEAN) AS union_subadditive""") { (spark, dir) =>
     import spark.implicits._
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter($"event_type" === "click").select($"user_id")
     val buys = ev.filter($"event_type" === "purchase").select($"user_id")
-    val skA = clicks.agg(hll_sketch_agg($"user_id", lit(14)).as("sk")).withColumn("side", lit("a"))
-    val skB = buys.agg(hll_sketch_agg($"user_id", lit(14)).as("sk")).withColumn("side", lit("b"))
+    val skA = clicks.agg(hll_sketch_agg($"user_id", lit(14)).as("sk"),
+      countDistinct($"user_id").as("exact_n")).withColumn("side", lit("a"))
+    val skB = buys.agg(hll_sketch_agg($"user_id", lit(14)).as("sk"),
+      countDistinct($"user_id").as("exact_n")).withColumn("side", lit("b"))
     val ests = skA.unionByName(skB)
       .agg(
         hll_sketch_estimate(hll_union_agg($"sk")).as("est_union"),
         max(when($"side" === "a", hll_sketch_estimate($"sk"))).as("est_a"),
-        max(when($"side" === "b", hll_sketch_estimate($"sk"))).as("est_b"))
+        max(when($"side" === "b", hll_sketch_estimate($"sk"))).as("est_b"),
+        max(when($"side" === "a", $"exact_n")).as("exact_a"),
+        max(when($"side" === "b", $"exact_n")).as("exact_b"))
     val exact = clicks.distinct().join(buys.distinct(), Seq("user_id"), "left_semi")
       .agg(count(lit(1)).as("exact_overlap"))
     ests.crossJoin(exact)
-      .select($"est_a".cast("long").as("est_a"), $"est_b".cast("long").as("est_b"),
-        $"est_union".cast("long").as("est_union"),
-        ($"est_a" + $"est_b" - $"est_union").cast("long").as("est_overlap"),
-        $"exact_overlap".cast("long").as("exact_overlap"))
+      .select($"exact_a".cast("long").as("exact_a"),
+        $"exact_b".cast("long").as("exact_b"),
+        $"exact_overlap".cast("long").as("exact_overlap"),
+        (abs(($"est_a" + $"est_b" - $"est_union") - $"exact_overlap")
+          <= $"exact_overlap" * 0.05).as("overlap_within_5pct"),
+        ($"est_union" <= $"est_a" + $"est_b").as("union_subadditive"))
   }
 
   /** Ordered-set / inverse-distribution aggregates: `median` (≡
@@ -946,15 +961,27 @@ object Aggregates {
       .orderBy($"pri")
   }
 
-  val q442ApproxDistinctRewrite: GraftQuery = GraftQuery.rowsOnly(
+  // PRINT-BOTH (q29's pattern) since r6: n_tokens and the exact distinct
+  // are strict-oracle'd; the rewrite's two CONTRACTS — the sketched answer
+  // lands within HLL's 5% rsd of exact, and the flag genuinely changed the
+  // answer path (est ≠ exact would be vacuous on a plan the rule skipped;
+  // checked as est within bound but computed under the flag) — ride as a
+  // boolean the oracle pins TRUE. ApproxRewriteSpec still asserts the
+  // plan-shape (ObjectHashAggregate + HLL++) and flag-off plan identity.
+  val q442ApproxDistinctRewrite: GraftQuery = GraftQuery.oracled(
     "q442_approx_distinct_rewrite",
-    doc = "COUNT(DISTINCT) transparently rewritten to HLL++ by the opt-in RewriteApproxDistinct rule") {
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct_toks,
+      |       CAST(1 AS BOOLEAN) AS rewrite_within_5pct
+      |FROM t GROUP BY 1 ORDER BY 1""") {
     (spark, dir) =>
     import spark.implicits._
     val prevRules = spark.experimental.extraOptimizations
     val flag = graft.plans.RewriteApproxDistinct.FlagKey
     val prevFlag = spark.conf.getOption(flag)
-    try {
+    val sketched = try {
       if (!prevRules.contains(graft.plans.RewriteApproxDistinct))
         spark.experimental.extraOptimizations =
           prevRules :+ graft.plans.RewriteApproxDistinct
@@ -964,7 +991,6 @@ object Aggregates {
         .groupBy($"source")
         .agg(countDistinct($"tok").as("approx_distinct_toks"),
           count(lit(1)).cast("long").as("n_tokens"))
-        .orderBy($"source")
         .localCheckpoint() // materialize UNDER the flag, then restore state
     } finally {
       spark.experimental.extraOptimizations = prevRules
@@ -973,5 +999,15 @@ object Aggregates {
         case None => spark.conf.unset(flag)
       }
     }
+    val exact = Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source")
+      .agg(countDistinct($"tok").as("exact_distinct_toks"))
+    sketched.join(exact, Seq("source"))
+      .select($"source", $"n_tokens",
+        $"exact_distinct_toks".cast("long").as("exact_distinct_toks"),
+        (abs($"approx_distinct_toks".cast("double") / $"exact_distinct_toks" - 1.0)
+          <= 0.05).as("rewrite_within_5pct"))
+      .orderBy($"source")
   }
 }

@@ -15,12 +15,32 @@ object Eda {
   /** `describe()` over the lineitem measures — count/mean/stddev/min/max as
     * the notebook EDA table. String-typed by API contract; deterministic for
     * fixed data. */
-  val q84Describe: GraftQuery = GraftQuery.rowsOnly(
+  /** `df.describe` — STRICT-oracle'd since r6: describe emits full-precision
+    * strings (engine-formatting-specific), so the entry rounds each stat
+    * back to a double at 4dp (mean/stddev jitter sits orders of magnitude
+    * inside the cell at these magnitudes) and DuckDB recomputes the same
+    * five stats directly. The describe() API call itself stays the thing
+    * under test — the post-processing only normalizes its presentation. */
+  val q84Describe: GraftQuery = GraftQuery.oracled(
     "q84_describe",
-    doc = "lineitem.describe(l_quantity, l_extendedprice, l_discount)") { (spark, dir) =>
+    """WITH s AS (
+      |  SELECT 'count' AS summary,
+      |         CAST(count(l_quantity) AS DOUBLE) AS l_quantity,
+      |         CAST(count(l_extendedprice) AS DOUBLE) AS l_extendedprice,
+      |         CAST(count(l_discount) AS DOUBLE) AS l_discount
+      |  FROM lineitem
+      |  UNION ALL SELECT 'max', round(max(l_quantity), 4), round(max(l_extendedprice), 4), round(max(l_discount), 4) FROM lineitem
+      |  UNION ALL SELECT 'mean', round(avg(l_quantity), 4), round(avg(l_extendedprice), 4), round(avg(l_discount), 4) FROM lineitem
+      |  UNION ALL SELECT 'min', round(min(l_quantity), 4), round(min(l_extendedprice), 4), round(min(l_discount), 4) FROM lineitem
+      |  UNION ALL SELECT 'stddev', round(stddev_samp(l_quantity), 4), round(stddev_samp(l_extendedprice), 4), round(stddev_samp(l_discount), 4) FROM lineitem)
+      |SELECT * FROM s ORDER BY summary""") { (spark, dir) =>
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .describe("l_quantity", "l_extendedprice", "l_discount")
+      .select($"summary",
+        round($"l_quantity".cast("double"), 4).as("l_quantity"),
+        round($"l_extendedprice".cast("double"), 4).as("l_extendedprice"),
+        round($"l_discount".cast("double"), 4).as("l_discount"))
       .orderBy($"summary")
   }
 
@@ -1086,23 +1106,42 @@ object Eda {
   /** `df.stat.freqItems` — the Karp–Shenker–Papadimitriou single-pass
     * frequent-element sketch behind DataFrameStatFunctions: candidates
     * for "appears in > 10% of rows" from one scan, false positives
-    * allowed, false negatives NOT. Sketch output is partition-order
-    * specific → rows-only; EdaSpec gates the guarantee (every value with
-    * true share > support is present) against exact counts. Emitted as
-    * sorted JSON so the driver sees a scalar column.
+    * allowed, false negatives NOT. The candidate LIST is partition-order
+    * specific, so since r6 the entry ships PRINT-BOTH (q29's pattern):
+    * the EXACT >10% value sets (sorted JSON) are strict-oracle'd, and the
+    * sketch's one guarantee — no false negatives: every exact hot value
+    * appears among its candidates — rides as booleans the oracle pins
+    * TRUE. EdaSpec still gates the raw candidate lists.
     *
     * 100 TB plan: one treeAggregate pass, counter map bounded by 1/support
-    * per partition — the cheap first look before an exact census. */
-  val q375FreqItems: GraftQuery = GraftQuery.rowsOnly(
+    * per partition — the cheap first look before an exact census (which
+    * here is two low-cardinality value censuses). */
+  val q375FreqItems: GraftQuery = GraftQuery.oracled(
     "q375_freq_items",
-    doc = "freqItems(support=0.1) candidates for l_returnflag and l_linestatus") {
+    """WITH n AS (SELECT count(*) AS n FROM lineitem),
+      |f AS (SELECT l_returnflag AS v FROM lineitem, n GROUP BY v, n.n HAVING count(*) > 0.1 * n.n),
+      |s AS (SELECT l_linestatus AS v FROM lineitem, n GROUP BY v, n.n HAVING count(*) > 0.1 * n.n)
+      |SELECT (SELECT to_json(list(v ORDER BY v)) FROM f) AS hot_flags,
+      |       (SELECT to_json(list(v ORDER BY v)) FROM s) AS hot_statuses,
+      |       CAST(1 AS BOOLEAN) AS flags_no_false_negative,
+      |       CAST(1 AS BOOLEAN) AS statuses_no_false_negative""") {
     (spark, dir) =>
       import spark.implicits._
-      Tables.lineitem(spark, dir)
-        .stat.freqItems(Seq("l_returnflag", "l_linestatus"), 0.1)
+      val li = Tables.lineitem(spark, dir)
+      val cand = li.stat.freqItems(Seq("l_returnflag", "l_linestatus"), 0.1)
+        .select($"l_returnflag_freqItems".as("cf"), $"l_linestatus_freqItems".as("cs"))
+      val n = li.count()
+      def hot(c: String) = li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > 0.1 * n)
+        .agg(sort_array(collect_list($"v")).as("hot"))
+      hot("l_returnflag").select($"hot".as("hf"))
+        .crossJoin(hot("l_linestatus").select($"hot".as("hs")))
+        .crossJoin(broadcast(cand))
         .select(
-          to_json(sort_array($"l_returnflag_freqItems")).as("flags"),
-          to_json(sort_array($"l_linestatus_freqItems")).as("statuses"))
+          to_json($"hf").as("hot_flags"),
+          to_json($"hs").as("hot_statuses"),
+          (size(array_except($"hf", $"cf")) === 0).as("flags_no_false_negative"),
+          (size(array_except($"hs", $"cs")) === 0).as("statuses_no_false_negative"))
   }
 
   /** TWO-PROPORTION z-TEST on a funnel conversion: does arm A's

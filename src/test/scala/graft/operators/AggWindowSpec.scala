@@ -165,14 +165,26 @@ class AggWindowSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("HLL overlap: inclusion-exclusion estimate tracks the exact intersection") {
-    val r = Aggregates.q253HllOverlap.fn(spark, sf).head
-    val (estA, estB, estU, estOv, exact) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    import spark.implicits._
+    // raw sketch gate — q253 now emits the contract as driver-oracle'd
+    // booleans; this probes the numbers behind the flags
+    val ev = Tables.events(spark, sf)
+    def est(t: String) = ev.filter($"event_type" === t)
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14)))).head.getLong(0)
+    val estA = est("click"); val estB = est("purchase")
+    val estU = ev.filter($"event_type".isin("click", "purchase"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14)))).head.getLong(0)
+    val exact = ev.filter($"event_type" === "click").select($"user_id").distinct()
+      .join(ev.filter($"event_type" === "purchase").select($"user_id").distinct(),
+        Seq("user_id"), "left_semi").count()
     assert(estU <= estA + estB, "union estimate cannot exceed the sum")
     assert(exact > 0, "fixture must have overlapping audiences")
+    val estOv = estA + estB - estU
     val err = math.abs(estOv - exact.toDouble) / exact
     assert(err <= 0.05, s"overlap estimate $estOv vs exact $exact: error $err > 5%")
-    // determinism: sketches are deterministic functions of the value sets
+    // the entry's driver-facing flags are all true, and deterministic
+    val r = Aggregates.q253HllOverlap.fn(spark, sf).head
+    assert(r.getAs[Boolean]("overlap_within_5pct") && r.getAs[Boolean]("union_subadditive"))
     assert(Aggregates.q253HllOverlap.fn(spark, sf).head === r)
   }
 }

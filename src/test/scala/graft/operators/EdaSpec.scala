@@ -12,7 +12,7 @@ class EdaSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getString(0)).sorted.toSeq ===
       Seq("count", "max", "mean", "min", "stddev"))
     val countRow = rows.find(_.getString(0) == "count").get
-    assert(countRow.getString(1).toLong === Tables.lineitem(spark, sf).count())
+    assert(countRow.getDouble(1).toLong === Tables.lineitem(spark, sf).count())
   }
 
   test("quantile discretizer: 5 buckets, near-equal occupancy, ordered ranges") {
@@ -53,18 +53,26 @@ class EdaSpec extends AnyFunSuite with SparkFixture {
 
   test("q375 freqItems: no false negatives above the 10% support") {
     import spark.implicits._
-    val row = Eda.q375FreqItems.fn(spark, sf).collect().head
-    def parse(j: String): Set[String] =
-      j.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet
-    val flags = parse(row.getString(0))
-    val statuses = parse(row.getString(1))
+    // raw sketch gate — q375 now emits the contract as driver-oracle'd
+    // booleans; this probes the raw candidate lists behind the flags
     val li = graft.sources.Tables.lineitem(spark, sf)
+    val cand = li.stat.freqItems(Seq("l_returnflag", "l_linestatus"), 0.1).head
+    val flags = cand.getSeq[String](0).toSet
+    val statuses = cand.getSeq[String](1).toSet
     val n = li.count().toDouble
     def heavies(c: String): Set[String] = li.groupBy(col(c)).count()
       .collect().filter(_.getLong(1) > 0.1 * n).map(_.getString(0)).toSet
     val hf = heavies("l_returnflag"); val hs = heavies("l_linestatus")
     assert(hf.subsetOf(flags), s"missing heavy return flags: ${hf -- flags}")
     assert(hs.subsetOf(statuses), s"missing heavy line statuses: ${hs -- statuses}")
+    // the entry's exact hot lists and driver-facing flags
+    val row = Eda.q375FreqItems.fn(spark, sf).collect().head
+    def parse(j: String): Set[String] =
+      j.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet
+    assert(parse(row.getAs[String]("hot_flags")) === hf)
+    assert(parse(row.getAs[String]("hot_statuses")) === hs)
+    assert(row.getAs[Boolean]("flags_no_false_negative"))
+    assert(row.getAs[Boolean]("statuses_no_false_negative"))
   }
 }
