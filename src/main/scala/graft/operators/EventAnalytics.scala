@@ -1026,7 +1026,67 @@ object EventAnalytics {
       .orderBy($"channel")
   }
 
+  /** ORDERED TARGET ENCODING (Prokhorenkova et al. 2018, CatBoost's
+    * leakage-free categorical encoder): each event's `event_type` is
+    * encoded as the smoothed mean target (value cents) of the events
+    * STRICTLY BEFORE it in a random permutation —
+    * te_i = (Σ_{j<i, same type} y_j + a·P) / (n_{<i} + a), a = 10,
+    * P = the global mean — so no row ever sees its own target (the
+    * leakage q391's matrix detects, prevented by construction). The
+    * "random" permutation is the md5 coin of event_id (the repo's
+    * hash-as-random-oracle trick): both engines replay the identical
+    * order, making the encoder strict-oracle'd. Output restricted to
+    * event_id < 3000 for the report; the encoding computes over ALL rows.
+    *
+    * 100 TB plan: the per-type running sums ride
+    * [[TwoPhase.runningSumKeyed]] — event_type has FIVE values, so a
+    * plain per-type window would serialize 20% of the corpus into one
+    * task; the keyed two-phase form (local cumsums per (type, coin-bin) +
+    * a (types × 256-bin) broadcast prefix) keeps every task bounded. The
+    * global mean is a 1-row broadcast. */
+  val q469TargetEncoding: GraftQuery = GraftQuery.oracled(
+    "q469_target_encoding",
+    """WITH g AS (SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) AS gm FROM events),
+      |e AS (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |             md5(CAST(event_id AS VARCHAR)) AS coin
+      |      FROM events),
+      |w AS (SELECT event_id, event_type,
+      |             coalesce(sum(cents) OVER (PARTITION BY event_type ORDER BY coin, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_cents,
+      |             count(*) OVER (PARTITION BY event_type ORDER BY coin, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_n
+      |      FROM e)
+      |SELECT w.event_id, w.event_type, CAST(w.prior_n AS BIGINT) AS prior_n,
+      |       round((w.prior_cents + 10 * g.gm) / (w.prior_n + 10) / 100.0, 6) AS te
+      |FROM w, g
+      |WHERE w.event_id < 3000
+      |ORDER BY w.event_id""") { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"),
+        md5($"event_id".cast("string")).as("coin"))
+    val g = ev.agg((sum($"cents").cast("double") / count(lit(1))).as("gm"))
+    // md5 hex is lowercase, so the numeric value of the first two hex
+    // chars is monotone in the coin's lexicographic order — a valid bin
+    val bkt = conv(substring($"coin", 1, 2), 16, 10).cast("long")
+    val cum = TwoPhase.runningSumKeyed(
+      TwoPhase.runningSumKeyed(ev, Seq("event_type"), bkt,
+        Seq($"coin", $"event_id"), $"cents", "cum_cents"),
+      Seq("event_type"), bkt, Seq($"coin", $"event_id"), lit(1L), "cum_n")
+    cum
+      .withColumn("prior_cents", $"cum_cents" - $"cents")
+      .withColumn("prior_n", $"cum_n" - 1)
+      .crossJoin(broadcast(g))
+      .filter($"event_id" < 3000)
+      .select($"event_id", $"event_type", $"prior_n".cast("long").as("prior_n"),
+        round(($"prior_cents" + lit(10) * $"gm") / ($"prior_n" + 10) / 100.0, 6)
+          .as("te"))
+      .orderBy($"event_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    q469TargetEncoding,
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,

@@ -260,6 +260,46 @@ object Governance {
       .limit(20)
   }
 
+  /** ε-DIFFERENTIALLY-PRIVATE COUNT RELEASE (Dwork et al. 2006's Laplace
+    * mechanism) — the statistics-publication gate: per (lang, source)
+    * cell, the released count is n + Laplace(1/ε) with ε = 1, the noise
+    * drawn by inverse-CDF over the md5 RANDOM ORACLE of the cell key
+    * (u = 60-bit md5 prefix / 2⁶⁰; X = −sgn(u−½)·ln(1−2|u−½|)/ε) — the
+    * repo's hash-as-randomness trick, so both engines draw the IDENTICAL
+    * noise and the release is strict-oracle'd end to end. The true count
+    * rides alongside as the small-sf verifier (q253's "exists for honesty
+    * and drops at scale" — a production DP release obviously never ships
+    * the true column, and redraws the oracle per release epoch).
+    *
+    * 100 TB plan: one map-side-combined census + a pure projection —
+    * noise is a function of the CELL KEY, so no per-row work and no
+    * driver RNG state; the release is cells-sized. */
+  val q468DpRelease: GraftQuery = GraftQuery.oracled(
+    "q468_dp_release",
+    """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+      |           FROM documents GROUP BY 1, 2),
+      |u AS (SELECT lang, source, n_true,
+      |             CAST(('0x' || substr(md5(lang || '|' || source), 1, 15)) AS BIGINT)
+      |               / 1152921504606846976.0 AS u
+      |      FROM c)
+      |SELECT lang, source, n_true,
+      |       round(n_true - (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+      |             * ln(1 - 2 * abs(u - 0.5)), 4) AS n_released
+      |FROM u
+      |ORDER BY lang, source""") { (spark, dir) =>
+    import spark.implicits._
+    val u = conv(substring(md5(concat($"lang", lit("|"), $"source")), 1, 15), 16, 10)
+      .cast("double") / 1152921504606846976.0
+    Tables.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).cast("long").as("n_true"))
+      .withColumn("u", u)
+      .select($"lang", $"source", $"n_true",
+        round($"n_true" - when($"u" >= 0.5, 1.0).otherwise(-1.0)
+          * log(lit(1.0) - lit(2.0) * abs($"u" - 0.5)), 4).as("n_released"))
+      .orderBy($"lang", $"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(q351KAnonymity, q363RetentionAudit, q427LuhnPii,
-    q456TCloseness)
+    q456TCloseness, q468DpRelease)
 }

@@ -115,6 +115,40 @@ object TwoPhase {
       .drop(b, "__tp_lmax", "__tp_prev")
   }
 
+  /** KEYED variant of [[runningSum]] — running SUM(value) over
+    * (PARTITION BY keys ORDER BY sort ROWS UNBOUNDED PRECEDING .. CURRENT
+    * ROW) computed two-phase WITHIN each key: the fix for the
+    * hot-category class where a low-cardinality partition key (5 event
+    * types at 100 TB) would otherwise serialize 20% of the corpus into
+    * one window task. Local cumsums partition by (keys, bucket); the
+    * offsets table is (keys × buckets)-sized, its exclusive prefix runs
+    * per key (keys-sized partitions over an aggregated input — the
+    * PlanAudit-safe shape), and broadcasts back. */
+  def runningSumKeyed(
+      df: DataFrame,
+      keys: Seq[String],
+      bucket: Column,
+      sort: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    val b = "__tp_bkt"
+    val binned = df.withColumn(b, bucket)
+    val wLocal = Window.partitionBy((keys.map(col) :+ col(b)): _*).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = binned.groupBy((keys.map(col) :+ col(b)): _*)
+      .agg(sum(value).as("__tp_bsum"))
+      .select((keys.map(col) :+ col(b) :+
+        coalesce(
+          sum(col("__tp_bsum")).over(Window.partitionBy(keys.map(col): _*)
+            .orderBy(col(b)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0)).as("__tp_prev")): _*)
+    binned
+      .withColumn("__tp_lsum", sum(value).over(wLocal))
+      .join(broadcast(offsets), keys :+ b)
+      .withColumn(out, col("__tp_lsum") + col("__tp_prev"))
+      .drop(b, "__tp_lsum", "__tp_prev")
+  }
+
   /** SQL ntile(k) recovered arithmetically from a global row number `rn`
     * (long, 1-based) and the total row count `total`: the first
     * `total % k` tiles get `total/k + 1` rows (the remainder rule).
