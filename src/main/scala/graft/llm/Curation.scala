@@ -256,6 +256,44 @@ object Curation {
       .orderBy($"phase", $"rank_in_phase")
   }
 
+  /** CLASS-BALANCED DOWNSAMPLING — cap every language at the SMALLEST
+    * class's size (exact balance, the standard rebalance before training a
+    * classifier or mixing a multilingual corpus): per lang, keep the m
+    * docs with the smallest md5 coin (q249's hash-as-random-oracle — an
+    * exchangeable yet bit-reproducible, engine-portable draw), m = min
+    * class count. Unlike q101's Bernoulli sampleBy (rate-based, ±binomial
+    * noise), this is an EXACT-size draw: every class lands on precisely m.
+    *
+    * 100 TB plan: the per-class rank rides [[TwoPhase.rowNumberKeyed]] —
+    * lang has 5 values, so a plain per-class window would serialize 20%
+    * of the corpus into one task; keyed two-phase keeps every task
+    * bounded (local ranks per (lang, coin-bin) + a (langs × 256-bin)
+    * broadcast offsets table). m is a 1-row broadcast. */
+  val q470BalancedDownsample: GraftQuery = GraftQuery.oracled(
+    "q470_balanced_downsample",
+    """WITH m AS (SELECT min(cnt) AS m FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)),
+      |r AS (SELECT doc_id, lang,
+      |             row_number() OVER (PARTITION BY lang
+      |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents)
+      |SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS pick_rank
+      |FROM r, m WHERE r.rk <= m.m
+      |ORDER BY r.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("coin"))
+    val m = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      .agg(min($"cnt").as("m"))
+    graft.operators.TwoPhase.rowNumberKeyed(docs, Seq("lang"),
+        bucket = conv(substring($"coin", 1, 2), 16, 10).cast("long"),
+        sort = Seq($"coin", $"doc_id"),
+        out = "pick_rank")
+      .crossJoin(broadcast(m))
+      .filter($"pick_rank" <= $"m")
+      .select($"doc_id", $"lang", $"pick_rank")
+      .orderBy($"doc_id")
+  }
+
   /** Training-sequence packing, GPT-style: per source, documents are
     * concatenated in doc_id order and the token stream is cut at exact
     * B-token boundaries (docs SPLIT across sequences — the standard
@@ -1293,6 +1331,7 @@ object Curation {
 
   def all: Seq[GraftQuery] = Seq(
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
+    q470BalancedDownsample,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,
     q389TemperatureMixing, q394ContentChecksum, q397TruncationLoss,
     q398ClusterReweight, q401SinkhornMixture, q411SystematicSample,

@@ -115,6 +115,33 @@ object TwoPhase {
       .drop(b, "__tp_lmax", "__tp_prev")
   }
 
+  /** KEYED variant of [[rowNumber]] — row_number() over (PARTITION BY keys
+    * ORDER BY sort) computed two-phase WITHIN each key (the hot-category
+    * fix: a 5-value key never serializes 20% of the corpus into one window
+    * task). Offsets are (keys × buckets)-sized; their exclusive prefix
+    * runs per key over the aggregated table and broadcasts back. */
+  def rowNumberKeyed(
+      df: DataFrame,
+      keys: Seq[String],
+      bucket: Column,
+      sort: Seq[Column],
+      out: String): DataFrame = {
+    val b = "__tp_bkt"
+    val binned = df.withColumn(b, bucket)
+    val wLocal = Window.partitionBy((keys.map(col) :+ col(b)): _*).orderBy(sort: _*)
+    val local = binned.withColumn("__tp_lrn", row_number().over(wLocal).cast("long"))
+    val offsets = binned.groupBy((keys.map(col) :+ col(b)): _*)
+      .agg(count(lit(1)).as("__tp_cnt"))
+      .select((keys.map(col) :+ col(b) :+
+        (coalesce(
+          sum(col("__tp_cnt")).over(Window.partitionBy(keys.map(col): _*)
+            .orderBy(col(b)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) ).as("__tp_off")): _*)
+    local.join(broadcast(offsets), keys :+ b)
+      .withColumn(out, col("__tp_off") + col("__tp_lrn"))
+      .drop(b, "__tp_lrn", "__tp_off")
+  }
+
   /** KEYED variant of [[runningSum]] — running SUM(value) over
     * (PARTITION BY keys ORDER BY sort ROWS UNBOUNDED PRECEDING .. CURRENT
     * ROW) computed two-phase WITHIN each key: the fix for the

@@ -78,8 +78,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q463_sft_transcripts", "q464_cache_reuse", "q465_sampled_join_estimate",
     "q467_hill_estimator",
     // round-6 newcomers: q468 census + key-derived noise projection; q469
-    // keyed two-phase cumsums + 1-row global-mean broadcast
-    "q468_dp_release", "q469_target_encoding")
+    // keyed two-phase cumsums + 1-row global-mean broadcast; q470 keyed
+    // two-phase ranks + 1-row min-class broadcast
+    "q468_dp_release", "q469_target_encoding", "q470_balanced_downsample")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -141,8 +142,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // q460/q462: 1-row grand-total / k-count broadcasts; q467: the 3-row
     // k-grid joined to the top-201 census (bounded non-equi probe)
     "q460_kruskal_wallis", "q462_brown_forsythe", "q467_hill_estimator",
-    // q469: the 1-row global-target-mean broadcast
-    "q469_target_encoding")
+    // q469/q470: 1-row global-mean / min-class-size broadcasts
+    "q469_target_encoding", "q470_balanced_downsample")
 
   // Queries whose partition-less windows ride a NON-aggregated input that is
   // nonetheless BOUNDED by construction — each justified here, the

@@ -91,6 +91,21 @@ class TwoPhaseSpec extends AnyFunSuite with SparkFixture {
     assert(two === naive)
   }
 
+  test("rowNumberKeyed == per-key row_number (hot low-cardinality key)") {
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("coin"))
+    val naive = d.withColumn("rk",
+        row_number().over(Window.partitionBy($"lang")
+          .orderBy($"coin", $"doc_id")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val two = TwoPhase.rowNumberKeyed(d, Seq("lang"),
+        conv(substring($"coin", 1, 2), 16, 10).cast("long"),
+        Seq($"coin", $"doc_id"), "rk")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rk")).toMap
+    assert(two === naive)
+  }
+
   test("ntileFromRn == SQL ntile for k not dividing N") {
     import spark.implicits._
     val o = graft.sources.Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
