@@ -46,7 +46,8 @@ object SparkEntry {
       graft.operators.Profiler.all ++
       graft.operators.Geo.all ++
       graft.operators.Governance.all ++
-      graft.plans.Lineage.all
+      graft.plans.Lineage.all ++
+      graft.operators.SeriesOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder, Encoders}
 import graft.engine.GraftQuery
 import graft.operators.RelationalCore.stat
 import graft.sources.Tables
@@ -368,6 +368,93 @@ object Aggregators {
       .orderBy($"event_type")
   }
 
+  /** THETA-SKETCH SET OPERATIONS (Dasgupta et al. 2016's theta framework
+    * on q238's portable KMV machinery): estimate |A∪B|, |A∩B|, |A\B| for
+    * two distinct-key sets from ONE k=256 sketch of the union — the
+    * mergeable set-algebra readout a DataSketches user expects, beyond
+    * q238's single-set cardinality. A = custkeys ordering before
+    * 1998-01-01, B = on/after. The sketch is the k smallest md5-derived
+    * 60-bit hashes; θ = the kᵗʰ; any subset S is estimated as
+    * |{h < θ : h ∈ S}| / (θ/2⁶⁰). Because the hash, the k-selection, the
+    * θ normalization, and the one double division are engine-portable,
+    * the ESTIMATES are strict-oracle'd (q238's class), with the exact
+    * truths alongside — no contract booleans needed. When |A∪B| < k the
+    * sketch is exact and both engines take the same CASE branch.
+    *
+    * 100 TB plan: one scan → custkey hash-agg with conditional min/max
+    * flags (map-side combined); the k-selection is `orderBy().limit(k)`
+    * → TakeOrderedAndProject (per-partition 256-heaps, never a global
+    * sort); everything after is 256-row arithmetic on broadcast
+    * scalars. */
+  val q473KmvSetOps: GraftQuery = GraftQuery.oracled(
+    "q473_kmv_set_ops",
+    """WITH f AS (SELECT o_custkey AS ck,
+      |                  max(CASE WHEN o_orderdate <  TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS ina,
+      |                  max(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS inb
+      |           FROM orders GROUP BY 1),
+      |h AS (SELECT CAST(('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 15)) AS BIGINT) AS h60,
+      |             max(ina) AS ina, max(inb) AS inb
+      |      FROM f GROUP BY 1),
+      |ex AS (SELECT CAST(count(*) AS BIGINT) AS ex_u,
+      |              CAST(sum(ina * inb) AS BIGINT) AS ex_i,
+      |              CAST(sum(ina * (1 - inb)) AS BIGINT) AS ex_ab FROM h),
+      |r AS (SELECT h60, ina, inb, row_number() OVER (ORDER BY h60) AS rk FROM h),
+      |sk AS (SELECT * FROM r WHERE rk <= 256),
+      |th AS (SELECT max(CASE WHEN rk = 256 THEN h60 END) AS theta FROM sk),
+      |cnt AS (SELECT CAST(count(*) AS BIGINT) AS cu,
+      |               CAST(sum(ina * inb) AS BIGINT) AS ci,
+      |               CAST(sum(ina * (1 - inb)) AS BIGINT) AS cab
+      |        FROM sk, th WHERE h60 < th.theta)
+      |SELECT CASE WHEN ex.ex_u < 256 THEN ex.ex_u
+      |            ELSE CAST(round(cnt.cu / (CAST(th.theta AS DOUBLE) / 1152921504606846976)) AS BIGINT)
+      |       END AS est_union,
+      |       ex.ex_u AS exact_union,
+      |       CASE WHEN ex.ex_u < 256 THEN ex.ex_i
+      |            ELSE CAST(round(cnt.ci / (CAST(th.theta AS DOUBLE) / 1152921504606846976)) AS BIGINT)
+      |       END AS est_intersect,
+      |       ex.ex_i AS exact_intersect,
+      |       CASE WHEN ex.ex_u < 256 THEN ex.ex_ab
+      |            ELSE CAST(round(cnt.cab / (CAST(th.theta AS DOUBLE) / 1152921504606846976)) AS BIGINT)
+      |       END AS est_a_not_b,
+      |       ex.ex_ab AS exact_a_not_b
+      |FROM ex, th, cnt""") { (spark, dir) =>
+    import spark.implicits._
+    val pivot = lit("1998-01-01").cast("timestamp")
+    val f = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("ck"))
+      .agg(max(when($"o_orderdate" < pivot, 1L).otherwise(0L)).as("ina"),
+        max(when($"o_orderdate" >= pivot, 1L).otherwise(0L)).as("inb"))
+    val h = f
+      .select(conv(substring(md5($"ck".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h60"), $"ina", $"inb")
+      .groupBy($"h60").agg(max($"ina").as("ina"), max($"inb").as("inb"))
+    val ex = h.agg(count(lit(1)).cast("long").as("ex_u"),
+      sum($"ina" * $"inb").cast("long").as("ex_i"),
+      sum($"ina" * (lit(1L) - $"inb")).cast("long").as("ex_ab"))
+    // The 256-row sketch is localCheckpoint'ed: θ and the membership
+    // counts both read it, and without the cut each branch would
+    // re-derive the corpus-scale hash-agg (the q100 iterative-op trick,
+    // applied to a bounded intermediate).
+    val sk = h.orderBy($"h60").limit(256).localCheckpoint()
+    val th = sk.agg(count(lit(1)).as("ksz"), max($"h60").as("hmax"))
+      .select(when($"ksz" === 256, $"hmax").as("theta"))
+    val cnt = sk.crossJoin(broadcast(th))
+      .filter($"h60" < $"theta")
+      .agg(count(lit(1)).cast("long").as("cu"),
+        sum($"ina" * $"inb").cast("long").as("ci"),
+        sum($"ina" * (lit(1L) - $"inb")).cast("long").as("cab"))
+    def est(c: Column): Column =
+      round(c / ($"theta".cast("double") / 1.152921504606846976e18)).cast("long")
+    ex.crossJoin(broadcast(th)).crossJoin(broadcast(cnt))
+      .select(
+        when($"ex_u" < 256, $"ex_u").otherwise(est($"cu")).as("est_union"),
+        $"ex_u".as("exact_union"),
+        when($"ex_u" < 256, $"ex_i").otherwise(est($"ci")).as("est_intersect"),
+        $"ex_i".as("exact_intersect"),
+        when($"ex_u" < 256, $"ex_ab").otherwise(est($"cab")).as("est_a_not_b"),
+        $"ex_ab".as("exact_a_not_b"))
+  }
+
   def all: Seq[GraftQuery] = Seq(q69CustomUdaf, q158GroupedTopK, q238KmvDistinct,
-    q448TdigestQuantiles)
+    q448TdigestQuantiles, q473KmvSetOps)
 }

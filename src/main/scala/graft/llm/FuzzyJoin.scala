@@ -488,7 +488,69 @@ object FuzzyJoin {
         .otherwise(0L).cast("long").as("precision_ppm"))
   }
 
+  /** CLOSEST-NAME-PAIR profile under UNRESTRICTED Damerau–Levenshtein —
+    * q301's cross-implementation-proof pattern for the transposition-aware
+    * edit distance: part names pair within a bounded (brand, size-band)
+    * block, are scored by the codegen'd
+    * [[graft.functions.DamerauLevenshtein]] kernel, and each block reports
+    * its pair census plus the single closest pair (ties broken by part
+    * keys). The DuckDB oracle re-scores every pair with its OWN
+    * `damerau_levenshtein` — a strict hash-match proves the two
+    * independent Lowrance–Wagner implementations agree on every candidate
+    * pair at every SF, the same cross-engine equivalence q301 established
+    * for Jaro–Winkler.
+    *
+    * 100 TB plan: blocking keys are (p_brand, p_size % 5) — a bounded-
+    * fanout equi-join (block membership scales with parts/125, never
+    * parts²); scoring is one codegen'd projection over candidates; the
+    * per-block top-1 window rides the block-keyed partitioning already in
+    * place. Hot blocks take q70's salting; the block pitch is the knob. */
+  val q476DamerauClosestPairs: GraftQuery = GraftQuery.oracled(
+    "q476_damerau_closest_pairs",
+    """WITH v AS (SELECT p_partkey AS id, p_name AS nm, p_brand AS brand,
+      |                  p_size % 5 AS band
+      |           FROM part),
+      |pr AS (SELECT a.brand, a.band, a.id AS ida, b.id AS idb,
+      |              CAST(damerau_levenshtein(a.nm, b.nm) AS BIGINT) AS dl
+      |       FROM v a JOIN v b
+      |         ON a.brand = b.brand AND a.band = b.band AND a.id < b.id),
+      |r AS (SELECT brand, band, ida, idb, dl,
+      |             row_number() OVER (PARTITION BY brand, band
+      |                                ORDER BY dl, ida, idb) AS rn,
+      |             count(*) OVER (PARTITION BY brand, band) AS n_pairs,
+      |             sum(dl) OVER (PARTITION BY brand, band) AS sum_dl
+      |      FROM pr)
+      |SELECT brand, CAST(band AS BIGINT) AS band,
+      |       CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(sum_dl AS BIGINT) AS sum_dl,
+      |       dl AS best_dl, ida AS best_ida, idb AS best_idb
+      |FROM r WHERE rn = 1
+      |ORDER BY brand, band""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.DamerauLevenshtein.register(spark)
+    val v = Tables.part(spark, dir).select($"p_partkey".as("id"),
+      $"p_name".as("nm"), $"p_brand".as("brand"), ($"p_size" % 5).as("band"))
+    val a = v.select($"id".as("ida"), $"nm".as("nma"), $"brand", $"band")
+    val b = v.select($"id".as("idb"), $"nm".as("nmb"), $"brand", $"band")
+    val pr = a.join(b, Seq("brand", "band"))
+      .filter($"ida" < $"idb")
+      .select($"brand", $"band", $"ida", $"idb",
+        graft.functions.DamerauLevenshtein.damerau($"nma", $"nmb").as("dl"))
+    val blk = Window.partitionBy($"brand", $"band")
+    pr
+      .withColumn("rn", row_number().over(blk.orderBy($"dl", $"ida", $"idb")))
+      .withColumn("n_pairs", count(lit(1)).over(blk))
+      .withColumn("sum_dl", sum($"dl").over(blk))
+      .filter($"rn" === 1)
+      .select($"brand", $"band".cast("long").as("band"),
+        $"n_pairs".cast("long").as("n_pairs"),
+        $"sum_dl".cast("long").as("sum_dl"),
+        $"dl".as("best_dl"), $"ida".as("best_ida"), $"idb".as("best_idb"))
+      .orderBy($"brand", $"band")
+  }
+
   def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution,
     q275GoldenRecord, q282FellegiSunter, q301JaroWinklerMatch,
-    q348FellegiSunterEm, q414BlockingQuality)
+    q348FellegiSunterEm, q414BlockingQuality, q476DamerauClosestPairs)
 }

@@ -1085,8 +1085,64 @@ object EventAnalytics {
       .orderBy($"event_id")
   }
 
+  /** HEAVY-CHANGE DETECTION (Cormode & Muthukrishnan 2005 §4's deltoids
+    * problem, exact census form): which keys' traffic changed most
+    * between two adjacent periods — the drift screen run over every
+    * ingest feed before retraining. Exact per-user conditional counts
+    * for the two halves of the event window, top-20 movers by absolute
+    * delta (unique user_id tie-break → deterministic cut), with the CMS
+    * one-sided contract alongside (q136's print-both pattern): a
+    * `count_min_sketch` built over the FIRST half is probed per mover
+    * via the codegen [[graft.functions.CmsExpression]], and CMS never
+    * under-counts, so `cms_first_ge_exact` is provably TRUE — the
+    * oracle pins it, so a sketch/probe byte-path regression
+    * hash-mismatches at the driver rather than only in ScalaTest.
+    *
+    * 100 TB plan: the census is one conditional hash-agg (map-side
+    * combined, key-domain-sized); the top-20 is `orderBy().limit(20)` →
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * sketch is the mergeable few-KB grid (only sketches travel) and its
+    * probe is one codegen projection on 20 rows. At deltoid scale the
+    * exact census is the verifier and the CMS pair (one per period)
+    * becomes the primary — the contract column is exactly the law that
+    * swap rides on. */
+  val q477HeavyChange: GraftQuery = GraftQuery.oracled(
+    "q477_heavy_change",
+    """WITH c AS (SELECT user_id,
+      |                  CAST(sum(CASE WHEN date_trunc('microseconds', ts) < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_first,
+      |                  CAST(sum(CASE WHEN date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_second
+      |           FROM events GROUP BY 1)
+      |SELECT user_id, cnt_first, cnt_second,
+      |       cnt_second - cnt_first AS delta,
+      |       CAST(1 AS BOOLEAN) AS cms_first_ge_exact
+      |FROM c
+      |ORDER BY abs(cnt_second - cnt_first) DESC, user_id
+      |LIMIT 20""") { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.CmsExpression
+    CmsExpression.register(spark)
+    val pivot = lit("2024-01-16").cast("timestamp")
+    val ev = Tables.events(spark, dir)
+    val skBytes = ev.filter($"ts" < pivot)
+      .agg(count_min_sketch($"user_id".cast("string"), lit(1e-4), lit(0.99), lit(42))
+        .as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val movers = ev
+      .groupBy($"user_id")
+      .agg(sum(when($"ts" < pivot, 1L).otherwise(0L)).cast("long").as("cnt_first"),
+        sum(when($"ts" >= pivot, 1L).otherwise(0L)).cast("long").as("cnt_second"))
+      .withColumn("delta", $"cnt_second" - $"cnt_first")
+      .orderBy(abs($"delta").desc, $"user_id")
+      .limit(20)
+    movers
+      .select($"user_id", $"cnt_first", $"cnt_second", $"delta",
+        (CmsExpression.cmsEstimate(skBytes, $"user_id".cast("string")) >= $"cnt_first")
+          .as("cms_first_ge_exact"))
+      .orderBy(abs($"delta").desc, $"user_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q469TargetEncoding,
+    q469TargetEncoding, q477HeavyChange,
     q141Funnel, q142CohortRetention, q148DecayedEngagement, q149StateIntervals,
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,

@@ -65,20 +65,66 @@ object Graph {
     * no rank vector ever reaches the driver. Symmetrization guarantees
     * out-degree ≥ 1, so there are no dangling-mass corrections.
     *
+    * STRICT since r6 (formerly rows-only): ranks are ×10¹² FIXED-POINT
+    * BIGINTs — per-edge contribution `r div deg`, update
+    * 0.15·10¹² + (85·Σ) div 100 — so every iteration is summation-order-
+    * free integer arithmetic and the DuckDB oracle unrolls the SAME five
+    * rounds verbatim (q355's pattern, minus its float-sum exposure). The
+    * top-20 cut orders by the exact integer rank with a vertex tie-break.
+    * Floor division leaks ≤ deg·5 units of 10⁻¹² mass per vertex — far
+    * below any rank gap the cut could see; GraphSpec still pins the float
+    * helper's closed-form star fixture and the fp/float agreement.
+    *
     * 100 TB plan: edges and ranks co-shuffle on vertex id each round —
     * production pre-partitions both once and reuses the partitioning
     * (bucketed edge table); iteration results checkpoint every ~5 rounds
-    * to cut lineage (same discipline as q100/q109's components loop).
-    * Float-sum order varies across engines → rows-only; GraphSpec pins a
-    * closed-form star-graph fixture and mass conservation. */
-  val q155PageRank: GraftQuery = GraftQuery.rowsOnly(
+    * to cut lineage (same discipline as q100/q109's components loop). */
+  val q155PageRank: GraftQuery = GraftQuery.oracled(
     "q155_pagerank",
-    doc = "5-iteration damped (0.85) PageRank on the symmetrized co-order part graph; top-20 (part, round(rank,6))") { (spark, dir) =>
+    """WITH li AS (SELECT l_orderkey AS k, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |p AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+      |r0 AS (SELECT src AS v, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+      |r1 AS (SELECT e.dst AS v, 150000000000 + (85 * sum(r0.r // deg.d)) // 100 AS r
+      |       FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS v, 150000000000 + (85 * sum(r1.r // deg.d)) // 100 AS r
+      |       FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS v, 150000000000 + (85 * sum(r2.r // deg.d)) // 100 AS r
+      |       FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src GROUP BY e.dst),
+      |r4 AS (SELECT e.dst AS v, 150000000000 + (85 * sum(r3.r // deg.d)) // 100 AS r
+      |       FROM e JOIN r3 ON e.src = r3.v JOIN deg ON e.src = deg.src GROUP BY e.dst),
+      |r5 AS (SELECT e.dst AS v, 150000000000 + (85 * sum(r4.r // deg.d)) // 100 AS r
+      |       FROM e JOIN r4 ON e.src = r4.v JOIN deg ON e.src = deg.src GROUP BY e.dst)
+      |SELECT v AS part, CAST(r AS BIGINT) AS rank_fp
+      |FROM r5 ORDER BY rank_fp DESC, part LIMIT 20""") { (spark, dir) =>
     import spark.implicits._
-    pageRank(coOrderEdges(spark, dir), iters = 5)
-      .orderBy($"rank".desc, $"v")
+    pageRankFp(coOrderEdges(spark, dir), iters = 5)
+      .orderBy($"r".desc, $"v")
       .limit(20)
-      .select($"v".as("part"), round($"rank", 6).as("rank"))
+      .select($"v".as("part"), $"r".as("rank_fp"))
+  }
+
+  /** Fixed-point (×10¹²) power iteration — integer twin of [[pageRank]]. */
+  private[operators] def pageRankFp(oriented: DataFrame, iters: Int): DataFrame = {
+    val spark = oriented.sparkSession
+    import spark.implicits._
+    val edges = oriented.select($"a".as("src"), $"b".as("dst"))
+      .union(oriented.select($"b", $"a")).cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).cast("long").as("deg"))
+    val withDeg = edges.join(deg, "src").cache()
+    withDeg.count()
+    var ranks = deg.select($"src".as("v"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(ranks, $"src" === $"v")
+        .select($"dst", expr("r div deg").as("c"))
+      ranks = contrib.groupBy($"dst".as("v"))
+        .agg(expr("150000000000 + (85 * sum(c)) div 100").cast("long").as("r"))
+    }
+    val out = ranks
+    edges.unpersist()
+    out
   }
 
   /** Power iteration on an oriented edge list (symmetrized internally). */
@@ -568,31 +614,60 @@ object Graph {
 
   /** HITS hubs & authorities (Kleinberg 1999), 4 fixed mutual-reinforcement
     * rounds on the bipartite user→item click graph: auth(i) = Σ hub(u)
-    * over clicking users, hub(u) = Σ auth(i) over clicked items, each side
-    * L1-normalized per round (sum-normalization keeps the algebra
-    * join+agg-only; the fixpoint direction is the same as the classical
-    * L2 version). Top-20 authorities. Float-sum order varies across
-    * engines → rows-only (q155's discipline); GraphSpec pins the
-    * closed-form AᵀA principal-eigenvector fixture and L1 mass = 1.
+    * over clicking users, hub(u) = Σ auth(i) over clicked items.
+    *
+    * STRICT since r6 (formerly rows-only): normalization COMMUTES through
+    * the linear maps, so the four rounds run UN-normalized on exact
+    * BIGINTs (h₀ = 1; every update is an integer sum-agg — no float, no
+    * summation-order exposure) and the DuckDB oracle unrolls the same
+    * seven hash-aggs verbatim. The L1 share is ONE double division at the
+    * end (two exact integers → IEEE-identical on both engines), rounded
+    * to 9 digits. Top-20 authorities by the exact integer score with an
+    * item tie-break. Raw scores grow ≈ λ_max⁴ — BIGINT-safe through
+    * ~10⁴ users·items here; web scale re-normalizes per round in fixed
+    * point (the q155 10¹² discipline) — noted so the overflow surface is
+    * explicit. GraphSpec still pins the closed-form AᵀA fixture on the
+    * float helper and the integer/float direction agreement.
     *
     * 100 TB plan: identical shape to q155 — per round one edge join per
     * side + one sum-agg, scores co-shuffled on vertex id; production
     * buckets the edge list once and reuses the partitioning. The L1
     * normalizer is a broadcast 1-row agg, never a collect. */
-  val q446Hits: GraftQuery = GraftQuery.rowsOnly(
+  val q446Hits: GraftQuery = GraftQuery.oracled(
     "q446_hits",
-    doc = "4-round L1-normalized HITS on the user->item click graph; top-20 authorities") {
-    (spark, dir) =>
+    """WITH e AS (SELECT DISTINCT user_id AS u,
+      |                  CAST(json_extract(props, '$.k') AS BIGINT) % 20 AS i
+      |           FROM events WHERE event_type = 'click'),
+      |a1 AS (SELECT i, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY 1),
+      |h1 AS (SELECT u, CAST(sum(a1.a) AS BIGINT) AS h FROM e JOIN a1 USING (i) GROUP BY 1),
+      |a2 AS (SELECT i, CAST(sum(h1.h) AS BIGINT) AS a FROM e JOIN h1 USING (u) GROUP BY 1),
+      |h2 AS (SELECT u, CAST(sum(a2.a) AS BIGINT) AS h FROM e JOIN a2 USING (i) GROUP BY 1),
+      |a3 AS (SELECT i, CAST(sum(h2.h) AS BIGINT) AS a FROM e JOIN h2 USING (u) GROUP BY 1),
+      |h3 AS (SELECT u, CAST(sum(a3.a) AS BIGINT) AS h FROM e JOIN a3 USING (i) GROUP BY 1),
+      |a4 AS (SELECT i, CAST(sum(h3.h) AS BIGINT) AS a FROM e JOIN h3 USING (u) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS z FROM a4)
+      |SELECT i AS item, a AS authority_raw,
+      |       round(CAST(a AS DOUBLE) / z, 9) AS authority
+      |FROM a4, tot
+      |ORDER BY authority_raw DESC, item LIMIT 20""") { (spark, dir) =>
     import spark.implicits._
     val edges = graft.sources.Tables.events(spark, dir)
       .filter($"event_type" === "click")
       .select($"user_id".as("u"),
         (get_json_object($"props", "$.k").cast("long") % 20).as("i"))
-      .distinct()
-    val (_, auths) = hits(edges, iters = 4)
-    auths.orderBy($"score".desc, $"i")
+      .distinct().localCheckpoint() // 7 consumers (one per round join)
+    var auths = edges.groupBy($"i").agg(count(lit(1)).cast("long").as("a"))
+    for (_ <- 1 to 3) {
+      val hubs = edges.join(auths, "i")
+        .groupBy($"u").agg(sum($"a").cast("long").as("h"))
+      auths = edges.join(hubs, "u")
+        .groupBy($"i").agg(sum($"h").cast("long").as("a"))
+    }
+    auths.crossJoin(broadcast(auths.agg(sum($"a").cast("long").as("z"))))
+      .orderBy($"a".desc, $"i")
       .limit(20)
-      .select($"i".as("item"), round($"score", 6).as("authority"))
+      .select($"i".as("item"), $"a".as("authority_raw"),
+        round($"a".cast("double") / $"z", 9).as("authority"))
   }
 
   /** HITS rounds over a (u, i) edge list; returns (hubs, authorities),

@@ -80,7 +80,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // round-6 newcomers: q468 census + key-derived noise projection; q469
     // keyed two-phase cumsums + 1-row global-mean broadcast; q470 keyed
     // two-phase ranks + 1-row min-class broadcast
-    "q468_dp_release", "q469_target_encoding", "q470_balanced_downsample")
+    "q468_dp_release", "q469_target_encoding", "q470_balanced_downsample",
+    // round-10 session: q471 customer-keyed windows only; q472's lattice
+    // counts are within-order self-joins + broadcast prunes; q473 is
+    // TakeOrdered + 1-row broadcasts; q474's convolutions are banded
+    // priority-keyed self-joins (calendar-bounded, q436's class); q475
+    // rides priority-keyed windows over the daily census; q476 is the
+    // bounded block equi-join + block-keyed window; q477 is a census +
+    // TakeOrderedAndProject + codegen sketch probe
+    "q471_interval_union", "q472_apriori_rules", "q473_kmv_set_ops",
+    "q474_brown_des", "q475_page_hinkley", "q476_damerau_closest_pairs",
+    "q477_heavy_change",
+    // q478: checkpointed daily census + four join-free pyramid hash-aggs
+    "q478_haar_energy")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -143,7 +155,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // k-grid joined to the top-201 census (bounded non-equi probe)
     "q460_kruskal_wallis", "q462_brown_forsythe", "q467_hill_estimator",
     // q469/q470: 1-row global-mean / min-class-size broadcasts
-    "q469_target_encoding", "q470_balanced_downsample")
+    "q469_target_encoding", "q470_balanced_downsample",
+    // q472: the 1-row basket-total n gates every support floor; q473: the
+    // 1-row θ and count summaries of the 256-row sketch
+    "q472_apriori_rules", "q473_kmv_set_ops")
 
   // Queries whose partition-less windows ride a NON-aggregated input that is
   // nonetheless BOUNDED by construction — each justified here, the

@@ -30,7 +30,23 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     val a = Graph.q155PageRank.fn(spark, sf).collect()
     val b = Graph.q155PageRank.fn(spark, sf).collect()
     assert(a.toSeq === b.toSeq, "q155 must be run-to-run deterministic")
-    assert(a.nonEmpty && a.forall(_.getDouble(1) > 0.0))
+    assert(a.nonEmpty && a.forall(_.getLong(1) > 0L))
+  }
+
+  test("fixed-point PageRank tracks the float helper within floor-div drift") {
+    import spark.implicits._
+    val e = Graph.coOrderEdges(spark, sf)
+    val fp = Graph.pageRankFp(e, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fl = Graph.pageRank(e, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fp.keySet === fl.keySet)
+    fp.foreach { case (v, r) =>
+      // floor division leaks at most ~deg·iters units of 1e-12 per vertex;
+      // 1e-6 relative slack is orders of magnitude above that
+      assert(math.abs(r / 1e12 - fl(v)) <= 1e-6 * math.max(1.0, fl(v)),
+        s"fp rank for $v drifted: ${r / 1e12} vs ${fl(v)}")
+    }
   }
 
   test("k-core: K4 + pendant chain peels to exactly K4; 8-round horizon is a fixpoint at catalog scale") {
