@@ -223,9 +223,84 @@ object Search {
     * break by doc_id. Not SQL-expressible (iterative argmax over a
     * shrinking set) → SearchSpec gates the λ=1 ≡ plain top-5 law,
     * size/distinctness, and determinism. */
-  val q290MmrDiversify: GraftQuery = GraftQuery.rowsOnly(
+  /** STRICT since r6 (formerly rows-only): the greedy argmax chain is
+    * UNROLLED five steps deep in the DuckDB oracle — each step re-ranks
+    * the remaining candidates by round(0.7·bm25 − (1−0.7)·maxSim, 4)
+    * against the selected-so-far set and takes the (mmr DESC, doc_id)
+    * head. Both engines compute from the SAME rounded inputs (bm25 @4,
+    * Jaccard @6) and the same IEEE constants (the oracle spells
+    * `(1 - 0.7)` so the multiplier is bit-identical to Scala's `1 -
+    * lambda`), so every intermediate double matches and the driver
+    * hash-checks the entire greedy trajectory, not just row counts. */
+  val q290MmrDiversify: GraftQuery = GraftQuery.oracled(
     "q290_mmr_diversify",
-    doc = "MMR re-rank (lambda=0.7, k=5) of the top-20 BM25 candidates; sim = token Jaccard; (rank, doc_id, round(mmr,4))") { (spark, dir) =>
+    """WITH tok0 AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+      |    FROM documents)
+      |  WHERE t <> ''),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok0 GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM tok0
+      |       WHERE t IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      |idf AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok0
+      |        WHERE t IN ('spark', 'window', 'merge') GROUP BY 1),
+      |bm AS (SELECT tf.doc_id,
+      |              round(sum(ln(1 + (st.n - idf.df + 0.5) / (idf.df + 0.5))
+      |                        * tf.tf * 2.2
+      |                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4) AS bm25
+      |       FROM tf JOIN idf ON tf.t = idf.t JOIN dl ON tf.doc_id = dl.doc_id, st
+      |       GROUP BY tf.doc_id),
+      |cand AS MATERIALIZED (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |ct AS MATERIALIZED (SELECT DISTINCT k.doc_id, t.t
+      |      FROM cand k JOIN tok0 t ON t.doc_id = k.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM ct GROUP BY 1),
+      |sim0 AS (SELECT a.doc_id AS a, b.doc_id AS b,
+      |                round(count(*) / CAST(sa.n + sb.n - count(*) AS DOUBLE), 6) AS sim
+      |         FROM ct a JOIN ct b ON a.t = b.t AND a.doc_id < b.doc_id
+      |         JOIN sz sa ON sa.doc_id = a.doc_id
+      |         JOIN sz sb ON sb.doc_id = b.doc_id
+      |         GROUP BY a.doc_id, b.doc_id, sa.n, sb.n),
+      |sim AS MATERIALIZED (SELECT a, b, sim FROM sim0 UNION ALL SELECT b, a, sim FROM sim0),
+      |s1 AS (SELECT doc_id, round(0.7 * bm25 - (1 - 0.7) * 0, 4) AS mmr
+      |       FROM cand ORDER BY mmr DESC, doc_id LIMIT 1),
+      |s2 AS (SELECT c.doc_id,
+      |              round(0.7 * c.bm25 - (1 - 0.7) * coalesce(max(s.sim), 0), 4) AS mmr
+      |       FROM cand c
+      |       LEFT JOIN sim s ON s.a = c.doc_id AND s.b IN (SELECT doc_id FROM s1)
+      |       WHERE c.doc_id NOT IN (SELECT doc_id FROM s1)
+      |       GROUP BY c.doc_id, c.bm25 ORDER BY mmr DESC, doc_id LIMIT 1),
+      |s3 AS (SELECT c.doc_id,
+      |              round(0.7 * c.bm25 - (1 - 0.7) * coalesce(max(s.sim), 0), 4) AS mmr
+      |       FROM cand c
+      |       LEFT JOIN sim s ON s.a = c.doc_id
+      |        AND s.b IN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2)
+      |       WHERE c.doc_id NOT IN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2)
+      |       GROUP BY c.doc_id, c.bm25 ORDER BY mmr DESC, doc_id LIMIT 1),
+      |s4 AS (SELECT c.doc_id,
+      |              round(0.7 * c.bm25 - (1 - 0.7) * coalesce(max(s.sim), 0), 4) AS mmr
+      |       FROM cand c
+      |       LEFT JOIN sim s ON s.a = c.doc_id
+      |        AND s.b IN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+      |                    UNION ALL SELECT doc_id FROM s3)
+      |       WHERE c.doc_id NOT IN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+      |                              UNION ALL SELECT doc_id FROM s3)
+      |       GROUP BY c.doc_id, c.bm25 ORDER BY mmr DESC, doc_id LIMIT 1),
+      |s5 AS (SELECT c.doc_id,
+      |              round(0.7 * c.bm25 - (1 - 0.7) * coalesce(max(s.sim), 0), 4) AS mmr
+      |       FROM cand c
+      |       LEFT JOIN sim s ON s.a = c.doc_id
+      |        AND s.b IN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+      |                    UNION ALL SELECT doc_id FROM s3 UNION ALL SELECT doc_id FROM s4)
+      |       WHERE c.doc_id NOT IN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+      |                              UNION ALL SELECT doc_id FROM s3 UNION ALL SELECT doc_id FROM s4)
+      |       GROUP BY c.doc_id, c.bm25 ORDER BY mmr DESC, doc_id LIMIT 1)
+      |SELECT CAST(1 AS INTEGER) AS rank, doc_id, mmr FROM s1
+      |UNION ALL SELECT 2, doc_id, mmr FROM s2
+      |UNION ALL SELECT 3, doc_id, mmr FROM s3
+      |UNION ALL SELECT 4, doc_id, mmr FROM s4
+      |UNION ALL SELECT 5, doc_id, mmr FROM s5
+      |ORDER BY rank""") { (spark, dir) =>
     mmrSelect(spark, dir, lambda = 0.7, k = 5)
   }
 

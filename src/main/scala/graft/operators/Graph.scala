@@ -106,6 +106,107 @@ object Graph {
       .select($"v".as("part"), $"r".as("rank_fp"))
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002; the seeded-restart variant
+    * under every "expand this trusted seed set" curation pass — quality-
+    * domain expansion, seed-based spam hunting, related-item retrieval):
+    * identical fixed-point machinery to q155, but restart mass returns to
+    * a SEED SET (the graph vertices of the data-derived brand 'Brand#11')
+    * instead of every vertex: r₊(v) = [v∈S]·(15·seedShare) div 100 +
+    * (85·Σ r(u) div deg u) div 100, seedShare = 10¹² div |S|. Four
+    * unrolled rounds in the DuckDB oracle (q155's pattern); the output is
+    * the top-20 by exact integer proximity with the seed flag — seeds
+    * rank high, non-seed parts that co-order with them surface next, and
+    * the ordering is the graph-proximity ranking a brute PageRank can't
+    * give (q155's global ranks are seed-blind).
+    *
+    * 100 TB plan: q155's — per round one co-partitioned join + hash-agg;
+    * the seed table is a broadcast; restart mass never touches the
+    * driver. */
+  val q479PersonalizedPr: GraftQuery = GraftQuery.oracled(
+    "q479_personalized_pagerank",
+    """WITH li AS (SELECT l_orderkey AS k, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |p AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+      |s AS (SELECT deg.src AS v FROM deg JOIN part ON p_partkey = deg.src
+      |      WHERE p_brand = 'Brand#11'),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM s),
+      |sh AS (SELECT CAST(1000000000000 // ns AS BIGINT) AS share FROM ns),
+      |r0 AS (SELECT deg.src AS v,
+      |              CASE WHEN s.v IS NOT NULL THEN sh.share ELSE 0 END AS r
+      |       FROM deg LEFT JOIN s ON s.v = deg.src, sh),
+      |r1 AS (SELECT deg.src AS v,
+      |              CASE WHEN s.v IS NOT NULL THEN (15 * sh.share) // 100 ELSE 0 END
+      |              + (85 * coalesce(m.c, 0)) // 100 AS r
+      |       FROM deg
+      |       LEFT JOIN (SELECT e.dst, sum(r0.r // deg.d) AS c
+      |                  FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+      |                  GROUP BY e.dst) m ON m.dst = deg.src
+      |       LEFT JOIN s ON s.v = deg.src, sh),
+      |r2 AS (SELECT deg.src AS v,
+      |              CASE WHEN s.v IS NOT NULL THEN (15 * sh.share) // 100 ELSE 0 END
+      |              + (85 * coalesce(m.c, 0)) // 100 AS r
+      |       FROM deg
+      |       LEFT JOIN (SELECT e.dst, sum(r1.r // deg.d) AS c
+      |                  FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+      |                  GROUP BY e.dst) m ON m.dst = deg.src
+      |       LEFT JOIN s ON s.v = deg.src, sh),
+      |r3 AS (SELECT deg.src AS v,
+      |              CASE WHEN s.v IS NOT NULL THEN (15 * sh.share) // 100 ELSE 0 END
+      |              + (85 * coalesce(m.c, 0)) // 100 AS r
+      |       FROM deg
+      |       LEFT JOIN (SELECT e.dst, sum(r2.r // deg.d) AS c
+      |                  FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+      |                  GROUP BY e.dst) m ON m.dst = deg.src
+      |       LEFT JOIN s ON s.v = deg.src, sh),
+      |r4 AS (SELECT deg.src AS v,
+      |              CASE WHEN s.v IS NOT NULL THEN (15 * sh.share) // 100 ELSE 0 END
+      |              + (85 * coalesce(m.c, 0)) // 100 AS r
+      |       FROM deg
+      |       LEFT JOIN (SELECT e.dst, sum(r3.r // deg.d) AS c
+      |                  FROM e JOIN r3 ON e.src = r3.v JOIN deg ON e.src = deg.src
+      |                  GROUP BY e.dst) m ON m.dst = deg.src
+      |       LEFT JOIN s ON s.v = deg.src, sh)
+      |SELECT r4.v AS part, CAST(r4.r AS BIGINT) AS ppr_fp,
+      |       CASE WHEN s.v IS NOT NULL THEN TRUE ELSE FALSE END AS is_seed
+      |FROM r4 LEFT JOIN s ON s.v = r4.v
+      |ORDER BY ppr_fp DESC, part LIMIT 20""") { (spark, dir) =>
+    import spark.implicits._
+    val oriented = coOrderEdges(spark, dir)
+    val edges = oriented.select($"a".as("src"), $"b".as("dst"))
+      .union(oriented.select($"b", $"a")).localCheckpoint()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint() // read every round + for the seed/vertex frames
+    val seeds = deg.join(
+        Tables.part(spark, dir).filter($"p_brand" === "Brand#11")
+          .select($"p_partkey".as("src")), Seq("src"), "left_semi")
+      .select($"src".as("v")).localCheckpoint()
+    val nS = seeds.count()
+    val share = 1000000000000L / nS
+    val withDeg = edges.join(deg, "src")
+    val restart = deg.select($"src".as("v"))
+      .join(seeds.withColumn("seed", lit(true)), Seq("v"), "left")
+      .select($"v", when($"seed", lit(15L * share / 100L)).otherwise(0L).as("rs"),
+        coalesce($"seed", lit(false)).as("is_seed"))
+      .localCheckpoint()
+    var ranks = restart.select($"v",
+      when($"is_seed", lit(share)).otherwise(0L).as("r"))
+    for (_ <- 1 to 4) {
+      val contrib = withDeg.join(ranks, $"src" === $"v")
+        .select($"dst", expr("r div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("m"))
+      ranks = restart
+        .join(contrib, restart("v") === contrib("dst"), "left")
+        .select(restart("v"),
+          ($"rs" + expr("(85 * coalesce(m, 0)) div 100")).cast("long").as("r"))
+    }
+    ranks.join(restart.select($"v", $"is_seed"), Seq("v"))
+      .orderBy($"r".desc, $"v")
+      .limit(20)
+      .select($"v".as("part"), $"r".as("ppr_fp"), $"is_seed")
+  }
+
   /** Fixed-point (×10¹²) power iteration — integer twin of [[pageRank]]. */
   private[operators] def pageRankFp(oriented: DataFrame, iters: Int): DataFrame = {
     val spark = oriented.sparkSession
@@ -694,7 +795,102 @@ object Graph {
     (hN, aN)
   }
 
+  /** WEISFEILER–LEHMAN GRAPH FINGERPRINT (Weisfeiler & Lehman 1968; the
+    * 1-WL color refinement under the WL graph kernels of Shervashidze
+    * et al. 2011): labels start as degrees, and each round every vertex
+    * hashes (own label : sorted multiset of neighbor labels) into a new
+    * 60-bit md5 label — two refinement rounds, then per round the number
+    * of distinct colors and ONE canonical digest of the whole labeling.
+    * Two snapshot digests are equal iff the labeled graphs are
+    * 1-WL-indistinguishable — the O(edges) drift check for "did the
+    * co-purchase structure change" that a row-count diff can't answer.
+    * Every step is engine-portable (integer degrees, numerically-sorted
+    * string_agg, md5-h60), so the fingerprint itself is strict-oracle'd.
+    *
+    * 100 TB plan: each round is one edge join + one hash-agg (q155's
+    * message-passing shape — the sort is per-vertex over its OWN
+    * neighbor multiset, never global). The digest is a TWO-LEVEL
+    * reduction: 64 vertex-hash buckets digest independently (bounded
+    * strings, map-side parallel), then one 64-row fold — no global
+    * string_agg ever materializes the vertex table in one task. */
+  val q480WlFingerprint: GraftQuery = GraftQuery.oracled(
+    "q480_wl_fingerprint",
+    """WITH li AS (SELECT l_orderkey AS k, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |p AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+      |l0 AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS l FROM e GROUP BY src),
+      |l1 AS (SELECT n.dst AS v,
+      |              CAST(('0x' || substr(md5(CAST(l0v.l AS VARCHAR) || ':' || n.sig), 1, 15)) AS BIGINT) AS l
+      |       FROM (SELECT e.dst, string_agg(CAST(l0.l AS VARCHAR), ',' ORDER BY l0.l) AS sig
+      |             FROM e JOIN l0 ON e.src = l0.v GROUP BY e.dst) n
+      |       JOIN l0 l0v ON l0v.v = n.dst),
+      |l2 AS (SELECT n.dst AS v,
+      |              CAST(('0x' || substr(md5(CAST(l1v.l AS VARCHAR) || ':' || n.sig), 1, 15)) AS BIGINT) AS l
+      |       FROM (SELECT e.dst, string_agg(CAST(l1.l AS VARCHAR), ',' ORDER BY l1.l) AS sig
+      |             FROM e JOIN l1 ON e.src = l1.v GROUP BY e.dst) n
+      |       JOIN l1 l1v ON l1v.v = n.dst),
+      |dig AS (
+      |  SELECT r,
+      |         CAST(('0x' || substr(md5(string_agg(CAST(bkt AS VARCHAR) || '|' || bh, ',' ORDER BY bkt)), 1, 15)) AS BIGINT) AS digest
+      |  FROM (SELECT r, v % 64 AS bkt,
+      |               md5(string_agg(CAST(v AS VARCHAR) || ':' || CAST(l AS VARCHAR), ',' ORDER BY v)) AS bh
+      |        FROM (SELECT 0 AS r, v, l FROM l0
+      |              UNION ALL SELECT 1, v, l FROM l1
+      |              UNION ALL SELECT 2, v, l FROM l2)
+      |        GROUP BY r, v % 64) x
+      |  GROUP BY r),
+      |nl AS (SELECT r, CAST(count(DISTINCT l) AS BIGINT) AS n_colors,
+      |              CAST(count(*) AS BIGINT) AS n_vertices
+      |       FROM (SELECT 0 AS r, l, v FROM l0
+      |             UNION ALL SELECT 1, l, v FROM l1
+      |             UNION ALL SELECT 2, l, v FROM l2)
+      |       GROUP BY r)
+      |SELECT CAST(nl.r AS BIGINT) AS round, nl.n_vertices, nl.n_colors, dig.digest
+      |FROM nl JOIN dig ON dig.r = nl.r
+      |ORDER BY round""") { (spark, dir) =>
+    import spark.implicits._
+    val oriented = coOrderEdges(spark, dir)
+    val edges = oriented.select($"a".as("src"), $"b".as("dst"))
+      .union(oriented.select($"b", $"a")).localCheckpoint()
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    var labels = edges.groupBy($"src".as("v"))
+      .agg(count(lit(1)).cast("long").as("l")).localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer((0, labels))
+    for (r <- 1 to 2) {
+      val sig = edges.join(labels, $"src" === $"v")
+        .groupBy($"dst")
+        .agg(concat_ws(",", sort_array(collect_list($"l"))).as("sig"))
+      labels = sig.join(labels.select($"v", $"l".as("own")), $"dst" === $"v")
+        .select($"v", h60(concat($"own".cast("string"), lit(":"), $"sig")).as("l"))
+        .localCheckpoint()
+      rounds += ((r, labels))
+    }
+    // numeric sort keys ride a struct (q467's trick) — a bare string sort
+    // would order "10:" before "2:" and diverge from the oracle's ORDER BY
+    val out = rounds.map { case (r, lab) =>
+      val buckets = lab
+        .groupBy(($"v" % 64).as("bkt"))
+        .agg(md5(concat_ws(",", transform(
+          sort_array(collect_list(struct($"v",
+            concat($"v".cast("string"), lit(":"), $"l".cast("string")).as("s")))),
+          x => x.getField("s")))).as("bh"))
+      val digest = buckets
+        .agg(h60(concat_ws(",", transform(
+          sort_array(collect_list(struct($"bkt",
+            concat($"bkt".cast("string"), lit("|"), $"bh").as("s")))),
+          x => x.getField("s")))).as("digest"))
+      lab.agg(count(lit(1)).cast("long").as("n_vertices"),
+          countDistinct($"l").cast("long").as("n_colors"))
+        .crossJoin(broadcast(digest))
+        .select(lit(r.toLong).as("round"), $"n_vertices", $"n_colors", $"digest")
+    }.reduce(_ union _)
+    out.orderBy($"round")
+  }
+
   def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
     q207LabelPropagation, q228KCore, q279AdamicAdar, q307ClusteringCoeff,
-    q355DocPagerank, q409BoruvkaMsf, q419SingleLinkCut, q446Hits)
+    q355DocPagerank, q409BoruvkaMsf, q419SingleLinkCut, q446Hits,
+    q479PersonalizedPr, q480WlFingerprint)
 }

@@ -92,7 +92,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q474_brown_des", "q475_page_hinkley", "q476_damerau_closest_pairs",
     "q477_heavy_change",
     // q478: checkpointed daily census + four join-free pyramid hash-aggs
-    "q478_haar_energy")
+    "q478_haar_energy",
+    // q479/q480: q155's message-passing shape (checkpointed edges/labels,
+    // one co-partitioned join + hash-agg per round; WL's digest is the
+    // 64-bucket two-level fold)
+    "q479_personalized_pagerank", "q480_wl_fingerprint")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -157,8 +161,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // q469/q470: 1-row global-mean / min-class-size broadcasts
     "q469_target_encoding", "q470_balanced_downsample",
     // q472: the 1-row basket-total n gates every support floor; q473: the
-    // 1-row θ and count summaries of the 256-row sketch
-    "q472_apriori_rules", "q473_kmv_set_ops")
+    // 1-row θ and count summaries of the 256-row sketch; q480: the 1-row
+    // 64-bucket digest broadcast into the per-round report row
+    "q472_apriori_rules", "q473_kmv_set_ops", "q480_wl_fingerprint")
 
   // Queries whose partition-less windows ride a NON-aggregated input that is
   // nonetheless BOUNDED by construction — each justified here, the
