@@ -550,7 +550,70 @@ object FuzzyJoin {
       .orderBy($"brand", $"band")
   }
 
+  /** MUTUAL (reciprocal) NEAREST-NEIGHBOR PAIRS — the high-precision
+    * pairing primitive under reciprocal-rank entity matching and RNN-based
+    * agglomerative clustering (two records that each pick the OTHER as
+    * their closest candidate are near-certain duplicates; one-directional
+    * nearest is much weaker evidence). Candidates and the metric are
+    * q476's: bounded (brand, size-band) blocks scored by the codegen
+    * unrestricted Damerau–Levenshtein; each id's best neighbor is the
+    * (dl, other-id) minimum within its block, and the output is exactly
+    * the pairs where best(a) = b ∧ best(b) = a. The DuckDB oracle
+    * re-derives both directions with its own damerau_levenshtein — the
+    * mutual-NN set is cross-implementation-proven, not just the scores.
+    *
+    * 100 TB plan: the block equi-join bounds candidates (q476); the
+    * per-id argmin is a block-keyed window over the already-partitioned
+    * candidates; mutuality is one self-join on the (winner, id) pair —
+    * id-keyed, output-sized. */
+  val q482MutualNn: GraftQuery = GraftQuery.oracled(
+    "q482_mutual_nn",
+    """WITH v AS (SELECT p_partkey AS id, p_name AS nm, p_brand AS brand,
+      |                  p_size % 5 AS band
+      |           FROM part),
+      |pr AS MATERIALIZED (
+      |  SELECT a.brand, a.band, a.id AS x, b.id AS y,
+      |         CAST(damerau_levenshtein(a.nm, b.nm) AS BIGINT) AS dl
+      |  FROM v a JOIN v b
+      |    ON a.brand = b.brand AND a.band = b.band AND a.id <> b.id),
+      |best AS (SELECT brand, band, x, y, dl,
+      |                row_number() OVER (PARTITION BY x ORDER BY dl, y) AS rn
+      |         FROM pr),
+      |b1 AS (SELECT brand, band, x, y, dl FROM best WHERE rn = 1)
+      |SELECT a.brand, CAST(a.band AS BIGINT) AS band,
+      |       a.x AS ida, a.y AS idb, a.dl AS dl
+      |FROM b1 a JOIN b1 b ON a.y = b.x AND b.y = a.x AND a.x < a.y
+      |ORDER BY a.brand, band, ida""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.DamerauLevenshtein.register(spark)
+    val v = Tables.part(spark, dir).select($"p_partkey".as("id"),
+      $"p_name".as("nm"), $"p_brand".as("brand"), ($"p_size" % 5).as("band"))
+    val a = v.select($"id".as("x"), $"nm".as("nma"), $"brand", $"band")
+    val b = v.select($"id".as("y"), $"nm".as("nmb"), $"brand", $"band")
+    // score each unordered pair ONCE (DL is symmetric — DamerauSpec's
+    // symmetry law), then emit both orientations for the per-id argmin
+    val half = a.join(b, Seq("brand", "band"))
+      .filter($"x" < $"y")
+      .select($"brand", $"band", $"x", $"y",
+        graft.functions.DamerauLevenshtein.damerau($"nma", $"nmb").as("dl"))
+      .localCheckpoint() // both orientations read it — score once
+    val pr = half.union(
+      half.select($"brand", $"band", $"y".as("x"), $"x".as("y"), $"dl"))
+    val best = pr
+      .withColumn("rn", row_number().over(Window.partitionBy($"x").orderBy($"dl", $"y")))
+      .filter($"rn" === 1)
+      .select($"brand", $"band", $"x", $"y", $"dl")
+      .localCheckpoint() // both sides of the mutuality self-join
+    val bb = best.select($"x".as("bx"), $"y".as("by"))
+    best.join(bb, best("y") === $"bx" && best("x") === $"by" && best("x") < best("y"))
+      .select($"brand", $"band".cast("long").as("band"),
+        $"x".as("ida"), $"y".as("idb"), $"dl")
+      .orderBy($"brand", $"band", $"ida")
+  }
+
   def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution,
     q275GoldenRecord, q282FellegiSunter, q301JaroWinklerMatch,
-    q348FellegiSunterEm, q414BlockingQuality, q476DamerauClosestPairs)
+    q348FellegiSunterEm, q414BlockingQuality, q476DamerauClosestPairs,
+    q482MutualNn)
 }

@@ -889,8 +889,94 @@ object Graph {
     out.orderBy($"round")
   }
 
+  /** GRAPH HEALTH PROFILE — the ops dashboard every graph-backed dedup /
+    * recommendation pipeline watches per ingest: the degree distribution
+    * (decimal-digit buckets — integer-exact on both engines, no float
+    * log2 boundary risk), the connected-component size distribution, and
+    * the headline census (vertices, edges, components, giant-component
+    * size). A structural regression (a hot key fusing clusters, a feed
+    * outage fragmenting the graph) moves these numbers before any
+    * downstream metric does; q480's WL digest says "something changed",
+    * this says WHAT.
+    *
+    * 100 TB plan: degrees and histograms are map-side-combined hash-aggs
+    * on vertex / bucket keys; components ride the O(log n) large-star/
+    * small-star closure (q100's machinery), never a recursive frontier;
+    * the DuckDB oracle recomputes the same min-label fixpoint with a
+    * recursive CTE (q287's pattern). */
+  val q481GraphProfile: GraftQuery = GraftQuery.oracled(
+    "q481_graph_profile",
+    """WITH RECURSIVE
+      |li AS (SELECT l_orderkey AS k, l_partkey FROM lineitem WHERE l_quantity >= 48),
+      |p AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+      |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+      |verts AS (SELECT DISTINCT src AS v FROM e),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+      |reach AS (SELECT v AS id, v AS lbl FROM verts
+      |          UNION
+      |          SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+      |lab AS (SELECT id, min(lbl) AS c FROM reach GROUP BY id),
+      |csz AS (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY c)
+      |SELECT 'degree_digits' AS section,
+      |       CAST(length(CAST(d AS VARCHAR)) AS BIGINT) AS k,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM deg GROUP BY 2
+      |UNION ALL
+      |SELECT 'component_size_digits',
+      |       CAST(length(CAST(sz AS VARCHAR)) AS BIGINT),
+      |       CAST(count(*) AS BIGINT)
+      |FROM csz GROUP BY 2
+      |UNION ALL
+      |SELECT 'summary', 1, CAST((SELECT count(*) FROM verts) AS BIGINT)
+      |UNION ALL
+      |SELECT 'summary', 2, CAST((SELECT count(*) FROM p) AS BIGINT)
+      |UNION ALL
+      |SELECT 'summary', 3, CAST((SELECT count(*) FROM csz) AS BIGINT)
+      |UNION ALL
+      |SELECT 'summary', 4, CAST((SELECT max(sz) FROM csz) AS BIGINT)
+      |ORDER BY section, k""") { (spark, dir) =>
+    import spark.implicits._
+    // Sparser cut than q155's graph (qty ≥ 48): the profile is about the
+    // component DISTRIBUTION, which a single giant component flattens —
+    // and the sparse graph keeps the oracle's recursive closure tractable.
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 48)
+      .select($"l_orderkey".as("k"), $"l_partkey")
+    val p = li.as("x")
+      .join(li.as("y"), $"x.k" === $"y.k" && $"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
+      .distinct().localCheckpoint()
+    val e = p.select($"a".as("src"), $"b".as("dst"))
+      .union(p.select($"b", $"a")).localCheckpoint()
+    val verts = e.select($"src".as("v")).distinct()
+    val deg = e.groupBy($"src").agg(count(lit(1)).cast("long").as("d"))
+    val labels = graft.llm.Dedup.starComponents(verts, p)._1
+    val csz = labels.groupBy($"lbl").agg(count(lit(1)).cast("long").as("sz"))
+      .localCheckpoint() // histogram + two summary rows read it
+    val degH = deg
+      .groupBy(length($"d".cast("string")).cast("long").as("k"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("degree_digits").as("section"), $"k", $"n")
+    val cszH = csz
+      .groupBy(length($"sz".cast("string")).cast("long").as("k"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("component_size_digits").as("section"), $"k", $"n")
+    val summary = verts.agg(count(lit(1)).cast("long").as("nv"))
+      .crossJoin(broadcast(p.agg(count(lit(1)).cast("long").as("ne"))))
+      .crossJoin(broadcast(csz.agg(count(lit(1)).cast("long").as("nc"),
+        max($"sz").as("giant"))))
+      .select(explode(array(
+        struct(lit(1L).as("k"), $"nv".as("n")),
+        struct(lit(2L).as("k"), $"ne".as("n")),
+        struct(lit(3L).as("k"), $"nc".as("n")),
+        struct(lit(4L).as("k"), $"giant".as("n")))).as("s"))
+      .select(lit("summary").as("section"), $"s.k".as("k"), $"s.n".as("n"))
+    degH.union(cszH).union(summary).orderBy($"section", $"k")
+  }
+
   def all: Seq[GraftQuery] = Seq(q154Triangles, q155PageRank, q177BfsHops,
     q207LabelPropagation, q228KCore, q279AdamicAdar, q307ClusteringCoeff,
     q355DocPagerank, q409BoruvkaMsf, q419SingleLinkCut, q446Hits,
-    q479PersonalizedPr, q480WlFingerprint)
+    q479PersonalizedPr, q480WlFingerprint, q481GraphProfile)
 }

@@ -96,7 +96,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // q479/q480: q155's message-passing shape (checkpointed edges/labels,
     // one co-partitioned join + hash-agg per round; WL's digest is the
     // 64-bucket two-level fold)
-    "q479_personalized_pagerank", "q480_wl_fingerprint")
+    "q479_personalized_pagerank", "q480_wl_fingerprint",
+    // q481: checkpointed sparse edges + star-closure + bucket hash-aggs;
+    // q482: q476's block equi-join + block-keyed argmin window + the
+    // id-keyed mutuality self-join on the checkpointed best table
+    "q481_graph_profile", "q482_mutual_nn")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
@@ -163,7 +167,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // q472: the 1-row basket-total n gates every support floor; q473: the
     // 1-row θ and count summaries of the 256-row sketch; q480: the 1-row
     // 64-bucket digest broadcast into the per-round report row
-    "q472_apriori_rules", "q473_kmv_set_ops", "q480_wl_fingerprint")
+    "q472_apriori_rules", "q473_kmv_set_ops", "q480_wl_fingerprint",
+    // q481: 1-row vertex/edge/component summaries broadcast into the
+    // four-row summary section
+    "q481_graph_profile")
 
   // Queries whose partition-less windows ride a NON-aggregated input that is
   // nonetheless BOUNDED by construction — each justified here, the
