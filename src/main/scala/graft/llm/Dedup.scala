@@ -91,6 +91,62 @@ object Dedup {
     neardupPairs(Tables.documents(spark, dir)).orderBy($"doc_a", $"doc_b")
   }
 
+  /** CROSS-SOURCE CONTAMINATION MATRIX — which FEED PAIRS share near-dup
+    * content: q45's exact pair set joined to each side's source, rolled up
+    * per unordered (source_a ≤ source_b) pair with the pair count and the
+    * duplicated-document footprint on each side. The feed-level triage
+    * view q296's per-source dup-rate can't give: a high within-source rate
+    * means a paste-farm feed; a hot OFF-diagonal cell means two feeds
+    * scrape each other (deduplicate jointly, or drop one) — the decision
+    * matrix every multi-feed corpus curation runs before mixing weights
+    * (q138/q389) are even computed.
+    *
+    * 100 TB plan: adds two broadcast-able doc→source joins and one
+    * (source, source)-keyed hash-agg on top of q45's banded/capped pair
+    * machinery — pair-set-sized, never corpus-pairwise; at production
+    * scale the pair input swaps to q349's verified-LSH path unchanged. */
+  val q483CrossSourceMatrix: GraftQuery = GraftQuery.oracled(
+    "q483_cross_source_matrix",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |nd AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |lab AS (SELECT nd.doc_a, nd.doc_b,
+      |               least(da.source, db.source) AS source_a,
+      |               greatest(da.source, db.source) AS source_b
+      |        FROM nd JOIN documents da ON da.doc_id = nd.doc_a
+      |                JOIN documents db ON db.doc_id = nd.doc_b)
+      |SELECT source_a, source_b,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+      |       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+      |FROM lab GROUP BY 1, 2
+      |ORDER BY source_a, source_b""") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select($"doc_id", $"source")
+    val nd = neardupPairs(docs).select($"doc_a", $"doc_b")
+    nd
+      .join(broadcast(src.toDF("doc_a", "sa")), Seq("doc_a"))
+      .join(broadcast(src.toDF("doc_b", "sb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        least($"sa", $"sb").as("source_a"), greatest($"sa", $"sb").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        countDistinct($"doc_a").cast("long").as("n_docs_a"),
+        countDistinct($"doc_b").cast("long").as("n_docs_b"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** q45's core over any (doc_id, text, …) frame: exact shingle-Jaccard
     * near-dup pairs (≥ 0.8), frequency-capped inverted index. Shared by the
     * q100/q109 clustering queries and the q127 curation capstone. */
@@ -1775,7 +1831,7 @@ object Dedup {
     q391SplitLeakage, q395IncrementalComponents, q396BandingSweep,
     q399NeardupEvidence, q413ClusterCoherence, q423CaptureRecapture,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion, q437RougeL,
-    q455TwoLevelDedup)
+    q455TwoLevelDedup, q483CrossSourceMatrix)
 
   /** CAPTURE–RECAPTURE ESTIMATE OF NEAR-DUP COVERAGE (Chapman 1951's
     * bias-corrected Lincoln–Petersen) — how many near-dup pairs exist

@@ -100,7 +100,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // q481: checkpointed sparse edges + star-closure + bucket hash-aggs;
     // q482: q476's block equi-join + block-keyed argmin window + the
     // id-keyed mutuality self-join on the checkpointed best table
-    "q481_graph_profile", "q482_mutual_nn")
+    "q481_graph_profile", "q482_mutual_nn",
+    // q483: q45's capped pair machinery + two broadcast source joins +
+    // one (source, source) hash-agg
+    "q483_cross_source_matrix")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
