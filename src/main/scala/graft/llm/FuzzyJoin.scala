@@ -591,7 +591,7 @@ object FuzzyJoin {
       $"p_name".as("nm"), $"p_brand".as("brand"), ($"p_size" % 5).as("band"))
     val a = v.select($"id".as("x"), $"nm".as("nma"), $"brand", $"band")
     val b = v.select($"id".as("y"), $"nm".as("nmb"), $"brand", $"band")
-    // score each unordered pair ONCE (DL is symmetric — DamerauSpec's
+    // score each unordered pair ONCE (DL is symmetric — Round10Spec's
     // symmetry law), then emit both orientations for the per-id argmin
     val half = a.join(b, Seq("brand", "band"))
       .filter($"x" < $"y")

@@ -199,6 +199,62 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** MAGIC-NUMBER FORMAT SNIFFING over a `binary` column — the first gate
+    * of every media ingest (trust the BYTES, not the extension/metadata):
+    * classify each payload by its leading magic (PNG/JPEG/RIFF here), and
+    * emit the byte length plus the payload itself. Payloads are
+    * SYNTHESIZED deterministically (magic prefix ‖ md5-derived body, via
+    * the engine-portable unhex), so the whole row — INCLUDING the raw
+    * binary column — strict-matches across engines: the oracle builds the
+    * same 16 bytes and the driver's hash covers the bytes themselves, a
+    * cross-engine proof of the binary-type round-trip (parquet BINARY ↔
+    * DuckDB BLOB) that the stub-decode entries (q56/q317) can't give.
+    *
+    * 100 TB plan: one projection inside whole-stage codegen — the sniff
+    * reads a 4-byte prefix per row, no decode, no shuffle; the format
+    * census (the usual production output) is one map-side-combinable agg
+    * away. */
+  val q484MagicSniff: GraftQuery = GraftQuery.oracled(
+    "q484_magic_sniff",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         unhex(CASE CAST(doc_id % 4 AS INTEGER)
+      |                 WHEN 0 THEN '89504e47' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 24)
+      |                 WHEN 1 THEN 'ffd8ffe0' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 24)
+      |                 WHEN 2 THEN '52494646' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 24)
+      |                 ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 32)
+      |               END) AS payload
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+      |       CASE substr(hex(payload), 1, 8)
+      |         WHEN '89504E47' THEN 'png'
+      |         WHEN 'FFD8FFE0' THEN 'jpeg'
+      |         WHEN '52494646' THEN 'riff'
+      |         ELSE 'unknown' END AS fmt,
+      |       payload,
+      |       hex(payload) AS payload_hex
+      |FROM b ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val body = md5($"doc_id".cast("string"))
+    val payload = unhex(
+      when($"doc_id" % 4 === 0, concat(lit("89504e47"), substring(body, 1, 24)))
+        .when($"doc_id" % 4 === 1, concat(lit("ffd8ffe0"), substring(body, 1, 24)))
+        .when($"doc_id" % 4 === 2, concat(lit("52494646"), substring(body, 1, 24)))
+        .otherwise(substring(body, 1, 32)))
+    Tables.documents(spark, dir)
+      .select($"doc_id", payload.as("payload"))
+      .select($"doc_id",
+        length($"payload").cast("long").as("n_bytes"),
+        when(substring(hex($"payload"), 1, 8) === "89504E47", "png")
+          .when(substring(hex($"payload"), 1, 8) === "FFD8FFE0", "jpeg")
+          .when(substring(hex($"payload"), 1, 8) === "52494646", "riff")
+          .otherwise("unknown").as("fmt"),
+        $"payload",
+        hex($"payload").as("payload_hex"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(q56MultimodalMeta, q116BinaryFileIngest,
-    q317FrameSample, q318ResizePlan)
+    q317FrameSample, q318ResizePlan, q484MagicSniff)
 }

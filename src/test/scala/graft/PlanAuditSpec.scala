@@ -103,7 +103,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q481_graph_profile", "q482_mutual_nn",
     // q483: q45's capped pair machinery + two broadcast source joins +
     // one (source, source) hash-agg
-    "q483_cross_source_matrix")
+    "q483_cross_source_matrix",
+    // q484: one codegen projection over the scan — no join, no window
+    "q484_magic_sniff")
 
   // These broadcast-crossjoin ONE-ROW aggregates (scalar totals / θ / the
   // vocab size) — the standard scalar-broadcast pattern, bounded by
