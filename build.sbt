@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver machine-parses the LAST stdout line of
+// `sbt runMain graft.Bench` as JSON. Two sbt behaviors broke that through
+// round 6 (every BENCH_r0*.json has "parsed": null): the forked JVM's
+// stdout was re-logged with an `[info] ` prefix, and sbt appended its
+// `[success] Total time…` banner AFTER the JSON. Pass forked output
+// through verbatim and drop the banner so the compact JSON record is the
+// true final prefix-free stdout line. (Bench also writes BENCH.json at
+// the repo root as a capture-proof artifact.)
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,13 +63,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val mode = if (force) "force" else "count"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"mode":"$mode","sf":"$sfDir"}""")
-    // Second, COMPACT summary line (no per-query map). The driver captures a
-    // stdout TAIL; the full line above exceeds that capture at 460+ queries,
-    // so all five BENCH_r0*.json artifacts parsed null. This line is small
-    // enough to always survive tail truncation and carries the headline
-    // total + error census the per-round gate actually reads.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"mode":"$mode","sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"mode":"$mode","sf":"$sfDir"}"""
+    val compactLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"mode":"$mode","sf":"$sfDir"}"""
+    // Capture-proof artifact: the full record (per-query map included) at
+    // the repo root, immune to stdout tail truncation and sbt prefixes.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
+    println(fullLine)
+    // FINAL stdout line, after spark.stop() so no late log interleaves: the
+    // COMPACT summary (no per-query map). The driver captures a stdout TAIL;
+    // the full line exceeds that capture at 460+ queries (rounds 1–5 parsed
+    // null). Combined with build.sbt's StdoutOutput + showSuccess:=false,
+    // this line is prefix-free, last, and small enough to always survive.
+    println(compactLine)
+    System.out.flush()
   }
 }

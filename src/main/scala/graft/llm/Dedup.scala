@@ -120,30 +120,39 @@ object Dedup {
       |       JOIN sizes sa ON doc_a = sa.doc_id
       |       JOIN sizes sb ON doc_b = sb.doc_id
       |       WHERE shared / (sa.n + sb.n - shared) >= 0.8),
-      |lab AS (SELECT nd.doc_a, nd.doc_b,
-      |               least(da.source, db.source) AS source_a,
-      |               greatest(da.source, db.source) AS source_b
+      |lab AS (SELECT least(da.source, db.source) AS source_a,
+      |               greatest(da.source, db.source) AS source_b,
+      |               CASE WHEN da.source <= db.source THEN nd.doc_a ELSE nd.doc_b END AS doc_on_a,
+      |               CASE WHEN da.source <= db.source THEN nd.doc_b ELSE nd.doc_a END AS doc_on_b
       |        FROM nd JOIN documents da ON da.doc_id = nd.doc_a
       |                JOIN documents db ON db.doc_id = nd.doc_b)
       |SELECT source_a, source_b,
       |       CAST(count(*) AS BIGINT) AS n_pairs,
-      |       CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
-      |       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+      |       CAST(count(DISTINCT doc_on_a) AS BIGINT) AS n_docs_a,
+      |       CAST(count(DISTINCT doc_on_b) AS BIGINT) AS n_docs_b
       |FROM lab GROUP BY 1, 2
       |ORDER BY source_a, source_b""") { (spark, dir) =>
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val src = docs.select($"doc_id", $"source")
     val nd = neardupPairs(docs).select($"doc_a", $"doc_b")
+    // n_docs_a/b count the duplicated-document footprint ON EACH SOURCE's
+    // side, so the pair must be re-oriented by SOURCE (not by doc_id) before
+    // aggregating: when the lower-id doc belongs to the greater source the
+    // doc_id orientation would misattribute it to source_a (round-6 ADVICE).
+    // Within-source cells (sa = sb) keep the doc_id orientation — the two
+    // sides are the same feed and the split is arbitrary but deterministic.
     nd
       .join(broadcast(src.toDF("doc_a", "sa")), Seq("doc_a"))
       .join(broadcast(src.toDF("doc_b", "sb")), Seq("doc_b"))
-      .select($"doc_a", $"doc_b",
-        least($"sa", $"sb").as("source_a"), greatest($"sa", $"sb").as("source_b"))
+      .select(
+        least($"sa", $"sb").as("source_a"), greatest($"sa", $"sb").as("source_b"),
+        when($"sa" <= $"sb", $"doc_a").otherwise($"doc_b").as("doc_on_a"),
+        when($"sa" <= $"sb", $"doc_b").otherwise($"doc_a").as("doc_on_b"))
       .groupBy($"source_a", $"source_b")
       .agg(count(lit(1)).cast("long").as("n_pairs"),
-        countDistinct($"doc_a").cast("long").as("n_docs_a"),
-        countDistinct($"doc_b").cast("long").as("n_docs_b"))
+        countDistinct($"doc_on_a").cast("long").as("n_docs_a"),
+        countDistinct($"doc_on_b").cast("long").as("n_docs_b"))
       .orderBy($"source_a", $"source_b")
   }
 
@@ -539,17 +548,58 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"hamming")
   }
 
-  /** SimHash near-dup pairs over `documents`: [[simhashes]] (codegen kernel)
-    * → repartition by doc_id (documents.parquet arrives as few splits; the
-    * banded self-join should fan out across all cores — at cluster scale
-    * you would persist/checkpoint the signature frame instead of relying on
-    * deterministic recomputation) → [[simhashPairs]]. */
-  val q105SimhashNeardup: GraftQuery = GraftQuery.rowsOnly(
+  /** PORTABLE (md5-based) 60-bit signatures — [[simhashes]] with the token
+    * hash swapped to [[graft.functions.SimHash60Md5]], the variant BOTH
+    * engines can compute (DuckDB: `CAST('0x' || substr(md5(tok), 1, 15) AS
+    * BIGINT)` bit votes). Feeds q105/q108 so the whole banded near-dup
+    * path is driver-verified; q47 keeps the production-rate xxh64 kernel. */
+  private[llm] def simhashes60(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.functions.SimHashExpression.register(spark)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.functions.SimHashExpression.simhash60md5(split($"text", " ")).as("simhash"))
+  }
+
+  /** Shared oracle prefix for q105/q108: the EXACT same 60-bit md5 simhash
+    * per document, derived in pure SQL (token unnest → per-bit votes →
+    * signature fold), then the exact hamming-thresholded all-pairs set.
+    * All-pairs is fine ON THE ORACLE side (≤5000 docs at the tested SFs);
+    * the ENGINE side is the sub-quadratic banded join whose pigeonhole
+    * recall at the radius is exactly 1 — so the two sets must be equal,
+    * and the driver now verifies the banding machinery end to end. */
+  private def simhash60PairsSql(radius: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM toks),
+       |votes AS (SELECT doc_id, i,
+       |                 sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS i) t
+       |          GROUP BY 1, 2),
+       |sig AS (SELECT doc_id,
+       |               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS s
+       |        FROM votes GROUP BY 1)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= $radius
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup pairs over `documents`: [[simhashes60]] (codegen md5
+    * kernel — STRICT-oracle'd since r7: the oracle re-derives the identical
+    * signatures in SQL and takes the exact hamming≤3 all-pairs set, which
+    * the banded join equals by the 4-band pigeonhole) → repartition by
+    * doc_id (documents.parquet arrives as few splits; the banded self-join
+    * should fan out across all cores — at cluster scale you would persist/
+    * checkpoint the signature frame instead of relying on deterministic
+    * recomputation) → [[simhashPairs]]. */
+  val q105SimhashNeardup: GraftQuery = GraftQuery.oracled(
     "q105_simhash_neardup",
+    simhash60PairsSql(3),
     doc = "banded simhash join (4x16-bit bands + hot-bucket sub-banding), hamming<=3 verified pairs") { (spark, dir) =>
     import spark.implicits._
-    val sigs = simhashes(spark, dir).repartition(col("doc_id"))
-    simhashPairs(sigs).orderBy($"doc_a", $"doc_b")
+    val sigs = simhashes60(spark, dir).repartition(col("doc_id"))
+    simhashPairs(sigs).withColumn("hamming", $"hamming".cast("long"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Connected components by distributed min-label propagation: every vertex
@@ -848,13 +898,20 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs at hamming ≤ 7 over `documents` — q105's
-    * radius-extended sibling (multi-probe banding, same signature frame). */
-  val q108SimhashMultiprobe: GraftQuery = GraftQuery.rowsOnly(
+    * radius-extended sibling (multi-probe banding, same [[simhashes60]]
+    * signature frame). STRICT-oracle'd since r7 (q105's pattern at
+    * radius 7): hamming ≤ 7 across 4 bands pigeonholes to some band with
+    * ≤ 1 differing bit, which the 17-probe fan catches — recall exactly 1,
+    * so the engine's sub-quadratic probe join must equal the oracle's
+    * exact all-pairs set. */
+  val q108SimhashMultiprobe: GraftQuery = GraftQuery.oracled(
     "q108_simhash_multiprobe",
+    simhash60PairsSql(7),
     doc = "multi-probe banded simhash join (17 probes/band), hamming<=7 verified pairs") { (spark, dir) =>
     import spark.implicits._
-    val sigs = simhashes(spark, dir).repartition(col("doc_id"))
-    simhashPairsMultiprobe(sigs).orderBy($"doc_a", $"doc_b")
+    val sigs = simhashes60(spark, dir).repartition(col("doc_id"))
+    simhashPairsMultiprobe(sigs).withColumn("hamming", $"hamming".cast("long"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Incremental (delta-vs-corpus) dedup — the shape a production ingest
@@ -1990,42 +2047,62 @@ object Dedup {
   /** LSH BANDING-SCHEME SWEEP — the S-curve tuning study behind every
     * bands×rows choice (MMDS §3.4): the SAME 16-hash signatures banded
     * three ways — 2×8 (high precision), 4×4 (q372's operating point), 8×2
-    * (high recall) — with, per scheme: candidate pairs, exact-verified
-    * pairs (≥ 0.8 capped-shingle Jaccard), and recall vs the exact q45
-    * pair set in ppm. The laws are EXACT, not statistical, and spec'd: a
-    * pair agreeing on an r-hash band agrees on both its r/2-hash halves,
-    * so candidates(2×8) ⊆ candidates(4×4) ⊆ candidates(8×2), and verified
-    * recall is monotone in band count. Engine-specific hash → rows-only.
+    * (high recall) — with the RECALL-COMPLETE schemes (4×4, 8×2) emitting
+    * their exact-VERIFIED pair sets (≥ 0.8 capped-shingle Jaccard).
+    * STRICT-oracle'd since r7 (q372's pattern extended across the grid):
+    * verified(scheme) = exact ∩ candidates(scheme); 4×4 recall = 1 is the
+    * spec-gated law and candidates(4×4) ⊆ candidates(8×2) (half-band
+    * containment) carries it to 8×2 — so each emitted scheme's verified
+    * set IS q45's exact pair set and the oracle is q45's SQL crossed with
+    * the scheme grid. The 2×8 high-precision scheme stays SPEC-side
+    * deliberately: its recall is genuinely < 1 (it misses a real pair at
+    * sf0.001 — measured, not assumed), and WHICH pair it misses is
+    * xxh64-dependent, which no cross-engine oracle can encode; LlmOpsSpec
+    * pins 2×8's laws instead (candidates ⊆ 4×4's, verified ⊆ exact). The
+    * hash-specific CANDIDATE counts (the S-curve selectivity study)
+    * likewise stay in the spec where the xxh64 sketch is reproducible.
     *
-    * 100 TB plan: one signature projection feeds all three schemes; each
+    * 100 TB plan: one signature projection feeds all schemes; each
     * scheme is a bounded explode + bucket equi-join (q372's shape). The
     * sweep runs on a sample in production — the operating point it picks
     * is what q372 then runs at corpus scale. */
-  val q396BandingSweep: GraftQuery = GraftQuery.rowsOnly(
+  val q396BandingSweep: GraftQuery = GraftQuery.oracled(
     "q396_banding_sweep",
-    doc = "candidates/verified/recall-ppm for 2x8, 4x4, 8x2 bandings of the 16-hash MinHash signature") {
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |exact AS (SELECT doc_a, doc_b,
+      |                 round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+      |          FROM pairs
+      |          JOIN sizes sa ON doc_a = sa.doc_id
+      |          JOIN sizes sb ON doc_b = sb.doc_id
+      |          WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |schemes AS (SELECT * FROM (VALUES (4, 4), (8, 2)) s(bands, rows_per_band))
+      |SELECT CAST(bands AS BIGINT) AS bands,
+      |       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+      |       doc_a, doc_b, jaccard
+      |FROM exact, schemes
+      |ORDER BY bands, doc_a, doc_b""") {
     (spark, dir) =>
       import spark.implicits._
       val sig = minhashSigs(spark, dir).localCheckpoint()
       val tk = cappedShingleSets(spark, dir).localCheckpoint()
-      val exact = q45NeardupJaccard.fn(spark, dir)
-        .select($"doc_a", $"doc_b").localCheckpoint()
-      val nExact = exact.count()
-      Seq(2, 4, 8).map { bn =>
-        val cand = bandedCandidates(sig, bn).localCheckpoint()
-        val verified = cand
+      Seq(4, 8).map { bn =>
+        bandedCandidates(sig, bn)
           .join(tk.toDF("doc_a", "tk_a"), Seq("doc_a"))
           .join(tk.toDF("doc_b", "tk_b"), Seq("doc_b"))
-          .filter(size(array_intersect($"tk_a", $"tk_b")).cast("double")
-            / size(array_union($"tk_a", $"tk_b")) >= 0.8)
-          .select($"doc_a", $"doc_b")
-        val recovered = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
-        cand.agg(count(lit(1)).cast("long").as("n_candidates"))
-          .crossJoin(verified.agg(count(lit(1)).cast("long").as("n_verified")))
-          .select(lit(bn).as("bands"), lit(16 / bn).as("rows_per_band"),
-            $"n_candidates", $"n_verified",
-            lit(if (nExact == 0) 1000000L else 1000000L * recovered / nExact)
-              .as("recall_ppm"))
-      }.reduce(_ unionByName _).orderBy($"bands")
+          .withColumn("jaccard",
+            size(array_intersect($"tk_a", $"tk_b")).cast("double")
+              / size(array_union($"tk_a", $"tk_b")))
+          .filter($"jaccard" >= 0.8)
+          .select(lit(bn.toLong).as("bands"), lit((16 / bn).toLong).as("rows_per_band"),
+            $"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      }.reduce(_ unionByName _).orderBy($"bands", $"doc_a", $"doc_b")
   }
 }

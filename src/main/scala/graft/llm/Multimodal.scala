@@ -202,13 +202,14 @@ object Multimodal {
   /** MAGIC-NUMBER FORMAT SNIFFING over a `binary` column — the first gate
     * of every media ingest (trust the BYTES, not the extension/metadata):
     * classify each payload by its leading magic (PNG/JPEG/RIFF here), and
-    * emit the byte length plus the payload itself. Payloads are
-    * SYNTHESIZED deterministically (magic prefix ‖ md5-derived body, via
-    * the engine-portable unhex), so the whole row — INCLUDING the raw
-    * binary column — strict-matches across engines: the oracle builds the
-    * same 16 bytes and the driver's hash covers the bytes themselves, a
-    * cross-engine proof of the binary-type round-trip (parquet BINARY ↔
-    * DuckDB BLOB) that the stub-decode entries (q56/q317) can't give.
+    * emit the byte length plus the full hex image of the bytes. Payloads
+    * are SYNTHESIZED deterministically (magic prefix ‖ md5-derived body,
+    * via the engine-portable unhex), and the output strict-compares
+    * `hex(payload)` — a bijection of the bytes — so the cross-engine
+    * binary round-trip proof (parquet BINARY ↔ DuckDB BLOB) survives
+    * WITHOUT emitting a raw binary column: the driver's pandas compare
+    * cannot sort raw bytearray cells, so binary stays internal and the
+    * lossless hex projection is the verified surface.
     *
     * 100 TB plan: one projection inside whole-stage codegen — the sniff
     * reads a 4-byte prefix per row, no decode, no shuffle; the format
@@ -232,7 +233,6 @@ object Multimodal {
       |         WHEN 'FFD8FFE0' THEN 'jpeg'
       |         WHEN '52494646' THEN 'riff'
       |         ELSE 'unknown' END AS fmt,
-      |       payload,
       |       hex(payload) AS payload_hex
       |FROM b ORDER BY doc_id""") { (spark, dir) =>
     import spark.implicits._
@@ -250,7 +250,6 @@ object Multimodal {
           .when(substring(hex($"payload"), 1, 8) === "FFD8FFE0", "jpeg")
           .when(substring(hex($"payload"), 1, 8) === "52494646", "riff")
           .otherwise("unknown").as("fmt"),
-        $"payload",
         hex($"payload").as("payload_hex"))
       .orderBy($"doc_id")
   }

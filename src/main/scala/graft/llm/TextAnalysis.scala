@@ -811,28 +811,45 @@ object TextAnalysis {
   /** FEATURE-HASHING COLLISION AUDIT — the sizing study behind every
     * HashingTF/feature-hashing decision (q58's 2^18 was a guess; this is
     * the measurement): the distinct-token vocabulary is bucketed by
-    * murmur3 `hash() pmod 2^k` for k ∈ {10, 14, 18} and each tier reports
-    * its occupied-bucket count and collision share. Engine-specific hash
-    * (Spark's murmur3 seed) → rows-only; LlmOpsSpec gates the laws
-    * (collisions non-increasing in k, occupancy bounded by both domain
-    * sizes, birthday-bound sanity).
+    * `md5-head-60 % 2^k` for k ∈ {10, 14, 18} and each tier reports its
+    * occupied-bucket count and collision share. STRICT-oracle'd since r7:
+    * the bucket hash is the PORTABLE md5 head (q468's
+    * `conv(substr(md5(tok),1,15),16,10)` pattern), so DuckDB re-derives
+    * the identical censuses — production feature-hashing (HashingTF)
+    * stays murmur3, but a collision AUDIT only needs a uniform hash and
+    * gains a driver-verified answer from the swap. LlmOpsSpec still gates
+    * the laws (collisions non-increasing in k, occupancy bounded by both
+    * domain sizes).
     *
     * 100 TB plan: the vocabulary census is one map-side-combined distinct
     * agg (Heaps-bounded, q162's note); each tier is a projection + one
     * distinct-count over vocab-sized input — the corpus is scanned once. */
-  val q380HashCollisionAudit: GraftQuery = GraftQuery.rowsOnly(
+  val q380HashCollisionAudit: GraftQuery = GraftQuery.oracled(
     "q380_hash_collision_audit",
-    doc = "feature-hashing collision rates at 2^10/2^14/2^18 buckets over the vocabulary") {
+    """WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |v AS (SELECT tok, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |      FROM toks WHERE tok <> ''),
+      |tiers AS (SELECT k FROM (VALUES (10), (14), (18)) t(k))
+      |SELECT CAST(k AS BIGINT) AS log2_buckets,
+      |       CAST(count(*) AS BIGINT) AS distinct_tokens,
+      |       CAST(count(DISTINCT h % (1 << k)) AS BIGINT) AS occupied_buckets,
+      |       CAST(floor(1000000.0 * (count(*) - count(DISTINCT h % (1 << k)))
+      |                  / count(*)) AS BIGINT) AS collision_ppm
+      |FROM v, tiers GROUP BY k
+      |ORDER BY log2_buckets""") {
     (spark, dir) =>
       import spark.implicits._
       val toks = Tables.documents(spark, dir)
         .select(explode(split($"text", " ")).as("tok"))
         .filter($"tok" =!= "").distinct()
+        .select(conv(substring(md5($"tok"), 1, 15), 16, 10)
+          .cast("long").as("h"))
       Seq(10, 14, 18).map { k =>
-        toks.select(pmod(hash($"tok"), lit(1 << k)).as("b"))
+        toks.select(pmod($"h", lit((1L << k))).as("b"))
           .agg(count(lit(1)).cast("long").as("toks"),
             countDistinct($"b").cast("long").as("buckets"))
-          .select(lit(k).as("log2_buckets"),
+          .select(lit(k.toLong).as("log2_buckets"),
             $"toks".as("distinct_tokens"),
             $"buckets".as("occupied_buckets"),
             floor(lit(1000000.0) * ($"toks" - $"buckets") / $"toks")

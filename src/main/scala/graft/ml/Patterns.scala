@@ -102,9 +102,11 @@ object Patterns {
     * run on the AGGREGATED tables (≤ |brands|³ rows) as broadcast
     * semi/equi joins. The n scalar rides a 1-row broadcast (the E3
     * pattern). Lift's single-expression cross-mult
-    * (10⁶·sup₃·n) is BIGINT-safe through ~10⁹ baskets; past that,
-    * rescale the ppm factor — noted here so the overflow surface is
-    * explicit. */
+    * (10⁶·sup₃·n, with sup₃ ≥ 0.0035·n at the floor) is BIGINT-safe
+    * through ~5·10⁷ baskets — 10⁶·(0.0035·n)·n crosses 2⁶³ near
+    * n ≈ 5.1·10⁷, NOT 10⁹; past that, rescale the ppm factor by n
+    * before multiplying — noted here so the overflow surface is
+    * explicit (bound corrected per round-6 ADVICE). */
   val q472AprioriRules: GraftQuery = GraftQuery.oracled(
     "q472_apriori_rules",
     """WITH ob AS MATERIALIZED (

@@ -183,6 +183,13 @@ object Graph {
           .select($"p_partkey".as("src")), Seq("src"), "left_semi")
       .select($"src".as("v")).localCheckpoint()
     val nS = seeds.count()
+    // Guard the SF/data-dependent empty-seed case LOUDLY: with no Brand#11
+    // part in the qty>=40 co-order graph, share would divide by zero here
+    // and the oracle's `// ns` would error its own way — fail with the
+    // actionable message instead of an ArithmeticException (round-6 ADVICE).
+    require(nS > 0,
+      "q479: personalized-PageRank seed set is empty (no Brand#11 part in " +
+        "the co-order graph at this SF) — pick a brand present in the graph")
     val share = 1000000000000L / nS
     val withDeg = edges.join(deg, "src")
     val restart = deg.select($"src".as("v"))
@@ -726,9 +733,12 @@ object Graph {
     * to 9 digits. Top-20 authorities by the exact integer score with an
     * item tie-break. Raw scores grow ≈ λ_max⁴ — BIGINT-safe through
     * ~10⁴ users·items here; web scale re-normalizes per round in fixed
-    * point (the q155 10¹² discipline) — noted so the overflow surface is
-    * explicit. GraphSpec still pins the closed-form AᵀA fixture on the
-    * float helper and the integer/float direction agreement.
+    * point (the q155 10¹² discipline) — and the overflow surface is now
+    * GUARDED in-path: a bounded 1-row census over the ≤20-row authority
+    * table rejects negative (wrapped) or near-2⁶³ scores loudly instead of
+    * letting non-ANSI sum(long) emit wrong answers silently. GraphSpec
+    * still pins the closed-form AᵀA fixture on the float helper and the
+    * integer/float direction agreement.
     *
     * 100 TB plan: identical shape to q155 — per round one edge join per
     * side + one sum-agg, scores co-shuffled on vertex id; production
@@ -764,6 +774,18 @@ object Graph {
       auths = edges.join(hubs, "u")
         .groupBy($"i").agg(sum($"h").cast("long").as("a"))
     }
+    // Overflow guard (round-6 ADVICE): the un-normalized BIGINT rounds grow
+    // ~λ_max⁴ and Spark's non-ANSI sum(long) WRAPS silently where DuckDB
+    // raises — beyond the tested SFs the engine could emit wrong authorities
+    // with no oracle watching. Every input is non-negative, so a negative
+    // score is a certain wrap; capping max at 2^51 also leaves 12 bits of
+    // headroom for any further ≤4096× linear step. Bounded census: auths has
+    // ≤20 rows (i = k % 20), so this is a 1-row E3 scalar, not a collect.
+    val census = auths.agg(min($"a").as("lo"), max($"a").as("hi")).head()
+    require(census.isNullAt(0) ||
+      (census.getLong(0) >= 0L && census.getLong(1) <= (Long.MaxValue >> 12)),
+      "q446: HITS fixed-point scores at/over bigint range — re-normalize " +
+        "per round in 10^12 fixed point (scaladoc sketch) at this scale")
     auths.crossJoin(broadcast(auths.agg(sum($"a").cast("long").as("z"))))
       .orderBy($"a".desc, $"i")
       .limit(20)

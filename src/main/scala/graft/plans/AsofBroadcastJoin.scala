@@ -70,7 +70,18 @@ final case class AsofBroadcastJoinExec(
     * caller should use q20's declarative window formulation instead. */
   private val MaxBuildRows = 10000000
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  /** Build side collected/indexed/broadcast ONCE PER EXEC INSTANCE and
+    * reused across actions (round-6 verdict #5): QueryExecution caches the
+    * executed plan, so two actions on the same DataFrame share this node —
+    * previously each `doExecute()` re-collected the reference. A plain
+    * `BroadcastExchangeExec` route (IdentityBroadcastMode) would instead
+    * rebuild the per-key sorted index IN EVERY TASK, a strictly worse trade
+    * for a ≤10M-row reference; memoizing the finished index keeps the
+    * per-task cost at a map lookup. The broadcast itself provides the
+    * executor-side dedup (one copy per executor, torrent-distributed). */
+  @transient private lazy val buildBroadcast
+      : org.apache.spark.broadcast.Broadcast[Map[UnsafeRow, (Array[Long], Array[InternalRow])]] = {
+    AsofBroadcastJoinExec.buildCount.incrementAndGet()
     // ---- build side: collect, group per key, sort each timeline ----
     val rightRows = right.executeCollect()
     require(rightRows.length <= MaxBuildRows,
@@ -105,9 +116,12 @@ final case class AsofBroadcastJoinExec(
         val sorted = buf.sortBy(e => (e._1, e._2))
         (k, (sorted.map(_._1).toArray, sorted.map(_._3).toArray))
       }.toMap
-    val leftRdd = left.execute()
-    val bcast = leftRdd.sparkContext.broadcast(index)
+    session.sparkContext.broadcast(index)
+  }
 
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bcast = buildBroadcast
+    val leftRdd = left.execute()
     val leftOutput = left.output
     val rightWidth = right.output.length
     val lk = leftKey
@@ -146,6 +160,13 @@ final case class AsofBroadcastJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofBroadcastJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsofBroadcastJoinExec {
+  /** Instrumentation for the build-reuse contract (AsofBroadcastJoinSpec
+    * asserts exactly ONE build across two actions on the same plan):
+    * process-wide count of build-side collect+index constructions. */
+  val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 object AsofBroadcastJoinStrategy extends SparkStrategy {

@@ -23,6 +23,36 @@ class SimHashSpec extends AnyFunSuite with SparkFixture {
     } finally joined.unpersist()
   }
 
+  test("codegen graft_simhash60_md5 matches the conv(md5) declarative formulation bit for bit") {
+    import spark.implicits._
+    // declarative twin of the kernel: one md5 per token hoisted into its own
+    // column, then per-bit votes — the same construction the DuckDB oracle
+    // runs (CAST('0x'||substr(md5(tok),1,15) AS BIGINT) bit votes), so this
+    // gate is what licenses q105/q108's strict oracle.
+    val hof = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .withColumn("hs", expr(
+        "transform(t, tok -> cast(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("votes", expr(
+        """aggregate(hs, array_repeat(0L, 60),
+          |  (acc, h) -> zip_with(acc,
+          |    transform(sequence(0, 59),
+          |      i -> CASE WHEN (shiftright(h, i) & 1L) = 1L THEN 1L ELSE -1L END),
+          |    (a, v) -> a + v))""".stripMargin))
+      .withColumn("hof", expr(
+        """aggregate(transform(sequence(0, 59),
+          |  i -> CASE WHEN votes[i] > 0L THEN shiftleft(1L, i) ELSE 0L END),
+          |  0L, (acc, b) -> acc | b)""".stripMargin))
+      .select($"doc_id", $"hof")
+    val native = Dedup.simhashes60(spark, sf).withColumnRenamed("simhash", "native")
+    val joined = native.join(hof, Seq("doc_id")).cache()
+    try {
+      assert(joined.count() > 0)
+      assert(joined.filter($"native" =!= $"hof").count() === 0L,
+        "md5 kernel and conv(md5) formulation must agree on every document")
+    } finally joined.unpersist()
+  }
+
   test("hot band buckets sub-band: exact pair set preserved, oversized bucket split") {
     import spark.implicits._
     // 63 docs share the low 16-bit band value C0 (a template corpus in

@@ -81,4 +81,21 @@ class AsofBroadcastJoinSpec extends AnyFunSuite with graft.SparkFixture {
     assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)),
       "right-side columns must be null under an empty reference")
   }
+
+  test("build side is collected and indexed ONCE across two actions on the same plan") {
+    import spark.implicits._
+    val probe = (1L to 50L).map(i => (i, i % 3, i)).toDF("event_id", "k", "t")
+    val ref = Seq((0L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 3L)).toDF("rk", "rt", "tie")
+    val out = AsofBroadcastJoin.asof(probe, ref, "k", "t", "rk", "rt", "tie")
+    val before = AsofBroadcastJoinExec.buildCount.get()
+    // Two ACTIONS on the SAME plan: collect() reuses the DataFrame's cached
+    // executedPlan, so both runs hit the same exec node — the memoized
+    // build must fire once. (count() would re-PLAN into a fresh aggregate
+    // tree each call, which is a different plan, not a reused one.)
+    assert(out.collect().length === 50)  // action #1 builds + broadcasts
+    assert(out.collect().length === 50)  // action #2 must REUSE the build
+    val builds = AsofBroadcastJoinExec.buildCount.get() - before
+    assert(builds === 1L,
+      s"expected one build-side collect across two actions, saw $builds")
+  }
 }

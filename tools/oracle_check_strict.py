@@ -82,6 +82,21 @@ def main(sf_dir, out_dir, only):
             print(f"FAIL {name}: {e}")
             failures += 1
             continue
+        # The REAL driver crashes in pandas sort_values on raw bytes cells
+        # ("unhashable type: bytearray") BEFORE comparing — this mimic used
+        # to hex-canonicalize per cell first (line cell_s above) and so
+        # green-lit exactly what the driver cannot verify (q484, round 6).
+        # Reject any BINARY output column loudly instead: emit hex(col).
+        bin_cols = sorted(
+            c for c in mine.columns
+            if any(isinstance(v, (bytes, bytearray))
+                   for v in mine[c].head(100)))
+        if bin_cols:
+            print(f"FAIL {name}: raw BINARY output column(s) {bin_cols} — "
+                  "the driver's pandas compare crashes on bytes; project "
+                  "hex(col) instead")
+            failures += 1
+            continue
         mc, mm = canon(mine)
         rc, rm = canon(ref)
         if mc != rc:
