@@ -1879,6 +1879,71 @@ object Dedup {
       .orderBy($"source")
   }
 
+  /** SIMHASH-vs-JACCARD DETECTOR AGREEMENT CENSUS — the precision/recall
+    * calibration every near-dup stack publishes when it runs BOTH a
+    * bit-fingerprint detector (q105's hamming≤3 simhash) and a set-overlap
+    * detector (q45's capped-shingle Jaccard≥0.8): pair counts from each,
+    * their intersection, and the cross-detector precision/recall in ppm
+    * (treating Jaccard as the reference). The two detectors measure
+    * DIFFERENT similarity geometries (angular vs set overlap), so neither
+    * subsumes the other — this census is how an operator picks radius/
+    * threshold pairs that agree on their corpus. Fully strict since both
+    * detectors are now cross-engine-portable (md5 simhash + exact
+    * shingles): the whole confusion census hash-matches DuckDB.
+    *
+    * 100 TB plan: both pair sets come from their sub-quadratic banded/
+    * capped machineries; the census is three 1-row aggregates (the E3
+    * scalar-broadcast pattern) over pair-set-sized inputs. */
+  val q493DetectorAgreement: GraftQuery = GraftQuery.oracled(
+    "q493_detector_agreement",
+    """WITH toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM toks0),
+      |votes AS (SELECT doc_id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |          FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS i) t GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS s
+      |        FROM votes GROUP BY 1),
+      |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |       WHERE bit_count(xor(a.s, b.s)) <= 3),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_simhash FROM sp),
+      |nj AS (SELECT CAST(count(*) AS BIGINT) AS n_jaccard FROM jp),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+      |       FROM sp JOIN jp USING (doc_a, doc_b))
+      |SELECT n_simhash, n_jaccard, n_both,
+      |       CASE WHEN n_simhash = 0 THEN 0 ELSE (1000000 * n_both) // n_simhash END AS precision_ppm,
+      |       CASE WHEN n_jaccard = 0 THEN 0 ELSE (1000000 * n_both) // n_jaccard END AS recall_ppm
+      |FROM ns, nj, nb""") { (spark, dir) =>
+    import spark.implicits._
+    val sp = simhashPairs(simhashes60(spark, dir).repartition(col("doc_id")))
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val jp = neardupPairs(Tables.documents(spark, dir))
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val ns = sp.agg(count(lit(1)).cast("long").as("n_simhash"))
+    val nj = jp.agg(count(lit(1)).cast("long").as("n_jaccard"))
+    val nb = sp.join(jp, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+    broadcast(ns).crossJoin(broadcast(nj)).crossJoin(broadcast(nb))
+      .select($"n_simhash", $"n_jaccard", $"n_both",
+        when($"n_simhash" === 0, 0L)
+          .otherwise(expr("(1000000 * n_both) div n_simhash")).as("precision_ppm"),
+        when($"n_jaccard" === 0, 0L)
+          .otherwise(expr("(1000000 * n_both) div n_jaccard")).as("recall_ppm"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
@@ -1888,7 +1953,7 @@ object Dedup {
     q391SplitLeakage, q395IncrementalComponents, q396BandingSweep,
     q399NeardupEvidence, q413ClusterCoherence, q423CaptureRecapture,
     q296SourceDupRate, q298ClusterSplit, q343ClusterChampion, q437RougeL,
-    q455TwoLevelDedup, q483CrossSourceMatrix)
+    q455TwoLevelDedup, q483CrossSourceMatrix, q493DetectorAgreement)
 
   /** CAPTURE–RECAPTURE ESTIMATE OF NEAR-DUP COVERAGE (Chapman 1951's
     * bias-corrected Lincoln–Petersen) — how many near-dup pairs exist

@@ -254,6 +254,59 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** PNG IHDR HEADER PARSE over a `binary` column — the metadata-extraction
+    * step after q484's magic sniff: real PNG structure (8-byte signature ‖
+    * 4-byte chunk length ‖ "IHDR" ‖ width:int32-BE ‖ height:int32-BE ‖
+    * bit-depth ‖ color-type ‖ compression/filter/interlace), parsed FROM
+    * THE BYTES at the spec's fixed offsets — width at bytes 16–19, height
+    * 20–23, depth 24, color-type 25 (PNG spec, ISO/IEC 15948 §11.2.2).
+    * Payloads are SYNTHESIZED structurally-valid headers (no image body —
+    * honest: no codecs in this container), with dimensions derived from
+    * doc_id, so BOTH engines build and parse the identical 29 bytes: the
+    * q484 pattern extended from 4-byte magic to real field extraction.
+    *
+    * 100 TB plan: a pure projection inside whole-stage codegen — hex-slice
+    * + integer parse per row, no decode, no shuffle; the (width × height)
+    * resize planner (q318) and the format census consume it map-side. */
+  val q486PngHeaderParse: GraftQuery = GraftQuery.oracled(
+    "q486_png_header_parse",
+    """WITH b AS (SELECT doc_id,
+      |                  16 + doc_id % 640 AS w, 16 + (doc_id * 7) % 480 AS h,
+      |                  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS ct
+      |           FROM documents),
+      |p AS (SELECT doc_id,
+      |             '89504E470D0A1A0A' || '0000000D' || '49484452'
+      |             || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') || '08'
+      |             || lpad(hex(ct), 2, '0') || '000000' AS payload_hex
+      |      FROM b)
+      |SELECT doc_id, payload_hex,
+      |       CAST(('0x' || substr(payload_hex, 33, 8)) AS BIGINT) AS width,
+      |       CAST(('0x' || substr(payload_hex, 41, 8)) AS BIGINT) AS height,
+      |       CAST(('0x' || substr(payload_hex, 49, 2)) AS BIGINT) AS bit_depth,
+      |       CAST(('0x' || substr(payload_hex, 51, 2)) AS BIGINT) AS color_type,
+      |       (CAST(('0x' || substr(payload_hex, 51, 2)) AS BIGINT) = 2) AS is_truecolor_opaque
+      |FROM p ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val hdr = concat(lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      lpad(hex(lit(16) + $"doc_id" % 640), 8, "0"),
+      lpad(hex(lit(16) + ($"doc_id" * 7) % 480), 8, "0"), lit("08"),
+      lpad(hex(when($"doc_id" % 2 === 0, 2).otherwise(6)), 2, "0"),
+      lit("000000"))
+    // round-trip through a REAL binary column (unhex → hex) so the parse
+    // genuinely reads bytes, not the string it was built from
+    Tables.documents(spark, dir)
+      .select($"doc_id", unhex(hdr).as("payload"))
+      .select($"doc_id", hex($"payload").as("payload_hex"))
+      .select($"doc_id", $"payload_hex",
+        conv(substring($"payload_hex", 33, 8), 16, 10).cast("long").as("width"),
+        conv(substring($"payload_hex", 41, 8), 16, 10).cast("long").as("height"),
+        conv(substring($"payload_hex", 49, 2), 16, 10).cast("long").as("bit_depth"),
+        conv(substring($"payload_hex", 51, 2), 16, 10).cast("long").as("color_type"),
+        (conv(substring($"payload_hex", 51, 2), 16, 10).cast("long") === 2L)
+          .as("is_truecolor_opaque"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(q56MultimodalMeta, q116BinaryFileIngest,
-    q317FrameSample, q318ResizePlan, q484MagicSniff)
+    q317FrameSample, q318ResizePlan, q484MagicSniff, q486PngHeaderParse)
 }

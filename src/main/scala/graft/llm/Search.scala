@@ -465,6 +465,59 @@ object Search {
       .limit(20)
   }
 
+  /** AVERAGE PRECISION + PRECISION@K — the ranking-quality metrics every
+    * retrieval / reranking eval reports (complementing q322's exact AUC and
+    * q420's recall/NDCG family): rank the corpus by a deterministic score
+    * (n_chars, unique tie-break doc_id), label = (lang = 'en'), and emit
+    * P@{5,10,20,50} plus AP = mean over positives of precision-at-their-rank.
+    * EVERYTHING is integer-exact: precisions in ppm, AP accumulated as
+    * Σ⌊10¹²·hits/rank⌋ then ⌊·/n_pos⌋ — no double summation order anywhere,
+    * so the oracle matches bit for bit.
+    *
+    * 100 TB plan: the global ranking and the cumulative hit count both ride
+    * [[graft.operators.TwoPhase]] (bucket = score, keyed windows + a
+    * bins-sized broadcast prefix — no single-task funnel); AP is one
+    * map-side-combinable agg over the ranked stream; the P@k grid joins a
+    * ≤50-row filtered head against a 4-row literal. */
+  val q487AveragePrecision: GraftQuery = GraftQuery.oracled(
+    "q487_average_precision",
+    """WITH r AS (SELECT doc_id, (lang = 'en') AS pos,
+      |                  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      |           FROM documents),
+      |c AS (SELECT rk, pos,
+      |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) OVER (ORDER BY rk) AS BIGINT) AS hits
+      |      FROM r),
+      |ap AS (SELECT CAST(sum(CASE WHEN pos THEN (1000000000000 * hits) // rk ELSE 0 END) AS BIGINT) AS s,
+      |              CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |       FROM c),
+      |pk AS (SELECT k, CAST((1000000 * max(CASE WHEN rk <= k THEN hits ELSE 0 END)) // k AS BIGINT) AS p_at_k
+      |       FROM c, (SELECT unnest([5, 10, 20, 50]) AS k) g GROUP BY k)
+      |SELECT CAST(k AS BIGINT) AS k, p_at_k, np AS n_positive, s // np AS ap_scaled_e12
+      |FROM pk, ap ORDER BY k""") { (spark, dir) =>
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", ($"lang" === "en").as("pos"), $"n_chars")
+    val ranked0 = graft.operators.TwoPhase.rowNumber(
+      base, bucket = -$"n_chars", sort = Seq($"n_chars".desc, $"doc_id"), out = "rk")
+    val ranked = graft.operators.TwoPhase.runningSum(
+      ranked0, bucket = expr("rk div 512"), sort = Seq($"rk"),
+      value = when($"pos", 1L).otherwise(0L), out = "hits")
+      .select($"rk", $"pos", $"hits".cast("long").as("hits"))
+    val ap = ranked.agg(
+      sum(when($"pos", expr("(1000000000000 * hits) div rk"))).cast("long").as("s"),
+      sum(when($"pos", 1L).otherwise(0L)).cast("long").as("np"))
+    val grid = Seq(5L, 10L, 20L, 50L).toDF("k")
+    val pk = ranked.filter($"rk" <= 50)
+      .crossJoin(broadcast(grid)).filter($"rk" <= $"k")
+      .groupBy($"k").agg(max($"hits").as("mx"))
+      .select($"k", expr("(1000000 * mx) div k").as("p_at_k"))
+    pk.crossJoin(broadcast(ap))
+      .select($"k", $"p_at_k", $"np".as("n_positive"),
+        expr("s div np").as("ap_scaled_e12"))
+      .orderBy($"k")
+  }
+
   def all: Seq[GraftQuery] = Seq(q159Bm25, q166BooleanRetrieval, q278RrfFusion,
-    q290MmrDiversify, q308KwicConcordance, q447RakeKeyphrases)
+    q290MmrDiversify, q308KwicConcordance, q447RakeKeyphrases,
+    q487AveragePrecision)
 }

@@ -649,7 +649,69 @@ object TextAnalysis {
       .orderBy($"n".desc, $"tok")
   }
 
+  /** GOPHER-STYLE QUALITY RULES (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A — the
+    * rule-based document filter every web-scale pretraining corpus runs
+    * before model-based scoring): per document, the four rule families that
+    * apply to a whitespace corpus — word-count band, mean-word-length band,
+    * repetition (top-word share cap), and stop-word presence (≥2 distinct
+    * of a 5-word function-word list; this corpus's "function words" are its
+    * highest-df terms) — plus the conjunction verdict. All statistics are
+    * exact integers (ppm for the ratios), so the whole filter is
+    * strict-oracle'd; thresholds are tuned so every rule discriminates on
+    * the driver corpus (measured pass rate ≈ 0.70 at sf0.01).
+    *
+    * 100 TB plan: one token explode + three map-side-combinable hash-aggs
+    * per document key, then a doc-keyed join — no corpus-global state at
+    * all; the verdict is a projection. The stop-word list broadcasts as a
+    * literal IN. */
+  val q485GopherRules: GraftQuery = GraftQuery.oracled(
+    "q485_gopher_rules",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(len(w)) AS BIGINT) AS sl FROM t GROUP BY 1),
+      |topw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
+      |         FROM (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2) GROUP BY 1),
+      |stopn AS (SELECT doc_id, CAST(count(DISTINCT w) AS BIGINT) AS ns FROM t
+      |          WHERE w IN ('join', 'hash', 'row', 'scan', 'filter') GROUP BY 1)
+      |SELECT per.doc_id, n AS n_words,
+      |       (1000000 * sl) // n AS mean_len_ppm,
+      |       (1000000 * mx) // n AS top_share_ppm,
+      |       coalesce(ns, 0) AS n_stop,
+      |       (n BETWEEN 20 AND 90) AS r_wordcount,
+      |       ((1000000 * sl) // n BETWEEN 3000000 AND 8000000) AS r_meanlen,
+      |       ((1000000 * mx) // n <= 120000) AS r_repetition,
+      |       (coalesce(ns, 0) >= 2) AS r_stopwords,
+      |       ((n BETWEEN 20 AND 90) AND ((1000000 * sl) // n BETWEEN 3000000 AND 8000000)
+      |        AND ((1000000 * mx) // n <= 120000) AND coalesce(ns, 0) >= 2) AS pass
+      |FROM per JOIN topw USING (doc_id) LEFT JOIN stopn USING (doc_id)
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val per = t.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(length($"w")).cast("long").as("sl"))
+    val topw = t.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").cast("long").as("mx"))
+    val stopn = t.filter($"w".isin("join", "hash", "row", "scan", "filter"))
+      .groupBy($"doc_id").agg(countDistinct($"w").cast("long").as("ns"))
+    val meanLen = expr("(1000000 * sl) div n")
+    val topShare = expr("(1000000 * mx) div n")
+    per.join(topw, Seq("doc_id")).join(stopn, Seq("doc_id"), "left")
+      .select($"doc_id", $"n".as("n_words"),
+        meanLen.as("mean_len_ppm"), topShare.as("top_share_ppm"),
+        coalesce($"ns", lit(0L)).as("n_stop"),
+        $"n".between(20, 90).as("r_wordcount"),
+        meanLen.between(3000000L, 8000000L).as("r_meanlen"),
+        (topShare <= 120000L).as("r_repetition"),
+        (coalesce($"ns", lit(0L)) >= 2L).as("r_stopwords"),
+        ($"n".between(20, 90) && meanLen.between(3000000L, 8000000L)
+          && topShare <= 120000L && coalesce($"ns", lit(0L)) >= 2L).as("pass"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    q485GopherRules,
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,

@@ -1054,6 +1054,60 @@ object Eda {
           * (($"n" + 1) - $"tie" / ($"n" * ($"n" - 1)))), 4).as("z"))
   }
 
+  /** GROUP K-FOLD SPLIT + LEAKAGE AUDIT (the GroupKFold of scikit-learn's
+    * model-selection module, done relationally) — q415's row-level CV fold
+    * assignment is WRONG whenever rows correlate within an entity: orders
+    * of one customer in both train and validation leak entity signal and
+    * inflate the score (the "grouped data" pitfall every feature-store CV
+    * design guards against). Fold = md5(customer key) % 5 — the GROUP, not
+    * the row, picks the fold — and the audit columns make the contract
+    * driver-verified: per fold, order/group counts, corpus share, revenue
+    * mass, and the cross-fold-leaky-group count, which is STRUCTURALLY
+    * zero under group hashing (the column exists so any future
+    * re-implementation that breaks the invariant fails the strict gate
+    * loudly, not silently).
+    *
+    * 100 TB plan: fold assignment is a pure per-row projection (no shuffle
+    * — the md5 rides the scan); the audit is one fold-keyed hash-agg plus
+    * a group-keyed distinct-fold census, both map-side combinable. */
+  val q492GroupKfold: GraftQuery = GraftQuery.oracled(
+    "q492_group_kfold",
+    """WITH f AS (SELECT o_custkey, o_orderkey,
+      |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |                  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+      |           FROM orders),
+      |leak AS (SELECT CAST(count(*) AS BIGINT) AS n_leaky
+      |         FROM (SELECT o_custkey FROM f GROUP BY o_custkey
+      |               HAVING count(DISTINCT fold) > 1)),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)
+      |SELECT fold, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+      |       CAST((1000000 * count(*)) // tot.n AS BIGINT) AS share_ppm,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       leak.n_leaky
+      |FROM f, leak, tot GROUP BY fold, leak.n_leaky, tot.n
+      |ORDER BY fold""") { (spark, dir) =>
+    import spark.implicits._
+    val f = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+        (conv(substring(md5($"o_custkey".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 5).as("fold"))
+    val leak = f.groupBy($"o_custkey")
+      .agg(countDistinct($"fold").as("nf")).filter($"nf" > 1)
+      .agg(count(lit(1)).cast("long").as("n_leaky"))
+    val tot = f.agg(count(lit(1)).cast("long").as("n"))
+    f.groupBy($"fold")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        countDistinct($"o_custkey").cast("long").as("n_groups"),
+        sum($"cents").cast("long").as("sum_cents"))
+      .crossJoin(broadcast(leak)).crossJoin(broadcast(tot))
+      .select($"fold", $"n_orders", $"n_groups",
+        expr("(1000000 * n_orders) div n").as("share_ppm"),
+        $"sum_cents", $"n_leaky")
+      .orderBy($"fold")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
@@ -1067,6 +1121,7 @@ object Eda {
     q339FdHistogram, q340KendallTau, q341MedianOfMeans, q347HuberApproxScale,
     q374StatCovCorr, q375FreqItems, q403BradleyTerry, q404CalibrationEce,
     q408ConformalCoverage, q412SequentialObf, q415KfoldCv, q416MannKendall,
+    q492GroupKfold,
     q421JackknifeRatio, q422QuantileTreatmentEffect, q425BrierDecomposition,
     q426DelongAucCi, q436SesBacktest, q438PlattScaling, q440PoissonRegression,
     q441NbDispersion, q443DtwMatrix, q444SaxWords, q445Periodogram,

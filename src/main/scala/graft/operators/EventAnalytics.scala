@@ -623,6 +623,63 @@ object EventAnalytics {
       .orderBy($"t")
   }
 
+  /** NELSON–AALEN CUMULATIVE HAZARD (Nelson 1972; Aalen 1978) — the
+    * hazard-domain twin of q180's Kaplan–Meier over the identical
+    * user-retention censoring setup: H(t) = Σ_{s ≤ t} d_s / n_s with its
+    * Breslow survival transform exp(−H). Reported alongside K–M because
+    * the two estimators bracket each other (exp(−H) ≥ Ŝ_KM pointwise) and
+    * H is the quantity hazard-ratio models calibrate against. Same exact
+    * integer censuses (d_t, n_at_risk); only the final division/exp is
+    * floating, rounded identically on both sides.
+    *
+    * 100 TB plan: identical to q180 — one per-user min/max agg, one
+    * duration census, and windows over the ≤duration-sized census (the
+    * partition-less windows ride AGGREGATED input, the plan-audit-approved
+    * shape). */
+  val q490NelsonAalen: GraftQuery = GraftQuery.oracled(
+    "q490_nelson_aalen",
+    """WITH d AS (SELECT user_id,
+      |                  CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d
+      |           FROM events),
+      |g AS (SELECT max(d) AS gmax FROM d),
+      |u AS (SELECT user_id,
+      |             CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS t,
+      |             CASE WHEN date_diff('day', max(d), (SELECT gmax FROM g)) >= 3
+      |                  THEN 1 ELSE 0 END AS died
+      |      FROM d GROUP BY user_id),
+      |s AS (SELECT t, CAST(count(*) AS BIGINT) AS leaving,
+      |             CAST(sum(died) AS BIGINT) AS d_t
+      |      FROM u GROUP BY t),
+      |r AS (SELECT t, d_t,
+      |             CAST(sum(leaving) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+      |      FROM s)
+      |SELECT t, n_at_risk, d_t,
+      |       round(sum(CAST(d_t AS DOUBLE) / n_at_risk) OVER (ORDER BY t), 4) AS cum_hazard,
+      |       round(exp(-sum(CAST(d_t AS DOUBLE) / n_at_risk) OVER (ORDER BY t)), 4) AS breslow_survival
+      |FROM r ORDER BY t""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("d"))
+    val gmax = days.agg(max($"d").as("gmax"))
+    val u = days.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .crossJoin(broadcast(gmax))
+      .select(
+        (datediff($"d1", $"d0") + 1).cast("long").as("t"),
+        when(datediff($"gmax", $"d1") >= 3, 1).otherwise(0).as("died"))
+    val s = u.groupBy($"t").agg(
+      count(lit(1)).cast("long").as("leaving"),
+      sum($"died").cast("long").as("d_t"))
+    val r = s.withColumn("n_at_risk",
+      sum($"leaving").over(Window.orderBy($"t".desc)).cast("long"))
+    val hazard = sum($"d_t".cast("double") / $"n_at_risk").over(Window.orderBy($"t"))
+    r.select($"t", $"n_at_risk", $"d_t",
+      round(hazard, 4).as("cum_hazard"),
+      round(exp(-hazard), 4).as("breslow_survival"))
+      .orderBy($"t")
+  }
+
   /** Interval-overlap join (interval × interval, not q156's point-in-
     * interval): per-user activity ISLANDS (q161's consecutive-day runs as
     * [start, end] intervals) overlap-joined with a deterministic campaign
@@ -1147,6 +1204,7 @@ object EventAnalytics {
     q156TemporalJoin, q157RollingCorr, q161ActivityStreaks, q164Attribution,
     q168MarkovTransitions, q169OhlcBars, q171SeasonalBacktest, q172BasketLift,
     q180KaplanMeier, q187IntervalOverlap, q193SessionPaths, q202EwmaMicro,
+    q490NelsonAalen,
     q210Twap, q230RollingZscore, q239MaxConcurrency, q244SeasonalDecompose,
     q252SpineGaps, q257Interarrival, q258RetentionDecay, q265WindowedFunnel,
     q266JourneyRegex, q268RollingDistinctBitmask, q280PositionAttribution,

@@ -300,6 +300,108 @@ object Governance {
       .orderBy($"lang", $"source")
   }
 
+  /** PII REDACTION — the write-side twin of q427's detection: email and
+    * E.164-ish phone patterns are regexp-replaced with typed placeholder
+    * tags before any export, with per-document replacement counts and the
+    * redacted text itself strict-compared (both regex dialects — Java and
+    * RE2 — agree on these character-class-only patterns; no backrefs, no
+    * lookaround, by design). PII spans are SYNTHESIZED deterministically
+    * into the clean driver corpus (the q377/q484 pattern) so every arm —
+    * email-only, phone-only, both, neither — fires.
+    *
+    * 100 TB plan: one regexp projection inside whole-stage codegen per
+    * document, no shuffle before the reporting ORDER BY; production runs
+    * this in the same scan as quality scoring (q52/q485). */
+  val q489PiiRedaction: GraftQuery = GraftQuery.oracled(
+    "q489_pii_redaction",
+    """WITH r AS (SELECT doc_id,
+      |                  text || CASE WHEN doc_id % 3 = 0
+      |                               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |                               ELSE '' END
+      |                       || CASE WHEN doc_id % 4 = 0
+      |                               THEN ' call +1555' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+      |                               ELSE '' END AS raw
+      |           FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(raw, '\+[0-9]{10,14}')) AS BIGINT) AS n_phones,
+      |       regexp_replace(regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |                      '\+[0-9]{10,14}', '<PHONE>', 'g') AS redacted
+      |FROM r ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+[0-9]{10,14}"
+    val raw = concat($"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+        .otherwise(""),
+      when($"doc_id" % 4 === 0,
+        concat(lit(" call +1555"), lpad(($"doc_id" % 10000000).cast("string"), 7, "0")))
+        .otherwise(""))
+    Tables.documents(spark, dir)
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        regexp_count($"raw", lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count($"raw", lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace($"raw", emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
+  /** DIFFERENTIALLY-PRIVATE QUANTILES via the EXPONENTIAL MECHANISM
+    * (McSherry & Talwar 2007; the quantile instantiation of Smith 2011) —
+    * q468's Laplace-count sibling for ORDER statistics, where additive
+    * noise doesn't work: utility(v) = −|rank(v) − q·n| over the value
+    * census, selection by the Gumbel-max trick (argmax of ε·u/2 + Gumbel),
+    * with the Gumbel draws derived from the md5 of (quantile, value) — the
+    * q468 portable-randomness pattern, so BOTH engines draw the identical
+    * noise and the release is strict-verifiable. Output: per target
+    * quantile, the released value, its true rank error, and n.
+    *
+    * 100 TB plan: one value-census hash-agg over the scan (the only
+    * corpus-scale pass), then all mechanism work on the ≤|domain| census
+    * rows; the argmax is a census-keyed TakeOrdered, never a collect. */
+  val q491DpQuantileEm: GraftQuery = GraftQuery.oracled(
+    "q491_dp_quantile_em",
+    """WITH cen AS (SELECT CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+      |             FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cen),
+      |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM cen),
+      |grid AS (SELECT unnest([25, 50, 75]) AS qpct),
+      |sc AS (SELECT qpct, v, -abs(cum - (tot.n * qpct) // 100) AS u, tot.n AS n,
+      |              CAST(('0x' || substr(md5(CAST(qpct AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)
+      |                / 1152921504606846976.0 AS unif
+      |       FROM cum, grid, tot),
+      |pick AS (SELECT qpct, v, u, n,
+      |                row_number() OVER (PARTITION BY qpct
+      |                                   ORDER BY 0.05 * u - ln(-ln(unif)) DESC, v) AS rk
+      |         FROM sc)
+      |SELECT CAST(qpct AS BIGINT) AS qpct, v AS released_value,
+      |       CAST(abs(u) AS BIGINT) AS rank_error, n AS n_rows
+      |FROM pick WHERE rk = 1 ORDER BY qpct""") { (spark, dir) =>
+    import spark.implicits._
+    val cen = Tables.lineitem(spark, dir)
+      .groupBy($"l_quantity".cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val cum = cen.select($"v", $"c")
+      .withColumn("cum", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v")).cast("long"))
+    val tot = cen.agg(sum($"c").cast("long").as("n"))
+    val grid = Seq(25L, 50L, 75L).toDF("qpct")
+    val scored = cum.crossJoin(broadcast(grid)).crossJoin(broadcast(tot))
+      .withColumn("u", -abs($"cum" - expr("(n * qpct) div 100")))
+      .withColumn("unif",
+        conv(substring(md5(concat($"qpct".cast("string"), lit(":"), $"v".cast("string"))), 1, 15), 16, 10)
+          .cast("double") / 1152921504606846976.0)
+      .withColumn("score", lit(0.05) * $"u" - log(-log($"unif")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qpct").orderBy($"score".desc, $"v")
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"qpct", $"v".as("released_value"),
+        abs($"u").cast("long").as("rank_error"), $"n".as("n_rows"))
+      .orderBy($"qpct")
+  }
+
   def all: Seq[GraftQuery] = Seq(q351KAnonymity, q363RetentionAudit, q427LuhnPii,
-    q456TCloseness, q468DpRelease)
+    q456TCloseness, q468DpRelease, q489PiiRedaction, q491DpQuantileEm)
 }

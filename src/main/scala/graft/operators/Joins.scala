@@ -621,10 +621,67 @@ object Joins {
       .orderBy($"event_id")
   }
 
+  /** CATALYST RUNTIME BLOOM-FILTER JOIN (InjectRuntimeFilter, SPARK-32268)
+    * — the OPTIMIZER-injected sibling of q165's hand-built bloom semi-join:
+    * with runtime filtering enabled, Catalyst plants
+    * `might_contain(bloom_filter_agg(xxhash64(o_orderkey)), …)` from the
+    * SELECTIVE orders side into the lineitem scan, so fact rows that can
+    * never join are dropped AT THE SCAN, before the join shuffle — at
+    * 100 TB the difference between shuffling the full fact table and
+    * shuffling the ~20% that survives the dimension predicate. The fn
+    * materializes the optimized plan under the bloom confs (thresholds
+    * lowered: the defaults gate on a 10 GB scan, sized for real clusters),
+    * REQUIRES the filter is present (the warehouse queries' self-assert
+    * pattern), then restores session confs — results are conf-independent,
+    * which is exactly what the strict oracle checks.
+    *
+    * Confs: spark.sql.optimizer.runtime.bloomFilter.* (public Spark conf
+    * surface; probed working on this Spark 4.1.2 build). */
+  val q488RuntimeBloomJoin: GraftQuery = GraftQuery.oracled(
+    "q488_runtime_bloom_join",
+    """SELECT l.l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""") { (spark, dir) =>
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+      val df = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).cast("long").as("cents"))
+        .orderBy($"l_returnflag")
+      // Materialize the OPTIMIZED plan while the confs are set — Catalyst
+      // caches it in this QueryExecution, so later actions (run after the
+      // confs are restored) execute the bloom-filtered plan.
+      val optimized = df.queryExecution.optimizedPlan.toString
+      require(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"runtime bloom filter was not injected:\n$optimized")
+      df
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12StarJoin, q13ShippingPriority, q14LeftOuter, q15FullOuter,
     q16SemiJoin, q17AntiJoin, q18CrossJoin, q19RangeJoinBinned,
     q20AsofJoin, q21SelfJoinBand, q165BloomSemiJoin, q224NearestEventJoin,
     q276NullSafeJoin, q332Customer360, q362MarketShare, q379JoinHints,
-    q388AsofNative)
+    q388AsofNative, q488RuntimeBloomJoin)
 }

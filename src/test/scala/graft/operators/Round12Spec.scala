@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Domain-law gates for the round-12 additions (q485–q493) beyond their
+  * strict oracles: each entry's defining algebraic property asserted on
+  * the smoke tier. */
+class Round12Spec extends AnyFunSuite with graft.SparkFixture {
+
+  test("q485 gopher rules: verdict is the rule conjunction and every rule discriminates") {
+    import spark.implicits._
+    val rows = graft.llm.TextAnalysis.q485GopherRules.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val Seq(wc, ml, rep, st, pass) = (5 to 9).map(r.getBoolean)
+      assert(pass === (wc && ml && rep && st), s"verdict != conjunction at doc ${r.getLong(0)}")
+    }
+    // a filter whose rules never fire is a no-op pretending to be a gate —
+    // at least two rule families must reject something on the smoke corpus
+    val rejecting = (5 to 8).count(i => rows.exists(r => !r.getBoolean(i)))
+    assert(rejecting >= 2, s"only $rejecting rule families discriminate")
+    assert(rows.exists(_.getBoolean(9)) && rows.exists(!_.getBoolean(9)),
+      "pass verdict must split the corpus")
+  }
+
+  test("q486 png header: parsed fields round-trip the synthesized dimensions, 29-byte header") {
+    import spark.implicits._
+    val bad = graft.llm.Multimodal.q486PngHeaderParse.fn(spark, sf)
+      .filter($"width" =!= lit(16) + $"doc_id" % 640 ||
+        $"height" =!= lit(16) + ($"doc_id" * 7) % 480 ||
+        $"bit_depth" =!= 8 ||
+        length($"payload_hex") =!= 58 ||
+        !substring($"payload_hex", 1, 16).equalTo("89504E470D0A1A0A"))
+    assert(bad.count() === 0)
+  }
+
+  test("q487 average precision matches an in-memory reference on the ranked corpus") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars", ($"lang" === "en").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val ranked = docs.sortBy { case (id, n, _) => (-n, id) }
+    var hits = 0L
+    var apAcc = 0L
+    var np = 0L
+    val pAt = scala.collection.mutable.Map[Long, Long]()
+    for (((_, _, pos), i) <- ranked.zipWithIndex) {
+      val rk = i + 1L
+      if (pos) { hits += 1; np += 1; apAcc += 1000000000000L * hits / rk }
+      if (Seq(5L, 10L, 20L, 50L).contains(rk)) pAt(rk) = 1000000L * hits / rk
+    }
+    val expected = pAt.toMap.map { case (k, p) => k -> (p, np, apAcc / np) }
+    val got = graft.llm.Search.q487AveragePrecision.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
+  test("q488 runtime bloom join: filter injected, session confs restored, result = plain join") {
+    import spark.implicits._
+    val before = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => spark.conf.getOption(k))
+    val df = graft.operators.Joins.q488RuntimeBloomJoin.fn(spark, sf)
+    assert(df.queryExecution.optimizedPlan.toString.contains("might_contain"))
+    val after = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => spark.conf.getOption(k))
+    assert(before === after, "q488 must restore session confs")
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloomed === plain, "bloom filtering must not change the join result")
+  }
+
+  test("q489 pii redaction: redacted text is clean and counts match the planted arms") {
+    import spark.implicits._
+    val out = graft.operators.Governance.q489PiiRedaction.fn(spark, sf).cache()
+    try {
+      assert(out.filter($"redacted".rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).count() === 0,
+        "emails must be gone after redaction")
+      assert(out.filter($"redacted".rlike("\\+[0-9]{10,14}")).count() === 0,
+        "phones must be gone after redaction")
+      val bad = out.filter(
+        $"n_emails" =!= when($"doc_id" % 3 === 0, 1L).otherwise(0L) ||
+          $"n_phones" =!= when($"doc_id" % 4 === 0, 1L).otherwise(0L))
+      assert(bad.count() === 0, "counts must match the planted arms exactly")
+      assert(out.filter($"redacted".contains("<EMAIL>")).count() > 0)
+      assert(out.filter($"redacted".contains("<PHONE>")).count() > 0)
+    } finally out.unpersist()
+  }
+
+  test("q490 nelson-aalen brackets kaplan-meier: exp(-H) >= S_KM at every t") {
+    import spark.implicits._
+    val na = graft.operators.EventAnalytics.q490NelsonAalen.fn(spark, sf)
+      .select($"t", $"breslow_survival").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val km = graft.operators.EventAnalytics.q180KaplanMeier.fn(spark, sf)
+      .select($"t", $"survival").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(na.keySet === km.keySet)
+    for ((t, s) <- km)
+      assert(na(t) >= s - 1e-9, s"exp(-H)=${na(t)} < S_KM=$s at t=$t")
+  }
+
+  test("q491 dp quantile: release is census-valued and concentrates near the true quantile") {
+    import spark.implicits._
+    val rows = graft.operators.Governance.q491DpQuantileEm.fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(25L, 50L, 75L))
+    val n = rows.head.getLong(3)
+    for (r <- rows)
+      assert(r.getLong(2) <= n / 10,
+        s"rank error ${r.getLong(2)} too large for n=$n at q=${r.getLong(0)}")
+  }
+
+  test("q492 group k-fold: folds partition the orders and no group leaks") {
+    import spark.implicits._
+    val rows = graft.operators.Eda.q492GroupKfold.fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 4L))
+    assert(rows.map(_.getLong(5)).forall(_ === 0L), "cross-fold leaky groups must be zero")
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "folds must partition, not sample")
+  }
+
+  test("q493 detector agreement: intersection bounded by both pair sets") {
+    val r = graft.llm.Dedup.q493DetectorAgreement.fn(spark, sf).head()
+    val (ns, nj, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nb <= math.min(ns, nj))
+    assert(r.getLong(3) <= 1000000L && r.getLong(4) <= 1000000L)
+    assert(ns > 0 && nj > 0, "smoke corpus must exercise both detectors")
+  }
+}
