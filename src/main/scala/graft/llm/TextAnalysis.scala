@@ -710,8 +710,56 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** C4-STYLE LINE FILTERS (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning…", §2.2 — the line-level half of the C4 cleaning
+    * recipe, complementing q485's doc-level Gopher rules): chunk each
+    * document into fixed 8-token lines, apply the per-LINE rules (ends in
+    * terminal punctuation, ≥5 words), and pass a document iff ≥3 good
+    * lines and ≥60% of its lines are good. The driver corpus carries no
+    * punctuation, so terminal punctuation is SYNTHESIZED deterministically
+    * per (doc, line) parity — the q377/q484 pattern: the structure the
+    * rule needs is planted so every arm fires; the OPERATOR (line
+    * decomposition → per-line predicate → doc-level roll-up) is the real
+    * machinery and is what the strict oracle checks.
+    *
+    * 100 TB plan: one bounded explode (⌈words/8⌉ lines per doc) + one
+    * doc-keyed hash-agg; the verdict is a projection. Runs in the same
+    * scan as q485 in production. */
+  val q496C4LineFilters: GraftQuery = GraftQuery.oracled(
+    "q496_c4_line_filters",
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      |l AS (SELECT doc_id, n, ((n + 7) // 8) AS n_lines, ln
+      |      FROM d, LATERAL (SELECT unnest(generate_series(0, ((n + 7) // 8) - 1)) AS ln)),
+      |r AS (SELECT doc_id, n_lines,
+      |             CASE WHEN (doc_id + ln) % 3 <> 0
+      |                   AND least(8, n - 8 * ln) >= 5 THEN 1 ELSE 0 END AS good
+      |      FROM l)
+      |SELECT doc_id, CAST(max(n_lines) AS BIGINT) AS n_lines,
+      |       CAST(sum(good) AS BIGINT) AS n_good,
+      |       (1000000 * CAST(sum(good) AS BIGINT)) // max(n_lines) AS good_ppm,
+      |       (sum(good) >= 3 AND
+      |        (1000000 * CAST(sum(good) AS BIGINT)) // max(n_lines) >= 600000) AS pass
+      |FROM r GROUP BY doc_id ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val lines = Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .withColumn("n_lines", expr("(n + 7) div 8"))
+      .select($"doc_id", $"n", $"n_lines",
+        explode(sequence(lit(0L), $"n_lines" - 1)).as("ln"))
+      .select($"doc_id", $"n_lines",
+        when(($"doc_id" + $"ln") % 3 =!= 0 &&
+          least(lit(8L), $"n" - lit(8L) * $"ln") >= 5, 1L).otherwise(0L).as("good"))
+    lines.groupBy($"doc_id")
+      .agg(max($"n_lines").as("n_lines"), sum($"good").cast("long").as("n_good"))
+      .select($"doc_id", $"n_lines", $"n_good",
+        expr("(1000000 * n_good) div n_lines").as("good_ppm"),
+        ($"n_good" >= 3 && expr("(1000000 * n_good) div n_lines") >= 600000)
+          .as("pass"))
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q485GopherRules,
+    q485GopherRules, q496C4LineFilters,
     q51LangId, q52QualityScore, q53TokenCount, q54Fingerprint, q55TfidfTopTerms,
     q103TextClean, q110BoilerplateSpans, q111DocRepetition, q123CharEntropy,
     q132UnigramPerplexity, q136CmsHeavyHitters, q143SourceTopTokens, q144BpePairs,

@@ -127,6 +127,81 @@ class Round12Spec extends AnyFunSuite with graft.SparkFixture {
     assert(rows.map(_.getLong(1)).sum === total, "folds must partition, not sample")
   }
 
+  test("q494 portable minhash: 16 hashes per signed-up doc, min law on a hand fixture") {
+    import spark.implicits._
+    val sig = graft.llm.Dedup.q494MinhashPortable.fn(spark, sf).cache()
+    try {
+      val perDoc = sig.groupBy($"doc_id").agg(count(lit(1)).as("c"),
+        countDistinct($"i").as("di"))
+      assert(perDoc.filter($"c" =!= 16 || $"di" =!= 16).count() === 0,
+        "every signed doc must carry exactly the 16 hash rows")
+      // independent in-memory recomputation on 3 sample docs
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .filter($"doc_id" < 3).select($"doc_id", $"text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      def md5hex(s: String) =
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+      val got = sig.filter($"doc_id" < 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      for ((id, text) <- docs) {
+        val toks = text.split(" ")
+        if (toks.length >= 3) {
+          val shingles = toks.sliding(3).map(_.mkString(" ")).toSet
+          // respect the df<=50 cap by only checking docs whose shingles all
+          // survived (cap removals would shrink the min domain)
+          val expectedCount = got.count(_._1._1 == id)
+          if (expectedCount == 16) {
+            for (i <- 0 to 15) {
+              val mins = shingles.toSeq.map { s =>
+                val h = md5hex(s)
+                val lo = java.lang.Long.parseLong(h.substring(0, 14), 16)
+                val hi = java.lang.Long.parseLong(h.substring(16, 30), 16)
+                (lo + i * hi) % 72057594037927936L
+              }
+              // engine min is over CAPPED shingles ⊆ ours, so it's >= our min
+              // and equal when no shingle of this doc was capped
+              assert(got((id, i.toLong)) >= mins.min,
+                s"doc $id hash $i below the uncapped min")
+            }
+          }
+        }
+      }
+    } finally sig.unpersist()
+  }
+
+  test("q495 lsh candidate audit: verified+missed == exact q45 pair set, statuses disjoint") {
+    import spark.implicits._
+    val rows = graft.llm.Dedup.q495LshCandidateAudit.fn(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(3)))
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per pair")
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val exact = graft.llm.Dedup.q45NeardupJaccard.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = byStatus.getOrElse("verified", Set.empty)
+    val missed = byStatus.getOrElse("missed", Set.empty)
+    val candOnly = byStatus.getOrElse("candidate_only", Set.empty)
+    assert((verified ++ missed) === exact,
+      "verified ∪ missed must reconstruct the exact pair set")
+    assert((candOnly & exact).isEmpty, "candidate_only pairs must fail the threshold")
+    assert(verified.nonEmpty, "smoke corpus must contain caught pairs")
+  }
+
+  test("q496 c4 line filters: verdict arithmetic and line count law") {
+    import spark.implicits._
+    val out = graft.llm.TextAnalysis.q496C4LineFilters.fn(spark, sf).cache()
+    try {
+      val words = graft.sources.Tables.documents(spark, sf)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("w"))
+      val bad = out.join(words, Seq("doc_id")).filter(
+        $"n_lines" =!= expr("(w + 7) div 8") ||
+          $"pass" =!= ($"n_good" >= 3 && $"good_ppm" >= 600000) ||
+          $"n_good" > $"n_lines")
+      assert(bad.count() === 0)
+      assert(out.filter($"pass").count() > 0 && out.filter(!$"pass").count() > 0,
+        "line filter must split the corpus")
+    } finally out.unpersist()
+  }
+
   test("q493 detector agreement: intersection bounded by both pair sets") {
     val r = graft.llm.Dedup.q493DetectorAgreement.fn(spark, sf).head()
     val (ns, nj, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
