@@ -1329,7 +1329,43 @@ object Curation {
       .orderBy($"w")
   }
 
+  /** DETERMINISTIC STRATIFIED RESERVOIR — exactly k docs per language by
+    * smallest md5(doc_id) priority: md5 priorities are uniform, so this IS
+    * a uniform without-replacement sample per stratum, and — unlike
+    * rand()-seeded sampling — it is REPRODUCIBLE across runs, engines, and
+    * re-partitioning (the property eval-set construction actually needs:
+    * the same corpus always yields the same eval sample). Emits the rank
+    * so downstream can tighten k without resampling.
+    *
+    * 100 TB plan: priority is a pure projection; per-stratum top-k is a
+    * lang-keyed window over ≤|stratum| rows (k never global) — at
+    * production scale the window swaps for a per-partition heap
+    * (TopKPerGroup, q31's operator) with identical output. */
+  val q497StratifiedReservoir: GraftQuery = GraftQuery.oracled(
+    "q497_stratified_reservoir",
+    """WITH p AS (SELECT doc_id, lang,
+      |                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS pri
+      |           FROM documents),
+      |r AS (SELECT doc_id, lang, pri,
+      |             row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+      |      FROM p)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= 3 ORDER BY lang, rk""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("pri"))
+    val w = Window.partitionBy($"lang").orderBy($"pri", $"doc_id")
+    p.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    q497StratifiedReservoir,
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q470BalancedDownsample,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,

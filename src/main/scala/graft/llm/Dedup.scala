@@ -2077,9 +2077,60 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** PAIR-SIMILARITY HISTOGRAM — the distribution every dedup threshold is
+    * actually tuned against: all co-shingle pairs (no threshold) from
+    * q45's capped machinery, binned by Jaccard in 0.05 steps, with pair
+    * counts and the cumulative share ≥ each bin in ppm. Reading this
+    * histogram is how 0.8 was chosen; publishing it per corpus is how the
+    * threshold survives distribution shift. Integer bin arithmetic
+    * ((20·shared) div union — no float boundary), so fully strict.
+    *
+    * 100 TB plan: the pair stage is the capped sub-quadratic join (at
+    * production scale the q349 sampled/LSH variant feeds the same
+    * histogram); the histogram itself is a ≤21-row hash-agg + one window
+    * over that census. */
+  val q499JaccardHistogram: GraftQuery = GraftQuery.oracled(
+    "q499_jaccard_histogram",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT (20 * shared) // (sa.n + sb.n - shared) AS bin
+      |      FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+      |                 JOIN sizes sb ON doc_b = sb.doc_id),
+      |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM h)
+      |SELECT CAST(bin AS BIGINT) AS bin,
+      |       round(bin / 20.0, 2) AS jaccard_lo, n_pairs,
+      |       (1000000 * CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT)) // t.total AS cum_ge_ppm
+      |FROM h, t ORDER BY bin""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val h = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).cast("long").as("shared"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(expr("(20 * shared) div (na + nb - shared)").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).cast("long").as("n_pairs"))
+    val t = h.agg(sum($"n_pairs").cast("long").as("total"))
+    h.crossJoin(broadcast(t))
+      .withColumn("cum",
+        sum($"n_pairs").over(Window.orderBy($"bin".desc)).cast("long"))
+      .select($"bin", round($"bin" / 20.0, 2).as("jaccard_lo"), $"n_pairs",
+        expr("(1000000 * cum) div total").as("cum_ge_ppm"))
+      .orderBy($"bin")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
-    q494MinhashPortable, q495LshCandidateAudit,
+    q494MinhashPortable, q495LshCandidateAudit, q499JaccardHistogram,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
     q353ContainmentDecontam, q365ContrastiveNegatives,

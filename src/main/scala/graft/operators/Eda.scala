@@ -1108,7 +1108,39 @@ object Eda {
       .orderBy($"fold")
   }
 
+  /** CLASS-WEIGHT TABLE for imbalanced training — the two standard
+    * re-weighting schemes every loss-weighting config starts from:
+    * inverse-frequency w_c = N/(k·n_c) (sklearn's "balanced" mode) and
+    * square-root-dampened w_c = √(N/n_c) (the softened variant used when
+    * full inverse-frequency over-corrects). Integer ppm for the first;
+    * the second uses IEEE sqrt — correctly rounded by the standard, so
+    * both engines produce the identical double and the strict gate holds
+    * without any summation-order caveat.
+    *
+    * 100 TB plan: one label census hash-agg (map-side combinable) + a
+    * 1-row total broadcast; the weight table is label-domain-sized and
+    * broadcasts back into the training scan. */
+  val q498ClassWeights: GraftQuery = GraftQuery.oracled(
+    "q498_class_weights",
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM c)
+      |SELECT lang, n_c,
+      |       (1000000 * t.n) // (t.k * n_c) AS inv_freq_ppm,
+      |       round(sqrt(CAST(t.n AS DOUBLE) / n_c), 6) AS sqrt_inv_weight
+      |FROM c, t ORDER BY lang""") { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).cast("long").as("n_c"))
+    val t = c.agg(sum($"n_c").cast("long").as("n"), count(lit(1)).cast("long").as("k"))
+    c.crossJoin(broadcast(t))
+      .select($"lang", $"n_c",
+        expr("(1000000 * n) div (k * n_c)").as("inv_freq_ppm"),
+        round(sqrt($"n".cast("double") / $"n_c"), 6).as("sqrt_inv_weight"))
+      .orderBy($"lang")
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    q498ClassWeights,
     q84Describe, q85QuantileDiscretize, q152DriftPsi, q153IqrOutliers,
     q163AbZTest, q167Winsorize, q175DecileLift, q181OlsTrend,
     q184ChiSquare, q185Benford, q186Acf, q188MadOutliers, q208Crosstab,

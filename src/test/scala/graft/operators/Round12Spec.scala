@@ -202,6 +202,51 @@ class Round12Spec extends AnyFunSuite with graft.SparkFixture {
     } finally out.unpersist()
   }
 
+  test("q497 stratified reservoir: exactly k per stratum, rank-1 is the true md5 minimum") {
+    import spark.implicits._
+    val rows = graft.llm.Curation.q497StratifiedReservoir.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perLang = rows.groupBy(_._1)
+    assert(perLang.values.forall(_.map(_._2).sorted.sameElements(Seq(1L, 2L, 3L))))
+    def pri(id: Long) = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 14), 16)
+    val truth = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).minBy(id => (pri(id), id))).toMap
+    for ((lang, _, doc) <- rows.filter(_._2 == 1L))
+      assert(doc === truth(lang), s"rank-1 for $lang is not the md5 minimum")
+  }
+
+  test("q498 class weights: census sums to corpus, inverse-frequency anti-monotone in class size") {
+    import spark.implicits._
+    val rows = graft.operators.Eda.q498ClassWeights.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === total)
+    for (pair <- rows.sortBy(_._2).sliding(2); if pair.length == 2) {
+      val (a, b) = (pair(0), pair(1))
+      if (a._2 < b._2) {
+        assert(a._3 >= b._3, s"inv_freq must not increase with class size: $a vs $b")
+        assert(a._4 >= b._4, s"sqrt weight must not increase with class size: $a vs $b")
+      }
+    }
+  }
+
+  test("q499 jaccard histogram: bins partition the pair set and the >=0.8 tail equals q45") {
+    import spark.implicits._
+    val rows = graft.llm.Dedup.q499JaccardHistogram.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val cums = rows.sortBy(_._1).map(_._3)
+    assert(cums.reverse.sameElements(cums.reverse.sorted),
+      "cumulative >= share must be non-increasing in bin")
+    assert(rows.minBy(_._1)._3 === 1000000L, "lowest bin's tail covers everything")
+    // bin >= 16 <=> 20*shared >= 16*union <=> jaccard >= 0.8 exactly
+    val tail = rows.filter(_._1 >= 16).map(_._2).sum
+    val exact = graft.llm.Dedup.q45NeardupJaccard.fn(spark, sf).count()
+    assert(tail === exact, s"histogram tail $tail != q45 pair count $exact")
+  }
+
   test("q493 detector agreement: intersection bounded by both pair sets") {
     val r = graft.llm.Dedup.q493DetectorAgreement.fn(spark, sf).head()
     val (ns, nj, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
