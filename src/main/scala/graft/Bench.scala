@@ -71,7 +71,9 @@ object Bench {
     // the repo root, immune to stdout tail truncation and sbt prefixes.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    catch { case _: java.io.IOException => () } // read-only cwd must not fail
+    // the bench; fatal JVM errors (OOM/SOE) must still propagate and kill the
+    // run loudly rather than print a healthy-looking summary line.
     spark.stop()
     println(fullLine)
     // FINAL stdout line, after spark.stop() so no late log interleaves: the

@@ -374,7 +374,7 @@ object Governance {
       |       FROM cum, grid, tot),
       |pick AS (SELECT qpct, v, u, n,
       |                row_number() OVER (PARTITION BY qpct
-      |                                   ORDER BY 0.05 * u - ln(-ln(unif)) DESC, v) AS rk
+      |                                   ORDER BY u * 1048576 + CAST(floor(20.0 * (-ln(-ln(unif))) * 1048576.0) AS BIGINT) DESC, v) AS rk
       |         FROM sc)
       |SELECT CAST(qpct AS BIGINT) AS qpct, v AS released_value,
       |       CAST(abs(u) AS BIGINT) AS rank_error, n AS n_rows
@@ -393,7 +393,17 @@ object Governance {
       .withColumn("unif",
         conv(substring(md5(concat($"qpct".cast("string"), lit(":"), $"v".cast("string"))), 1, 15), 16, 10)
           .cast("double") / 1152921504606846976.0)
-      .withColumn("score", lit(0.05) * $"u" - log(-log($"unif")))
+      // INTEGER-QUANTIZED score (round-7 advice): ranking by the raw double
+      // 0.05*u − ln(−ln(unif)) lets a 1-ulp libm-vs-Math.log difference flip
+      // a near-tie between engines. Multiply the order-preserving form
+      // 20×score = u + 20·Gumbel by 2^20 and floor the noise term to a
+      // BIGINT, so both engines compare exact integers with a deterministic
+      // v tie-break; a cross-engine flip now needs the transcendental to
+      // land within 1 ulp of a quantization boundary AND within one unit of
+      // the argmax — not merely a close race.
+      .withColumn("score",
+        $"u" * lit(1048576L) +
+          floor(lit(20.0) * -log(-log($"unif")) * lit(1048576.0)).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"qpct").orderBy($"score".desc, $"v")
     scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)

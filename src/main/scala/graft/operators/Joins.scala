@@ -629,11 +629,15 @@ object Joins {
     * never join are dropped AT THE SCAN, before the join shuffle — at
     * 100 TB the difference between shuffling the full fact table and
     * shuffling the ~20% that survives the dimension predicate. The fn
-    * materializes the optimized plan under the bloom confs (thresholds
-    * lowered: the defaults gate on a 10 GB scan, sized for real clusters),
-    * REQUIRES the filter is present (the warehouse queries' self-assert
-    * pattern), then restores session confs — results are conf-independent,
-    * which is exactly what the strict oracle checks.
+    * materializes the optimized AND physical plans under the bloom confs
+    * (thresholds lowered: the defaults gate on a 10 GB scan, sized for real
+    * clusters), REQUIRES the filter is present and the join is PLANNED as a
+    * shuffle join (the warehouse queries' self-assert pattern), then
+    * restores session confs — results are conf-independent, which is
+    * exactly what the strict oracle checks. (AQE may still re-plan stages
+    * at action time under the restored session confs; the contract asserted
+    * here is the planned shape, which is now materialized inside the conf
+    * window rather than lazily afterwards.)
     *
     * Confs: spark.sql.optimizer.runtime.bloomFilter.* (public Spark conf
     * surface; probed working on this Spark 4.1.2 build). */
@@ -665,12 +669,23 @@ object Joins {
         .agg(count(lit(1)).cast("long").as("n"),
           sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).cast("long").as("cents"))
         .orderBy($"l_returnflag")
-      // Materialize the OPTIMIZED plan while the confs are set — Catalyst
-      // caches it in this QueryExecution, so later actions (run after the
-      // confs are restored) execute the bloom-filtered plan.
+      // Materialize the OPTIMIZED plan AND the physical plans while the
+      // confs are set — all three are lazy vals cached in this
+      // QueryExecution, so later actions (run after the confs are restored)
+      // execute exactly what was planned here. Materializing only
+      // optimizedPlan (round 7) left sparkPlan to be built later under
+      // restored confs, so join-strategy selection silently reverted to
+      // broadcast-hash and the autoBroadcastJoinThreshold=-1 shape never
+      // held at execution.
       val optimized = df.queryExecution.optimizedPlan.toString
       require(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
         s"runtime bloom filter was not injected:\n$optimized")
+      val physical = df.queryExecution.sparkPlan.toString
+      df.queryExecution.executedPlan // force, so AQE wrapping also binds now
+      require(!physical.contains("BroadcastHashJoin"),
+        s"bloom-join must plan as a shuffle join (autoBroadcastJoinThreshold=-1):\n$physical")
+      require(physical.contains("might_contain"),
+        s"bloom probe must reach the physical scan side:\n$physical")
       df
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)

@@ -87,10 +87,16 @@ def main(sf_dir, out_dir, only):
         # to hex-canonicalize per cell first (line cell_s above) and so
         # green-lit exactly what the driver cannot verify (q484, round 6).
         # Reject any BINARY output column loudly instead: emit hex(col).
+        # Scan FULL frames on BOTH sides (a column whose first rows are null
+        # can still carry bytes later; DuckDB can also produce BLOB cells).
+        def has_bytes(frame, c):
+            col = frame[c]
+            if col.dtype != object:
+                return False
+            return bool(col.map(lambda v: isinstance(v, (bytes, bytearray))).any())
         bin_cols = sorted(
-            c for c in mine.columns
-            if any(isinstance(v, (bytes, bytearray))
-                   for v in mine[c].head(100)))
+            {c for c in mine.columns if has_bytes(mine, c)}
+            | {c for c in ref.columns if has_bytes(ref, c)})
         if bin_cols:
             print(f"FAIL {name}: raw BINARY output column(s) {bin_cols} — "
                   "the driver's pandas compare crashes on bytes; project "
