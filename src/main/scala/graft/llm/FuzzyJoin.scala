@@ -331,16 +331,110 @@ object FuzzyJoin {
     * blocked candidates, collected as a bounded E3 scalar set), so the EM
     * iterations are driver-side arithmetic over 8 numbers — the corpus is
     * scanned once for the census and once for the final scoring
-    * projection. No SQL oracle (the EM fixpoint isn't relational);
-    * FuzzyJoinSpec recovers planted parameters on an exact-expectation
-    * fixture and gates this entry's score ordering against q282's.
+    * projection. FuzzyJoinSpec recovers planted parameters on an
+    * exact-expectation fixture and gates this entry's score ordering
+    * against q282's.
+    *
+    * STRICT since r8 (formerly rows-only): a FIXED round count over a
+    * BOUNDED census is relational after all — the oracle reruns q282's
+    * candidate/census build and unrolls the same two EM rounds as CTE
+    * scalar algebra (same left-assoc product order, same clamp written as
+    * `1 − 0.000001` so both engines parse identical doubles). Cell sums
+    * are 8-term float adds whose order may differ per engine by a few
+    * ulps; the released score is rounded to 4 decimals and the class
+    * labels threshold the ROUNDED score — the catalog's standard float
+    * fence.
     *
     * 100 TB plan: identical shuffle shape to q282 — lossless ED-1 blocking
     * for candidates, one constant-size census agg, pure-projection scoring
     * with all parameters as literals in the plan. */
-  val q348FellegiSunterEm: GraftQuery = GraftQuery.rowsOnly(
+  val q348FellegiSunterEm: GraftQuery = GraftQuery.oracled(
     "q348_fellegi_sunter_em",
-    doc = "Fellegi-Sunter linkage scores with EM-estimated m/u (2 rounds, census-based)") {
+    """WITH v AS (SELECT DISTINCT c_name FROM customer ORDER BY c_name LIMIT 2000),
+      |vk AS (SELECT c.c_custkey AS k, c.c_name, c.c_nationkey, c.c_mktsegment,
+      |              CAST(floor(c.c_acctbal / 100) AS BIGINT) AS bal_band
+      |       FROM customer c JOIN v ON c.c_name = v.c_name),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vk),
+      |u1 AS (SELECT sum(cnt * cnt) / (max(nn.n) * max(nn.n)) AS u
+      |       FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM vk GROUP BY c_nationkey) t, nn),
+      |u2 AS (SELECT sum(cnt * cnt) / (max(nn.n) * max(nn.n)) AS u
+      |       FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM vk GROUP BY c_mktsegment) t, nn),
+      |u3 AS (SELECT sum(cnt * cnt) / (max(nn.n) * max(nn.n)) AS u
+      |       FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM vk GROUP BY bal_band) t, nn),
+      |p AS (SELECT a.k AS ka, b.k AS kb,
+      |             CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END AS g1,
+      |             CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS g2,
+      |             CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS g3
+      |      FROM vk a, vk b
+      |      WHERE a.c_name < b.c_name
+      |        AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |        AND levenshtein(a.c_name, b.c_name) <= 1),
+      |cen AS (SELECT g1, g2, g3, CAST(count(*) AS DOUBLE) AS n FROM p GROUP BY 1, 2, 3),
+      |par0 AS (SELECT CAST(0.1 AS DOUBLE) AS mp,
+      |                CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2, CAST(0.9 AS DOUBLE) AS m3,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), u1.u)) AS w1,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), u2.u)) AS w2,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), u3.u)) AS w3
+      |         FROM u1, u2, u3),
+      |e1 AS (SELECT g1, g2, g3, n,
+      |              mp * (CASE WHEN g1 = 1 THEN m1 ELSE 1 - m1 END)
+      |                 * (CASE WHEN g2 = 1 THEN m2 ELSE 1 - m2 END)
+      |                 * (CASE WHEN g3 = 1 THEN m3 ELSE 1 - m3 END) AS pm,
+      |              (1 - mp) * (CASE WHEN g1 = 1 THEN w1 ELSE 1 - w1 END)
+      |                       * (CASE WHEN g2 = 1 THEN w2 ELSE 1 - w2 END)
+      |                       * (CASE WHEN g3 = 1 THEN w3 ELSE 1 - w3 END) AS pu
+      |       FROM cen, par0),
+      |a1 AS (SELECT sum(n * (pm / (pm + pu))) AS sw, sum(n * (1 - pm / (pm + pu))) AS snw,
+      |              sum(CASE WHEN g1 = 1 THEN n * (pm / (pm + pu)) ELSE 0 END) AS swg1,
+      |              sum(CASE WHEN g2 = 1 THEN n * (pm / (pm + pu)) ELSE 0 END) AS swg2,
+      |              sum(CASE WHEN g3 = 1 THEN n * (pm / (pm + pu)) ELSE 0 END) AS swg3,
+      |              sum(CASE WHEN g1 = 1 THEN n * (1 - pm / (pm + pu)) ELSE 0 END) AS sng1,
+      |              sum(CASE WHEN g2 = 1 THEN n * (1 - pm / (pm + pu)) ELSE 0 END) AS sng2,
+      |              sum(CASE WHEN g3 = 1 THEN n * (1 - pm / (pm + pu)) ELSE 0 END) AS sng3
+      |       FROM e1),
+      |par1 AS (SELECT least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), sw / (sw + snw))) AS mp,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), swg1 / sw)) AS m1,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), swg2 / sw)) AS m2,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), swg3 / sw)) AS m3,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), sng1 / snw)) AS w1,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), sng2 / snw)) AS w2,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), sng3 / snw)) AS w3
+      |         FROM a1),
+      |e2 AS (SELECT g1, g2, g3, n,
+      |              mp * (CASE WHEN g1 = 1 THEN m1 ELSE 1 - m1 END)
+      |                 * (CASE WHEN g2 = 1 THEN m2 ELSE 1 - m2 END)
+      |                 * (CASE WHEN g3 = 1 THEN m3 ELSE 1 - m3 END) AS pm,
+      |              (1 - mp) * (CASE WHEN g1 = 1 THEN w1 ELSE 1 - w1 END)
+      |                       * (CASE WHEN g2 = 1 THEN w2 ELSE 1 - w2 END)
+      |                       * (CASE WHEN g3 = 1 THEN w3 ELSE 1 - w3 END) AS pu
+      |       FROM cen, par1),
+      |a2 AS (SELECT sum(n * (pm / (pm + pu))) AS sw, sum(n * (1 - pm / (pm + pu))) AS snw,
+      |              sum(CASE WHEN g1 = 1 THEN n * (pm / (pm + pu)) ELSE 0 END) AS swg1,
+      |              sum(CASE WHEN g2 = 1 THEN n * (pm / (pm + pu)) ELSE 0 END) AS swg2,
+      |              sum(CASE WHEN g3 = 1 THEN n * (pm / (pm + pu)) ELSE 0 END) AS swg3,
+      |              sum(CASE WHEN g1 = 1 THEN n * (1 - pm / (pm + pu)) ELSE 0 END) AS sng1,
+      |              sum(CASE WHEN g2 = 1 THEN n * (1 - pm / (pm + pu)) ELSE 0 END) AS sng2,
+      |              sum(CASE WHEN g3 = 1 THEN n * (1 - pm / (pm + pu)) ELSE 0 END) AS sng3
+      |       FROM e2),
+      |par2 AS (SELECT least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), sw / (sw + snw))) AS mp,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), swg1 / sw)) AS m1,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), swg2 / sw)) AS m2,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), swg3 / sw)) AS m3,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), sng1 / snw)) AS w1,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), sng2 / snw)) AS w2,
+      |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), sng3 / snw)) AS w3
+      |         FROM a2),
+      |s AS (SELECT ka, kb, g1, g2, g3,
+      |             round(
+      |               (CASE WHEN g1 = 1 THEN ln(m1 / w1) ELSE ln((1 - m1) / (1 - w1)) END)
+      |             + (CASE WHEN g2 = 1 THEN ln(m2 / w2) ELSE ln((1 - m2) / (1 - w2)) END)
+      |             + (CASE WHEN g3 = 1 THEN ln(m3 / w3) ELSE ln((1 - m3) / (1 - w3)) END), 4) AS fs_score
+      |      FROM p, par2)
+      |SELECT ka, kb, g1 AS agree_nation, g2 AS agree_segment, g3 AS agree_balance, fs_score,
+      |       CASE WHEN fs_score >= 5 THEN 'match'
+      |            WHEN fs_score >= 0 THEN 'possible'
+      |            ELSE 'nonmatch' END AS cls
+      |FROM s ORDER BY ka, kb""") {
     (spark, dir) =>
       import spark.implicits._
       val (agree, uFrame) = fsInputs(spark, dir)

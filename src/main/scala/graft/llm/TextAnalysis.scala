@@ -1529,10 +1529,57 @@ object TextAnalysis {
   }
 
   /** The learned merge table over `documents`: rank, left symbol, right
-    * symbol, weighted pair count at selection time. k = 12 rounds. */
-  val q312BpeTrain: GraftQuery = GraftQuery.rowsOnly(
+    * symbol, weighted pair count at selection time. k = 12 rounds.
+    *
+    * STRICT since r8 (formerly rows-only): the trainer is a deterministic
+    * greedy replay — per round, argmax pair by (weighted count DESC, l, r)
+    * over the distinct-word census, then a non-overlapping left-to-right
+    * `replace` of "l r" with "lr" (both engines' replace() share that
+    * contract). The DuckDB oracle replays all 12 rounds in one recursive
+    * CTE: LATERAL unnest explodes adjacent symbol pairs (single-symbol
+    * words survive via LEFT JOIN — they must stay mergeable targets), a
+    * window sum builds the pair census in place, and a window min over a
+    * (−n, l, r) struct picks the same argmax without a second reference
+    * to the CTE; every next-round row carries the chosen merge, so the
+    * merge table falls out as DISTINCT (round, l, r, n). All-integer —
+    * nothing float anywhere. */
+  val q312BpeTrain: GraftQuery = GraftQuery.oracled(
     "q312_bpe_train",
-    doc = "BPE trainer: 12 greedy merges learned from the word census, E3 scalar per round") { (spark, dir) =>
+    """WITH RECURSIVE
+      |w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |       WHERE w <> '' GROUP BY w),
+      |words AS (SELECT trim(regexp_replace(w, '(.)', '@\1 ', 'g')) AS repr, cnt FROM w0),
+      |it AS (
+      |  SELECT 0 AS i, repr, cnt,
+      |         CAST(NULL AS VARCHAR) AS bl, CAST(NULL AS VARCHAR) AS br, CAST(NULL AS BIGINT) AS bn
+      |  FROM words
+      |  UNION ALL
+      |  SELECT i + 1,
+      |         replace(repr, best.bl || ' ' || best.br, best.bl || substr(best.br, 2)),
+      |         cnt, best.bl, best.br, best.bn
+      |  FROM (
+      |    SELECT DISTINCT i, repr, cnt,
+      |           min(CASE WHEN pl IS NOT NULL THEN {'negn': -pn, 'l': pl, 'r': pr} END) OVER () AS m
+      |    FROM (
+      |      SELECT e.i, e.repr, e.cnt, e.pl, e.pr,
+      |             sum(e.cnt) OVER (PARTITION BY e.pl, e.pr) AS pn
+      |      FROM (
+      |        SELECT it.i, it.repr, it.cnt, s.pl, s.pr
+      |        FROM it LEFT JOIN LATERAL (
+      |          SELECT l[g] AS pl, l[g+1] AS pr
+      |          FROM (SELECT string_split(it.repr, ' ') AS l),
+      |               UNNEST(generate_series(1, len(l) - 1)) AS t(g)
+      |        ) s ON TRUE
+      |        WHERE it.i < 12
+      |      ) e
+      |    )
+      |  ), LATERAL (SELECT m['l'] AS bl, m['r'] AS br, CAST(-m['negn'] AS BIGINT) AS bn) best
+      |  WHERE m IS NOT NULL
+      |)
+      |SELECT DISTINCT CAST(i AS INT) AS rank, substr(bl, 2) AS "left",
+      |       substr(br, 2) AS "right", bn AS pair_count
+      |FROM it WHERE i >= 1 ORDER BY rank""") { (spark, dir) =>
     import spark.implicits._
     val merges = bpeTrain(Tables.documents(spark, dir), 12)
     spark.createDataFrame(merges.zipWithIndex.map { case ((l, r, n), i) =>

@@ -1985,8 +1985,18 @@ object EventAnalytics {
     * (value iteration to absorption, once per channel) runs driver-side
     * on the ≤(k+2)² census — the same census-to-driver E3 boundary as
     * q290's MMR and q312's argmax: only state-pair counts ever leave the
-    * cluster. Not a fixed SQL tree (data-dependent iteration) →
-    * rows-only; Round6Spec gates it on a hand-computable chain fixture. */
+    * cluster.
+    *
+    * STRICT since r8 (formerly rows-only): values are ×10⁹ FIXED-POINT
+    * BIGINTs (q155's pattern) — per-src update `(Σ n·v(dst)) div tot(src)`
+    * sums integer PRODUCTS before the one division, so every round is
+    * summation-order-free integer arithmetic, and 60 REPLAYED rounds (not
+    * convergence detection) define the result. The DuckDB oracle reruns
+    * the identical census build and the identical 60 rounds in ONE
+    * recursive CTE with the scenario (no-removal + one per channel) as a
+    * carried grouping column; CONV/NULL absorption is encoded as n=1
+    * self-loops so one aggregated recursive term updates every state.
+    * Outputs are integer ppm on both sides — nothing float anywhere. */
   private[operators] def markovRemoval(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -2012,31 +2022,38 @@ object EventAnalytics {
     val channels = trans.flatMap(t => Seq(t._1, t._2))
       .filter(s => s != "START" && s != "CONV" && s != "NULL").distinct.sorted
     val outgoing = trans.groupBy(_._1)
-    def convProb(removed: Option[String]): Double = {
-      // value iteration to absorption; transitions INTO the removed
-      // channel redirect to NULL (dst dropped => mass renormalizes to 0)
-      var v = Map("CONV" -> 1.0, "NULL" -> 0.0).withDefaultValue(0.0)
-      for (_ <- 1 to 200) {
+    // ×10⁹ fixed-point value iteration, 60 REPLAYED rounds (the round count
+    // is part of the definition, not a convergence heuristic — the oracle
+    // replays the same 60). Products before the single per-src division
+    // keep every round exact-integer: n ≤ ~10⁷ census cells × v ≤ 10⁹
+    // stays far inside Long. Transitions INTO the removed channel
+    // contribute 0 (mass redirects to NULL).
+    val FP = 1000000000L
+    def convProbFp(removed: Option[String]): Long = {
+      var v = Map("CONV" -> FP, "NULL" -> 0L).withDefaultValue(0L)
+      for (_ <- 1 to 60) {
         val nv = outgoing.map { case (src, ts) =>
-          val tot = ts.map(_._3).sum.toDouble
+          val tot = ts.map(_._3).sum
           src -> ts.map { case (_, dst, n) =>
-            if (removed.contains(dst)) 0.0 else n / tot * v(dst)
-          }.sum
+            if (removed.contains(dst)) 0L else n * v(dst)
+          }.sum / tot
         }
-        v = (nv ++ Map("CONV" -> 1.0, "NULL" -> 0.0)).withDefaultValue(0.0)
+        v = (nv ++ Map("CONV" -> FP, "NULL" -> 0L)).withDefaultValue(0L)
       }
       v("START")
     }
-    val v0 = convProb(None)
+    val v0 = convProbFp(None)
     val effects = channels.map { c =>
-      val e = if (v0 > 0) math.max(0.0, 1.0 - convProb(Some(c)) / v0) else 0.0
+      // monotone: the removed-channel map is pointwise ≤ the full map and
+      // floor preserves ≤, so vc ≤ v0 and the clamp is belt-and-braces
+      val e = if (v0 > 0) math.max(0L, (v0 - convProbFp(Some(c))) * 1000000L / v0)
+              else 0L
       (c, e)
     }
     val tot = effects.map(_._2).sum
     spark.createDataFrame(effects.map { case (c, e) =>
-      (c, math.rint(e * 1e6) / 1e6,
-        if (tot > 0) (e / tot * 1e6).toLong else 0L)
-    }).toDF("channel", "removal_effect", "attribution_ppm")
+      (c, e, if (tot > 0) e * 1000000L / tot else 0L)
+    }).toDF("channel", "removal_effect_ppm", "attribution_ppm")
       .orderBy($"channel")
   }
 
@@ -2312,10 +2329,60 @@ object EventAnalytics {
         count(when($"mins" >= 1440, 1)).cast("long").as("n_over_1d"))
   }
 
-  /** Removal-effect attribution over the events journey log. */
-  val q326MarkovAttribution: GraftQuery = GraftQuery.rowsOnly(
+  /** Removal-effect attribution over the events journey log — see
+    * [[markovRemoval]] for the fixed-point replay contract the oracle
+    * mirrors (identical census build, identical 60 integer rounds). */
+  val q326MarkovAttribution: GraftQuery = GraftQuery.oracled(
     "q326_markov_attribution",
-    doc = "Markov removal-effect channel attribution; census-to-driver value iteration") { (spark, dir) =>
+    """WITH RECURSIVE
+      |e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type FROM events),
+      |fpk AS (SELECT user_id, ts AS fts, event_id AS fid
+      |        FROM (SELECT user_id, ts, event_id,
+      |                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |              FROM e WHERE event_type = 'purchase')
+      |        WHERE rn = 1),
+      |kept AS (SELECT e.user_id, e.ts, e.event_id,
+      |                CASE WHEN e.event_type = 'purchase' THEN 'CONV' ELSE e.event_type END AS state
+      |         FROM e LEFT JOIN fpk USING (user_id)
+      |         WHERE fpk.user_id IS NULL OR (e.ts, e.event_id) <= (fts, fid)),
+      |sq AS (SELECT user_id, state,
+      |              lead(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+      |              lag(state)  OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_first
+      |       FROM kept),
+      |tr0 AS (SELECT 'START' AS src, state AS dst FROM sq WHERE is_first
+      |        UNION ALL SELECT state, nxt FROM sq WHERE nxt IS NOT NULL
+      |        UNION ALL SELECT state, 'NULL' FROM sq WHERE nxt IS NULL AND state <> 'CONV'),
+      |tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tr0 GROUP BY 1, 2
+      |       UNION ALL SELECT 'CONV', 'CONV', CAST(1 AS BIGINT)
+      |       UNION ALL SELECT 'NULL', 'NULL', CAST(1 AS BIGINT)),
+      |tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS t FROM tr GROUP BY 1),
+      |states AS (SELECT DISTINCT src AS state FROM tr),
+      |chans AS (SELECT state AS ch FROM states WHERE state NOT IN ('START', 'CONV', 'NULL')),
+      |scen AS (SELECT 'NONE' AS scenario UNION ALL SELECT ch FROM chans),
+      |it AS (
+      |  SELECT s.scenario, st.state,
+      |         CAST(CASE WHEN st.state = 'CONV' THEN 1000000000 ELSE 0 END AS BIGINT) AS v,
+      |         0 AS i
+      |  FROM states st CROSS JOIN scen s
+      |  UNION ALL
+      |  SELECT it.scenario, t.src,
+      |         CAST(sum(CASE WHEN t.dst = it.scenario THEN 0 ELSE t.n * it.v END) // tt.t AS BIGINT),
+      |         it.i + 1
+      |  FROM it JOIN tr t ON t.dst = it.state JOIN tot tt ON tt.src = t.src
+      |  WHERE it.i < 60
+      |  GROUP BY it.scenario, t.src, tt.t, it.i),
+      |v0 AS (SELECT v FROM it WHERE i = 60 AND scenario = 'NONE' AND state = 'START'),
+      |eff AS (SELECT ch AS channel,
+      |               CASE WHEN v0.v > 0
+      |                    THEN greatest(CAST(0 AS BIGINT), CAST(((v0.v - itc.v) * 1000000) // v0.v AS BIGINT))
+      |                    ELSE CAST(0 AS BIGINT) END AS removal_effect_ppm
+      |        FROM chans JOIN it itc ON itc.scenario = ch AND itc.state = 'START' AND itc.i = 60
+      |        CROSS JOIN v0),
+      |te AS (SELECT CAST(sum(removal_effect_ppm) AS BIGINT) AS t FROM eff)
+      |SELECT channel, removal_effect_ppm,
+      |       CASE WHEN te.t > 0 THEN CAST((removal_effect_ppm * 1000000) // te.t AS BIGINT)
+      |            ELSE CAST(0 AS BIGINT) END AS attribution_ppm
+      |FROM eff CROSS JOIN te ORDER BY channel""") { (spark, dir) =>
     markovRemoval(Tables.events(spark, dir).select(
       org.apache.spark.sql.functions.col("user_id"),
       org.apache.spark.sql.functions.col("ts"),

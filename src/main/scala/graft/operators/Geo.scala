@@ -101,9 +101,18 @@ object Geo {
     *
     * 100 TB plan: the only row-scale stage is the cell census (map-side
     * combined); adjacency, closure, and the report all operate on the
-    * CELL table, whose size is fixed by the grid pitch, not the data.
-    * The DuckDB oracle re-derives the same clusters with a recursive CTE
-    * over the identical dense-cell adjacency. */
+    * CELL table, whose size is fixed by the grid pitch (≤ 100 cells BY
+    * CONSTRUCTION — 10 lat bands × 10 lon bands), not the data. Because
+    * that bound holds at every SF, the closure is a driver-local
+    * union-find over the collected census — the same pattern as AQE's
+    * runtime-stats decisions — NOT a distributed star-contraction: the
+    * round-7 profile showed 13.9 s of pure stage overhead running
+    * large-star/small-star jobs on a 100-row table (each round is 3+
+    * jobs; the data never leaves one partition). The bound is asserted,
+    * so a grid change that broke it would fail loudly rather than
+    * silently collect row-scale data. The DuckDB oracle re-derives the
+    * same clusters with a recursive CTE over the identical dense-cell
+    * adjacency. */
   val q287GridDensityClusters: GraftQuery = GraftQuery.oracled(
     "q287_grid_density_clusters",
     """WITH RECURSIVE pts AS (
@@ -137,31 +146,48 @@ object Geo {
       $"c_custkey".as("id"),
       (lit(40) + (conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 10000) / 1000.0).as("lat"),
       ((conv(substring(md5(key), 9, 8), 16, 10).cast("long") % 20000) / 1000.0).as("lon"))
+    // ONE corpus-scale job: the map-side-combined cell census, collected.
+    // The grid has ≤ 100 cells regardless of SF (asserted), so this is a
+    // bounded-metadata collect, not a row-data collect; total row count is
+    // the census sum (no second scan of pts).
     val cells = pts
       .groupBy(floor($"lat").cast("long").as("cl"),
         floor($"lon" / 2).cast("long").as("cn"))
       .agg(count(lit(1)).cast("long").as("n"))
-    val total = pts.count()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(cells.length <= 100,
+      s"grid-pitch bound violated: ${cells.length} cells — the driver-local " +
+        "closure is only valid while the census stays grid-bounded")
+    val total = cells.map(_._3).sum
     val thr = math.floor((27 * total + 2499) / 2500.0).toLong
-    val dense = cells.filter($"n" >= thr)
-      .withColumn("cid", $"cl" * 1000 + $"cn")
-      .persist()
-    // 8-neighborhood adjacency via offset explode → equi-join on the
-    // shifted cell key (the q229 trick) — never an |cells|² theta join.
-    val probe = dense
-      .withColumn("dl", explode(array(lit(-1), lit(0), lit(1))))
-      .withColumn("dn", explode(array(lit(-1), lit(0), lit(1))))
-      .select($"cid".as("src"), ($"cl" + $"dl").as("jcl"), ($"cn" + $"dn").as("jcn"))
-    val adjPairs = probe.join(dense.select($"cl", $"cn", $"cid".as("dst")),
-        probe("jcl") === $"cl" && probe("jcn") === $"cn" && $"dst" =!= probe("src"))
-      .select($"src", $"dst")
-    val labels = graft.llm.Dedup.starComponents(
-      dense.select($"cid"), adjPairs)._1
-    labels.join(dense, labels("id") === dense("cid"))
-      .groupBy($"lbl".as("cluster_id"))
-      .agg(count(lit(1)).cast("long").as("n_cells"),
-        sum($"n").cast("long").as("n_points"))
-      .orderBy($"cluster_id")
+    val dense = cells.filter(_._3 >= thr)
+      .map { case (cl, cn, n) => (cl, cn, n, cl * 1000 + cn) }
+    // Driver-local union-find over the 8-neighborhood adjacency of the
+    // ≤ 100 dense cells; component label = min reachable cid (the oracle's
+    // recursive-CTE fixpoint).
+    val idx = dense.iterator.map { case (cl, cn, _, cid) => (cl, cn) -> cid }.toMap
+    val parent = scala.collection.mutable.Map(dense.map(d => d._4 -> d._4): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    for {
+      (cl, cn, _, cid) <- dense
+      dl <- -1L to 1L; dn <- -1L to 1L if dl != 0 || dn != 0
+      other <- idx.get((cl + dl, cn + dn))
+    } {
+      val (ra, rb) = (find(cid), find(other))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = dense
+      .groupBy(d => find(d._4))
+      .map { case (lbl, cs) => (lbl, cs.length.toLong, cs.map(_._3).sum) }
+      .toSeq.sortBy(_._1)
+    out.toDF("cluster_id", "n_cells", "n_points")
   }
 
   def all: Seq[GraftQuery] = Seq(q229GeoNnGrid, q287GridDensityClusters)

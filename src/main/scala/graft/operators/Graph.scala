@@ -587,18 +587,65 @@ object Graph {
     * lexicographically, so the forest is unique and reproducible — and
     * components are re-derived from the forest-so-far by the star
     * alternation. Components at least halve per round ⇒ ≤ ⌈log₂ k⌉
-    * rounds. No SQL oracle (MSF is not relationally expressible);
-    * Round7bSpec checks edge-set equality against a driver-side Kruskal
-    * union-find reference plus the |edges| = Σ(cluster size − 1) law.
+    * rounds. Round7bSpec checks edge-set equality against a driver-side
+    * Kruskal union-find reference plus the |edges| = Σ(cluster size − 1)
+    * law.
+    *
+    * STRICT since r8 (formerly rows-only): under a strict total order the
+    * unique MSF is relationally characterizable by the CYCLE PROPERTY —
+    * edge e belongs iff its endpoints are NOT connected using only edges
+    * strictly smaller than e. The oracle replays that definition: one
+    * recursive reachability CTE seeded per edge and expanded only through
+    * smaller edges (integer basis-point weights, q419's fence trick, so
+    * the order compare is exact), then NOT EXISTS picks the forest; the
+    * cluster label is q419's full-graph min-reachable component. Borůvka
+    * and Kruskal both realize this same unique forest, so the oracle
+    * tracks the MATHEMATICAL object, not the engine's round structure.
     *
     * 100 TB plan: each round is two label hash-joins + one per-component
     * min-agg (map-side combinable struct-min) over the CURRENT cross-
     * component edges — shrinking every round; the driver sees only a
     * count per round (E3). Forest recomputation rides starComponents'
     * O(log n) alternation. */
-  val q409BoruvkaMsf: GraftQuery = GraftQuery.rowsOnly(
+  val q409BoruvkaMsf: GraftQuery = GraftQuery.oracled(
     "q409_boruvka_msf",
-    doc = "Borůvka minimum spanning forest of the near-dup graph (w = 1 − jaccard)") { (spark, dir) =>
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b,
+      |                round(1 - round(shared / (sa.n + sb.n - shared), 4), 4) AS w,
+      |                CAST(floor(round(1 - round(shared / (sa.n + sb.n - shared), 4), 4) * 10000 + 0.5) AS BIGINT) AS w_bp
+      |         FROM prs
+      |         JOIN szs sa ON doc_a = sa.doc_id
+      |         JOIN szs sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |sym AS (SELECT doc_a, doc_b, w_bp, doc_a AS src, doc_b AS dst FROM good
+      |        UNION ALL SELECT doc_a, doc_b, w_bp, doc_b, doc_a FROM good),
+      |reach AS (
+      |  SELECT g.doc_a AS ea, g.doc_b AS eb, g.w_bp AS ew, g.doc_a AS v FROM good g
+      |  UNION
+      |  SELECT r.ea, r.eb, r.ew, s.dst
+      |  FROM reach r JOIN sym s ON s.src = r.v
+      |  WHERE (s.w_bp, s.doc_a, s.doc_b) < (r.ew, r.ea, r.eb)),
+      |msf AS (SELECT g.doc_a, g.doc_b, g.w FROM good g
+      |        WHERE NOT EXISTS (SELECT 1 FROM reach r
+      |                          WHERE r.ea = g.doc_a AND r.eb = g.doc_b AND r.v = g.doc_b)),
+      |verts AS (SELECT DISTINCT v FROM (SELECT doc_a AS v FROM good UNION ALL SELECT doc_b FROM good)),
+      |asym AS (SELECT doc_a AS src, doc_b AS dst FROM good UNION ALL SELECT doc_b, doc_a FROM good),
+      |cr AS (SELECT v AS id, v AS lbl FROM verts
+      |       UNION
+      |       SELECT e.dst, c.lbl FROM cr c JOIN asym e ON e.src = c.id),
+      |lab AS (SELECT id, min(lbl) AS cluster FROM cr GROUP BY id)
+      |SELECT lab.cluster, m.doc_a, m.doc_b, m.w
+      |FROM msf m JOIN lab ON lab.id = m.doc_a
+      |ORDER BY cluster, doc_a, doc_b""") { (spark, dir) =>
     import spark.implicits._
     val (msf, labels) = boruvkaForest(spark, dir)
     msf.join(labels.select($"id".as("doc_a"), $"lbl".as("cluster")), Seq("doc_a"))

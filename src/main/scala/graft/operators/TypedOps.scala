@@ -53,7 +53,7 @@ object TypedOps {
   }
 
   final case class Ev(user_id: Long, event_id: Long, epoch_us: Long)
-  final case class Kept(user_id: Long, event_id: Long, epoch_us: Long, kept_rank: Int)
+  final case class Kept(user_id: Long, event_id: Long, epoch_us: Long, kept_rank: Long)
 
   /** GREEDY THROTTLE DEDUP — "at most one purchase notification per user
     * per 24 h": keep an event iff it is ≥ 24 h after the LAST KEPT event
@@ -69,11 +69,36 @@ object TypedOps {
     * event timestamps (bounded by per-user activity, thousands — the
     * documented bound; for pathological users chunk by month first: the
     * throttle chain only crosses a boundary through its last kept row).
-    * Chain recursion is not SQL-expressible in a fixed tree → rows-only;
-    * the gate is an independent reference walk in Round6Spec. */
-  val q324ThrottleDedup: GraftQuery = GraftQuery.rowsOnly(
+    *
+    * STRICT since r8 (formerly rows-only, gated on Round6Spec's reference
+    * walk — which stays): the greedy chain IS SQL-expressible as a
+    * recursive-CTE replay (the q430 WordPiece pattern) — the working set
+    * carries each user's LAST KEPT row, and every round advances it to
+    * that user's earliest event ≥ 24 h later (row_number over the
+    * candidate set, tie-broken by event_id exactly like the typed walk's
+    * sort). Users whose chain is exhausted simply drop out of the
+    * frontier. */
+  val q324ThrottleDedup: GraftQuery = GraftQuery.oracled(
     "q324_throttle_dedup",
-    doc = "greedy 24h-throttle keep/drop per user over purchases; typed flatMapGroups chain walk") { (spark, dir) =>
+    """WITH RECURSIVE
+      |p AS (SELECT user_id, event_id,
+      |             epoch_us(date_trunc('microseconds', ts)) AS us
+      |      FROM events WHERE event_type = 'purchase'),
+      |k AS (
+      |  SELECT user_id, event_id, us, CAST(1 AS BIGINT) AS kept_rank
+      |  FROM (SELECT user_id, event_id, us,
+      |               row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |        FROM p)
+      |  WHERE rn = 1
+      |  UNION ALL
+      |  SELECT user_id, event_id, us, kept_rank + 1 FROM (
+      |    SELECT p.user_id, p.event_id, p.us, k.kept_rank,
+      |           row_number() OVER (PARTITION BY p.user_id ORDER BY p.us, p.event_id) AS rn
+      |    FROM k JOIN p ON p.user_id = k.user_id AND p.us >= k.us + 86400000000
+      |  ) WHERE rn = 1
+      |)
+      |SELECT user_id, event_id, us AS epoch_us, kept_rank
+      |FROM k ORDER BY user_id, kept_rank""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val W = 24L * 3600 * 1000000 // 24 h in µs

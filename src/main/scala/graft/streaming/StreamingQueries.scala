@@ -61,6 +61,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamTopology.record(name, q)
     spark.table(qn)
   }
 
@@ -371,6 +372,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamTopology.record("q124", q)
     spark.read.parquet(out)
       .orderBy($"window_start", $"event_type")
   }
@@ -386,10 +388,12 @@ object StreamingQueries {
   private[streaming] def foreachBatchUpsert(
       agg: DataFrame, keys: Seq[String], tag: String): DataFrame =
     foreachBatchUpsert(agg, keys,
-      java.nio.file.Paths.get("/tmp/graft-io", s"${tag}_${System.nanoTime()}"))
+      java.nio.file.Paths.get("/tmp/graft-io", s"${tag}_${System.nanoTime()}"),
+      topologyName = tag)
 
   private[streaming] def foreachBatchUpsert(
-      agg: DataFrame, keys: Seq[String], base: java.nio.file.Path): DataFrame = {
+      agg: DataFrame, keys: Seq[String], base: java.nio.file.Path,
+      topologyName: String = ""): DataFrame = {
     val spark = agg.sparkSession
     import spark.implicits._
     val out = base.resolve("data").toString
@@ -405,6 +409,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (topologyName.nonEmpty) StreamTopology.record(topologyName, q)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy($"batch_id".desc)
     spark.read.parquet(out)
@@ -1030,6 +1035,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamTopology.record("q233", q)
     spark.read.format("statestore").load(ckpt)
       .select($"key.user_id".as("user_id"), $"value.count".as("n"))
       .orderBy($"user_id")
@@ -1228,6 +1234,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamTopology.record("q400", q)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_id").orderBy($"batch_id".desc)
     spark.read.parquet(out)

@@ -34,10 +34,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   // BY-DESIGN plan-shape exemptions, each with its reason at the definition
   // site: q18 IS the cross-join operator; q50 is the documented exact
-  // O(n²) verifier that the LSH ladder is measured against; q449 replays a
-  // batch census twice (audited by its parity oracle, not plan shape).
+  // O(n²) verifier that the LSH ladder is measured against. (q449 left this
+  // list in round 8: it is a streaming replay, and its stateful topology is
+  // now asserted by StreamTopologySpec like every other replay.)
   private val byDesignExempt: Set[String] =
-    Set("q18_cross_join", "q50_embedding_neardup", "q449_stream_ooo_parity")
+    Set("q18_cross_join", "q50_embedding_neardup")
 
   private lazy val audited: Seq[String] =
     SparkEntry.catalog.map(_.name)

@@ -95,7 +95,7 @@ class Round6Spec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val got = TypedOps.q324ThrottleDedup.fn(spark, sf)
       .select($"user_id", $"event_id", $"kept_rank").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
     val raw = graft.sources.Tables.events(spark, sf)
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", unix_micros($"ts")).collect()
@@ -143,14 +143,14 @@ class Round6Spec extends AnyFunSuite with SparkFixture {
       (3L, ts(1), 7L, "view")
     ).toDF("user_id", "ts", "event_id", "event_type")
     val got = EventAnalytics.markovRemoval(ev).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toList
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
     assert(got.map(_._1) === List("click", "view"))
-    assert(got.forall(_._2 === 1.0), s"both touches are necessary: $got")
+    assert(got.forall(_._2 === 1000000L), s"both touches are necessary: $got")
     assert(got.map(_._3).sum === 1000000L, "shares must sum to 1e6 ppm")
-    // real corpus: effects are probabilities and shares are a partition
+    // real corpus: effects are ppm probabilities and shares are a partition
     val corpus = EventAnalytics.q326MarkovAttribution.fn(spark, sf).collect()
-      .map(r => (r.getDouble(1), r.getLong(2)))
-    assert(corpus.forall { case (e, _) => e >= 0.0 && e <= 1.0 })
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(corpus.forall { case (e, _) => e >= 0L && e <= 1000000L })
     assert(corpus.map(_._2).sum <= 1000000L)
   }
 
