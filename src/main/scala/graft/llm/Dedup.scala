@@ -2128,8 +2128,138 @@ object Dedup {
       .orderBy($"bin")
   }
 
+  /** EXACT-SUBSTRING DUPLICATE-SPAN CENSUS (the k-gram fingerprint
+    * approximation of Lee et al. 2022's ExactSubstr suffix-array dedup,
+    * arXiv:2107.06499 §4.1) — CHARACTER-level and alignment-free, unlike
+    * q115's fixed 10-TOKEN passage partition (which misses a duplicated
+    * span the moment one inserted word shifts its chunk alignment): every
+    * stride-1 char 32-gram of every document is censused, a gram seen in
+    * ≥ 2 distinct documents marks duplicated material, and each document
+    * reports how much of its gram set is shared — the per-doc boilerplate/
+    * syndication coverage number ExactSubstr feeds into span-removal.
+    * All-integer → strict.
+    *
+    * 100 TB plan: the gram census is one map-side-combined hash-agg and
+    * the dup set joins back gram-keyed — two shuffles, corpus-linear
+    * (stride-1 is a 32× stream expansion, the documented price of exact
+    * detection; production ships 8-byte gram hashes, not the 32 chars,
+    * and a true suffix array is the single-node alternative). */
+  val q501DupSpanCensus: GraftQuery = GraftQuery.oracled(
+    "q501_dup_span_census",
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, substr(text, i, 32) AS s
+      |  FROM documents,
+      |       UNNEST(generate_series(1, length(text) - 31)) AS t(i)
+      |  WHERE length(text) >= 32),
+      |dup AS (SELECT s FROM g GROUP BY s HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT g.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(count(dup.s) AS BIGINT) AS n_dup_grams,
+      |       CAST(count(dup.s) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+      |FROM g LEFT JOIN dup ON g.s = dup.s
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .filter(length($"text") >= 32)
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, char_length(text) - 31), i -> substring(text, i, 32))"))).as("s"))
+    val dup = g.groupBy($"s")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"s", lit(1).as("dupflag"))
+    g.join(dup, Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        count($"dupflag").cast("long").as("n_dup_grams"))
+      .withColumn("dup_ppm", expr("n_dup_grams * 1000000 div n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  /** CONTENT-DEFINED CHUNKING + CHUNK DEDUP (the LBFS/rsync boundary trick
+    * — Muthitacharoen et al., SOSP 2001 §3.1): chunk boundaries land where
+    * a rolling fingerprint of the trailing 16 chars hits 0 mod 64, so an
+    * INSERTION only re-chunks its local neighborhood — the property q115's
+    * fixed partition lacks and the reason every CAS/backup dedup store
+    * chunks this way. The fingerprint is the portable md5-window coin
+    * (q102/q494's arithmetic), so both engines cut identical boundaries;
+    * per document: chunk count, mean chunk length, and how many of its
+    * chunks also occur in ANOTHER document (the cross-doc dedup census a
+    * chunk store would actually deduplicate). All-integer → strict.
+    *
+    * 100 TB plan: boundary detection is a map-side projection per doc (the
+    * window hash never crosses documents — embarrassingly parallel);
+    * chunk-census + join-back are gram-keyed shuffles on chunk HASHES
+    * (text stays map-side), the q115 two-shuffle shape. Expected chunk ~64
+    * chars ⇒ the chunk stream is ~n_chars/64 rows, corpus-sublinear. */
+  val q505CdcChunking: GraftQuery = GraftQuery.oracled(
+    "q505_cdc_chunking",
+    """WITH b AS (
+      |  SELECT doc_id, i AS pos
+      |  FROM documents,
+      |       UNNEST(generate_series(16, length(text))) AS t(i)
+      |  WHERE CAST(('0x' || substr(md5(substr(text, i - 15, 16)), 1, 15)) AS BIGINT) % 64 = 0
+      |  UNION
+      |  SELECT doc_id, length(text) FROM documents WHERE length(text) >= 1),
+      |sp AS (
+      |  SELECT doc_id, coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 AS cstart,
+      |         pos AS cend
+      |  FROM b),
+      |ch AS (
+      |  SELECT sp.doc_id, substr(d.text, sp.cstart, sp.cend - sp.cstart + 1) AS chunk
+      |  FROM sp JOIN documents d ON sp.doc_id = d.doc_id),
+      |shared AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT ch.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(length(ch.chunk)) AS BIGINT) AS n_chars,
+      |       CAST(sum(length(ch.chunk)) // count(*) AS BIGINT) AS mean_chunk_len,
+      |       CAST(count(shared.chunk) AS BIGINT) AS n_shared_chunks
+      |FROM ch LEFT JOIN shared ON ch.chunk = shared.chunk
+      |GROUP BY ch.doc_id
+      |ORDER BY ch.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    // Spark's sequence() runs DESCENDING when start > stop, so docs shorter
+    // than the 16-char window must be excluded before the explode (DuckDB's
+    // generate_series is empty there); they still chunk via the final
+    // whole-doc boundary below.
+    val hits = docs
+      .filter(length($"text") >= 16)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(16), length($"text"))).as("pos"))
+      .filter(conv(substring(md5(expr("substring(text, pos - 15, 16)")), 1, 15),
+        16, 10).cast("long") % 64 === 0)
+      .select($"doc_id", $"pos")
+    val bounds = hits
+      .unionByName(docs.filter(length($"text") >= 1)
+        .select($"doc_id", length($"text").cast("int").as("pos")))
+      .distinct()
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = bounds
+      .withColumn("cstart", coalesce(lag($"pos", 1).over(w), lit(0)) + 1)
+      .select($"doc_id", $"cstart", $"pos".as("cend"))
+    val ch = spans.join(docs, Seq("doc_id"))
+      .select($"doc_id",
+        expr("substring(text, cstart, cend - cstart + 1)").as("chunk"))
+    val shared = ch.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"chunk", lit(1).as("sharedflag"))
+    ch.join(shared, Seq("chunk"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(length($"chunk")).cast("long").as("n_chars"),
+        count($"sharedflag").cast("long").as("n_shared_chunks"))
+      .withColumn("mean_chunk_len", expr("n_chars div n_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_chars", $"mean_chunk_len",
+        $"n_shared_chunks")
+      .orderBy($"doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
+    q501DupSpanCensus, q505CdcChunking,
     q494MinhashPortable, q495LshCandidateAudit, q499JaccardHistogram,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,

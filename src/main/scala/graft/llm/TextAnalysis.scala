@@ -770,7 +770,7 @@ object TextAnalysis {
     q366TokenizerFertility, q377NfcNormalize, q380HashCollisionAudit,
     q384MojibakeAudit, q390VocabCoverage, q424GoodTuring,
     q430WordpieceGreedy, q433DistinctN, q435KneserNey, q439UnigramLmRound,
-    q454CcnetBuckets)
+    q454CcnetBuckets, q500BpeEncode, q504RepetitionRuns)
 
   /** GOOD–TURING UNSEEN-MASS ESTIMATE (Good 1953) — how much probability
     * mass belongs to n-grams the corpus has NEVER seen: the Turing
@@ -1585,6 +1585,138 @@ object TextAnalysis {
     spark.createDataFrame(merges.zipWithIndex.map { case ((l, r, n), i) =>
       (i + 1, l.stripPrefix("@"), r.stripPrefix("@"), n)
     }).toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** BPE ENCODE + TOKENIZER FERTILITY (Sennrich et al. 2016 §2's merge
+    * application; fertility = subword tokens per word, THE
+    * tokenizer-efficiency number reported per language/source in every
+    * multilingual-tokenizer study) — the inference half of q312: the 12
+    * LEARNED merges are applied IN RANK ORDER to the per-source distinct-
+    * word census (the Heaps-bounded q312 trick — the corpus is never
+    * re-tokenized per merge), and each source reports its distinct words,
+    * weighted occurrences, weighted subword tokens, and fertility in ppm
+    * (integer — occurrence-weighted tokens·10⁶ div occurrences). Distinct
+    * from q217/q366, which apply a FIXED literal merge table to full doc
+    * text: this is the train→encode pipeline end-to-end — the merges come
+    * out of q312's trainer on the same corpus, and the encode runs on the
+    * census, not the rows.
+    *
+    * STRICT: the oracle splices q312's recursive trainer CTE verbatim (the
+    * q321 oracle-coupling pattern) and replays the encoder as a second
+    * recursion — word reprs at level i join the merge table at rank i+1, so
+    * every word stops exactly after the last learned merge; all outputs are
+    * integers.
+    *
+    * 100 TB plan: training and encoding both ride the distinct-word census
+    * (map-side-combined agg, millions of rows at corpus scale, vs trillions
+    * of tokens); the 12 merges are driver literals folded into ONE
+    * projection over the census — no per-merge corpus pass, no shuffle
+    * beyond the census agg and the source rollup. */
+  val q500BpeEncode: GraftQuery = GraftQuery.oracled(
+    "q500_bpe_encode", {
+      val base = q312BpeTrain.oracle.get
+      val cut = base.indexOf("SELECT DISTINCT CAST(i AS INT) AS rank")
+      require(cut > 0, "q500 splices q312's trainer CTE; q312's oracle " +
+        "final SELECT changed — update the coupling here")
+      base.substring(0, cut).trim + """,
+        |mg AS (SELECT DISTINCT i AS mi, bl, br FROM it WHERE i >= 1),
+        |nm AS (SELECT CAST(coalesce(max(mi), 0) AS INT) AS n FROM mg),
+        |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |       WHERE w <> '' GROUP BY source, w),
+        |ap AS (
+        |  SELECT source, w, cnt, trim(regexp_replace(w, '(.)', '@\1 ', 'g')) AS repr, 0 AS i
+        |  FROM sw
+        |  UNION ALL
+        |  SELECT ap.source, ap.w, ap.cnt,
+        |         replace(ap.repr, m.bl || ' ' || m.br, m.bl || substr(m.br, 2)), ap.i + 1
+        |  FROM ap JOIN mg m ON m.mi = ap.i + 1
+        |),
+        |tk AS (SELECT source, w, cnt, len(string_split(repr, ' ')) AS ntok
+        |       FROM ap, nm WHERE ap.i = nm.n)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+        |       CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens,
+        |       CAST((sum(cnt * ntok) * 1000000) // sum(cnt) AS BIGINT) AS fertility_ppm
+        |FROM tk GROUP BY source ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val merges = bpeTrain(Tables.documents(spark, dir), 12)
+    val sw = Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"source", $"w").agg(count(lit(1)).as("cnt"))
+    val repr0 = trim(regexp_replace($"w", "(.)", "@$1 "))
+    val reprN = merges.foldLeft(repr0) { case (c, (l, r, _)) =>
+      replace(c, lit(s"$l $r"), lit(l + r.stripPrefix("@")))
+    }
+    sw.withColumn("ntok", size(split(reprN, " ")).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum($"cnt").cast("long").as("n_occurrences"),
+        sum($"cnt" * $"ntok").cast("long").as("n_tokens"))
+      .withColumn("fertility_ppm", expr("n_tokens * 1000000 div n_occurrences"))
+      .orderBy($"source")
+  }
+
+  /** REPETITION-LOOP DETECTOR — consecutive same-token RUNS per document
+    * (the position-sensitive complement of q111's set-based bigram dup
+    * fraction): degenerate generation and template spam repeat a token in
+    * place ("buy buy buy …"), which leaves the bigram TYPE census nearly
+    * clean but shows as long equal-token runs. Per doc: token count, the
+    * longest run of one repeated token, and the share of tokens sitting in
+    * runs of length ≥ 3 (integer ppm) — the loop-share gate a generation
+    * filter thresholds on (Holtzman et al. 2020's degeneration failure
+    * mode, reduced to its exact streaming-computable signature).
+    *
+    * 100 TB plan: one lag + one running-sum window PER DOCUMENT key (docs
+    * are the partition key — bounded frames, no global window), then a
+    * (doc, run) hash-agg and a doc rollup; everything is map-side-
+    * combinable after the single doc-keyed shuffle. All-integer → strict. */
+  val q504RepetitionRuns: GraftQuery = GraftQuery.oracled(
+    "q504_repetition_runs",
+    """WITH tok AS (
+      |  SELECT doc_id, i AS pos, l[i] AS t
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |        FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS g(i)),
+      |runs AS (
+      |  SELECT doc_id, t, pos,
+      |         CAST(sum(CASE WHEN prev IS NULL OR prev <> t THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY doc_id ORDER BY pos
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM (SELECT doc_id, pos, t,
+      |               lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |        FROM tok)),
+      |rl AS (SELECT doc_id, run_id, CAST(count(*) AS BIGINT) AS len
+      |       FROM runs GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(sum(len) AS BIGINT) AS n_tokens,
+      |       CAST(max(len) AS BIGINT) AS longest_run,
+      |       CAST(coalesce(sum(CASE WHEN len >= 3 THEN len END), 0) AS BIGINT) AS loop_tokens,
+      |       CAST(coalesce(sum(CASE WHEN len >= 3 THEN len END), 0) * 1000000 // sum(len) AS BIGINT) AS loop_ppm
+      |FROM rl GROUP BY doc_id
+      |ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(filter(split($"text", " "), x => x =!= "")))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("t"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runs = tok
+      .withColumn("prev", lag($"t", 1).over(w))
+      .withColumn("run_id",
+        sum(when($"prev".isNull || $"prev" =!= $"t", 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy($"doc_id", $"run_id").agg(count(lit(1)).cast("long").as("len"))
+    runs.groupBy($"doc_id")
+      .agg(sum($"len").cast("long").as("n_tokens"),
+        max($"len").cast("long").as("longest_run"),
+        coalesce(sum(when($"len" >= 3, $"len")), lit(0L)).cast("long").as("loop_tokens"))
+      .withColumn("loop_ppm", expr("loop_tokens * 1000000 div n_tokens"))
+      .orderBy($"doc_id")
   }
 
   /** WORDPIECE TOKENIZATION — greedy longest-match-first inference (the
