@@ -706,8 +706,70 @@ object FuzzyJoin {
       .orderBy($"brand", $"band", $"ida")
   }
 
+  /** SORTED-NEIGHBORHOOD MUTUAL NN (Hernández & Stolfo 1995's merge/purge
+    * blocking under q482's reciprocal-NN pairing) — the LINEAR-candidate
+    * answer to the round-8 scale measurement: q476/q482's fixed
+    * (brand, band) blocks went 85–128× on a 10× scale-up because a fixed
+    * key cardinality means 10× rows deepen every block 10× (pairs ×100).
+    * Sorted neighborhood bounds candidates STRUCTURALLY instead: rank all
+    * records by (name, id) and compare each to its next w = 3 ranks —
+    * 3n pairs at ANY scale, no key-cardinality assumption. Per-id best
+    * (dl, id)-argmin both directions, then reciprocal pairs, exactly
+    * q482's semantics on the windowed candidate set.
+    *
+    * 100 TB plan: the global rank is the TwoPhase two-phase machinery
+    * (bucket = the name itself — bucket-local windows + a broadcast
+    * offset census; never a single-partition window); the rank-offset
+    * join is an equi-join on rn+d (the q229 offset-explode trick); the
+    * argmin and mutuality joins are id-keyed and output-sized. Measured
+    * sf0.1→sf1 alongside the quadratic entries in BASELINE.md. */
+  val q506SortedNeighborhoodNn: GraftQuery = GraftQuery.oracled(
+    "q506_sorted_neighborhood_nn",
+    """WITH v AS (SELECT p_partkey AS id, p_name AS nm FROM part),
+      |r AS (SELECT id, nm, row_number() OVER (ORDER BY nm, id) AS rn FROM v),
+      |half AS (SELECT a.id AS x, b.id AS y, a.nm AS nmx, b.nm AS nmy,
+      |                CAST(damerau_levenshtein(a.nm, b.nm) AS BIGINT) AS dl
+      |         FROM r a JOIN r b ON b.rn - a.rn IN (1, 2, 3)),
+      |pr AS (SELECT x, y, nmx, nmy, dl FROM half
+      |       UNION ALL SELECT y, x, nmy, nmx, dl FROM half),
+      |best AS (SELECT x, y, nmx, nmy, dl,
+      |                row_number() OVER (PARTITION BY x ORDER BY dl, y) AS rk
+      |         FROM pr),
+      |b1 AS (SELECT x, y, nmx, nmy, dl FROM best WHERE rk = 1)
+      |SELECT a.x AS ida, a.y AS idb, a.nmx AS name_a, a.nmy AS name_b, a.dl
+      |FROM b1 a JOIN b1 b ON a.y = b.x AND b.y = a.x AND a.x < a.y
+      |ORDER BY ida, idb""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.DamerauLevenshtein.register(spark)
+    val v = Tables.part(spark, dir).select($"p_partkey".as("id"), $"p_name".as("nm"))
+    val ranked = graft.operators.TwoPhase.rowNumber(v, $"nm", Seq($"id"), "rn")
+      .select($"id", $"nm", $"rn")
+      .localCheckpoint() // probe + build sides of the offset join share it
+    val off = ranked
+      .withColumn("d", explode(array(lit(1L), lit(2L), lit(3L))))
+      .select(($"rn" + $"d").as("rnb"), $"id".as("x"), $"nm".as("nmx"))
+    val half = off
+      .join(ranked.select($"rn".as("rnb"), $"id".as("y"), $"nm".as("nmy")), Seq("rnb"))
+      .select($"x", $"y", $"nmx", $"nmy",
+        graft.functions.DamerauLevenshtein.damerau($"nmx", $"nmy").cast("long").as("dl"))
+      .localCheckpoint() // scored once; both orientations read it
+    val pr = half.unionByName(half.select($"y".as("x"), $"x".as("y"),
+      $"nmy".as("nmx"), $"nmx".as("nmy"), $"dl"))
+    val best = pr
+      .withColumn("rk", row_number().over(Window.partitionBy($"x").orderBy($"dl", $"y")))
+      .filter($"rk" === 1)
+      .select($"x", $"y", $"nmx", $"nmy", $"dl")
+      .localCheckpoint() // both sides of the mutuality self-join
+    val bb = best.select($"x".as("bx"), $"y".as("by"))
+    best.join(bb, best("y") === $"bx" && best("x") === $"by" && best("x") < best("y"))
+      .select($"x".as("ida"), $"y".as("idb"),
+        $"nmx".as("name_a"), $"nmy".as("name_b"), $"dl")
+      .orderBy($"ida", $"idb")
+  }
+
   def all: Seq[GraftQuery] = Seq(q160EditDistanceJoin, q270EntityResolution,
     q275GoldenRecord, q282FellegiSunter, q301JaroWinklerMatch,
     q348FellegiSunterEm, q414BlockingQuality, q476DamerauClosestPairs,
-    q482MutualNn)
+    q482MutualNn, q506SortedNeighborhoodNn)
 }
