@@ -1789,30 +1789,97 @@ object Dedup {
     * — the order-SENSITIVE complement to q45's bag-of-shingles Jaccard: a
     * doc with sentences deleted keeps a high LCS fraction, a reshuffled
     * bag of the same words does not. Candidates come from q45's
-    * frequency-capped shingle inverted index at a LOOSER floor (≥ 3 shared
-    * capped shingles) so genuinely partial overlaps enter; each pair then
-    * gets one [[graft.functions.LcsLength]] call (codegen kernel #9) and
-    * rougeL_ppm = ⌊10⁶·2·lcs/(la+lb)⌋ — integer from integer LCS, so the
-    * emitted rows are engine-deterministic even without an oracle (LCS is
-    * not SQL-expressible; DedupSpec bit-checks the kernel against an
-    * independent full-matrix DP and fixture truths).
+    * frequency-capped shingle inverted index at a LOOSER, CONTAINMENT-
+    * aware floor (≥ 3 shared capped shingles AND shared ≥ 20% of the
+    * smaller shingle set — 5·shared ≥ min(na,nb)) so genuinely partial
+    * overlaps enter while bag-noise pairs stay out; each pair then gets
+    * one [[graft.functions.LcsLength]] call (codegen kernel #9) and
+    * rougeL_ppm = ⌊10⁶·2·lcs/(la+lb)⌋ — integer from integer LCS.
+    * DedupSpec bit-checks the kernel against an independent full-matrix
+    * DP and fixture truths.
+    *
+    * STRICT since r8 (formerly rows-only): the LCS DP IS relationally
+    * replayable by ANTI-DIAGONAL recursion — every cell on diagonal
+    * i+j = d depends only on diagonals d−1 (up/left) and d−2 (the match
+    * move), so one recursive CTE carries two diagonals ('cur' rows
+    * propose up/left moves and re-emit themselves as 'prev'; 'prev' rows
+    * propose the diagonal move) and the per-cell max is one FILTERed
+    * aggregation; the equal-token case is diag+1 exactly (diag+1
+    * dominates up/left — the standard LCS monotonicity). ~333 surviving
+    * pairs × ≤100² cells at sf0.1 keeps the replay census-sized.
     *
     * 100 TB plan: identical skeleton to q45 — the capped inverted index
     * bounds candidates sub-quadratically; the O(|a|·|b|) DP runs only on
     * surviving pairs, inside whole-stage codegen, with token arrays
     * shuffled once via the two doc-keyed joins. */
-  val q437RougeL: GraftQuery = GraftQuery.rowsOnly(
+  val q437RougeL: GraftQuery = GraftQuery.oracled(
     "q437_rouge_lcs",
-    doc = "ROUGE-L (codegen LCS kernel) over capped-shingle candidate pairs, sharedShingles >= 3") {
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2 HAVING count(*) >= 3),
+      |pairs AS (SELECT cand.da, cand.db, ta.tk AS ta, tb.tk AS tb
+      |          FROM cand
+      |          JOIN szs sa ON da = sa.doc_id
+      |          JOIN szs sb ON db = sb.doc_id
+      |          JOIN (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) ta ON ta.doc_id = da
+      |          JOIN (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) tb ON tb.doc_id = db
+      |          WHERE 5 * shared >= least(sa.n, sb.n)),
+      |it AS (
+      |  SELECT da, db, 1 AS i, 1 AS j,
+      |         CAST(CASE WHEN ta[1] = tb[1] THEN 1 ELSE 0 END AS BIGINT) AS v,
+      |         'cur' AS lvl, 1 AS step
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT da, db, ni, nj,
+      |         CAST(CASE WHEN iscarry THEN max(c)
+      |                   WHEN tok_a = tok_b THEN coalesce(max(c) FILTER (WHERE kind = 'diag'), 0) + 1
+      |                   ELSE coalesce(max(c) FILTER (WHERE kind = 'ud'), 0) END AS BIGINT) AS v,
+      |         CASE WHEN iscarry THEN 'prev' ELSE 'cur' END AS lvl,
+      |         step + 1
+      |  FROM (
+      |    SELECT it.da, it.db, it.i + mv.di AS ni, it.j + mv.dj AS nj, it.v AS c,
+      |           mv.kind, mv.kind = 'carry' AS iscarry, it.step,
+      |           p.ta[it.i + mv.di] AS tok_a, p.tb[it.j + mv.dj] AS tok_b
+      |    FROM it
+      |    JOIN pairs p ON p.da = it.da AND p.db = it.db,
+      |    LATERAL (SELECT * FROM (VALUES (1, 0, 'ud', 'cur'), (0, 1, 'ud', 'cur'),
+      |                                   (1, 1, 'diag', 'prev'), (0, 0, 'carry', 'cur'))
+      |             v(di, dj, kind, need) WHERE v.need = it.lvl) mv
+      |    WHERE it.step < 220
+      |      AND it.i + mv.di <= len(p.ta) AND it.j + mv.dj <= len(p.tb)
+      |  )
+      |  GROUP BY da, db, ni, nj, iscarry, step, tok_a, tok_b
+      |),
+      |lcs AS (SELECT p.da AS doc_a, p.db AS doc_b,
+      |               CAST(len(p.ta) AS BIGINT) AS la, CAST(len(p.tb) AS BIGINT) AS lb,
+      |               (SELECT v FROM it WHERE it.da = p.da AND it.db = p.db
+      |                  AND it.lvl = 'cur' AND it.i = len(p.ta) AND it.j = len(p.tb)) AS lcs_len
+      |        FROM pairs p)
+      |SELECT doc_a, doc_b, la, lb, lcs_len,
+      |       CAST((1000000 * 2 * lcs_len) // (la + lb) AS BIGINT) AS rouge_l_ppm
+      |FROM lcs
+      |ORDER BY rouge_l_ppm DESC, doc_a, doc_b
+      |LIMIT 100""") {
     (spark, dir) =>
     import spark.implicits._
     graft.functions.LcsLength.register(spark)
     val docs = Tables.documents(spark, dir)
     val sh = capShingles(shingleDocs(docs), MaxShingleDf)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val cands = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
       .filter($"shared" >= 3)
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .filter(lit(5) * $"shared" >= least($"na", $"nb"))
     val toks = docs.select($"doc_id", split($"text", " ").as("toks"))
     cands
       .join(toks.select($"doc_id".as("doc_a"), $"toks".as("toks_a")), Seq("doc_a"))

@@ -234,26 +234,57 @@ object MlExtras {
     * ANTITONIC (non-increasing) — the corpus's price-quantity relationship
     * is negative (q225's slope < 0), so the decreasing shape constraint is
     * the honest one (calibration curves, dose-response). Output is the
-    * fitted step function's knots. rows-only; MlSpec proves the two
-    * defining laws: predictions are monotone non-increasing, and MSE ≤ the
-    * OLS line's MSE (the negative-slope line is itself a non-increasing
-    * candidate, so the PAVA optimum must dominate it).
+    * fitted step function evaluated on the quantity census. MlSpec proves
+    * the two defining laws: predictions are monotone non-increasing, and
+    * MSE ≤ the OLS line's MSE (the negative-slope line is itself a
+    * non-increasing candidate, so the PAVA optimum must dominate it).
+    *
+    * STRICT since r8 (formerly rows-only): the antitonic L2 fit is a
+    * UNIQUE convex projection — PAVA is just one algorithm that reaches it
+    * — and on a bounded feature census it has a closed relational form:
+    * ŷ(xᵢ) = min_{j≤i} max_{k≥i} mean(y over [j..k]) (the antitonic
+    * minimax theorem; Robertson–Wright–Dykstra 1988 §1.4). The label is
+    * INTEGER CENTS, so every range mean is one division of exact BIGINT
+    * prefix sums — both engines derive bit-identical means — and the
+    * output is rounded to 4 decimals, orders of magnitude above MLlib's
+    * merge-order ulp noise. The oracle materializes all O(|census|²)
+    * ranges (≤ 50 quantity levels → ≤ 1275 ranges) with a per-j running
+    * max and a per-i min.
     *
     * Scale note: Spark's PAVA runs per-partition then merges adjacent
     * violators on the sorted boundaries — one range-partitioned sort, no
-    * driver materialization of the data. */
-  val q236Isotonic: GraftQuery = GraftQuery.rowsOnly(
+    * driver materialization; the census evaluation is a broadcast-size
+    * transform. */
+  val q236Isotonic: GraftQuery = GraftQuery.oracled(
     "q236_isotonic",
-    doc = "IsotonicRegression(antitonic) l_extendedprice ~ l_quantity: step-function knots (x, yhat)") { (spark, dir) =>
+    """WITH cen AS (SELECT CAST(l_quantity AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS w,
+      |                    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      |             FROM lineitem GROUP BY 1),
+      |ord AS (SELECT x, w, s, row_number() OVER (ORDER BY x) AS i,
+      |               CAST(sum(w) OVER (ORDER BY x) AS BIGINT) AS cw,
+      |               CAST(sum(s) OVER (ORDER BY x) AS BIGINT) AS cs
+      |        FROM cen),
+      |rng AS (SELECT a.i AS j, b.i AS k,
+      |               CAST(b.cs - a.cs + a.s AS DOUBLE) / CAST(b.cw - a.cw + a.w AS DOUBLE) AS m
+      |        FROM ord a JOIN ord b ON a.i <= b.i),
+      |mx AS (SELECT j, k AS i,
+      |              max(m) OVER (PARTITION BY j ORDER BY k DESC
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mxk
+      |       FROM rng),
+      |fit AS (SELECT i, min(mxk) AS yhat FROM mx GROUP BY i)
+      |SELECT ord.x, round(fit.yhat, 4) AS yhat_cents
+      |FROM ord JOIN fit ON ord.i = fit.i
+      |ORDER BY ord.x""") { (spark, dir) =>
     import spark.implicits._
     val data = Tables.lineitem(spark, dir)
-      .select($"l_quantity".as("x"), $"l_extendedprice".as("label"))
+      .select($"l_quantity".as("x"),
+        floor($"l_extendedprice" * 100 + 0.5).cast("double").as("label"))
     val model = new org.apache.spark.ml.regression.IsotonicRegression()
       .setFeaturesCol("x").setLabelCol("label").setIsotonic(false)
       .fit(data)
-    model.boundaries.toArray.zip(model.predictions.toArray).toSeq
-      .toDF("x", "yhat")
-      .select($"x", stat($"yhat").as("yhat"))
+    val census = data.groupBy($"x").agg(count(lit(1)).as("w")).select($"x")
+    model.transform(census)
+      .select($"x".cast("long").as("x"), round($"prediction", 4).as("yhat_cents"))
       .orderBy($"x")
   }
 

@@ -29,15 +29,45 @@ object Patterns {
       .agg(sort_array(collect_list($"item")).as("items"))
   }
 
-  /** Frequent itemsets at 20% support over per-user click baskets. No SQL
-    * oracle (the itemset lattice isn't relational); PatternsSpec
-    * cross-checks every size-1 and size-2 itemset count against exact SQL
-    * aggregation (q172's machinery) and the support floor. The itemset is
-    * emitted as `to_json` (q182's pattern) so the driver's rows-only
-    * checker never sees an array-typed column. */
-  val q179FpGrowth: GraftQuery = GraftQuery.rowsOnly(
+  /** Frequent itemsets at 20% support over per-user click baskets.
+    * PatternsSpec cross-checks every size-1 and size-2 itemset count
+    * against exact SQL aggregation (q172's machinery) and the support
+    * floor. The itemset is emitted as `to_json` (q182's pattern) so the
+    * driver's compare never sees an array-typed column.
+    *
+    * STRICT since r8 (formerly rows-only): frequent itemsets are a
+    * DATA-DETERMINED set — FP-Growth is just one algorithm that finds it —
+    * and the itemset lattice IS relationally enumerable by sorted-prefix
+    * extension (every frequent itemset's sorted prefix is frequent, so
+    * extending each frequent set only by items > its last element is a
+    * complete, duplicate-free walk). The DuckDB oracle runs that walk as a
+    * recursive CTE with LIST-valued keys, the support floor as the integer
+    * cross-mult `5·freq ≥ n` (≡ MLlib's `freq ≥ ceil(0.2·n)`), and emits
+    * the identical `to_json`/freq/size rows — verified itemset-for-itemset
+    * against the FP-Growth output. */
+  val q179FpGrowth: GraftQuery = GraftQuery.oracled(
     "q179_fpgrowth_itemsets",
-    doc = "FP-Growth frequent itemsets, minSupport=0.2, per-user click baskets") {
+    """WITH RECURSIVE
+      |it0 AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) % 20 AS item
+      |        FROM events WHERE event_type = 'click'),
+      |b AS (SELECT user_id, list_sort(list(item)) AS items FROM it0 GROUP BY user_id),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+      |lev AS (
+      |  SELECT [item] AS iset, CAST(count(*) AS BIGINT) AS freq
+      |  FROM it0, nb GROUP BY item, nb.n HAVING 5 * count(*) >= nb.n
+      |  UNION ALL
+      |  SELECT iset, freq FROM (
+      |    SELECT list_append(l.iset, u.it) AS iset, CAST(count(*) AS BIGINT) AS freq
+      |    FROM lev l
+      |    JOIN b ON list_has_all(b.items, l.iset),
+      |    UNNEST(list_filter(b.items, x -> x > l.iset[-1])) AS u(it),
+      |    nb
+      |    GROUP BY list_append(l.iset, u.it), nb.n
+      |    HAVING 5 * count(*) >= nb.n
+      |  )
+      |)
+      |SELECT to_json(iset) AS items, freq, CAST(len(iset) AS BIGINT) AS size
+      |FROM lev ORDER BY size, iset""") {
     (spark, dir) =>
       import spark.implicits._
       val model = new FPGrowth()

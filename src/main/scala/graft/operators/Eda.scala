@@ -3295,14 +3295,64 @@ object Eda {
     * cents; distances come from the [[graft.functions.DtwDistance]]
     * codegen kernel (#10) with a Sakoe–Chiba band of 7 days. Integer in,
     * integer out — the emitted matrix is exact BIGINT and fully
-    * deterministic; no SQL oracle (a banded DP argmin is not relational),
-    * DtwSpec replays an independent full-matrix DP and the band laws.
+    * deterministic. DtwSpec replays an independent full-matrix DP and the
+    * band laws.
+    *
+    * STRICT since r8 (formerly rows-only): a banded DP argmin IS
+    * relationally replayable by ANTI-DIAGONAL recursion — cells on
+    * diagonal i+j = d depend only on diagonals d−1 and d−2, so one
+    * recursive CTE carries two diagonals ('cur' rows propose the
+    * insert/delete moves and re-emit themselves as 'prev'; 'prev' rows
+    * propose the match move) and each new cell is |aᵢ−bⱼ| + min over its
+    * grouped proposals. Band and bounds prune proposals; a pair whose
+    * lengths differ by more than the band falls back to the kernel's Inf
+    * sentinel (Long.MaxValue/4) via COALESCE. All-integer throughout.
     *
     * 100 TB plan: the fact table collapses to a 5-series census in one
     * hash-agg; the 5×5 pair join and the O(56·15) DPs are census work. */
-  val q443DtwMatrix: GraftQuery = GraftQuery.rowsOnly(
+  val q443DtwMatrix: GraftQuery = GraftQuery.oracled(
     "q443_dtw_matrix",
-    doc = "Banded-DTW (w=7, codegen kernel) distance matrix over per-priority 56-day revenue-cents series") {
+    """WITH RECURSIVE
+      |daily AS (
+      |  SELECT o_orderpriority AS pri, o_orderdate AS d,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |idx AS (SELECT pri, cents, row_number() OVER (PARTITION BY pri ORDER BY d) AS i
+      |        FROM daily QUALIFY i <= 56),
+      |ser AS (SELECT pri, list(cents ORDER BY i) AS xs FROM idx GROUP BY pri),
+      |pairs AS (SELECT a.pri AS pa, b.pri AS pb, a.xs AS sa, b.xs AS sb
+      |          FROM ser a JOIN ser b ON a.pri < b.pri),
+      |it AS (
+      |  SELECT pa, pb, 1 AS i, 1 AS j,
+      |         CAST(abs(sa[1] - sb[1]) AS BIGINT) AS cost, 'cur' AS lvl, 1 AS step
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT pa, pb, ni, nj,
+      |         CAST(CASE WHEN kind = 'carry' THEN min(c)
+      |                   ELSE abs(sa[ni] - sb[nj]) + min(c) END AS BIGINT) AS cost,
+      |         CASE WHEN kind = 'carry' THEN 'prev' ELSE 'cur' END AS lvl,
+      |         step + 1
+      |  FROM (
+      |    SELECT it.pa, it.pb, it.i + mv.di AS ni, it.j + mv.dj AS nj, it.cost AS c,
+      |           mv.kind, it.step, p.sa, p.sb
+      |    FROM it
+      |    JOIN pairs p ON p.pa = it.pa AND p.pb = it.pb,
+      |    LATERAL (SELECT * FROM (VALUES (1, 0, 'move', 'cur'), (0, 1, 'move', 'cur'),
+      |                                   (1, 1, 'move', 'prev'), (0, 0, 'carry', 'cur'))
+      |             v(di, dj, kind, need) WHERE v.need = it.lvl) mv
+      |    WHERE it.step < 120
+      |      AND it.i + mv.di <= len(p.sa) AND it.j + mv.dj <= len(p.sb)
+      |      AND abs((it.i + mv.di) - (it.j + mv.dj)) <= 7
+      |  )
+      |  GROUP BY pa, pb, ni, nj, kind, step, sa[ni], sb[nj]
+      |)
+      |SELECT p.pa AS pri_a, p.pb AS pri_b,
+      |       coalesce(
+      |         (SELECT cost FROM it WHERE it.pa = p.pa AND it.pb = p.pb
+      |            AND it.lvl = 'cur' AND it.i = len(p.sa) AND it.j = len(p.sb)),
+      |         2305843009213693951) AS dtw_cents
+      |FROM pairs p
+      |ORDER BY pri_a, pri_b""") {
     (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -182,7 +182,7 @@ class MlSpec extends AnyFunSuite with SparkFixture {
   test("antitonic fit: knots non-increasing and MSE dominates the OLS line") {
     import spark.implicits._
     val knots = MlExtras.q236Isotonic.fn(spark, sf).collect()
-      .map(r => (r.getDouble(0), r.getDouble(1)))
+      .map(r => (r.getLong(0).toDouble, r.getDouble(1)))
     assert(knots.sliding(2).forall {
       case Array((x1, y1), (x2, y2)) => x1 <= x2 && y1 >= y2
       case _                         => true
