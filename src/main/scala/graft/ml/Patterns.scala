@@ -94,10 +94,44 @@ object Patterns {
 
   /** Frequent sequential patterns (PrefixSpan, 30% support, length ≤ 3)
     * over per-user event-type sequences. PatternsSpec cross-checks the
-    * length-1 patterns against exact distinct-user counts. */
-  val q182PrefixSpan: GraftQuery = GraftQuery.rowsOnly(
+    * length-1 patterns against exact distinct-user counts.
+    *
+    * STRICT since r8 (formerly rows-only): with single-item itemsets, a
+    * bounded alphabet (5 event types) and maxPatternLength = 3, the
+    * pattern space is ≤ 5 + 25 + 125 candidates — fully enumerable — and
+    * subsequence support is decidable by the GREEDY first-occurrence
+    * chain (existence of i<j<k with the right symbols ⟺ the greedy chain
+    * of first occurrences succeeds). The oracle enumerates all
+    * candidates, chains `list_position` through LATERALs per (user,
+    * pattern), applies MLlib's support floor as the integer cross-mult
+    * 10·freq ≥ 3·n (≡ freq ≥ ceil(0.3·n)), and emits the identical
+    * to_json sequence-of-itemsets strings — verified pattern-for-pattern
+    * against the PrefixSpan output. */
+  val q182PrefixSpan: GraftQuery = GraftQuery.oracled(
     "q182_prefixspan_patterns",
-    doc = "PrefixSpan sequential patterns, minSupport=0.3, maxLen=3") {
+    """WITH u AS (
+      |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS l
+      |  FROM (SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type FROM events)
+      |  GROUP BY user_id),
+      |nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+      |ev AS (SELECT DISTINCT event_type AS e FROM events),
+      |cand AS (
+      |  SELECT [a.e] AS pat FROM ev a
+      |  UNION ALL SELECT [a.e, b.e] FROM ev a, ev b
+      |  UNION ALL SELECT [a.e, b.e, c.e] FROM ev a, ev b, ev c),
+      |hit AS (
+      |  SELECT c.pat, u.user_id
+      |  FROM cand c, u,
+      |  LATERAL (SELECT coalesce(list_position(u.l, c.pat[1]), 0) AS p1) x1,
+      |  LATERAL (SELECT CASE WHEN x1.p1 > 0 AND len(c.pat) >= 2
+      |                       THEN coalesce(list_position(u.l[x1.p1+1:], c.pat[2]), 0) ELSE 0 END AS p2) x2,
+      |  LATERAL (SELECT CASE WHEN x2.p2 > 0 AND len(c.pat) >= 3
+      |                       THEN coalesce(list_position(u.l[x1.p1+x2.p2+1:], c.pat[3]), 0) ELSE 0 END AS p3) x3
+      |  WHERE CASE len(c.pat) WHEN 1 THEN x1.p1 > 0 WHEN 2 THEN x2.p2 > 0 ELSE x3.p3 > 0 END),
+      |fr AS (SELECT pat, CAST(count(*) AS BIGINT) AS freq FROM hit GROUP BY pat),
+      |keep AS (SELECT pat, freq FROM fr, nu WHERE 10 * freq >= 3 * nu.n)
+      |SELECT to_json(list_transform(pat, x -> [x])) AS pattern, freq
+      |FROM keep ORDER BY pattern""") {
     (spark, dir) =>
       import spark.implicits._
       new PrefixSpan()
