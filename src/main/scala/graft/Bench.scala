@@ -69,7 +69,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"mode":"$mode","sf":"$sfDir"}"""
     // Capture-proof artifact: the full record (per-query map included) at
     // the repo root, immune to stdout tail truncation and sbt prefixes.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+    // Only the driver's protocol shape (count mode, full catalog) writes the
+    // canonical BENCH.json; forced or subset self-audit runs go to a scratch
+    // path so a single-query preflight can never clobber the round record
+    // (which happened once: a 1-entry force record overwrote the 499-query
+    // map at commit f29d5ff).
+    val outPath =
+      if (force || only.isDefined) "BENCH_scratch.json" else "BENCH.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd must not fail
     // the bench; fatal JVM errors (OOM/SOE) must still propagate and kill the

@@ -9,6 +9,13 @@ object Verify {
     // Optional extra args: run only these query names (builder iteration);
     // the driver passes exactly two args, so its behavior is unchanged.
     val only = args.drop(2).toSet
+    // SPARK_GRAFT_VERIFY_SKIP: comma-separated names to EXCLUDE — used by
+    // the synthesized-sf1 strict sweep to leave out the named by-design
+    // quadratic baselines (engine + oracle both O(n²) there; BASELINE.md
+    // names them). The driver sets no env, so its protocol is unchanged.
+    val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +26,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -126,25 +126,90 @@ object Curation {
   }
 
   /** q127 ON THE 100 TB PATH: the identical curation pipeline with the
-    * near-dup stage riding [[Dedup.neardupPairsLsh]] (MinHash banding,
-    * sub-quadratic) instead of the exact capped inverted index — the knob
-    * the capstones turn at fleet scale, shipped as its own entry so the
-    * swap is benched and law-gated, not just documented. No SQL oracle
-    * (LSH pairs are hash-seed-specific); CurationSpec's containment law
-    * pins the relationship to q127: the pair superset can only ever move
-    * a doc from {keep, contaminated} to near_dup — every other verdict
-    * arm is pair-independent and must match exactly.
+    * near-dup stage riding [[Dedup.neardupPairsPortableLshVerified]] —
+    * banded-bucket candidates, exact-verified — instead of the exact
+    * capped inverted index: the knob the capstones turn at fleet scale,
+    * shipped as its own entry so the swap is benched and gated end to end.
+    *
+    * STRICT since r9 (formerly rows-only on MLlib's seed-specific
+    * MinHashLSH): re-based on the PORTABLE md5 double-hashing signatures
+    * (q494) and 4×4 band keys (q495), the DuckDB oracle re-derives the
+    * IDENTICAL banded candidate set, verifies it against the same capped-
+    * shingle Jaccard, and replays the whole verdict pipeline — so the
+    * sub-quadratic path is driver-verified outright, not just law-related
+    * to q127. CurationSpec's containment law still pins the q127
+    * relationship (a banding miss can only move a doc from near_dup
+    * toward {keep, contaminated}).
     *
     * 100 TB plan: identical to q127 except the pair stage never builds a
-    * shingle×shingle join — candidates come from banded minhash buckets;
-    * everything downstream (components, verdict joins) is unchanged. */
-  val q349CurationLsh: GraftQuery = GraftQuery.rowsOnly(
+    * shingle×shingle join — candidates come from banded minhash buckets
+    * (bounded md5 + 16-way explode + min agg, then census-sized band
+    * keys); everything downstream (components, verdict joins) is
+    * unchanged. */
+  val q349CurationLsh: GraftQuery = GraftQuery.oracled(
     "q349_curation_lsh",
-    doc = "q127 curation capstone with the near-dup stage on the MinHashLSH path") {
-    (spark, dir) =>
-      import spark.implicits._
-      curate(Tables.documents(spark, dir), $"doc_id" % 50 === 0,
-        Dedup.neardupPairsLsh(_))
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS lo,
+      |              CAST(('0x' || substr(md5(s), 17, 14)) AS BIGINT) AS hi FROM sh),
+      |sig AS (SELECT doc_id, i, CAST(min((lo + i * hi) % 72057594037927936) AS BIGINT) AS minhash
+      |        FROM hh, (SELECT unnest(generate_series(0, 15)) AS i) g GROUP BY 1, 2),
+      |band AS (SELECT doc_id, i // 4 AS b,
+      |                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bk
+      |         FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |         FROM band a JOIN band b2 ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
+      |pairs AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+      |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+      |                      JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+      |          GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b FROM pairs
+      |         JOIN sizes sa ON doc_a = sa.doc_id
+      |         JOIN sizes sb ON doc_b = sb.doc_id
+      |         WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |          UNION ALL SELECT doc_b, doc_a FROM good),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      |quality AS (
+      |  SELECT doc_id,
+      |         (len(string_split(text, ' ')) >= 20
+      |          AND len(list_filter(string_split(lower(text), ' '),
+      |                x -> list_contains(['the', 'and', 'of', 'a', 'to'], x))) > 0) AS q_ok
+      |  FROM documents),
+      |keys AS (SELECT doc_id, sha256(lower(trim(text))) AS ck FROM documents),
+      |exact_keep AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ck) AS keep_id FROM keys),
+      |sh5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+      |       FROM sh5, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i)),
+      |contaminated AS (
+      |  SELECT DISTINCT tr.doc_id
+      |  FROM (SELECT doc_id, s FROM g5 WHERE doc_id % 50 <> 0) tr
+      |  JOIN (SELECT s FROM g5 WHERE doc_id % 50 = 0) ev ON tr.s = ev.s)
+      |SELECT d.doc_id,
+      |       CASE WHEN d.doc_id % 50 = 0        THEN 'eval_holdout'
+      |            WHEN NOT q.q_ok               THEN 'low_quality'
+      |            WHEN ek.keep_id <> d.doc_id   THEN 'exact_dup'
+      |            WHEN cl.cluster_id <> d.doc_id THEN 'near_dup'
+      |            WHEN ct.doc_id IS NOT NULL    THEN 'contaminated'
+      |            ELSE 'keep' END AS verdict
+      |FROM documents d
+      |JOIN quality q      ON d.doc_id = q.doc_id
+      |JOIN exact_keep ek  ON d.doc_id = ek.doc_id
+      |JOIN clusters cl    ON d.doc_id = cl.doc_id
+      |LEFT JOIN contaminated ct ON d.doc_id = ct.doc_id
+      |ORDER BY d.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    curate(Tables.documents(spark, dir), $"doc_id" % 50 === 0,
+      Dedup.neardupPairsPortableLshVerified(_))
   }
 
   /** NEYMAN-OPTIMAL EVAL ALLOCATION — how many eval docs to draw from each
@@ -1364,6 +1429,138 @@ object Curation {
       .orderBy($"lang", $"rk")
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169), the hashed-n-gram importance-weighting step the
+    * modern pretraining mixers run ahead of sampling: score every RAW
+    * document by how target-like its hashed bigram distribution is. The
+    * target distribution here is the q127 eval-holdout arm
+    * (doc_id % 50 = 0); features are token bigrams hashed into 128 md5
+    * buckets (the portable-coin family); bucket log-ratios use add-one
+    * smoothing and are INTEGER-QUANTIZED micro-nats (the q491 floor
+    * fence — floor(10⁶·ln)), so every document weight is an exact BIGINT
+    * dot product of its bucket census with the broadcast ratio table.
+    * Output: the 100 most target-like raw documents (weight DESC, doc_id).
+    *
+    * 100 TB plan: one bigram explode → (doc, bucket) hash-agg (map-side
+    * combined, ≤128 buckets per doc); the global target/raw census is 128
+    * rows; the ratio table broadcasts; the doc weight is one more
+    * map-side-combinable agg and the top-100 a TakeOrdered — the corpus
+    * is scanned once and nothing row-scale is ever joined. The BIGINT
+    * product (ct+1)·(R+128) needs DECIMAL widening past ~10¹⁸ bigram
+    * occurrences (q362's documented class). */
+  val q507DsirImportance: GraftQuery = GraftQuery.oracled(
+    "q507_dsir_importance",
+    """WITH tok AS (SELECT doc_id, source, doc_id % 50 = 0 AS is_target,
+      |                    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |             FROM documents),
+      |bg AS (SELECT doc_id, source, is_target,
+      |              CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 4)) AS BIGINT) % 128 AS b
+      |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+      |       WHERE len(t) >= 2),
+      |dc AS (SELECT doc_id, source, is_target, b, CAST(count(*) AS BIGINT) AS n
+      |       FROM bg GROUP BY 1, 2, 3, 4),
+      |gc AS (SELECT b,
+      |              CAST(coalesce(sum(n) FILTER (WHERE is_target), 0) AS BIGINT) AS ct,
+      |              CAST(coalesce(sum(n) FILTER (WHERE NOT is_target), 0) AS BIGINT) AS cr
+      |       FROM dc GROUP BY b),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_tot, CAST(sum(cr) AS BIGINT) AS r_tot FROM gc),
+      |lr AS (SELECT b, CAST(floor(1000000 * ln(CAST((ct + 1) * (r_tot + 128) AS DOUBLE)
+      |                                         / CAST((cr + 1) * (t_tot + 128) AS DOUBLE))) AS BIGINT) AS qlr
+      |       FROM gc, tot),
+      |w AS (SELECT dc.doc_id, dc.source,
+      |             CAST(sum(dc.n) AS BIGINT) AS n_bigrams,
+      |             CAST(sum(dc.n * lr.qlr) AS BIGINT) AS weight
+      |      FROM dc JOIN lr ON dc.b = lr.b
+      |      WHERE NOT dc.is_target
+      |      GROUP BY 1, 2)
+      |SELECT doc_id, source, n_bigrams, weight
+      |FROM w ORDER BY weight DESC, doc_id LIMIT 100""") { (spark, dir) =>
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", ($"doc_id" % 50 === 0).as("is_target"),
+        filter(split($"text", " "), x => x =!= "").as("t"))
+    val bg = tok.filter(size($"t") >= 2)
+      .select($"doc_id", $"source", $"is_target",
+        explode(expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")).as("bg"))
+      .select($"doc_id", $"source", $"is_target",
+        (conv(substring(md5($"bg"), 1, 4), 16, 10).cast("long") % 128).as("b"))
+    val dc = bg.groupBy($"doc_id", $"source", $"is_target", $"b")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val gc = dc.groupBy($"b")
+      .agg(coalesce(sum(when($"is_target", $"n")), lit(0L)).cast("long").as("ct"),
+        coalesce(sum(when(!$"is_target", $"n")), lit(0L)).cast("long").as("cr"))
+    val tot = gc.agg(sum($"ct").cast("long").as("t_tot"), sum($"cr").cast("long").as("r_tot"))
+    val lr = gc.crossJoin(broadcast(tot))
+      .select($"b",
+        floor(lit(1000000) * log((($"ct" + 1) * ($"r_tot" + 128)).cast("double")
+          / (($"cr" + 1) * ($"t_tot" + 128)).cast("double"))).cast("long").as("qlr"))
+    dc.filter(!$"is_target")
+      .join(broadcast(lr), Seq("b"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"n").cast("long").as("n_bigrams"),
+        sum($"n" * $"qlr").cast("long").as("weight"))
+      .orderBy($"weight".desc, $"doc_id")
+      .limit(100)
+  }
+
+  /** SNAKE (boustrophedon) SHARD ALLOCATION — balanced training-shard
+    * planning without sequential state: the classical greedy
+    * least-loaded-bin packer is an inherently serial walk (unreplayable
+    * relationally at corpus scale), but ranking documents by token count
+    * DESC and dealing them in a snake pattern over B shards
+    * (rank 1..B forward, B+1..2B backward, …) pairs heavy rows with
+    * light ones in closed form — imbalance bounded by one document per
+    * pass — and is a pure function of a global rank. Output: per-shard
+    * doc count, token mass, and ppm share of total.
+    *
+    * 100 TB plan: the global rank is the TwoPhase two-phase machinery
+    * (bucket-local windows + broadcast offset census — never a
+    * single-partition window); everything after is one closed-form
+    * projection + a B-row hash-agg. This is how shard manifests for a
+    * 1000-node dataloader get built without a coordinator. */
+  val q509SnakeSharding: GraftQuery = GraftQuery.oracled(
+    "q509_snake_sharding",
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks
+      |           FROM documents),
+      |r AS (SELECT doc_id, toks,
+      |             row_number() OVER (ORDER BY toks DESC, doc_id) - 1 AS rn
+      |      FROM d),
+      |s AS (SELECT doc_id, toks,
+      |             CASE WHEN rn % 32 < 16 THEN rn % 32 ELSE 31 - rn % 32 END AS shard
+      |      FROM r),
+      |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS tt FROM s)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(toks) AS BIGINT) AS shard_tokens,
+      |       CAST(1000000 * sum(toks) // tt AS BIGINT) AS share_ppm
+      |FROM s, tot GROUP BY shard, tt ORDER BY shard""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(filter(split($"text", " "), x => x =!= "")).cast("long").as("toks"))
+    // global rank WITHOUT a single-partition window: TwoPhase bucket-local
+    // ranks + broadcast offsets (the q506/q97 machinery). Rank key is
+    // (toks DESC, doc_id) — expressed as ascending (-toks, doc_id); the
+    // bucket extends the key with a doc_id band because token counts
+    // cluster on few values (a toks-only bucket would put most rows in
+    // one local window — exactly the skew TwoPhase exists to avoid).
+    val ranked = graft.operators.TwoPhase.rowNumber(
+        d.withColumn("negt", -$"toks"),
+        struct($"negt", ($"doc_id" / 4096).cast("long")), Seq($"doc_id"), "rn1")
+      .select($"doc_id", $"toks", ($"rn1" - 1).as("rn"))
+    val s = ranked.select($"doc_id", $"toks",
+      when($"rn" % 32 < 16, $"rn" % 32).otherwise(lit(31) - $"rn" % 32).as("shard"))
+    val tot = s.agg(sum($"toks").cast("long").as("tt"))
+    s.crossJoin(broadcast(tot))
+      .groupBy($"shard", $"tt")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"toks").cast("long").as("shard_tokens"))
+      .select($"shard".cast("long").as("shard"), $"n_docs", $"shard_tokens",
+        expr("(1000000 * shard_tokens) div tt").cast("long").as("share_ppm"))
+      .orderBy($"shard")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q497StratifiedReservoir,
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
@@ -1374,7 +1571,8 @@ object Curation {
     q458EpochShuffle, q463SftTranscripts,
     q146WeightedSample, q147QuantileNorm, q162DictEncode, q249HashReservoir,
     q260PackingEfficiency, q261OovRate, q283ExactStratifiedSplit,
-    q300ExportManifest, q323MixWaterfill, q431IpfRaking, q432NegativeSampling)
+    q300ExportManifest, q323MixWaterfill, q431IpfRaking, q432NegativeSampling,
+    q507DsirImportance, q509SnakeSharding)
 
   /** SEEDED GLOBAL EPOCH SHUFFLE — the dataloader-order primitive every
     * multi-epoch training run needs: each epoch e gets an independent,

@@ -1852,7 +1852,7 @@ object Dedup {
       |    LATERAL (SELECT * FROM (VALUES (1, 0, 'ud', 'cur'), (0, 1, 'ud', 'cur'),
       |                                   (1, 1, 'diag', 'prev'), (0, 0, 'carry', 'cur'))
       |             v(di, dj, kind, need) WHERE v.need = it.lvl) mv
-      |    WHERE it.step < 220
+      |    WHERE it.step < len(p.ta) + len(p.tb)
       |      AND it.i + mv.di <= len(p.ta) AND it.j + mv.dj <= len(p.tb)
       |  )
       |  GROUP BY da, db, ni, nj, iscarry, step, tok_a, tok_b
@@ -2046,6 +2046,46 @@ object Dedup {
         .cast("long").as("minhash"))
   }
 
+  /** PORTABLE-LSH VERIFIED near-dup pairs — [[neardupPairsLshVerified]]
+    * with the xxh64 kernel signatures swapped for [[portableMinhashSigs]]'
+    * md5 double-hashing and q495's 4×4 band keys: banded bucket-join
+    * candidates, exact-Jaccard-verified (≥ 0.8) on q45's capped shingle
+    * sets. Because BOTH the signatures and the band keys are md5-derived,
+    * a DuckDB oracle re-derives the IDENTICAL candidate set — which is
+    * what lets q349's full curation pipeline be strict-oracle'd while its
+    * pair stage stays sub-quadratic (the conversion round 8's verdict
+    * prescribed). Output schema matches [[neardupPairs]] on (doc_a, doc_b).
+    *
+    * 100 TB plan: q494's signature shape (one md5 per capped shingle, a
+    * bounded 16-way explode, one map-side-combinable min agg), band keys
+    * as census-sized aggs, candidates meet only inside equal-(band, key)
+    * buckets, and the verify stage is candidate-pair-scale array
+    * intersection — never a shingle×shingle or doc×doc join. */
+  private[llm] def neardupPairsPortableLshVerified(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = portableMinhashSigs(docs)
+    val band = sig.groupBy($"doc_id", expr("i div 4").as("b"))
+      .agg(expr(
+        "md5(concat_ws(',', transform(sort_array(collect_list(struct(i, minhash))), x -> cast(x.minhash AS string))))")
+        .as("bk"))
+      .localCheckpoint() // both sides of the bucket self-join read it
+    val cand = band.toDF("doc_a", "b", "bk")
+      .join(band.toDF("doc_b", "b", "bk"), Seq("b", "bk"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val tk = cappedShingleSetsOf(docs)
+    cand
+      .join(tk.toDF("doc_a", "tk_a"), Seq("doc_a"))
+      .join(tk.toDF("doc_b", "tk_b"), Seq("doc_b"))
+      .withColumn("shared", size(array_intersect($"tk_a", $"tk_b")).cast("long"))
+      .withColumn("jac",
+        $"shared" / (size($"tk_a") + size($"tk_b") - $"shared"))
+      .filter($"jac" >= 0.8)
+      .select($"doc_a", $"doc_b")
+  }
+
   /** PORTABLE MinHash SIGNATURES — q371's signature dump with the hash
     * swapped from the xxh64 kernel to md5 double-hashing, which makes the
     * signatures themselves (not just a verified pair set) strict-oracle'd:
@@ -2195,6 +2235,73 @@ object Dedup {
       .orderBy($"bin")
   }
 
+  /** MINHASH-ESTIMATE vs EXACT-JACCARD CALIBRATION CURVE — the sketch-
+    * theory audit every MinHash deployment should publish: E[matching
+    * hashes] = 16·J (Broder 1997), and this table shows how tight that
+    * identity is ON THIS CORPUS, per estimator value. All co-shingle
+    * pairs (q499's census) get their exact Jaccard in integer ppm and
+    * their PORTABLE 16-hash signature agreement count (q494's md5
+    * double-hashing, so BOTH engines derive the identical estimate);
+    * output = per est16 bucket: the implied estimate (est16·62500 ppm),
+    * pair count, and mean/min/max exact ppm. A drifting row here is the
+    * early warning that banding thresholds (q396's sweep) no longer mean
+    * what they did. All-integer → strict.
+    *
+    * 100 TB plan: signatures are q494's shape (bounded explode + min
+    * agg); the agreement join meets only on equal (i, minhash) buckets;
+    * the exact side is the capped sub-quadratic pair join; the
+    * calibration itself is a ≤17-row census. */
+  val q508MinhashCalibration: GraftQuery = GraftQuery.oracled(
+    "q508_minhash_calibration",
+    portableSigSql +
+      """,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |               CAST((1000000 * shared) // (sa.n + sb.n - shared) AS BIGINT) AS jppm
+        |        FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+        |                   JOIN sizes sb ON doc_b = sb.doc_id),
+        |agr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS est16
+        |        FROM sig a JOIN sig b ON a.i = b.i AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |cal AS (SELECT coalesce(m.est16, 0) AS est16, j.jppm
+        |        FROM jac j LEFT JOIN agr m ON j.doc_a = m.doc_a AND j.doc_b = m.doc_b)
+        |SELECT CAST(est16 AS BIGINT) AS est16,
+        |       CAST(est16 * 62500 AS BIGINT) AS est_jac_ppm,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(jppm) // count(*) AS BIGINT) AS mean_exact_ppm,
+        |       CAST(min(jppm) AS BIGINT) AS min_exact_ppm,
+        |       CAST(max(jppm) AS BIGINT) AS max_exact_ppm
+        |FROM cal GROUP BY est16 ORDER BY est16""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sig = portableMinhashSigs(docs).localCheckpoint()
+    val agr = sig.toDF("doc_a", "i", "minhash")
+      .join(sig.toDF("doc_b", "i", "minhash"), Seq("i", "minhash"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).cast("long").as("est16"))
+    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val jac = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).cast("long").as("shared"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        expr("(1000000 * shared) div (na + nb - shared)").cast("long").as("jppm"))
+    jac.join(agr, Seq("doc_a", "doc_b"), "left")
+      .select(coalesce($"est16", lit(0L)).as("est16"), $"jppm")
+      .groupBy($"est16")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        expr("sum(jppm) div count(1)").cast("long").as("mean_exact_ppm"),
+        min($"jppm").cast("long").as("min_exact_ppm"),
+        max($"jppm").cast("long").as("max_exact_ppm"))
+      .select($"est16", ($"est16" * 62500).cast("long").as("est_jac_ppm"),
+        $"n_pairs", $"mean_exact_ppm", $"min_exact_ppm", $"max_exact_ppm")
+      .orderBy($"est16")
+  }
+
   /** EXACT-SUBSTRING DUPLICATE-SPAN CENSUS (the k-gram fingerprint
     * approximation of Lee et al. 2022's ExactSubstr suffix-array dedup,
     * arXiv:2107.06499 §4.1) — CHARACTER-level and alignment-free, unlike
@@ -2328,6 +2435,7 @@ object Dedup {
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q501DupSpanCensus, q505CdcChunking,
     q494MinhashPortable, q495LshCandidateAudit, q499JaccardHistogram,
+    q508MinhashCalibration,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
     q353ContainmentDecontam, q365ContrastiveNegatives,

@@ -343,7 +343,11 @@ object FuzzyJoin {
     * are 8-term float adds whose order may differ per engine by a few
     * ulps; the released score is rounded to 4 decimals and the class
     * labels threshold the ROUNDED score — the catalog's standard float
-    * fence.
+    * fence. Residual-flake escape hatch (r8 ADVICE): if a score ever
+    * lands within ulps of a .00005 rounding boundary or exactly at the
+    * 5/0 class thresholds cross-engine, the fix is to quantize the
+    * log-ratio sum to integer milli-units BEFORE rounding/classing —
+    * the q491 Gumbel pattern (Governance.scala) — not a tighter round().
     *
     * 100 TB plan: identical shuffle shape to q282 — lossless ED-1 blocking
     * for candidates, one constant-size census agg, pure-projection scoring
@@ -594,11 +598,19 @@ object FuzzyJoin {
     * pair at every SF, the same cross-engine equivalence q301 established
     * for Jaro–Winkler.
     *
-    * 100 TB plan: blocking keys are (p_brand, p_size % 5) — a bounded-
-    * fanout equi-join (block membership scales with parts/125, never
-    * parts²); scoring is one codegen'd projection over candidates; the
-    * per-block top-1 window rides the block-keyed partitioning already in
-    * place. Hot blocks take q70's salting; the block pitch is the knob. */
+    * SCALE SCOPE — this is the catalog's documented EXACT-QUADRATIC
+    * kernel-equivalence baseline (q50's class), BY DESIGN: the output
+    * semantics are a full per-block pair census (n_pairs, sum_dl), which
+    * inherently touches every pair, and (brand, size-band) is a FIXED
+    * 125-key space — so 10× rows deepen every block 10× and pairs grow
+    * ×100. The round-8 sf0.1→sf1 measurement in BASELINE.md reads exactly
+    * that: 85× forced time at 10× data. No blocking key of bounded
+    * cardinality can change this while the output remains a per-block
+    * pair census. The LINEAR-candidate pairing twin for the closest-pair
+    * SEMANTICS (without the census) is [[q506SortedNeighborhoodNn]] —
+    * sorted-neighborhood rank-offset candidates, 3n pairs at any scale,
+    * measured 1.9× on the same tiers. At 100 TB run q476's shape only on
+    * bounded slices (one brand partition at a time); run q506 corpus-wide. */
   val q476DamerauClosestPairs: GraftQuery = GraftQuery.oracled(
     "q476_damerau_closest_pairs",
     """WITH v AS (SELECT p_partkey AS id, p_name AS nm, p_brand AS brand,

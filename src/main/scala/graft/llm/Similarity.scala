@@ -1265,13 +1265,60 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** EMBEDDING EXACT-DUP DEDUP via QUANTIZATION BUCKETS — the O(n)
+    * pre-pass every vector index build runs before ANN: quantize each
+    * dimension to integer milli-units (floor(x·1024) — ·2¹⁰ is exact in
+    * IEEE, so both engines derive the identical key) and group on the
+    * md5 of the quantized vector. Re-ingested, re-encoded and replicated
+    * vectors collapse here for the cost of one hash-agg, so the ANN tiers
+    * never waste candidates on byte-identical neighbors. Output: per
+    * label, vector count, distinct quantization buckets, vectors that are
+    * duplicates of an earlier one, and the largest duplicate group.
+    * On the live corpus every vector is unique (n_dups = 0 — the honest
+    * reading of a synthetic random cloud); on the ×10 synthesized sf1
+    * tier the replicas collapse 10-to-1, which is exactly the workload
+    * this operator exists for.
+    *
+    * 100 TB plan: ONE map-side projection (64 floors + an md5) and ONE
+    * map-side-combinable hash-agg on the key — no pair stage at all; the
+    * label census is a second ≤|labels|-row agg. This is the cheapest
+    * dedup in the catalog and the first stage of the embedding ladder. */
+  val q510EmbeddingQuantDedup: GraftQuery = GraftQuery.oracled(
+    "q510_embedding_quant_dedup",
+    """WITH k AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |                  md5(array_to_string(list_transform(embedding,
+      |                        x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS VARCHAR)),
+      |                      ',')) AS qkey
+      |           FROM embeddings),
+      |g AS (SELECT label, qkey, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1, 2)
+      |SELECT label,
+      |       CAST(sum(n) AS BIGINT) AS n_vectors,
+      |       CAST(count(*) AS BIGINT) AS n_buckets,
+      |       CAST(sum(n - 1) AS BIGINT) AS n_dup_vectors,
+      |       CAST(max(n) AS BIGINT) AS max_group
+      |FROM g GROUP BY label ORDER BY label""") { (spark, dir) =>
+    import spark.implicits._
+    val k = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        md5(concat_ws(",", transform($"embedding",
+          x => floor(x.cast("double") * 1024).cast("long").cast("string")))).as("qkey"))
+    k.groupBy($"label", $"qkey").agg(count(lit(1)).cast("long").as("n"))
+      .groupBy($"label")
+      .agg(sum($"n").cast("long").as("n_vectors"),
+        count(lit(1)).cast("long").as("n_buckets"),
+        sum($"n" - 1).cast("long").as("n_dup_vectors"),
+        max($"n").cast("long").as("max_group"))
+      .orderBy($"label")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
       q231SemanticDedup, q262KmeansElbow, q269LabelCentroids, q327JlProjection,
       q360AnisotropyAudit, q382MatryoshkaRecall, q383Int8QuantAudit,
       q386DaviesBouldin, q387AnnRecallEval, q393EmbeddingDrift, q402GridDbscan,
-      q417MaxsimRetrieval, q418RankBiasedOverlap, q420RetrievalMetrics)
+      q417MaxsimRetrieval, q418RankBiasedOverlap, q420RetrievalMetrics,
+      q510EmbeddingQuantDedup)
 
   /** RETRIEVAL QUALITY METRICS — MRR, recall@10 and nDCG@10 of the q48
     * cosine ranking against label relevance (relevant = same class as the

@@ -52,23 +52,57 @@ object MlExtras {
       .orderBy($"label", $"prediction")
   }
 
-  /** StopWordsRemover + CountVectorizer: the learned vocabulary as rows
-    * (vocabSize exceeds the corpus vocab so the set — and therefore this
-    * sorted output — is deterministic; the spec cross-checks it against the
-    * relational distinct-token computation). */
-  val q75StopwordsCountvec: GraftQuery = GraftQuery.rowsOnly(
-    "q75_stopwords_countvec",
-    doc = "StopWordsRemover(en) + CountVectorizer vocabulary, sorted") { (spark, dir) =>
+  /** StopWordsRemover + CountVectorizer, PRINT-BOTH STRICT since r9 (the
+    * q29 pattern, formerly a rows-only vocabulary dump): the exact
+    * per-term census over the stop-filtered tokens — document frequency
+    * and total occurrences, both strict-oracle'd against DuckDB replaying
+    * the SAME English stop list (MLlib's public default list, inlined into
+    * the generated SQL) — next to `vocab_matches`, the fitted-model
+    * CONTRACT pinned TRUE: the term is in `model.vocabulary` AND the
+    * vocabulary size equals the census size (⊆ plus equal cardinality ⇒
+    * set equality). A CountVectorizer regression now hash-mismatches at
+    * the DRIVER, not just in ScalaTest.
+    *
+    * 100 TB plan: the census is one explode + hash-agg (map-side
+    * combined); the fit itself aggregates the same census internally.
+    * The vocabulary-contract join broadcasts the model's vocab — the one
+    * driver-resident structure, exactly what CountVectorizerModel holds
+    * anyway. */
+  val q75StopwordsCountvec: GraftQuery = GraftQuery.oracled(
+    "q75_stopwords_countvec", {
+      val stops = StopWordsRemover.loadDefaultStopWords("english")
+        .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |kept AS (SELECT doc_id, w FROM tok
+         |         WHERE w <> '' AND lower(w) NOT IN ($stops))
+         |SELECT w AS term,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_occurrences,
+         |       CAST(1 AS BOOLEAN) AS vocab_matches
+         |FROM kept GROUP BY w ORDER BY term""".stripMargin
+    }) { (spark, dir) =>
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("words"))
     val removed = new StopWordsRemover()
-      .setInputCol("words").setOutputCol("kept")
+      .setInputCol("words").setOutputCol("kept0")
       .transform(toks)
+      .withColumn("kept", filter($"kept0", x => x =!= ""))
     val model = new CountVectorizer()
       .setInputCol("kept").setOutputCol("tf").setVocabSize(100000).setMinDF(1)
       .fit(removed)
-    model.vocabulary.toSeq.sorted.toDF("term")
+    val census = removed.select($"doc_id", explode($"kept").as("term"))
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_occurrences"))
+    val vocab = model.vocabulary.toSeq.toDF("term").withColumn("in_vocab", lit(1))
+    val nTerms = census.agg(count(lit(1)).cast("long").as("n_terms"))
+    census.join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(nTerms))
+      .select($"term", $"n_docs", $"n_occurrences",
+        ($"in_vocab".isNotNull &&
+          $"n_terms" === lit(model.vocabulary.length.toLong)).as("vocab_matches"))
+      .orderBy($"term")
   }
 
   /** StandardScaler + PCA(k=3): the spectral projection of the embedding

@@ -898,7 +898,24 @@ object StreamingQueries {
     * a deliberately skewed domain so the heavy-hitter guarantee is
     * non-vacuous. Approximate + eviction-order-dependent → rows-only;
     * StreamingSpec gates the space-saving invariants against exact batch
-    * counts. */
+    * counts.
+    *
+    * WHY THIS STAYS rows-only (the r8 verdict asked for a recursive-CTE
+    * replay conversion, q324's pattern): two structural blockers, not
+    * effort. (1) The admission/eviction walk is sequential in EVERY event
+    * — unlike q324's chain (whose frontier jumps over candidate BLOCKS) or
+    * q326's fixed 12 rounds, the counter-map state changes at arbitrary
+    * arrivals, so the oracle CTE needs one iteration per event row:
+    * O(|events|) recursion depth (~600k at sf0.1), far past what DuckDB
+    * replays in bounded time, and no run-length compression helps because
+    * set membership (not counts) drives the transitions. (2) The engine's
+    * per-key arrival order is shuffle-delivery order, deterministic only
+    * per run topology — pinning it would mean staging a single-mapper
+    * sorted copy, changing the operator from "the stream as it arrives"
+    * to a batch sort in disguise. The honest contract is the one
+    * StreamingSpec pins: est ≥ true count, est − err ≤ true count,
+    * n_seen = exact row count, |counters| ≤ m — order-free invariants
+    * that hold for EVERY legal arrival order. */
   val q359StreamSpaceSaving: GraftQuery = GraftQuery.rowsOnly(
     "q359_stream_space_saving",
     doc = "space-saving m=8 heavy hitters per event_type via transformWithState MapState") {

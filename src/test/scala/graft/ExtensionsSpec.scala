@@ -27,8 +27,11 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
 
   test("CountVectorizer vocabulary equals relational distinct non-stopword tokens") {
     import spark.implicits._
-    val vocab = graft.ml.MlExtras.q75StopwordsCountvec.fn(spark, sf)
-      .collect().map(_.getString(0)).toSet
+    val rows = graft.ml.MlExtras.q75StopwordsCountvec.fn(spark, sf).collect()
+    assert(rows.forall(_.getBoolean(3)),
+      "vocab_matches contract flag must be TRUE on every term (set equality " +
+        "between the fitted vocabulary and the exact census)")
+    val vocab = rows.map(_.getString(0)).toSet
     val stop = new org.apache.spark.ml.feature.StopWordsRemover().getStopWords.toSet
     val relational = Tables.documents(spark, sf)
       .select(explode(split($"text", " ")).as("t"))

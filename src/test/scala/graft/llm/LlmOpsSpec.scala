@@ -449,23 +449,39 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q349 LSH-path curation: containment law vs q127's exact path") {
-    // The LSH pair set is a superset of the exact >=0.8-jaccard pairs
-    // (recall law above), and extra pairs can only merge components — so a
-    // verdict may differ ONLY by moving a doc from the post-near_dup arms
-    // ({contaminated, keep}) to near_dup; every other arm is
-    // pair-independent and must match exactly.
+    // Since r9 the pair stage is the portable-banded VERIFIED set —
+    // candidates ∩ exact — so it is a SUBSET of q127's exact pairs: a
+    // banding miss drops edges, which can only SPLIT components. A verdict
+    // may therefore differ ONLY by a doc moving FROM near_dup to a
+    // post-near_dup arm ({keep, contaminated}); every other arm is
+    // pair-independent and must match exactly, and a doc q349 calls
+    // near_dup must be near_dup under the exact pairs too.
     val exact = Curation.q127CurationPipeline.fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val lsh = Curation.q349CurationLsh.fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(lsh.keySet === exact.keySet)
     for ((id, vExact) <- exact; vLsh = lsh(id); if vLsh != vExact) {
-      assert(vLsh == "near_dup" && Set("keep", "contaminated")(vExact),
+      assert(vExact == "near_dup" && Set("keep", "contaminated")(vLsh),
         s"doc $id: exact=$vExact lsh=$vLsh — illegal verdict flip")
     }
-    // near_dup flags never disappear under a pair superset
-    for ((id, v) <- exact if v == "near_dup")
-      assert(lsh(id) == "near_dup", s"doc $id lost its near_dup flag")
+    // near_dup flags in the LSH path never exceed the exact path's
+    for ((id, v) <- lsh if v == "near_dup")
+      assert(exact(id) == "near_dup", s"doc $id gained a near_dup flag")
+  }
+
+  test("portable-LSH verified pairs equal the exact capped-index pairs (q349's strict-oracle precondition)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exact = Dedup.neardupPairs(docs).select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val port = Dedup.neardupPairsPortableLshVerified(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(port.subsetOf(exact),
+      "verified pairs must be candidates ∩ exact — a non-exact pair survived the verify stage")
+    assert(port === exact,
+      "portable 4×4 banding missed a real pair on this corpus — the " +
+        "empirical recall-1 law (j≈0.9–1.0 ⇒ P[all bands miss] < 1e-3) broke")
   }
 
   test("q380 hash-collision audit: monotone in bucket count, occupancy bounded") {
@@ -618,6 +634,27 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       $"channels" =!= 3 ||
       length($"sha") =!= 64)
     assert(bad.count() === 0)
+  }
+
+  test("BPE whole-symbol guard: prefix-collision fixture matches the reference trainer") {
+    import spark.implicits._
+    // After round 1 merges (a,b) -> "@ab", the word 'aab' holds "@a @ab";
+    // round 2's merge (@a, @a) must NOT consume the "@a @a"-shaped PREFIX
+    // of "@a @ab" (the pre-r9 unguarded replace corrupted it to "@a@ab").
+    val docs = Seq.fill(10)("ab").mkString(" ") + " " +
+      Seq.fill(6)("aa").mkString(" ") + " aab"
+    val got = graft.llm.TextAnalysis.bpeTrain(Seq(docs).toDF("text"), 2)
+      .map { case (l, r, n) => (l.stripPrefix("@"), r.stripPrefix("@"), n) }
+    // reference: symbol-aligned merges — round 1 fuses (a,b) n=11 (10 'ab'
+    // + 1 inside 'aab'), which leaves 'aab' as "@a @ab", so round 2's
+    // (a,a) count is the 6 'aa' words only
+    assert(got === Seq(("a", "b", 11L), ("a", "a", 6L)))
+    // and the guard must keep "@a @ab" INTACT through round 2's apply (the
+    // unguarded replace matched its "@a @a" prefix and fused it to the
+    // nonsense symbol "@a@ab"): round 3's top pair must be (@a, @ab) n=1
+    val got3 = graft.llm.TextAnalysis.bpeTrain(Seq(docs).toDF("text"), 3)
+    assert(got3.length === 3)
+    assert(got3(2)._1 === "@a" && got3(2)._2 === "@ab" && got3(2)._3 === 1L)
   }
 
   test("BPE trainer matches an independent in-memory reference on the classic fixture") {

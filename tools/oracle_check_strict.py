@@ -10,8 +10,11 @@ oracle side, sort columns by name, canonicalize every cell to a string, sort
 rows, compare the string matrices. A pass here should imply a driver pass.
 
 Usage: python3 tools/oracle_check_strict.py <sfDir> <verifyOutDir> [only...]
+       SKIP=name1,name2 to exclude entries (sf1-tier quadratic-oracle
+       baselines whose DuckDB replay is hours — named in BASELINE.md).
+Each line carries the oracle's wall seconds so slow replays are visible.
 """
-import sys, json, glob
+import os, sys, json, glob, time
 
 import duckdb
 import pandas as pd
@@ -66,10 +69,17 @@ def main(sf_dir, out_dir, only):
     if unknown:
         print(f"ERROR: unknown query names: {sorted(unknown)}")
         return 2
+    skip = set(filter(None, os.environ.get("SKIP", "").split(",")))
     failures = 0
+    n_skipped = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        if name in skip:
+            print(f"SKIP {name} (named exclusion)")
+            n_skipped += 1
+            continue
+        t0 = time.time()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no engine output parquet")
@@ -123,9 +133,10 @@ def main(sf_dir, out_dir, only):
             print(f"FAIL {name}: {bad}")
             failures += 1
         else:
-            print(f"OK   {name} ({len(mm)} rows)")
-    n = len(only) if only else len(oracle)
-    print(f"== {n - failures}/{n} strict-match ==")
+            print(f"OK   {name} ({len(mm)} rows, {time.time() - t0:.1f}s)", flush=True)
+    n = (len(only) if only else len(oracle)) - n_skipped
+    tail = f", {n_skipped} skipped" if n_skipped else ""
+    print(f"== {n - failures}/{n} strict-match{tail} ==")
     return 1 if failures else 0
 
 
