@@ -541,23 +541,29 @@ object Aggregates {
     "q191_agg_pushdown_join",
     """SELECT n.n_name,
       |       CAST(count(*) AS BIGINT) AS n_items,
-      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |       round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+      |                        * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 2) AS revenue
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |JOIN nation n ON s.s_nationkey = n.n_nationkey
       |GROUP BY n.n_name
       |ORDER BY n.n_name""") { (spark, dir) =>
     import spark.implicits._
+    // exact basis-point revenue (q12's r9 fix): the two-level partial sum
+    // is now integer, so the pushed-down plan is not merely equal-modulo-
+    // float-order to the naive oracle — it is equal, at every scale
+    val revBp = floor($"l_extendedprice" * 100 + 0.5).cast("long") *
+      (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long"))
     val partials = Tables.lineitem(spark, dir)
       .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("pn"),
-        sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("prev"))
+        sum(revBp).as("prev_bp"))
     partials
       .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(sum($"pn").cast("long").as("n_items"),
-        round(sum($"prev"), 2).as("revenue"))
+        round(sum($"prev_bp").cast("double") / 10000, 2).as("revenue"))
       .orderBy($"n_name")
   }
 

@@ -832,7 +832,7 @@ object Eda {
       |      FROM d GROUP BY decile),
       |t AS (SELECT sum(cents) AS total FROM g)
       |SELECT decile, n_customers, cents,
-      |       CAST(sum(cents) OVER (ORDER BY decile) * 1000000 // t.total AS BIGINT) AS cum_share_ppm
+      |       CAST(CAST(sum(cents) OVER (ORDER BY decile) AS HUGEINT) * 1000000 // t.total AS BIGINT) AS cum_share_ppm
       |FROM g, t
       |ORDER BY decile""") { (spark, dir) =>
     import spark.implicits._
@@ -855,8 +855,13 @@ object Eda {
     g.crossJoin(broadcast(t))
       .withColumn("cum", sum($"cents").over(
         Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)))
+      // sf1 overflow fix (r9 sweep): cum·10⁶ passes 2⁶³ at ~3.8e13 total
+      // cents (3.8e19 measured at the ×10 tier) — q362's documented class.
+      // DECIMAL(38,0) widening on this side, HUGEINT on the DuckDB side;
+      // the integer quotient is identical.
       .select($"decile", $"n_customers", $"cents",
-        expr("CAST(cum * 1000000 DIV total AS BIGINT)").as("cum_share_ppm"))
+        expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)")
+          .as("cum_share_ppm"))
       .orderBy($"decile")
   }
 
@@ -2656,8 +2661,8 @@ object Eda {
       |             m.n, m.sx, m.sy, m.sxx, m.sxy, m.syy
       |      FROM m, t),
       |f AS (SELECT fold, n_tr, sx_tr, sy_tr, n, sx, sy, sxx, sxy, syy,
-      |             CAST(n_tr * sxy_tr - sx_tr * sy_tr AS DOUBLE)
-      |               / CAST(n_tr * sxx_tr - sx_tr * sx_tr AS DOUBLE) AS b
+      |             (CAST(n_tr AS DOUBLE) * CAST(sxy_tr AS DOUBLE) - CAST(sx_tr AS DOUBLE) * CAST(sy_tr AS DOUBLE))
+      |               / (CAST(n_tr AS DOUBLE) * CAST(sxx_tr AS DOUBLE) - CAST(sx_tr AS DOUBLE) * CAST(sx_tr AS DOUBLE)) AS b
       |      FROM c),
       |g AS (SELECT fold, n_tr AS n_train, n AS n_test, n, sx, sy, sxx, sxy, syy, b,
       |             (CAST(sy_tr AS DOUBLE) - b * CAST(sx_tr AS DOUBLE))
@@ -2691,10 +2696,19 @@ object Eda {
       ($"tn" - $"n").as("n_tr"), ($"tsx" - $"sx").as("sx_tr"),
       ($"tsy" - $"sy").as("sy_tr"), ($"tsxx" - $"sxx").as("sxx_tr"),
       ($"tsxy" - $"sxy").as("sxy_tr"))
+    // sf1 overflow fix (found by the r9 synthesized-tier sweep): the exact
+    // BIGINT cross-products n_tr·sxy_tr and sx_tr·sy_tr pass 2⁶³ at ~6M rows
+    // (2.9e19 measured). Cast each FACTOR to double first — every moment is
+    // < 2⁵³ so the conversions are exact, and IEEE multiply/subtract round
+    // identically on both engines, so strictness is unchanged. The same
+    // expression change is in the oracle. Horizon: exact until a moment
+    // itself passes 2⁵³ (~10¹⁵ Σxy ≈ 10⁹ rows at these domains).
     val f = c.select($"fold", $"n_tr".as("n_train"), $"n".as("n_test"),
       $"n", $"sx", $"sy", $"sxx", $"sxy", $"syy", $"n_tr", $"sx_tr", $"sy_tr",
-      (($"n_tr" * $"sxy_tr" - $"sx_tr" * $"sy_tr").cast("double")
-        / ($"n_tr" * $"sxx_tr" - $"sx_tr" * $"sx_tr").cast("double")).as("b"))
+      (($"n_tr".cast("double") * $"sxy_tr".cast("double")
+        - $"sx_tr".cast("double") * $"sy_tr".cast("double"))
+        / ($"n_tr".cast("double") * $"sxx_tr".cast("double")
+          - $"sx_tr".cast("double") * $"sx_tr".cast("double"))).as("b"))
     val g = f.select($"fold", $"n_train", $"n_test", $"n", $"sx", $"sy",
       $"sxx", $"sxy", $"syy", $"b",
       (($"sy_tr".cast("double") - $"b" * $"sx_tr".cast("double"))

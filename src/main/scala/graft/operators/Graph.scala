@@ -771,41 +771,48 @@ object Graph {
     * rounds on the bipartite user→item click graph: auth(i) = Σ hub(u)
     * over clicking users, hub(u) = Σ auth(i) over clicked items.
     *
-    * STRICT since r6 (formerly rows-only): normalization COMMUTES through
-    * the linear maps, so the four rounds run UN-normalized on exact
-    * BIGINTs (h₀ = 1; every update is an integer sum-agg — no float, no
-    * summation-order exposure) and the DuckDB oracle unrolls the same
-    * seven hash-aggs verbatim. The L1 share is ONE double division at the
-    * end (two exact integers → IEEE-identical on both engines), rounded
-    * to 9 digits. Top-20 authorities by the exact integer score with an
-    * item tie-break. Raw scores grow ≈ λ_max⁴ — BIGINT-safe through
-    * ~10⁴ users·items here; web scale re-normalizes per round in fixed
-    * point (the q155 10¹² discipline) — and the overflow surface is now
-    * GUARDED in-path: a bounded 1-row census over the ≤20-row authority
-    * table rejects negative (wrapped) or near-2⁶³ scores loudly instead of
-    * letting non-ANSI sum(long) emit wrong answers silently. GraphSpec
-    * still pins the closed-form AᵀA fixture on the float helper and the
-    * integer/float direction agreement.
+    * STRICT since r6; PER-ROUND 10¹² FIXED-POINT re-normalization since r9
+    * — the scaladoc's own "web scale" sketch, made real after the r8
+    * overflow guard FIRED on the synthesized ×10 tier (un-normalized
+    * λ_max⁴ growth passed 2⁵¹ there, exactly as the guard predicted).
+    * Every round's raw scores are summed in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — immune to silent non-ANSI long wrap at ANY scale
+    * — then floored onto the L1 = 10¹² integer simplex:
+    * v = raw·10¹² div Σraw. Both engines take identical integer
+    * quotients, so strictness is preserved; floor quantization costs
+    * ≤ 10⁻¹² relative mass per round (the q155 discipline). Overflow is
+    * now structurally impossible: v ≤ 10¹², raw sums carry 38 digits.
+    * Top-20 authorities by the exact fixed-point score with an item
+    * tie-break; the L1 share is one double division of two exact
+    * integers, rounded 9. GraphSpec still pins the closed-form AᵀA
+    * fixture on the float helper.
     *
     * 100 TB plan: identical shape to q155 — per round one edge join per
-    * side + one sum-agg, scores co-shuffled on vertex id; production
-    * buckets the edge list once and reuses the partitioning. The L1
-    * normalizer is a broadcast 1-row agg, never a collect. */
+    * side + one sum-agg, scores co-shuffled on vertex id, plus a 1-row
+    * broadcast normalizer per round; production buckets the edge list
+    * once and reuses the partitioning. Never a collect. */
   val q446Hits: GraftQuery = GraftQuery.oracled(
     "q446_hits",
-    """WITH e AS (SELECT DISTINCT user_id AS u,
+    """WITH e AS MATERIALIZED (SELECT DISTINCT user_id AS u,
       |                  CAST(json_extract(props, '$.k') AS BIGINT) % 20 AS i
       |           FROM events WHERE event_type = 'click'),
-      |a1 AS (SELECT i, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY 1),
-      |h1 AS (SELECT u, CAST(sum(a1.a) AS BIGINT) AS h FROM e JOIN a1 USING (i) GROUP BY 1),
-      |a2 AS (SELECT i, CAST(sum(h1.h) AS BIGINT) AS a FROM e JOIN h1 USING (u) GROUP BY 1),
-      |h2 AS (SELECT u, CAST(sum(a2.a) AS BIGINT) AS h FROM e JOIN a2 USING (i) GROUP BY 1),
-      |a3 AS (SELECT i, CAST(sum(h2.h) AS BIGINT) AS a FROM e JOIN h2 USING (u) GROUP BY 1),
-      |h3 AS (SELECT u, CAST(sum(a3.a) AS BIGINT) AS h FROM e JOIN a3 USING (i) GROUP BY 1),
-      |a4 AS (SELECT i, CAST(sum(h3.h) AS BIGINT) AS a FROM e JOIN h3 USING (u) GROUP BY 1),
-      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS z FROM a4)
-      |SELECT i AS item, a AS authority_raw,
-      |       round(CAST(a AS DOUBLE) / z, 9) AS authority
+      |a1r AS MATERIALIZED (SELECT i, CAST(count(*) AS HUGEINT) AS raw FROM e GROUP BY 1),
+      |a1 AS MATERIALIZED (SELECT i, CAST(raw * 1000000000000 // (SELECT sum(raw) FROM a1r) AS BIGINT) AS v FROM a1r),
+      |h1r AS MATERIALIZED (SELECT u, CAST(sum(a1.v) AS HUGEINT) AS raw FROM e JOIN a1 USING (i) GROUP BY 1),
+      |h1 AS MATERIALIZED (SELECT u, CAST(raw * 1000000000000 // (SELECT sum(raw) FROM h1r) AS BIGINT) AS v FROM h1r),
+      |a2r AS MATERIALIZED (SELECT i, CAST(sum(h1.v) AS HUGEINT) AS raw FROM e JOIN h1 USING (u) GROUP BY 1),
+      |a2 AS MATERIALIZED (SELECT i, CAST(raw * 1000000000000 // (SELECT sum(raw) FROM a2r) AS BIGINT) AS v FROM a2r),
+      |h2r AS MATERIALIZED (SELECT u, CAST(sum(a2.v) AS HUGEINT) AS raw FROM e JOIN a2 USING (i) GROUP BY 1),
+      |h2 AS MATERIALIZED (SELECT u, CAST(raw * 1000000000000 // (SELECT sum(raw) FROM h2r) AS BIGINT) AS v FROM h2r),
+      |a3r AS MATERIALIZED (SELECT i, CAST(sum(h2.v) AS HUGEINT) AS raw FROM e JOIN h2 USING (u) GROUP BY 1),
+      |a3 AS MATERIALIZED (SELECT i, CAST(raw * 1000000000000 // (SELECT sum(raw) FROM a3r) AS BIGINT) AS v FROM a3r),
+      |h3r AS MATERIALIZED (SELECT u, CAST(sum(a3.v) AS HUGEINT) AS raw FROM e JOIN a3 USING (i) GROUP BY 1),
+      |h3 AS MATERIALIZED (SELECT u, CAST(raw * 1000000000000 // (SELECT sum(raw) FROM h3r) AS BIGINT) AS v FROM h3r),
+      |a4r AS MATERIALIZED (SELECT i, CAST(sum(h3.v) AS HUGEINT) AS raw FROM e JOIN h3 USING (u) GROUP BY 1),
+      |a4 AS MATERIALIZED (SELECT i, CAST(raw * 1000000000000 // (SELECT sum(raw) FROM a4r) AS BIGINT) AS v FROM a4r),
+      |tot AS (SELECT CAST(sum(v) AS BIGINT) AS z FROM a4)
+      |SELECT i AS item, v AS authority_raw,
+      |       round(CAST(v AS DOUBLE) / z, 9) AS authority
       |FROM a4, tot
       |ORDER BY authority_raw DESC, item LIMIT 20""") { (spark, dir) =>
     import spark.implicits._
@@ -814,30 +821,28 @@ object Graph {
       .select($"user_id".as("u"),
         (get_json_object($"props", "$.k").cast("long") % 20).as("i"))
       .distinct().localCheckpoint() // 7 consumers (one per round join)
-    var auths = edges.groupBy($"i").agg(count(lit(1)).cast("long").as("a"))
-    for (_ <- 1 to 3) {
-      val hubs = edges.join(auths, "i")
-        .groupBy($"u").agg(sum($"a").cast("long").as("h"))
-      auths = edges.join(hubs, "u")
-        .groupBy($"i").agg(sum($"h").cast("long").as("a"))
+    // L1 = 10^12 fixed-point projection: raw decimal scores -> integer
+    // simplex, one broadcast 1-row normalizer per round (never a collect)
+    def norm(df: DataFrame, key: String): DataFrame = {
+      val tot = df.agg(sum($"raw").as("tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col(key),
+          expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 DIV tot AS BIGINT)")
+            .as("v"))
     }
-    // Overflow guard (round-6 ADVICE): the un-normalized BIGINT rounds grow
-    // ~λ_max⁴ and Spark's non-ANSI sum(long) WRAPS silently where DuckDB
-    // raises — beyond the tested SFs the engine could emit wrong authorities
-    // with no oracle watching. Every input is non-negative, so a negative
-    // score is a certain wrap; capping max at 2^51 also leaves 12 bits of
-    // headroom for any further ≤4096× linear step. Bounded census: auths has
-    // ≤20 rows (i = k % 20), so this is a 1-row E3 scalar, not a collect.
-    val census = auths.agg(min($"a").as("lo"), max($"a").as("hi")).head()
-    require(census.isNullAt(0) ||
-      (census.getLong(0) >= 0L && census.getLong(1) <= (Long.MaxValue >> 12)),
-      "q446: HITS fixed-point scores at/over bigint range — re-normalize " +
-        "per round in 10^12 fixed point (scaladoc sketch) at this scale")
-    auths.crossJoin(broadcast(auths.agg(sum($"a").cast("long").as("z"))))
-      .orderBy($"a".desc, $"i")
+    var auths = norm(
+      edges.groupBy($"i").agg(count(lit(1)).cast("decimal(38,0)").as("raw")), "i")
+    for (_ <- 1 to 3) {
+      val hubs = norm(edges.join(auths, "i").groupBy($"u")
+        .agg(sum($"v".cast("decimal(38,0)")).as("raw")), "u")
+      auths = norm(edges.join(hubs, "u").groupBy($"i")
+        .agg(sum($"v".cast("decimal(38,0)")).as("raw")), "i")
+    }
+    auths.crossJoin(broadcast(auths.agg(sum($"v").cast("long").as("z"))))
+      .orderBy($"v".desc, $"i")
       .limit(20)
-      .select($"i".as("item"), $"a".as("authority_raw"),
-        round($"a".cast("double") / $"z", 9).as("authority"))
+      .select($"i".as("item"), $"v".as("authority_raw"),
+        round($"v".cast("double") / $"z", 9).as("authority"))
   }
 
   /** HITS rounds over a (u, i) edge list; returns (hubs, authorities),

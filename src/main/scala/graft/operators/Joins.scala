@@ -19,11 +19,21 @@ object Joins {
 
   /** TPC-H Q5-shaped star chain: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region
     * with all dims broadcast. One shuffle for the lineitem⋈orders equi-join;
-    * everything downstream is broadcast-local. */
+    * everything downstream is broadcast-local.
+    *
+    * Revenue is EXACT-INTEGER since r9: the r9 sf1 sweep caught the float
+    * formulation sum(price·(1−disc)) drifting by one rounded cent at 10×
+    * rows (summation-order divergence — the first scale where the double
+    * sum left the half-ulp safety of round(·,2)). Prices and discounts are
+    * exact 2-dp decimals, so revenue·10⁴ = Σ cents·(100 − disc_pct) is one
+    * BIGINT per group (≲2.4e17 even at 100 TB nation-rollups) and the
+    * released value is a single division of identical integers — engine-
+    * order-free at every scale. */
   val q12StarJoin: GraftQuery = GraftQuery.oracled(
     "q12_star_join",
     """SELECT n_name,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 2) AS revenue,
       |       count(*) AS n_lines
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -36,6 +46,8 @@ object Joins {
       |GROUP BY n_name
       |ORDER BY n_name""") { (spark, dir) =>
     import spark.implicits._
+    val revBp = floor($"l_extendedprice" * 100 + 0.5).cast("long") *
+      (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long"))
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir)
           .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00"))
@@ -46,7 +58,7 @@ object Joins {
       .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
         $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(money(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"),
+      .agg(round(sum(revBp).cast("double") / 10000, 2).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy($"n_name")
   }

@@ -581,7 +581,7 @@ object Warehouse {
       |  FROM lineitem GROUP BY 1),
       |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents FROM census)
       |SELECT l_returnflag, n, cents,
-      |       CAST((1000000 * cents) // tot_cents AS BIGINT) AS share_ppm
+      |       CAST((CAST(1000000 AS HUGEINT) * cents) // tot_cents AS BIGINT) AS share_ppm
       |FROM census, tot ORDER BY l_returnflag""") { (spark, dir) =>
     import spark.implicits._
     val census = Tables.lineitem(spark, dir)
@@ -593,8 +593,12 @@ object Warehouse {
     census.count() // materialize the cache
     val tot = census.agg(sum($"cents").cast("long").as("tot_cents"))
     val out = census.crossJoin(broadcast(tot))
+      // sf1 overflow fix (r9 sweep): 10⁶ × per-flag cents passes 2⁶³ at
+      // ~1.06e13 cents per flag (1.06e19 measured at the ×10 tier) —
+      // DECIMAL(38,0) widening here, HUGEINT in the oracle (q362's class).
       .select($"l_returnflag", $"n", $"cents",
-        expr("(1000000 * cents) div tot_cents").cast("long").as("share_ppm"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cents DIV tot_cents AS BIGINT)")
+          .as("share_ppm"))
       .orderBy($"l_returnflag")
     val scans = out.queryExecution.executedPlan.toString
       .split("InMemoryTableScan").length - 1

@@ -12,9 +12,14 @@ rows, compare the string matrices. A pass here should imply a driver pass.
 Usage: python3 tools/oracle_check_strict.py <sfDir> <verifyOutDir> [only...]
        SKIP=name1,name2 to exclude entries (sf1-tier quadratic-oracle
        baselines whose DuckDB replay is hours — named in BASELINE.md).
+       ORACLE_TIMEOUT=<seconds> interrupts any single DuckDB replay past
+       the budget and records it as TIMEOUT (not a failure) — the sf1
+       tier surfaced a 96-CPU-minute single-oracle straggler (q229's
+       cell-density data quadratic); the timeout keeps one such entry
+       from stalling the whole sweep.
 Each line carries the oracle's wall seconds so slow replays are visible.
 """
-import os, sys, json, glob, time
+import os, sys, json, glob, time, threading
 
 import duckdb
 import pandas as pd
@@ -85,10 +90,22 @@ def main(sf_dir, out_dir, only):
             print(f"FAIL {name}: no engine output parquet")
             failures += 1
             continue
+        tmo = float(os.environ.get("ORACLE_TIMEOUT", "0") or 0)
         try:
             mine = pd.read_parquet(f"{out_dir}/{name}")
-            ref = con.sql(sql).df()
+            timer = threading.Timer(tmo, con.interrupt) if tmo else None
+            if timer:
+                timer.start()
+            try:
+                ref = con.sql(sql).df()
+            finally:
+                if timer:
+                    timer.cancel()
         except Exception as e:
+            if tmo and "interrupt" in str(type(e)).lower() + str(e).lower():
+                print(f"TIMEOUT {name} (oracle > {tmo:.0f}s)", flush=True)
+                n_skipped += 1
+                continue
             print(f"FAIL {name}: {e}")
             failures += 1
             continue
