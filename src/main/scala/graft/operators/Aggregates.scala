@@ -16,18 +16,25 @@ import RelationalCore.{money, stat}
   * ASC default is nulls-first, DuckDB's is nulls-last. */
 object Aggregates {
 
-  /** ROLLUP margins over (priority, status). */
+  /** ROLLUP margins over (priority, status). Total is EXACT-INTEGER since
+    * r9: the sf1 sweep caught the double sum drifting by a rounded cent at
+    * the grand-total margin (3.75e13 cents — summation order left the
+    * half-ulp safety of round(·,2)); prices are exact 2-dp decimals, so
+    * the cents sum is one BIGINT and the released value one division of
+    * identical integers (q12's r9 fix). */
   val q22Rollup: GraftQuery = GraftQuery.oracled(
     "q22_rollup",
     """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-      |       round(sum(o_totalprice), 2) AS total
+      |       round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total
       |FROM orders
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""") { (spark, dir) =>
     import spark.implicits._
     Tables.orders(spark, dir)
       .rollup($"o_orderpriority", $"o_orderstatus")
-      .agg(count(lit(1)).as("n"), money(sum($"o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).cast("double") / 100, 2)
+          .as("total"))
       .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
   }
 

@@ -1424,29 +1424,59 @@ object Eda {
     * entire test is constant-size after one scan. */
   val q273AnovaF: GraftQuery = GraftQuery.oracled(
     "q273_anova_f",
-    """WITH g AS (SELECT c_mktsegment, count(*) AS n, avg(c_acctbal) AS m,
-      |                  var_samp(c_acctbal) AS v
+    // INTEGER-MOMENT rebuild (r9, found by the sf1 strict sweep): the old
+    // avg/var_samp formulation's float accumulation order drifted msb by
+    // 2e-4 at 10× rows — round(·,4) on a ~2e8-magnitude statistic demands
+    // 1e-13 relative reproducibility, which only exact per-group integer
+    // cent moments (n, Σc, Σc²) provide. All downstream algebra is doubles
+    // DERIVED from those integers with the identical expression on both
+    // engines, and the two 5-element group folds (SSB, SSW) are ORDERED
+    // (list ORDER BY segment — the q415 cv_mse pattern), so every released
+    // digit is deterministic at any scale. Σc² needs DECIMAL past ~10⁸
+    // rows/segment at these balances (documented swap).
+    """WITH g AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+      |                  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+      |                  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+      |                           * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
       |           FROM customer GROUP BY 1),
-      |t AS (SELECT sum(n) AS nn, count(*) AS k,
-      |             sum(n * m) / sum(n) AS gm FROM g),
-      |s AS (SELECT sum(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
-      |             sum((g.n - 1) * g.v) AS ssw
-      |      FROM g, t)
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+      |             CAST(sum(sx) AS BIGINT) AS tsx FROM g),
+      |d AS (SELECT g.seg, g.n,
+      |             CAST(g.sx AS DOUBLE) / g.n / 100 AS m,
+      |             CAST(t.tsx AS DOUBLE) / t.nn / 100 AS gm,
+      |             (CAST(g.sxx AS DOUBLE) - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) / g.n) / 10000 AS ssw_g
+      |      FROM g, t),
+      |s AS (SELECT list_sum(list(n * (m - gm) * (m - gm) ORDER BY seg)) AS ssb,
+      |             list_sum(list(ssw_g ORDER BY seg)) AS ssw
+      |      FROM d)
       |SELECT CAST(t.nn AS BIGINT) AS n, CAST(t.k AS BIGINT) AS k,
       |       round(s.ssb / (t.k - 1), 4) AS msb,
       |       round(s.ssw / (t.nn - t.k), 4) AS msw,
       |       round((s.ssb / (t.k - 1)) / (s.ssw / (t.nn - t.k)), 4) AS f_stat
       |FROM s, t""") { (spark, dir) =>
     import spark.implicits._
+    val cents = floor($"c_acctbal" * 100 + 0.5).cast("long")
     val g = Tables.customer(spark, dir)
-      .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("n"), avg($"c_acctbal").as("m"),
-        var_samp($"c_acctbal").as("v"))
-    val t = g.agg(sum($"n").as("nn"), count(lit(1)).as("k"),
-      (sum($"n" * $"m") / sum($"n")).as("gm"))
-    val s = g.crossJoin(broadcast(t))
-      .agg(sum($"n" * ($"m" - $"gm") * ($"m" - $"gm")).as("ssb"),
-        sum(($"n" - 1) * $"v").as("ssw"))
+      .groupBy($"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(cents).cast("long").as("sx"),
+        sum(cents * cents).cast("long").as("sxx"))
+    val t = g.agg(sum($"n").cast("long").as("nn"), count(lit(1)).cast("long").as("k"),
+      sum($"sx").cast("long").as("tsx"))
+    val d = g.crossJoin(broadcast(t))
+      .select($"seg", $"n",
+        ($"sx".cast("double") / $"n" / 100).as("m"),
+        ($"tsx".cast("double") / $"nn" / 100).as("gm"),
+        (($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n") / 10000)
+          .as("ssw_g"))
+    def orderedSum(key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val s = d.agg(
+      orderedSum($"seg", $"n" * ($"m" - $"gm") * ($"m" - $"gm")).as("ssb"),
+      orderedSum($"seg", $"ssw_g").as("ssw"))
     s.crossJoin(broadcast(t))
       .select($"nn".cast("long").as("n"), $"k".cast("long").as("k"),
         RelationalCore.stat($"ssb" / ($"k" - 1)).as("msb"),

@@ -998,15 +998,21 @@ object EventAnalytics {
       |                avg(vc) AS hodc, CAST(count(*) AS BIGINT) AS n_obs
       |         FROM hourly GROUP BY 1, 2)
       |SELECT p.event_type, p.hod,
-      |       round(l.levelc / 100, 4) AS level,
-      |       round((p.hodc - l.levelc) / 100, 4) AS seasonal,
+      |       CAST(floor(l.levelc / 100 * 10000 + 0.5) AS BIGINT) AS level_e4,
+      |       CAST(floor((p.hodc - l.levelc) / 100 * 10000 + 0.5) AS BIGINT) AS seasonal_e4,
       |       p.n_obs
       |FROM prof p JOIN lvl l USING (event_type)
       |ORDER BY p.event_type, p.hod""") { (spark, dir) =>
     import spark.implicits._
     // integer-cents quantization: every partial sum is an integer < 2^53,
     // so the avgs are EXACT in any summation order on both engines — the
-    // raw-double formulation flipped a round(4) boundary at sf0.1
+    // raw-double formulation flipped a round(4) boundary at sf0.1.
+    // Output is FLOOR-based fixed point since r9 (the q188 discipline):
+    // the sf1 sweep caught round(·,4) itself diverging cross-engine on an
+    // IDENTICAL double landing at an exact .00005 boundary (Spark judges
+    // the true binary via BigDecimal, DuckDB the ×10⁴-scaled double).
+    // floor(x·10⁴ + 0.5) evaluates the same IEEE ops on the same double —
+    // deterministic on both engines at every boundary.
     val hourly = Tables.events(spark, dir)
       .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
       .agg(sum(round($"value" * 100).cast("long")).as("vc"))
@@ -1015,8 +1021,10 @@ object EventAnalytics {
       .groupBy($"event_type", hour($"h").cast("int").as("hod"))
       .agg(avg($"vc").as("hodc"), count(lit(1)).as("n_obs"))
     prof.join(broadcast(lvl), Seq("event_type"))
-      .select($"event_type", $"hod", round($"levelc" / 100, 4).as("level"),
-        round(($"hodc" - $"levelc") / 100, 4).as("seasonal"), $"n_obs")
+      .select($"event_type", $"hod",
+        floor($"levelc" / 100 * 10000 + 0.5).cast("long").as("level_e4"),
+        floor(($"hodc" - $"levelc") / 100 * 10000 + 0.5).cast("long").as("seasonal_e4"),
+        $"n_obs")
       .orderBy($"event_type", $"hod")
   }
 
