@@ -769,7 +769,11 @@ object Curation {
     * ⌈tokens/512⌉ via /512.0 — a power-of-two division, exact in binary
     * floating point, so the ceil can never straddle engines. */
   private lazy val q300Sql: String = {
-    val base = q127CurationPipeline.oracle.get
+    // base switched from q127's EXACT-pair pipeline to q349's PORTABLE-LSH
+    // pipeline in r9: q300's engine rides the portable banded pair stage,
+    // and only an oracle that derives the identical candidates can mirror
+    // a banding miss (the sf1 lesson — see portableCandPairsSql)
+    val base = q349CurationLsh.oracle.get
     val idx = base.lastIndexOf("SELECT d.doc_id,")
     val ctes = base.substring(0, idx).trim
     val finalSel = base.substring(idx).replace("ORDER BY d.doc_id", "").trim
@@ -805,23 +809,23 @@ object Curation {
     * training job.
     *
     * 100 TB plan: every stage reuses an already-audited shape — the pair
-    * stage is the SUB-QUADRATIC sketch-then-verify default
-    * ([[Dedup.neardupPairsLshVerified]]: banded minhash candidates,
-    * exact-verified; q45's capped index stays the oracle-able verifier),
-    * q109 star closure, broadcast eval-grams, hash census; the manifest
-    * rollup is map-side-combined over (split, source) — the output is
-    * dashboard-sized. */
+    * stage is the SUB-QUADRATIC portable sketch-then-verify default
+    * ([[Dedup.neardupPairsPortableLshVerified]]: md5 banded candidates,
+    * exact-verified, and the oracle derives the identical candidates so
+    * banding misses mirror — the r9 sf1 lesson), q109 star closure,
+    * broadcast eval-grams, hash census; the manifest rollup is map-side-
+    * combined over (split, source) — the output is dashboard-sized. */
   val q300ExportManifest: GraftQuery = GraftQuery(
     "q300_export_manifest",
     (spark, dir) => {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // DEFAULT = the sub-quadratic sketch-then-verify path (banded-minhash
-    // candidates, exact-Jaccard-verified — equals the exact capped-index
-    // pairs wherever the recall law holds, so the DuckDB oracle stays
-    // exact); computed ONCE (localCheckpoint) and fed to both curate's
-    // near-dup stage and the split clustering
-    val pairs = Dedup.neardupPairsLshVerified(docs)
+    // DEFAULT = the sub-quadratic PORTABLE sketch-then-verify path (md5
+    // banded candidates, exact-Jaccard-verified — the oracle derives the
+    // identical candidate set, so banding misses land on both sides);
+    // computed ONCE (localCheckpoint) and fed to both curate's near-dup
+    // stage and the split clustering
+    val pairs = Dedup.neardupPairsPortableLshVerified(docs)
       .select($"doc_a", $"doc_b").localCheckpoint()
     val verdicts = curate(docs, $"doc_id" % 50 === 0, _ => pairs)
     val clusters = Dedup.minLabelComponents(docs.select($"doc_id"), pairs)
@@ -1034,9 +1038,10 @@ object Curation {
     * Weights are exact rationals summed as ppm integers (1e6/|cluster| per
     * doc) — no float summation anywhere.
     *
-    * 100 TB plan: pairs ride the sub-quadratic sketch-then-verify default
-    * ([[Dedup.neardupPairsLshVerified]] — equals the exact pairs under
-    * the recall law, keeping this oracle exact); cluster sizes are one
+    * 100 TB plan: pairs ride [[Dedup.neardupPairsPortableLshVerified]]
+    * (sub-quadratic, and the oracle derives the IDENTICAL banded
+    * candidate set via [[Dedup.portableCandPairsSql]] — a banding miss
+    * lands on both sides, the r9 sf1 lesson); cluster sizes are one
     * agg over the labels, GUARDED by [[Dedup.guardClusterSizes]] (a
     * mega-cluster fails loudly); the weight join is label-keyed; the
     * census is source-sized. The components run is the amortized
@@ -1050,9 +1055,7 @@ object Curation {
       |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
       |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
+      |""".stripMargin + Dedup.portableCandPairsSql + """
       |good AS (SELECT doc_a, doc_b FROM pairs
       |         JOIN sizes sa ON doc_a = sa.doc_id
       |         JOIN sizes sb ON doc_b = sb.doc_id
@@ -1076,15 +1079,16 @@ object Curation {
       |GROUP BY source
       |ORDER BY source""") { (spark, dir) =>
     import spark.implicits._
-    // DEFAULT = sub-quadratic sketch-then-verify pairs (== q45's exact
-    // pairs under the recall law, so the recursive-CTE oracle stays
-    // exact); the guard fails loudly on a pathological mega-cluster
-    // before the size census ever runs
+    // DEFAULT = sub-quadratic PORTABLE sketch-then-verify pairs — the
+    // oracle derives the identical banded candidates, so this stays
+    // strict even when a band misses a true pair (r9 sf1 lesson); the
+    // guard fails loudly on a pathological mega-cluster before the size
+    // census ever runs
     val docsIn = Tables.documents(spark, dir)
     val lab = Dedup.guardClusterSizes(
       Dedup.minLabelComponents(
           docsIn.select($"doc_id"),
-          Dedup.neardupPairsLshVerified(docsIn).select($"doc_a", $"doc_b"))
+          Dedup.neardupPairsPortableLshVerified(docsIn).select($"doc_a", $"doc_b"))
         .toDF("doc_id", "cluster_id"))
     val cs = lab.groupBy($"cluster_id").agg(count(lit(1)).cast("long").as("m"))
     Tables.documents(spark, dir).select($"doc_id", $"source")

@@ -156,6 +156,29 @@ object Dedup {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** Oracle-side twin of [[neardupPairsPortableLshVerified]]'s candidate
+    * stage, for splicing into capstone oracles AFTER their `sh` CTE:
+    * portable md5 signatures → 4×4 band keys → banded candidate pairs →
+    * co-shingle counts restricted to candidates. The downstream `good`
+    * CTE (jaccard ≥ 0.8) then yields exactly the engine's verified pair
+    * set — INCLUDING any banding miss, which appears identically on both
+    * sides (the r9 sf1 sweep caught two xxh64-banding misses at 10× pairs
+    * that the old exact-pair oracles could not mirror). */
+  private[llm] val portableCandPairsSql: String =
+    """hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS lo,
+      |              CAST(('0x' || substr(md5(s), 17, 14)) AS BIGINT) AS hi FROM sh),
+      |sig AS (SELECT doc_id, i, CAST(min((lo + i * hi) % 72057594037927936) AS BIGINT) AS minhash
+      |        FROM hh, (SELECT unnest(generate_series(0, 15)) AS i) g GROUP BY 1, 2),
+      |band AS (SELECT doc_id, i // 4 AS b,
+      |                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bk
+      |         FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |         FROM band a JOIN band b2 ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
+      |pairs AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+      |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+      |                      JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+      |          GROUP BY 1, 2),""".stripMargin
+
   /** q45's core over any (doc_id, text, …) frame: exact shingle-Jaccard
     * near-dup pairs (≥ 0.8), frequency-capped inverted index. Shared by the
     * q100/q109 clustering queries and the q127 curation capstone. */
@@ -1411,17 +1434,19 @@ object Dedup {
     * champion manifest per non-trivial cluster; q275 does the same
     * survivorship for entity ATTRIBUTES, this does it for documents.
     *
-    * 100 TB plan: the pair stage rides [[neardupPairsLshVerified]] —
-    * banded-minhash candidates, exact-verified, sub-quadratic — as the
-    * DEFAULT (q45's capped inverted index remains the oracle-able
-    * verifier, and the verified-LSH output equals it wherever the recall
-    * law holds, which keeps this query's DuckDB oracle exact); then one
-    * label join (cluster-keyed) + one per-cluster window over
-    * cluster-sized partitions. Near-dup clusters are small by
-    * construction, and [[guardClusterSizes]] now ENFORCES that: a
-    * pathological mega-cluster (a degenerate banding scheme — q372's
-    * round-5 incident shape) fails loudly instead of serializing one
-    * giant window partition. */
+    * 100 TB plan: the pair stage rides
+    * [[neardupPairsPortableLshVerified]] — portable-md5 banded candidates,
+    * exact-verified, sub-quadratic — as the DEFAULT since r9, and the
+    * DuckDB oracle derives the IDENTICAL candidate set
+    * ([[portableCandPairsSql]]), so a banding miss lands on BOTH sides
+    * (the r8 xxh64 path's exact-pair oracle broke at sf1 exactly there:
+    * two missed pairs = two engine-side missing clusters with nothing in
+    * the oracle to mirror them); then one label join (cluster-keyed) +
+    * one per-cluster window over cluster-sized partitions. Near-dup
+    * clusters are small by construction, and [[guardClusterSizes]] now
+    * ENFORCES that: a pathological mega-cluster (a degenerate banding
+    * scheme — q372's round-5 incident shape) fails loudly instead of
+    * serializing one giant window partition. */
   val q343ClusterChampion: GraftQuery = GraftQuery.oracled(
     "q343_cluster_champion",
     """WITH RECURSIVE
@@ -1431,9 +1456,7 @@ object Dedup {
       |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
       |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
+      |""".stripMargin + portableCandPairsSql + """
       |good AS (SELECT doc_a, doc_b FROM pairs
       |         JOIN sizes sa ON doc_a = sa.doc_id
       |         JOIN sizes sb ON doc_b = sb.doc_id
@@ -1458,7 +1481,7 @@ object Dedup {
       |ORDER BY cluster_id""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = neardupPairsLshVerified(Tables.documents(spark, dir))
+    val pairs = neardupPairsPortableLshVerified(Tables.documents(spark, dir))
       .select($"doc_a", $"doc_b")
     val verts = Tables.documents(spark, dir).select($"doc_id")
     val lab = guardClusterSizes(starComponents(verts, pairs)._1
@@ -2601,55 +2624,70 @@ object Dedup {
 
   /** LSH BANDING-SCHEME SWEEP — the S-curve tuning study behind every
     * bands×rows choice (MMDS §3.4): the SAME 16-hash signatures banded
-    * three ways — 2×8 (high precision), 4×4 (q372's operating point), 8×2
-    * (high recall) — with the RECALL-COMPLETE schemes (4×4, 8×2) emitting
-    * their exact-VERIFIED pair sets (≥ 0.8 capped-shingle Jaccard).
-    * STRICT-oracle'd since r7 (q372's pattern extended across the grid):
-    * verified(scheme) = exact ∩ candidates(scheme); 4×4 recall = 1 is the
-    * spec-gated law and candidates(4×4) ⊆ candidates(8×2) (half-band
-    * containment) carries it to 8×2 — so each emitted scheme's verified
-    * set IS q45's exact pair set and the oracle is q45's SQL crossed with
-    * the scheme grid. The 2×8 high-precision scheme stays SPEC-side
-    * deliberately: its recall is genuinely < 1 (it misses a real pair at
-    * sf0.001 — measured, not assumed), and WHICH pair it misses is
-    * xxh64-dependent, which no cross-engine oracle can encode; LlmOpsSpec
-    * pins 2×8's laws instead (candidates ⊆ 4×4's, verified ⊆ exact). The
-    * hash-specific CANDIDATE counts (the S-curve selectivity study)
-    * likewise stay in the spec where the xxh64 sketch is reproducible.
+    * two emitted ways — 4×4 (the operating point) and 8×2 (high recall) —
+    * each emitting its exact-VERIFIED pair set (≥ 0.8 capped-shingle
+    * Jaccard).
+    *
+    * PORTABLE since r9: signatures are the md5 double-hashing family
+    * (q494), so the DuckDB oracle derives each scheme's CANDIDATE set
+    * identically and verified(scheme) = candidates(scheme) ∩ exact holds
+    * cross-engine even when a band MISSES a true pair — the r8
+    * formulation (xxh64 signatures + an oracle stating recall-1) broke at
+    * the sf1 tier exactly there (3 missed pairs at 10× pair count =
+    * empirical recall 0.9988, not 1). The 2×8 high-precision scheme stays
+    * SPEC-side (LlmOpsSpec: candidates(2×8) ⊆ candidates(4×4) ⊆
+    * candidates(8×2) half-band containment, verified ⊆ exact); q372
+    * remains the xxh64 codegen-kernel production-rate showcase with q494/
+    * q495 as its portable strict twins.
     *
     * 100 TB plan: one signature projection feeds all schemes; each
-    * scheme is a bounded explode + bucket equi-join (q372's shape). The
-    * sweep runs on a sample in production — the operating point it picks
-    * is what q372 then runs at corpus scale. */
+    * scheme is a census-sized band-key agg + bucket equi-join (q372's
+    * shape). The sweep runs on a sample in production — the operating
+    * point it picks is what q372 then runs at corpus scale. */
   val q396BandingSweep: GraftQuery = GraftQuery.oracled(
     "q396_banding_sweep",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-      |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
-      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
-      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |exact AS (SELECT doc_a, doc_b,
-      |                 round(shared / (sa.n + sb.n - shared), 4) AS jaccard
-      |          FROM pairs
-      |          JOIN sizes sa ON doc_a = sa.doc_id
-      |          JOIN sizes sb ON doc_b = sb.doc_id
-      |          WHERE shared / (sa.n + sb.n - shared) >= 0.8),
-      |schemes AS (SELECT * FROM (VALUES (4, 4), (8, 2)) s(bands, rows_per_band))
-      |SELECT CAST(bands AS BIGINT) AS bands,
-      |       CAST(rows_per_band AS BIGINT) AS rows_per_band,
-      |       doc_a, doc_b, jaccard
-      |FROM exact, schemes
-      |ORDER BY bands, doc_a, doc_b""") {
+    portableSigSql +
+      """,
+        |schemes AS (SELECT * FROM (VALUES (4, 4), (8, 2)) s(bands, rows_per_band)),
+        |bnd AS (SELECT sc.bands, sc.rows_per_band, g.doc_id,
+        |               g.i // sc.rows_per_band AS b,
+        |               md5(string_agg(CAST(g.minhash AS VARCHAR), ',' ORDER BY g.i)) AS bk
+        |        FROM sig g, schemes sc
+        |        GROUP BY sc.bands, sc.rows_per_band, g.doc_id, g.i // sc.rows_per_band),
+        |cand AS (SELECT DISTINCT a.bands, a.rows_per_band, a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |         FROM bnd a JOIN bnd b2 ON a.bands = b2.bands AND a.b = b2.b AND a.bk = b2.bk
+        |                                AND a.doc_id < b2.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cp AS (SELECT c.bands, c.rows_per_band, c.doc_a, c.doc_b, count(*) AS shared
+        |       FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |                   JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(cp.bands AS BIGINT) AS bands,
+        |       CAST(cp.rows_per_band AS BIGINT) AS rows_per_band,
+        |       cp.doc_a, cp.doc_b,
+        |       round(cp.shared / (sa.n + sb.n - cp.shared), 4) AS jaccard
+        |FROM cp JOIN sizes sa ON cp.doc_a = sa.doc_id
+        |        JOIN sizes sb ON cp.doc_b = sb.doc_id
+        |WHERE cp.shared / (sa.n + sb.n - cp.shared) >= 0.8
+        |ORDER BY bands, doc_a, doc_b""".stripMargin) {
     (spark, dir) =>
       import spark.implicits._
-      val sig = minhashSigs(spark, dir).localCheckpoint()
-      val tk = cappedShingleSets(spark, dir).localCheckpoint()
+      val docs = Tables.documents(spark, dir)
+      val sig = portableMinhashSigs(docs).localCheckpoint()
+      val tk = cappedShingleSetsOf(docs).localCheckpoint()
+      def portableCandidates(bn: Int): org.apache.spark.sql.DataFrame = {
+        val r = 16 / bn
+        val band = sig.groupBy($"doc_id", expr(s"i div $r").as("b"))
+          .agg(expr(
+            "md5(concat_ws(',', transform(sort_array(collect_list(struct(i, minhash))), x -> cast(x.minhash AS string))))")
+            .as("bk"))
+        band.toDF("doc_a", "b", "bk")
+          .join(band.toDF("doc_b", "b", "bk"), Seq("b", "bk"))
+          .filter($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b").distinct()
+      }
       Seq(4, 8).map { bn =>
-        bandedCandidates(sig, bn)
+        portableCandidates(bn)
           .join(tk.toDF("doc_a", "tk_a"), Seq("doc_a"))
           .join(tk.toDF("doc_b", "tk_b"), Seq("doc_b"))
           .withColumn("jaccard",

@@ -601,13 +601,13 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     val c8 = Dedup.bandedCandidates(sig, 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(c2.subsetOf(c4), s"2x8 candidates not nested in 4x4: ${(c2 -- c4).take(5)}")
     assert(c4.subsetOf(c8), s"4x4 candidates not nested in 8x2: ${(c4 -- c8).take(5)}")
-    // since r7 the sweep's driver-facing output is the verified PAIR SET of
-    // the recall-complete schemes (strict oracle = q45's exact set × the
-    // 4×4/8×2 grid); the laws the old census columns carried are asserted
-    // here directly: those schemes' verified sets equal the exact q45 pair
-    // set (recall 1 — exactly what licenses the strict oracle), while the
-    // high-precision 2×8 scheme — whose recall is genuinely < 1 — is pinned
-    // to its containment laws (candidates nested above, verified ⊆ exact).
+    // since r9 the sweep rides PORTABLE md5 signatures and its oracle
+    // derives each scheme's candidates identically, so strictness no
+    // longer depends on recall = 1 (the r8 xxh64 recall-law oracle broke
+    // at sf1 on 3 missed pairs); recall = 1 at THIS smoke tier is still
+    // asserted here as the empirical law, while the high-precision 2×8
+    // scheme — whose recall is genuinely < 1 — is pinned to its
+    // containment laws (candidates nested above, verified ⊆ exact).
     val exact = Dedup.q45NeardupJaccard.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rows = Dedup.q396BandingSweep.fn(spark, sf).collect()
