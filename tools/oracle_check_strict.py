@@ -64,10 +64,15 @@ def canon(df):
     return list(df.columns), mat
 
 
-def main(sf_dir, out_dir, only):
+def fresh_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main(sf_dir, out_dir, only):
+    con = fresh_con(sf_dir)
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     unknown = only - set(oracle)
@@ -91,18 +96,38 @@ def main(sf_dir, out_dir, only):
             failures += 1
             continue
         tmo = float(os.environ.get("ORACLE_TIMEOUT", "0") or 0)
+        # Timeout-race guard: if the oracle finishes at ~the budget, a bare
+        # Timer(con.interrupt) can fire AFTER con.sql returns but before
+        # cancel(), leaving a pending interrupt that kills the NEXT entry's
+        # replay. The callback now only interrupts while this query is still
+        # flagged running, and any interrupt that did fire (timeout OR
+        # late-fire) is followed by a fresh connection so no interrupt state
+        # can leak across entries.
         try:
             mine = pd.read_parquet(f"{out_dir}/{name}")
-            timer = threading.Timer(tmo, con.interrupt) if tmo else None
+            running = threading.Event()
+            fired = threading.Event()
+
+            def _interrupt():
+                if running.is_set():
+                    fired.set()
+                    con.interrupt()
+
+            timer = threading.Timer(tmo, _interrupt) if tmo else None
             if timer:
+                running.set()
                 timer.start()
             try:
                 ref = con.sql(sql).df()
             finally:
+                running.clear()
                 if timer:
                     timer.cancel()
+                if fired.is_set():
+                    con.close()
+                    con = fresh_con(sf_dir)
         except Exception as e:
-            if tmo and "interrupt" in str(type(e)).lower() + str(e).lower():
+            if tmo and fired.is_set():
                 print(f"TIMEOUT {name} (oracle > {tmo:.0f}s)", flush=True)
                 n_skipped += 1
                 continue

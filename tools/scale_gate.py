@@ -74,6 +74,9 @@ def main(argv):
     base = json.load(open("BENCH.json"))
     if base.get("mode") != "count" or len(base.get("queries", {})) < 400:
         sys.exit("BENCH.json is not the canonical full count-mode record")
+    unknown = sorted(extra - set(base["queries"]))
+    if unknown:
+        sys.exit(f"unknown query names (not in the canonical BENCH.json map): {unknown}")
     ranked = sorted(base["queries"].items(), key=lambda kv: -kv[1])
     names = {k for k, _ in ranked[:n_top]} | extra | set(BY_DESIGN)
 
@@ -95,7 +98,7 @@ def main(argv):
             rows.append((name, a, rb, rb / ra, f"by-design (carried r8 sf1 number): {why}"))
             continue
         b = t1.get(name)
-        ratio = b / a if a and a > 0.05 else float("nan")
+        ratio = b / a if a and b is not None and a > 0.05 else float("nan")
         note = ""
         if name in BY_DESIGN:
             note = f"by-design: {BY_DESIGN[name][2]}"
@@ -106,8 +109,9 @@ def main(argv):
 
     print(f"\n| entry | sf0.1 s | sf1 s | ratio | note |")
     print("|---|---|---|---|---|")
+    fmt = lambda v, p: (f"{v:.{p}f}" if isinstance(v, float) and v == v else "-")
     for name, a, b, r, note in rows:
-        print(f"| {name} | {a:.2f} | {b:.1f} | {r:.1f}x | {note} |")
+        print(f"| {name} | {fmt(a, 2)} | {fmt(b, 1)} | {fmt(r, 1)}x | {note} |")
     if failures:
         sys.exit(f"SCALE GATE FAILED: {failures} exceeded {RATIO_MAX}x without a by-design entry")
     print(f"\nscale gate PASSED: {len(rows)} entries, none over {RATIO_MAX}x unnamed")
