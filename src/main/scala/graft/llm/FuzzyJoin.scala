@@ -193,9 +193,11 @@ object FuzzyJoin {
     * random-agreement rate Σ_k (n_k/N)² from each field's value census —
     * exact integer-valued-double algebra, so the oracle reproduces every
     * weight bit-for-bit. Fields: nation, market segment, and the $100
-    * account-balance band. Classification thresholds apply to the ROUNDED
-    * score so the match/possible/nonmatch label can never flip on float
-    * jitter.
+    * account-balance band. The released score is INTEGER ten-thousandths
+    * (floor(x·10⁴ + 0.5) on the identical cross-engine double — the
+    * q491/q244 fence; r9 proved round(double, n) itself diverges at
+    * boundaries) and the match/possible/nonmatch labels threshold that
+    * integer, so neither score nor class can flip on float jitter.
     *
     * 100 TB plan: u-estimation is one census agg per field (constant-size
     * results, broadcast); candidates come from the lossless ED-1 blocking
@@ -224,36 +226,36 @@ object FuzzyJoin {
       |        AND abs(length(a.c_name) - length(b.c_name)) <= 1
       |        AND levenshtein(a.c_name, b.c_name) <= 1),
       |s AS (SELECT ka, kb, agree_nation, agree_segment, agree_balance,
-      |             round(
+      |             CAST(floor((
       |               (CASE WHEN agree_nation = 1 THEN ln(CAST(0.95 AS DOUBLE) / u1.u)
       |                     ELSE ln(CAST(0.05 AS DOUBLE) / (1 - u1.u)) END)
       |             + (CASE WHEN agree_segment = 1 THEN ln(CAST(0.9 AS DOUBLE) / u2.u)
       |                     ELSE ln(CAST(0.1 AS DOUBLE) / (1 - u2.u)) END)
       |             + (CASE WHEN agree_balance = 1 THEN ln(CAST(0.85 AS DOUBLE) / u3.u)
-      |                     ELSE ln(CAST(0.15 AS DOUBLE) / (1 - u3.u)) END), 4) AS fs_score
+      |                     ELSE ln(CAST(0.15 AS DOUBLE) / (1 - u3.u)) END)) * 10000 + 0.5) AS BIGINT) AS fs_score_e4
       |      FROM p, u1, u2, u3)
-      |SELECT ka, kb, agree_nation, agree_segment, agree_balance, fs_score,
-      |       CASE WHEN fs_score >= 5 THEN 'match'
-      |            WHEN fs_score >= 0 THEN 'possible'
+      |SELECT ka, kb, agree_nation, agree_segment, agree_balance, fs_score_e4,
+      |       CASE WHEN fs_score_e4 >= 50000 THEN 'match'
+      |            WHEN fs_score_e4 >= 0 THEN 'possible'
       |            ELSE 'nonmatch' END AS cls
       |FROM s ORDER BY ka, kb""") { (spark, dir) =>
     import spark.implicits._
     val (agree, u) = fsInputs(spark, dir)
     agree
       .crossJoin(broadcast(u))
-      .withColumn("fs_score", round(
+      .withColumn("fs_score_e4", floor((
         when($"agree_nation" === 1, log(lit(0.95) / $"u1"))
           .otherwise(log(lit(0.05) / (lit(1) - $"u1"))) +
         when($"agree_segment" === 1, log(lit(0.9) / $"u2"))
           .otherwise(log(lit(0.1) / (lit(1) - $"u2"))) +
         when($"agree_balance" === 1, log(lit(0.85) / $"u3"))
-          .otherwise(log(lit(0.15) / (lit(1) - $"u3"))), 4))
+          .otherwise(log(lit(0.15) / (lit(1) - $"u3")))) * 10000 + 0.5).cast("long"))
       .withColumn("cls",
-        when($"fs_score" >= 5, "match")
-          .when($"fs_score" >= 0, "possible")
+        when($"fs_score_e4" >= 50000, "match")
+          .when($"fs_score_e4" >= 0, "possible")
           .otherwise("nonmatch"))
       .select($"ka", $"kb", $"agree_nation", $"agree_segment", $"agree_balance",
-        $"fs_score", $"cls")
+        $"fs_score_e4", $"cls")
       .orderBy($"ka", $"kb")
   }
 
@@ -339,15 +341,13 @@ object FuzzyJoin {
     * BOUNDED census is relational after all — the oracle reruns q282's
     * candidate/census build and unrolls the same two EM rounds as CTE
     * scalar algebra (same left-assoc product order, same clamp written as
-    * `1 − 0.000001` so both engines parse identical doubles). Cell sums
-    * are 8-term float adds whose order may differ per engine by a few
-    * ulps; the released score is rounded to 4 decimals and the class
-    * labels threshold the ROUNDED score — the catalog's standard float
-    * fence. Residual-flake escape hatch (r8 ADVICE): if a score ever
-    * lands within ulps of a .00005 rounding boundary or exactly at the
-    * 5/0 class thresholds cross-engine, the fix is to quantize the
-    * log-ratio sum to integer milli-units BEFORE rounding/classing —
-    * the q491 Gumbel pattern (Governance.scala) — not a tighter round().
+    * `1 − 0.000001` so both engines parse identical doubles). The
+    * released score is INTEGER ten-thousandths since r10:
+    * floor(x·10⁴ + 0.5) evaluates the same IEEE ops on the identical
+    * double on both engines (the q491/q244 fence — r9's q244 fix proved
+    * round(double, n) itself diverges cross-engine at .00005 boundaries,
+    * exactly the flake the r8 ADVICE predicted here), and the
+    * match/possible/nonmatch labels threshold that integer at 50000/0.
     *
     * 100 TB plan: identical shuffle shape to q282 — lossless ED-1 blocking
     * for candidates, one constant-size census agg, pure-projection scoring
@@ -429,14 +429,14 @@ object FuzzyJoin {
       |                least(CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE), greatest(CAST(0.000001 AS DOUBLE), sng3 / snw)) AS w3
       |         FROM a2),
       |s AS (SELECT ka, kb, g1, g2, g3,
-      |             round(
+      |             CAST(floor((
       |               (CASE WHEN g1 = 1 THEN ln(m1 / w1) ELSE ln((1 - m1) / (1 - w1)) END)
       |             + (CASE WHEN g2 = 1 THEN ln(m2 / w2) ELSE ln((1 - m2) / (1 - w2)) END)
-      |             + (CASE WHEN g3 = 1 THEN ln(m3 / w3) ELSE ln((1 - m3) / (1 - w3)) END), 4) AS fs_score
+      |             + (CASE WHEN g3 = 1 THEN ln(m3 / w3) ELSE ln((1 - m3) / (1 - w3)) END)) * 10000 + 0.5) AS BIGINT) AS fs_score_e4
       |      FROM p, par2)
-      |SELECT ka, kb, g1 AS agree_nation, g2 AS agree_segment, g3 AS agree_balance, fs_score,
-      |       CASE WHEN fs_score >= 5 THEN 'match'
-      |            WHEN fs_score >= 0 THEN 'possible'
+      |SELECT ka, kb, g1 AS agree_nation, g2 AS agree_segment, g3 AS agree_balance, fs_score_e4,
+      |       CASE WHEN fs_score_e4 >= 50000 THEN 'match'
+      |            WHEN fs_score_e4 >= 0 THEN 'possible'
       |            ELSE 'nonmatch' END AS cls
       |FROM s ORDER BY ka, kb""") {
     (spark, dir) =>
@@ -461,16 +461,16 @@ object FuzzyJoin {
         when(col(agreeCol) === 1, log(lit(mj) / lit(uj)))
           .otherwise(log(lit(1.0 - mj) / lit(1.0 - uj)))
       agree
-        .withColumn("fs_score", round(
+        .withColumn("fs_score_e4", floor((
           term("agree_nation", m(0), u(0)) +
           term("agree_segment", m(1), u(1)) +
-          term("agree_balance", m(2), u(2)), 4))
+          term("agree_balance", m(2), u(2))) * 10000 + 0.5).cast("long"))
         .withColumn("cls",
-          when($"fs_score" >= 5, "match")
-            .when($"fs_score" >= 0, "possible")
+          when($"fs_score_e4" >= 50000, "match")
+            .when($"fs_score_e4" >= 0, "possible")
             .otherwise("nonmatch"))
         .select($"ka", $"kb", $"agree_nation", $"agree_segment",
-          $"agree_balance", $"fs_score", $"cls")
+          $"agree_balance", $"fs_score_e4", $"cls")
         .orderBy($"ka", $"kb")
   }
 

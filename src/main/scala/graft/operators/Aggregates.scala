@@ -548,8 +548,8 @@ object Aggregates {
     "q191_agg_pushdown_join",
     """SELECT n.n_name,
       |       CAST(count(*) AS BIGINT) AS n_items,
-      |       round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
-      |                        * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 2) AS revenue
+      |       CAST((sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+      |                  * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS BIGINT) AS revenue_cents
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -569,8 +569,10 @@ object Aggregates {
       .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(sum($"pn").cast("long").as("n_items"),
-        round(sum($"prev_bp").cast("double") / 10000, 2).as("revenue"))
+      .agg(sum($"pn").cast("long").as("n_items"), sum($"prev_bp").as("rev_bp"))
+      // half-up cents on the exact bp sum (q12's r10 fix): integer div on
+      // both engines — the round(double, 2) boundary class cannot occur
+      .select($"n_name", $"n_items", expr("(rev_bp + 50) div 100").as("revenue_cents"))
       .orderBy($"n_name")
   }
 

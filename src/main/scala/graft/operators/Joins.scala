@@ -26,14 +26,18 @@ object Joins {
     * rows (summation-order divergence — the first scale where the double
     * sum left the half-ulp safety of round(·,2)). Prices and discounts are
     * exact 2-dp decimals, so revenue·10⁴ = Σ cents·(100 − disc_pct) is one
-    * BIGINT per group (≲2.4e17 even at 100 TB nation-rollups) and the
-    * released value is a single division of identical integers — engine-
-    * order-free at every scale. */
+    * BIGINT per group (≲2.4e17 even at 100 TB nation-rollups). Since r10
+    * the RELEASED value is integer too: half-up cents via
+    * (sum_bp + 50) div 100 — r9 still released round(sum_bp/10⁴, 2), whose
+    * .005 boundary (bp sum ending in 50) is the documented class where
+    * Spark (BigDecimal HALF_UP) and DuckDB (scaled-double) disagree on the
+    * identical double (the q244 failure mode). No float touches the
+    * answer at any scale. */
   val q12StarJoin: GraftQuery = GraftQuery.oracled(
     "q12_star_join",
     """SELECT n_name,
-      |       round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-      |                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 2) AS revenue,
+      |       CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS BIGINT) AS revenue_cents,
       |       count(*) AS n_lines
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -58,8 +62,9 @@ object Joins {
       .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
         $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(round(sum(revBp).cast("double") / 10000, 2).as("revenue"),
-        count(lit(1)).as("n_lines"))
+      .agg(sum(revBp).as("rev_bp"), count(lit(1)).as("n_lines"))
+      .select($"n_name", expr("(rev_bp + 50) div 100").as("revenue_cents"),
+        $"n_lines")
       .orderBy($"n_name")
   }
 

@@ -53,16 +53,13 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkFixture {
       rows.map(r => (r.getLong(r.fieldIndex("ka")), r.getLong(r.fieldIndex("kb")))).toSet
     assert(pairs(em) === pairs(pinned),
       "EM variant must score exactly the blocked candidate set")
-    em.foreach { r =>
-      val s = r.getDouble(r.fieldIndex("fs_score"))
-      assert(!s.isNaN && !s.isInfinite, s"non-finite score in $r")
-    }
-    // full-agreement pairs must outrank full-disagreement pairs under EM
+    // scores are integer ten-thousandths since r10 (the q491/q244 fence);
+    // non-finiteness would have thrown in the floor→long cast already
     val byAgree = em.groupBy(r => (r.getInt(r.fieldIndex("agree_nation")),
       r.getInt(r.fieldIndex("agree_segment")), r.getInt(r.fieldIndex("agree_balance"))))
     for (full <- byAgree.get((1, 1, 1)); none <- byAgree.get((0, 0, 0))) {
-      val minFull = full.map(_.getDouble(full.head.fieldIndex("fs_score"))).min
-      val maxNone = none.map(_.getDouble(none.head.fieldIndex("fs_score"))).max
+      val minFull = full.map(_.getLong(full.head.fieldIndex("fs_score_e4"))).min
+      val maxNone = none.map(_.getLong(none.head.fieldIndex("fs_score_e4"))).max
       assert(minFull > maxNone, "EM weights must order agreement above disagreement")
     }
   }
