@@ -209,7 +209,7 @@ object Curation {
       |ORDER BY d.doc_id""") { (spark, dir) =>
     import spark.implicits._
     curate(Tables.documents(spark, dir), $"doc_id" % 50 === 0,
-      Dedup.neardupPairsPortableLshVerified(_))
+      _ => Dedup.corpusPortablePairs(spark, dir))
   }
 
   /** NEYMAN-OPTIMAL EVAL ALLOCATION — how many eval docs to draw from each
@@ -825,8 +825,8 @@ object Curation {
     // identical candidate set, so banding misses land on both sides);
     // computed ONCE (localCheckpoint) and fed to both curate's near-dup
     // stage and the split clustering
-    val pairs = Dedup.neardupPairsPortableLshVerified(docs)
-      .select($"doc_a", $"doc_b").localCheckpoint()
+    val pairs = Dedup.corpusPortablePairs(spark, dir)
+      .select($"doc_a", $"doc_b")
     val verdicts = curate(docs, $"doc_id" % 50 === 0, _ => pairs)
     val clusters = Dedup.minLabelComponents(docs.select($"doc_id"), pairs)
       .toDF("doc_id", "cluster_id")
@@ -1088,7 +1088,7 @@ object Curation {
     val lab = Dedup.guardClusterSizes(
       Dedup.minLabelComponents(
           docsIn.select($"doc_id"),
-          Dedup.neardupPairsPortableLshVerified(docsIn).select($"doc_a", $"doc_b"))
+          Dedup.corpusPortablePairs(spark, dir).select($"doc_a", $"doc_b"))
         .toDF("doc_id", "cluster_id"))
     val cs = lab.groupBy($"cluster_id").agg(count(lit(1)).cast("long").as("m"))
     Tables.documents(spark, dir).select($"doc_id", $"source")

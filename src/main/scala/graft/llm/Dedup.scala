@@ -88,7 +88,7 @@ object Dedup {
       |WHERE shared / (sa.n + sb.n - shared) >= 0.8
       |ORDER BY doc_a, doc_b""") { (spark, dir) =>
     import spark.implicits._
-    neardupPairs(Tables.documents(spark, dir)).orderBy($"doc_a", $"doc_b")
+    corpusExactPairs(spark, dir).orderBy($"doc_a", $"doc_b")
   }
 
   /** CROSS-SOURCE CONTAMINATION MATRIX — which FEED PAIRS share near-dup
@@ -135,7 +135,7 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val src = docs.select($"doc_id", $"source")
-    val nd = neardupPairs(docs).select($"doc_a", $"doc_b")
+    val nd = corpusExactPairs(spark, dir).select($"doc_a", $"doc_b")
     // n_docs_a/b count the duplicated-document footprint ON EACH SOURCE's
     // side, so the pair must be re-oriented by SOURCE (not by doc_id) before
     // aggregating: when the lower-id doc belongs to the greater source the
@@ -178,6 +178,48 @@ object Dedup {
       |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
       |                      JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
       |          GROUP BY 1, 2),""".stripMargin
+
+  /** Per-(session, dir, tag) memo of corpus-level SHARED frames — the
+    * q312-trainer memoization pattern (r9 verdict watch item) applied to
+    * the pair stage: a full Verify/Bench sweep has q45/q483/q431/q493
+    * recomputing the exact pair set and q127/q343/q398 + the curation
+    * capstones recomputing the portable-LSH verified pair set
+    * independently (~10–15 s per sweep at sf0.1). Each frame is built
+    * once per (SparkSession, data dir) and `localCheckpoint`ed so every
+    * later consumer reads materialized blocks instead of re-running the
+    * shingle/signature/band/verify stages. Keys include the session so a
+    * fresh JVM (or test session) never sees another session's RDD
+    * handles; fixture specs that pass their OWN frames keep calling the
+    * underlying functions directly and never touch the memo. */
+  private val corpusFrameMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]()
+
+  private[llm] def corpusFrame(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tag: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    corpusFrameMemo.computeIfAbsent((spark, dir, tag), _ => build.localCheckpoint())
+
+  /** Memoized corpus-level [[portableMinhashSigs]] (q494/q495/q508 + the
+    * portable pair stage all read it). */
+  private[llm] def corpusPortableSigs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    corpusFrame(spark, dir, "portableSigs")(
+      portableMinhashSigs(Tables.documents(spark, dir)))
+
+  /** Memoized corpus-level [[neardupPairsPortableLshVerified]] — built on
+    * the memoized signatures (computed OUTSIDE the memo insertion so the
+    * ConcurrentHashMap never recurses into itself). */
+  private[llm] def corpusPortablePairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sig = corpusPortableSigs(spark, dir)
+    corpusFrame(spark, dir, "portablePairs")(
+      neardupPairsPortableLshVerified(Tables.documents(spark, dir), Some(sig)))
+  }
+
+  /** Memoized corpus-level [[neardupPairs]] (q45's exact pair set). */
+  private[llm] def corpusExactPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    corpusFrame(spark, dir, "exactPairs")(
+      neardupPairs(Tables.documents(spark, dir)))
 
   /** q45's core over any (doc_id, text, …) frame: exact shingle-Jaccard
     * near-dup pairs (≥ 0.8), frequency-capped inverted index. Shared by the
@@ -1481,7 +1523,7 @@ object Dedup {
       |ORDER BY cluster_id""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = neardupPairsPortableLshVerified(Tables.documents(spark, dir))
+    val pairs = corpusPortablePairs(spark, dir)
       .select($"doc_a", $"doc_b")
     val verts = Tables.documents(spark, dir).select($"doc_id")
     val lab = guardClusterSizes(starComponents(verts, pairs)._1
@@ -1629,7 +1671,7 @@ object Dedup {
       val b = conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 20
       when(b < 16, "train").when(b < 18, "valid").otherwise("test")
     }
-    neardupPairs(docs)
+    corpusExactPairs(spark, dir)
       .select($"doc_a", $"doc_b",
         splitOf($"doc_a").as("split_a0"), splitOf($"doc_b").as("split_b0"))
       .groupBy(
@@ -2020,8 +2062,8 @@ object Dedup {
     import spark.implicits._
     val sp = simhashPairs(simhashes60(spark, dir).repartition(col("doc_id")))
       .select($"doc_a", $"doc_b").localCheckpoint()
-    val jp = neardupPairs(Tables.documents(spark, dir))
-      .select($"doc_a", $"doc_b").localCheckpoint()
+    val jp = corpusExactPairs(spark, dir)
+      .select($"doc_a", $"doc_b")
     val ns = sp.agg(count(lit(1)).cast("long").as("n_simhash"))
     val nj = jp.agg(count(lit(1)).cast("long").as("n_jaccard"))
     val nb = sp.join(jp, Seq("doc_a", "doc_b"))
@@ -2085,10 +2127,11 @@ object Dedup {
     * buckets, and the verify stage is candidate-pair-scale array
     * intersection — never a shingle×shingle or doc×doc join. */
   private[llm] def neardupPairsPortableLshVerified(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame,
+      sigOpt: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sig = portableMinhashSigs(docs)
+    val sig = sigOpt.getOrElse(portableMinhashSigs(docs))
     val band = sig.groupBy($"doc_id", expr("i div 4").as("b"))
       .agg(expr(
         "md5(concat_ws(',', transform(sort_array(collect_list(struct(i, minhash))), x -> cast(x.minhash AS string))))")
@@ -2125,7 +2168,7 @@ object Dedup {
       "\nSELECT doc_id, CAST(i AS BIGINT) AS i, minhash FROM sig ORDER BY doc_id, i") {
     (spark, dir) =>
       import spark.implicits._
-      portableMinhashSigs(Tables.documents(spark, dir))
+      corpusPortableSigs(spark, dir)
         .select($"doc_id", $"i".cast("long").as("i"), $"minhash")
         .orderBy($"doc_id", $"i")
   }
@@ -2174,7 +2217,7 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val sig = portableMinhashSigs(docs).localCheckpoint()
+    val sig = corpusPortableSigs(spark, dir)
     val band = sig.groupBy($"doc_id", expr("i div 4").as("b"))
       .agg(expr(
         "md5(concat_ws(',', transform(sort_array(collect_list(struct(i, minhash))), x -> cast(x.minhash AS string))))")
@@ -2299,7 +2342,7 @@ object Dedup {
         |FROM cal GROUP BY est16 ORDER BY est16""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val sig = portableMinhashSigs(docs).localCheckpoint()
+    val sig = corpusPortableSigs(spark, dir)
     val agr = sig.toDF("doc_a", "i", "minhash")
       .join(sig.toDF("doc_b", "i", "minhash"), Seq("i", "minhash"))
       .filter($"doc_a" < $"doc_b")
@@ -2673,7 +2716,7 @@ object Dedup {
     (spark, dir) =>
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
-      val sig = portableMinhashSigs(docs).localCheckpoint()
+      val sig = corpusPortableSigs(spark, dir)
       val tk = cappedShingleSetsOf(docs).localCheckpoint()
       def portableCandidates(bn: Int): org.apache.spark.sql.DataFrame = {
         val r = 16 / bn
