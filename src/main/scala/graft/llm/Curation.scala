@@ -1565,8 +1565,70 @@ object Curation {
       .orderBy($"shard")
   }
 
+  /** PREFIX-CACHE CENSUS — how much of the corpus' token stream is
+    * SHARABLE through a prefix (KV-)cache, computed exactly as the token
+    * TRIE size: sort all docs by their token sequence (one global
+    * TwoPhase order) and take each doc's longest common prefix with its
+    * sorted predecessor — the classic sorted-LCP identity
+    * Σ(len − lcp) = #distinct token prefixes (trie nodes), so
+    * Σ lcp = tokens a perfectly-shared prefix cache never recomputes.
+    * This is the serving/templating twin of the dedup family: boilerplate
+    * openings, shared system prompts and template families all surface
+    * here as per-source cacheable ppm, without any pair join at all. The
+    * lag is [[graft.operators.TwoPhase.lagOne]] (new this round): local
+    * lag per bucket + the previous bucket's max_by boundary row — a
+    * global sorted-neighbor operator with no partition-less window over
+    * raw data. LCP itself is one zip_with + array_position projection;
+    * all integers, trivially strict.
+    *
+    * 100 TB plan: one range-partitioned sort (the TwoPhase bucket
+    * contract — first-character buckets here), one bucket-sized boundary
+    * broadcast, one projection; the census never materializes a pair. The
+    * oracle replays the identical order (array comparison is elementwise
+    * lexicographic in BOTH engines; ties broken by doc_id). */
+  val q513PrefixCacheCensus: GraftQuery = GraftQuery.oracled(
+    "q513_prefix_cache_census",
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |o AS (SELECT doc_id, source, t, len(t) AS n,
+      |             lag(t) OVER (ORDER BY t, doc_id) AS pt
+      |      FROM d),
+      |l AS (SELECT doc_id, source, n,
+      |             CASE WHEN pt IS NULL THEN 0
+      |                  ELSE coalesce((SELECT min(i)
+      |                                 FROM (SELECT unnest(generate_series(1, least(len(t), len(pt)))) AS i) g
+      |                                 WHERE t[i] IS DISTINCT FROM pt[i]),
+      |                                least(len(t), len(pt)) + 1) - 1
+      |             END AS lcp
+      |      FROM o)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n) AS BIGINT) AS sum_tokens,
+      |       CAST(sum(lcp) AS BIGINT) AS lcp_tokens,
+      |       CAST((1000000 * sum(lcp)) // greatest(sum(n), 1) AS BIGINT) AS cached_ppm
+      |FROM l GROUP BY source ORDER BY source""") { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", split($"text", " ").as("t"))
+    val lagged = graft.operators.TwoPhase.lagOne(d,
+      substring(element_at($"t", 1), 1, 1), Seq($"t", $"doc_id"), $"t", "pt")
+    val zw = zip_with($"t", $"pt", (x, y) => x <=> y)
+    val pos = array_position(zw, false)
+    val lcp = when($"pt".isNull, lit(0L))
+      .otherwise(when(pos === 0, least(size($"t"), size($"pt")).cast("long"))
+        .otherwise(pos - 1))
+    lagged
+      .select($"source", size($"t").cast("long").as("n"), lcp.as("lcp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"n").cast("long").as("sum_tokens"),
+        sum($"lcp").cast("long").as("lcp_tokens"))
+      .select($"source", $"n_docs", $"sum_tokens", $"lcp_tokens",
+        expr("(1000000 * lcp_tokens) div greatest(sum_tokens, 1)")
+          .cast("long").as("cached_ppm"))
+      .orderBy($"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    q497StratifiedReservoir,
+    q497StratifiedReservoir, q513PrefixCacheCensus,
     q127CurationPipeline, q137SequencePacking, q138SourceMixing, q349CurationLsh,
     q470BalancedDownsample,
     q356CurriculumManifest, q361NeymanAllocation, q381BucketedBatches,

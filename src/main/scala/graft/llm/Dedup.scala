@@ -2497,11 +2497,109 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** PORTABLE-BLOOM DECONTAMINATION AUDIT — the broadcast pre-filter
+    * every at-scale decontamination pipeline runs before its exact join,
+    * with its false-positive cost MEASURED instead of assumed: eval-set
+    * shingles (the q127 convention, doc_id % 50 = 0) populate a
+    * B = 16 384-bit Bloom filter whose k = 4 bit positions are
+    * Kirsch–Mitzenmacher double-hashes (lo + t·hi) mod B of the md5
+    * halves (q494's portable-hash discipline — both engines derive the
+    * IDENTICAL filter, so the probabilistic FP behavior itself is
+    * cross-engine-verified, the q495 principle applied to Bloom instead
+    * of LSH). Training docs probe the filter per shingle; only
+    * bloom-HIT shingles reach the exact eval-set join (no false
+    * negatives by construction — an exact hit's bits are all set), and
+    * the per-source audit reports doc/shingle hit counts plus the FP
+    * surplus the 16 Kbit budget costs.
+    *
+    * 100 TB plan: the filter is ≤ 16 384 DISTINCT bit rows (≡ 2 KiB of
+    * bitmap) broadcast regardless of eval-set size, and the probe is a
+    * map-side broadcast-hash lookup per (shingle, t) — the full train
+    * corpus never shuffles; the exact confirm join touches only the
+    * bloom-hit slice. Docs under 3 tokens carry no shingles and are out
+    * of scope on both sides. */
+  val q512BloomDecontam: GraftQuery = GraftQuery.oracled(
+    "q512_bloom_decontam",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+      |hb AS (SELECT doc_id, s,
+      |              CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS lo,
+      |              CAST(('0x' || substr(md5(s), 17, 14)) AS BIGINT) AS hi FROM sh),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+      |ebits AS (SELECT DISTINCT (lo + tt.t * hi) % 16384 AS bit
+      |          FROM hb, (SELECT unnest(generate_series(0, 3)) AS t) tt
+      |          WHERE doc_id % 50 = 0),
+      |pr AS (SELECT p.doc_id, p.s, count(eb.bit) AS nbits
+      |       FROM (SELECT doc_id, s, (lo + tt.t * hi) % 16384 AS bit
+      |             FROM hb, (SELECT unnest(generate_series(0, 3)) AS t) tt
+      |             WHERE doc_id % 50 <> 0) p
+      |       LEFT JOIN ebits eb ON eb.bit = p.bit
+      |       GROUP BY p.doc_id, p.s),
+      |hit AS (SELECT pr.doc_id,
+      |               count(*) AS sh_bloom,
+      |               sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS sh_exact
+      |        FROM pr LEFT JOIN ev ON ev.s = pr.s
+      |        WHERE pr.nbits = 4 GROUP BY pr.doc_id),
+      |ds AS (SELECT pr.doc_id, count(*) AS sh_n,
+      |              coalesce(max(h.sh_bloom), 0) AS sh_bloom,
+      |              coalesce(max(h.sh_exact), 0) AS sh_exact
+      |       FROM pr LEFT JOIN hit h ON h.doc_id = pr.doc_id
+      |       GROUP BY pr.doc_id)
+      |SELECT d.source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN ds.sh_bloom > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bloom_docs,
+      |       CAST(sum(CASE WHEN ds.sh_exact > 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_docs,
+      |       CAST(sum(CASE WHEN ds.sh_bloom > 0 AND ds.sh_exact = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp_docs,
+      |       CAST(sum(ds.sh_n) AS BIGINT) AS sh_total,
+      |       CAST(sum(ds.sh_bloom) AS BIGINT) AS sh_bloom,
+      |       CAST(sum(ds.sh_exact) AS BIGINT) AS sh_exact
+      |FROM ds JOIN documents d ON d.doc_id = ds.doc_id
+      |GROUP BY d.source ORDER BY d.source""") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sh = shingleDocs(docs)
+    val hb = sh.select($"doc_id", $"s",
+      conv(substring(md5($"s"), 1, 14), 16, 10).cast("long").as("lo"),
+      conv(substring(md5($"s"), 17, 14), 16, 10).cast("long").as("hi"))
+    val ebits = hb.filter($"doc_id" % 50 === 0)
+      .select(explode(sequence(lit(0), lit(3))).as("t"), $"lo", $"hi")
+      .select((($"lo" + $"t" * $"hi") % 16384).as("bit"))
+      .distinct() // ≤ 16 384 rows — THE bloom filter, broadcast below
+    val evalSh = sh.filter($"doc_id" % 50 === 0).select($"s").distinct()
+    val pr = hb.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", $"s", explode(sequence(lit(0), lit(3))).as("t"), $"lo", $"hi")
+      .withColumn("bit", ($"lo" + $"t" * $"hi") % 16384)
+      .join(broadcast(ebits.withColumn("one", lit(1))), Seq("bit"), "left")
+      .groupBy($"doc_id", $"s")
+      .agg(sum(coalesce($"one", lit(0))).as("nbits"))
+    // exact confirm ONLY on the bloom-hit slice (exact ⊆ bloom: an eval
+    // shingle's own bits are all set) — the production join shape
+    val hit = pr.filter($"nbits" === 4)
+      .join(broadcast(evalSh.withColumn("ex", lit(1))), Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("sh_bloom"), sum(coalesce($"ex", lit(0))).as("sh_exact"))
+    val ds = pr.groupBy($"doc_id").agg(count(lit(1)).as("sh_n"))
+      .join(hit, Seq("doc_id"), "left")
+      .na.fill(0, Seq("sh_bloom", "sh_exact"))
+    ds.join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when($"sh_bloom" > 0, 1).otherwise(0)).cast("long").as("bloom_docs"),
+        sum(when($"sh_exact" > 0, 1).otherwise(0)).cast("long").as("exact_docs"),
+        sum(when($"sh_bloom" > 0 && $"sh_exact" === 0, 1).otherwise(0)).cast("long").as("fp_docs"),
+        sum($"sh_n").cast("long").as("sh_total"),
+        sum($"sh_bloom").cast("long").as("sh_bloom"),
+        sum($"sh_exact").cast("long").as("sh_exact"))
+      .orderBy($"source")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
     q501DupSpanCensus, q505CdcChunking,
     q494MinhashPortable, q495LshCandidateAudit, q499JaccardHistogram,
-    q508MinhashCalibration,
+    q508MinhashCalibration, q512BloomDecontam,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,
     q109DedupClustersStar, q112DeltaDedup, q114Contamination, q115PassageDedup,
     q353ContainmentDecontam, q365ContrastiveNegatives,

@@ -1311,6 +1311,125 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** TOP PRINCIPAL DIRECTION of the embedding cloud via FIXED-POINT POWER
+    * ITERATION — the "all-but-the-top" common-direction estimator (Mu &
+    * Viswanath 2018, arXiv:1702.01417; the remedy q360's anisotropy audit
+    * calls for): isotropy post-processing removes the dominant direction
+    * u₁ of the centered covariance, and this entry computes u₁ with
+    * arithmetic that is EXACT end to end, so the DuckDB oracle replays it
+    * integer for integer. Pipeline: quantize each embedding to integer
+    * milli-units xq = ⌊x·1024⌋ (exact in IEEE — the q510 key discipline);
+    * the scaled covariance numerator M = n·Σ xqxqᵀ − (Σxq)(Σxq)ᵀ is an
+    * exact-integer 64×64 census (same eigenvectors as the sample
+    * covariance — a positive scalar multiple); 8 power-iteration rounds
+    * run DRIVER-SIDE in BigInt over the collected 4 096-cell census (the
+    * q287/q348 bounded-census E3 pattern, guarded by a loud require) with
+    * per-round L1 = 10⁶ fixed-point renormalization (the q446 discipline
+    * — overflow structurally impossible, sign-split floor division so
+    * Scala BigInt and DuckDB HUGEINT agree on negatives); the direction v
+    * returns to the cluster as 64 literals and every vector's projection
+    * ⟨xq, v⟩ is summed per label — the class-bias diagnostic ABTT exists
+    * to expose. λ = ⌊v·Mv / v·v⌋ (nonnegative — M is PSD) rides along.
+    *
+    * Float-freedom: per-vector projection products are ≤ 1024·10⁶ and the
+    * 64-term dot ≤ 6.6e10 < 2⁵³, so the HOF dot evaluates exactly in
+    * doubles before the LONG cast; label sums stay ≤ ~1e15 at the ×10
+    * tier (widen to DECIMAL(38) past ~1e17 vectors — noted, far beyond
+    * any tier).
+    *
+    * 100 TB plan: the census is ONE map-side-combinable agg (each vector
+    * emits its 4 096 products — the standard distributed-covariance
+    * shape); the eigen-iteration is driver arithmetic over a CONSTANT
+    * 4 096 cells regardless of corpus size; the projection pass is one
+    * broadcast-literal scan. Nothing pair-scale, nothing iterative on the
+    * cluster. */
+  val q511PowerIteration: GraftQuery = GraftQuery.oracled(
+    "q511_power_iteration",
+    {
+      // every per-round CTE MATERIALIZED — vK/sK each read wK and wK reads
+      // v(K−1), so an inlined chain re-expands exponentially (the q446
+      // oracle lesson: 34 s → 0.1 s)
+      val iter = (1 to 8).map { k =>
+        s"""w$k AS MATERIALIZED (SELECT m.i, sum(m.m * v.v) AS w FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY m.i),
+           |s$k AS MATERIALIZED (SELECT greatest(sum(abs(w)), 1) AS sn FROM w$k),
+           |v$k AS MATERIALIZED (SELECT i, CASE WHEN w < 0 THEN -((-w * 1000000) // sn)
+           |                      ELSE (w * 1000000) // sn END AS v FROM w$k, s$k),""".stripMargin
+      }.mkString("\n")
+      s"""WITH eq AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS xq
+         |           FROM embeddings),
+         |ex AS MATERIALIZED (SELECT vec_id, label, i, xq[i] AS xi
+         |      FROM eq, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+         |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM eq),
+         |g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS HUGEINT) AS gsum
+         |      FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |s AS (SELECT i, CAST(sum(xi) AS HUGEINT) AS si FROM ex GROUP BY i),
+         |m AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.gsum - sa.si * sb.si AS m
+         |     FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j, nn),
+         |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
+         |       FROM (SELECT unnest(generate_series(1, 64)) AS i)),
+         |$iter
+         |w9 AS (SELECT m.i, sum(m.m * v.v) AS w FROM m JOIN v8 v ON v.i = m.j GROUP BY m.i),
+         |lam AS (SELECT CAST((SELECT sum(v.v * w.w) FROM v8 v JOIN w9 w ON w.i = v.i)
+         |              // greatest((SELECT sum(v * v) FROM v8), 1) AS BIGINT) AS lambda),
+         |p AS (SELECT e.label, e.vec_id, sum(e.xi * v.v) AS pd
+         |      FROM ex e JOIN v8 v ON v.i = e.i GROUP BY 1, 2)
+         |SELECT p.label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(p.pd) AS BIGINT) AS proj_sum, lam.lambda
+         |FROM p, lam GROUP BY p.label, lam.lambda ORDER BY p.label""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val eq = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        transform($"embedding", x => floor(x.cast("double") * 1024).cast("long")).as("xq"))
+      .localCheckpoint()
+    val cell = eq.select(expr(
+        """explode(flatten(transform(sequence(1, 64), i -> transform(sequence(1, 64),
+          |  j -> named_struct('i', i, 'j', j, 'p', element_at(xq, i) * element_at(xq, j))))))""".stripMargin).as("c"))
+      .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
+      .groupBy($"i", $"j").agg(sum($"p").as("gsum"))
+    val sCol = eq.select(expr(
+        "explode(transform(sequence(1, 64), i -> named_struct('i', i, 'xi', element_at(xq, i))))").as("c"))
+      .select($"c.i".as("i"), $"c.xi".as("xi"))
+      .groupBy($"i").agg(sum($"xi").as("si"))
+    val nRow = eq.count() // bounded driver scalar (E3)
+    val mRows = cell
+      .join(sCol.select($"i", $"si".as("sa")), Seq("i"))
+      .join(sCol.select($"i".as("j"), $"si".as("sb")), Seq("j"))
+      .select($"i", $"j",
+        (lit(nRow) * $"gsum".cast("decimal(38,0)") -
+          $"sa".cast("decimal(38,0)") * $"sb".cast("decimal(38,0)")).as("m"))
+      .collect() // exactly 64×64 = 4 096 cells — bounded census by construction
+    require(mRows.length == 4096, s"covariance census must be 64x64, got ${mRows.length}")
+    val M = Array.ofDim[BigInt](64, 64)
+    mRows.foreach { r =>
+      M(r.getAs[Int]("i") - 1)(r.getAs[Int]("j") - 1) =
+        BigInt(r.getAs[java.math.BigDecimal]("m").toBigInteger)
+    }
+    def floorDivSigned(a: BigInt, b: BigInt): BigInt = { val q = a.abs / b; if (a < 0) -q else q }
+    def matVec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(64)(i => (0 until 64).map(j => M(i)(j) * v(j)).sum)
+    var v = Array.fill(64)(BigInt(1000000))
+    for (_ <- 1 to 8) {
+      val w = matVec(v)
+      val sn = w.map(_.abs).sum.max(BigInt(1))
+      v = w.map(wi => floorDivSigned(wi * 1000000, sn))
+    }
+    val w9 = matVec(v)
+    val lambda = ((0 until 64).map(i => v(i) * w9(i)).sum /
+      (0 until 64).map(i => v(i) * v(i)).sum.max(BigInt(1))).toLong
+    val vArr = array(v.map(x => lit(x.toDouble)): _*)
+    // products ≤ 1024·10⁶, 64-term dot ≤ 6.6e10 < 2⁵³ → exact in doubles
+    val pd = aggregate(zip_with($"xq", vArr, (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x).cast("long")
+    eq.select($"label", pd.as("pd"))
+      .groupBy($"label")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum($"pd").cast("long").as("proj_sum"))
+      .withColumn("lambda", lit(lambda))
+      .orderBy($"label")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q48KnnBruteForce, q49KnnLsh, q50EmbeddingNeardup, q96EmbeddingNeardupLsh,
       q98KnnIvf, q117KmeansClusters, q122ClusterSample, q140KnnPq, q221KnnIvfPq,
@@ -1318,7 +1437,7 @@ object Similarity {
       q360AnisotropyAudit, q382MatryoshkaRecall, q383Int8QuantAudit,
       q386DaviesBouldin, q387AnnRecallEval, q393EmbeddingDrift, q402GridDbscan,
       q417MaxsimRetrieval, q418RankBiasedOverlap, q420RetrievalMetrics,
-      q510EmbeddingQuantDedup)
+      q510EmbeddingQuantDedup, q511PowerIteration)
 
   /** RETRIEVAL QUALITY METRICS — MRR, recall@10 and nDCG@10 of the q48
     * cosine ranking against label relevance (relevant = same class as the

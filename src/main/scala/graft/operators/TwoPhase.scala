@@ -115,6 +115,35 @@ object TwoPhase {
       .drop(b, "__tp_lmax", "__tp_prev")
   }
 
+  /** Adds `out` = lag(value, 1) over (ORDER BY sort: _*), computed
+    * two-phase: the lag is local within each bucket's keyed window, and
+    * each bucket's FIRST row takes the PREVIOUS bucket's last value from a
+    * bucket-sized boundary frame (max_by over the sort struct, then one
+    * partition-less lag OVER AN AGGREGATE — the sanctioned phase-2 shape).
+    * The global first row's lag is null, exactly like lag(). Same bucket
+    * contract as [[rowNumber]]. */
+  def lagOne(
+      df: DataFrame,
+      bucket: Column,
+      sort: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    val b = "__tp_bkt"
+    val binned = df.withColumn(b, bucket).withColumn("__tp_val", value)
+    val wLocal = Window.partitionBy(col(b)).orderBy(sort: _*)
+    val bounds = binned.groupBy(col(b))
+      .agg(max_by(col("__tp_val"), struct(sort: _*)).as("__tp_last"))
+      .select(col(b),
+        lag(col("__tp_last"), 1).over(Window.orderBy(col(b))).as("__tp_prev"))
+    binned
+      .withColumn("__tp_lrn", row_number().over(wLocal))
+      .withColumn("__tp_lag", lag(col("__tp_val"), 1).over(wLocal))
+      .join(broadcast(bounds), Seq(b))
+      .withColumn(out,
+        when(col("__tp_lrn") === 1, col("__tp_prev")).otherwise(col("__tp_lag")))
+      .drop(b, "__tp_val", "__tp_lrn", "__tp_lag", "__tp_prev")
+  }
+
   /** KEYED variant of [[rowNumber]] — row_number() over (PARTITION BY keys
     * ORDER BY sort) computed two-phase WITHIN each key (the hot-category
     * fix: a 5-value key never serializes 20% of the corpus into one window
