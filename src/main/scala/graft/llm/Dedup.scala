@@ -395,12 +395,23 @@ object Dedup {
     * relational LSH q46 gets from MLlib, without the HashingTF/model
     * detour: 16 permutations band 4×4; docs agreeing on ALL 4 hashes of
     * some band become candidates (P[band match] = j⁴ per band — ~0.95
-    * recall at j = 0.8 with 4 bands, and 1.0 empirically on this corpus,
-    * gated by MinHashSpec against q45's exact pairs); candidates are
-    * verified with EXACT shingle-set Jaccard ≥ 0.8 (q45's space), so false positives
-    * cannot survive. Pair dedup is q105's first-matching-band filter
-    * (computed from the two signatures alone — no global distinct
-    * shuffle).
+    * recall at j = 0.8 with 4 bands, and 1.0 empirically at the driver
+    * tiers, gated by MinHashSpec against q45's exact pairs); candidates
+    * are verified with EXACT shingle-set Jaccard ≥ 0.8 (q45's space), so
+    * false positives cannot survive. Pair dedup is q105's first-matching-
+    * band filter (computed from the two signatures alone — no global
+    * distinct shuffle).
+    *
+    * TIER SCOPE of the strict oracle (r9 sf1 sweep finding): the oracle
+    * states q45's exact pair set under the empirical recall-1 law, which
+    * holds at sf0.001/sf0.01/sf0.1 but NOT at the ×10 synthesized tier —
+    * 3 of 2 560 pairs miss all 4 xxh64 bands there, exactly the j⁴-curve
+    * tail the math predicts. The xxh64 kernel cannot be replayed in
+    * DuckDB, so the miss lands on one side only → q372 is a NAMED sf1
+    * exclusion in the standing sweep. Its portable-md5 twins
+    * (q494/q495/q508) and the capstone pair stage (portableCandPairsSql)
+    * carry the ×10-tier strictness for this machinery — there a banding
+    * miss derives identically on both engines.
     *
     * 100 TB plan: one codegen'd projection for signatures, a 4-way
     * bounded explode, equi-joins on (band, 4-hash value) buckets — 256
