@@ -2427,6 +2427,83 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** DUP-SPAN MASK PLAN — the DELETION step ExactSubstr dedup (Lee et al.
+    * 2022, arXiv:2107.06499 §4.1) runs after q501's census answers "how
+    * much is duplicated": WHICH BYTES actually get dropped. Every
+    * position whose 32-gram occurs in ≥ 2 documents covers chars
+    * [pos, pos+31]; the union of those fixed-length intervals per doc is
+    * one keyed-window sweep — cover(pos) = min(next_pos − pos, 32) with
+    * the last position contributing 32, and a new span starts where
+    * pos − prev_pos > 32 — no interval tree, no recursion, exact
+    * integers. Output per doc: chars, dup positions, merged span count,
+    * masked chars and the kept remainder a masked re-export would emit.
+    *
+    * 100 TB plan: the position explode is map-side per doc (grams never
+    * cross docs until the gram-keyed dup census, q501's two-shuffle
+    * shape); the sweep is a doc-keyed window — embarrassingly parallel,
+    * nothing pair-scale, nothing quadratic in doc length. */
+  val q515DupSpanMask: GraftQuery = GraftQuery.oracled(
+    "q515_dup_span_mask",
+    """WITH g AS (
+      |  SELECT doc_id, i AS pos,
+      |         CAST(('0x' || substr(md5(substr(text, i, 32)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents, UNNEST(generate_series(1, length(text) - 31)) AS t(i)
+      |  WHERE length(text) >= 32),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING min(doc_id) < max(doc_id)),
+      |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON dup.h = g.h),
+      |w AS (SELECT doc_id, pos,
+      |             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+      |             lag(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+      |      FROM dp),
+      |agg AS (SELECT doc_id,
+      |               CAST(count(*) AS BIGINT) AS n_dup_positions,
+      |               CAST(sum(CASE WHEN prv IS NULL OR pos - prv > 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+      |               CAST(sum(least(coalesce(nxt - pos, 32), 32)) AS BIGINT) AS masked_chars
+      |        FROM w GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+      |       coalesce(agg.n_dup_positions, 0) AS n_dup_positions,
+      |       coalesce(agg.n_spans, 0) AS n_spans,
+      |       coalesce(agg.masked_chars, 0) AS masked_chars,
+      |       CAST(length(d.text) AS BIGINT) - coalesce(agg.masked_chars, 0) AS kept_chars
+      |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |WHERE length(d.text) >= 32
+      |ORDER BY d.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).filter(length($"text") >= 32)
+    // grams leave the map side as 60-bit md5 fingerprints (the portable-
+    // hash discipline) — the dup census and join shuffle longs, never the
+    // 32-char strings; both engines derive identical fingerprints so the
+    // (negligible) collision behavior is cross-engine-verified too
+    val g = docs.select($"doc_id", expr(
+        """explode(transform(sequence(1, char_length(text) - 31),
+          |  i -> named_struct('pos', i,
+          |    'h', conv(substring(md5(substring(text, i, 32)), 1, 15), 16, 10))))""".stripMargin).as("c"))
+      .select($"doc_id", $"c.pos".as("pos"), $"c.h".cast("long").as("h"))
+    // "occurs in ≥ 2 distinct docs" ⟺ min(doc_id) < max(doc_id) — one
+    // map-side-combinable agg, no (doc, gram)-distinct shuffle first
+    val dup = g.groupBy($"h")
+      .agg(min($"doc_id").as("d0"), max($"doc_id").as("d1"))
+      .filter($"d0" < $"d1").select($"h")
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val agg = g.join(dup, Seq("h"))
+      .select($"doc_id", $"pos")
+      .withColumn("nxt", lead($"pos", 1).over(wd))
+      .withColumn("prv", lag($"pos", 1).over(wd))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_dup_positions"),
+        sum(when($"prv".isNull || $"pos" - $"prv" > 32, 1).otherwise(0))
+          .cast("long").as("n_spans"),
+        sum(least(coalesce($"nxt" - $"pos", lit(32)), lit(32)))
+          .cast("long").as("masked_chars"))
+    docs.select($"doc_id", char_length($"text").cast("long").as("n_chars"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_dup_positions", "n_spans", "masked_chars"))
+      .select($"doc_id", $"n_chars", $"n_dup_positions", $"n_spans",
+        $"masked_chars", ($"n_chars" - $"masked_chars").as("kept_chars"))
+      .orderBy($"doc_id")
+  }
+
   /** CONTENT-DEFINED CHUNKING + CHUNK DEDUP (the LBFS/rsync boundary trick
     * — Muthitacharoen et al., SOSP 2001 §3.1): chunk boundaries land where
     * a rolling fingerprint of the trailing 16 chars hits 0 mod 64, so an
@@ -2608,7 +2685,7 @@ object Dedup {
 
   def all: Seq[GraftQuery] = Seq(
     q44DedupExact, q45NeardupJaccard, q46NeardupMinhashLsh, q47Simhash,
-    q501DupSpanCensus, q505CdcChunking,
+    q501DupSpanCensus, q505CdcChunking, q515DupSpanMask,
     q494MinhashPortable, q495LshCandidateAudit, q499JaccardHistogram,
     q508MinhashCalibration, q512BloomDecontam,
     q100DedupClusters, q105SimhashNeardup, q108SimhashMultiprobe,

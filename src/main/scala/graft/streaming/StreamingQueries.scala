@@ -837,6 +837,38 @@ object StreamingQueries {
 
   final case class EvItem(event_type: String, item: Long, ts_us: Long, event_id: Long)
   final case class SsCounter(est: Long, err: Long)
+  final case class TbEvent(user_id: Long, ts_us: Long, event_id: Long)
+  final case class TbState(tok: Long, last: Long, n: Long, adm: Long)
+
+  /** Token-bucket state machine for [[q514StreamTokenBucket]]: capacity
+    * 10⁷ µtokens, cost 10⁶ per event, refill ⌊dt_us/60⌋ (≡ 1 token per
+    * minute) — integer floor arithmetic throughout, so the walk is
+    * bit-replayable relationally. Rows are walked in (ts, event_id)
+    * order (the q359 event-time determinism discipline). */
+  final class TokenBucketProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TbEvent, (Long, Long, Long, Long)] {
+    private val Cap = 10000000L
+    private val Cost = 1000000L
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TbState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TbState]("tb",
+        org.apache.spark.sql.Encoders.product[TbState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TbEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var s = if (st.exists()) st.get() else TbState(Cap, Long.MinValue, 0L, 0L)
+      rows.toArray.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+        val dt = if (s.last == Long.MinValue) 0L else r.ts_us - s.last
+        val filled = math.min(Cap, s.tok + dt / 60L)
+        val admit = filled >= Cost
+        s = TbState(if (admit) filled - Cost else filled, r.ts_us,
+          s.n + 1L, s.adm + (if (admit) 1L else 0L))
+      }
+      st.update(s)
+      Iterator.single((key, s.n, s.adm, s.tok))
+    }
+  }
 
   /** SPACE-SAVING heavy hitters (Metwally, Agrawal & El Abbadi 2005) in
     * `transformWithState` MapState — BOUNDED-state streaming top-k, the
@@ -983,6 +1015,85 @@ object StreamingQueries {
           .filter($"n_seen" === $"n_final") // final batch's state only
           .select($"event_type", $"item", $"est_count", $"err_bound", $"n_seen".as("n_total"))
           .orderBy($"event_type", $"item")
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+  }
+
+  /** STREAMING TOKEN-BUCKET RATE LIMITER (q324's throttle is min-gap
+    * dedup; this is the canonical ADMISSION-CONTROL semantics an ingest
+    * front-end runs per key): each user carries a bucket of capacity 10
+    * tokens refilling at 1 token/minute; every event costs 1 token —
+    * admitted if the refilled bucket covers the cost, rejected otherwise
+    * (rejections do NOT drain the bucket). All arithmetic is integer
+    * µtokens: CAP = 10⁷, COST = 10⁶, and 1 token/min ≡ 1 µtoken per
+    * 60 µs makes the refill ⌊dt_us/60⌋ an exact floor division on both
+    * engines. The processor walks each key's events in (ts, event_id)
+    * order (q359's event-time determinism under the one-batch
+    * AvailableNow replay) keeping (tokens, last_ts, n, admitted) in
+    * ValueState; the oracle replays the identical walk as a LOCKSTEP
+    * recursive CTE — every user advances one event per iteration, so the
+    * depth is the MAX per-user event count (≤ 99 at sf0.1), not the
+    * corpus size, and dt comes from a per-event lag computed once in the
+    * materialized `ev`.
+    *
+    * 100 TB/∞-stream plan: state is four longs per key forever; each
+    * event touches one ValueState; only (user, ts µs) cross the shuffle.
+    * This is the front door of every rate-limited ingestion pipeline. */
+  val q514StreamTokenBucket: GraftQuery = GraftQuery.oracled(
+    "q514_stream_token_bucket",
+    """WITH RECURSIVE
+      |ev AS MATERIALIZED (
+      |  SELECT user_id AS u,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY date_trunc('microseconds', ts), event_id) AS i,
+      |         coalesce(epoch_us(date_trunc('microseconds', ts))
+      |                  - lag(epoch_us(date_trunc('microseconds', ts)))
+      |                    OVER (PARTITION BY user_id
+      |                          ORDER BY date_trunc('microseconds', ts), event_id), 0) AS dt_us
+      |  FROM events
+      |),
+      |nk AS (SELECT u, max(i) AS n FROM ev GROUP BY u),
+      |walk AS (
+      |  SELECT u, CAST(0 AS BIGINT) AS i, CAST(10000000 AS BIGINT) AS tok, CAST(0 AS BIGINT) AS adm
+      |  FROM nk
+      |  UNION ALL
+      |  SELECT w.u, w.i + 1,
+      |         CASE WHEN least(10000000, w.tok + e.dt_us // 60) >= 1000000
+      |              THEN least(10000000, w.tok + e.dt_us // 60) - 1000000
+      |              ELSE least(10000000, w.tok + e.dt_us // 60) END,
+      |         w.adm + CASE WHEN least(10000000, w.tok + e.dt_us // 60) >= 1000000 THEN 1 ELSE 0 END
+      |  FROM walk w JOIN ev e ON e.u = w.u AND e.i = w.i + 1
+      |)
+      |SELECT w.u AS user_id, nk.n AS n_events, w.adm AS n_admitted,
+      |       nk.n - w.adm AS n_rejected, w.tok AS tokens_u
+      |FROM walk w JOIN nk ON nk.u = w.u AND w.i = nk.n
+      |ORDER BY user_id""",
+    doc = "per-user token-bucket admission control via transformWithState, event-time deterministic") {
+    (spark, dir) =>
+      import spark.implicits._
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ds = eventsStream(spark, dir)
+          .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+          .as[TbEvent]
+        val out = ds.groupByKey(_.user_id)
+          .transformWithState(new TokenBucketProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "n_events", "n_admitted", "tokens_u")
+        val drained = runToMemory(out, OutputMode.Append(), "q514")
+        val wMax = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+        drained
+          .withColumn("n_final", max($"n_events").over(wMax))
+          .filter($"n_events" === $"n_final") // final batch's state only
+          .select($"user_id", $"n_events", $"n_admitted",
+            ($"n_events" - $"n_admitted").as("n_rejected"), $"tokens_u")
+          .orderBy($"user_id")
       } finally {
         prev match {
           case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -1235,6 +1346,7 @@ object StreamingQueries {
     q178StreamVariance, q206StreamSessionTimers, q216StreamChainedAggs,
     q233StateStoreRead, q240StreamStreamSemi, q243StreamMapState,
     q285StreamStreamFullOuter, q345StreamHistogram, q359StreamSpaceSaving,
+    q514StreamTokenBucket,
     q368LambdaParity, q392StreamDriftPsi, q400StreamAsofEnrich,
     q449StreamOooParity)
 

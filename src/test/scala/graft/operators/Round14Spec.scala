@@ -106,6 +106,65 @@ class Round14Spec extends AnyFunSuite with graft.SparkFixture {
     assert(two === ref)
   }
 
+  test("q514 token bucket matches an independent in-memory replay and its invariants") {
+    import spark.implicits._
+    val got = graft.streaming.StreamingQueries.q514StreamTokenBucket.fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    // independent replay: same event-time walk, plain Scala
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts"), $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (u, t, e) => (u, t, e) }
+    val Cap = 10000000L; val Cost = 1000000L
+    val ref = scala.collection.mutable.Map[Long, (Long, Long, Long, Long)]()
+    evs.foreach { case (u, t, _) =>
+      val (tok, last, n, adm) = ref.getOrElse(u, (Cap, Long.MinValue, 0L, 0L))
+      val dt = if (last == Long.MinValue) 0L else t - last
+      val filled = math.min(Cap, tok + dt / 60L)
+      val admit = filled >= Cost
+      ref(u) = (if (admit) filled - Cost else filled, t, n + 1L, adm + (if (admit) 1L else 0L))
+    }
+    got.foreach { r =>
+      val u = r.getLong(r.fieldIndex("user_id"))
+      val (tok, _, n, adm) = ref(u)
+      assert(r.getLong(r.fieldIndex("n_events")) === n, s"user $u n_events")
+      assert(r.getLong(r.fieldIndex("n_admitted")) === adm, s"user $u n_admitted")
+      assert(r.getLong(r.fieldIndex("n_rejected")) === n - adm)
+      assert(r.getLong(r.fieldIndex("tokens_u")) === tok, s"user $u tokens")
+      assert(tok >= 0L && tok <= Cap)
+    }
+    assert(got.length === ref.size)
+  }
+
+  test("q515 mask plan is consistent with q501's census and interval bounds") {
+    import spark.implicits._
+    val mask = graft.llm.Dedup.q515DupSpanMask.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(mask.nonEmpty)
+    mask.values.foreach { case (nChars, nPos, nSpans, masked, kept) =>
+      assert(masked + kept === nChars)
+      assert(masked <= nChars)
+      // each merged span covers between 32 and 31 + its positions chars;
+      // globally: masked ≥ 32·spans (every span ≥ one full gram) and
+      // masked ≤ nPos + 31·spans (each position adds ≤ 1 char beyond the
+      // previous except the 32-char span tails)
+      assert(nSpans === 0L || masked >= 32L * nSpans)
+      assert(masked <= nPos + 31L * nSpans)
+      assert((nPos == 0L) === (nSpans == 0L))
+    }
+    // q501 counts DISTINCT dup grams per doc; q515 counts dup POSITIONS —
+    // positions ≥ distinct grams, and both agree on WHICH docs are touched
+    val census = graft.llm.Dedup.q501DupSpanCensus.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    census.foreach { case (doc, nDupGrams) =>
+      mask.get(doc).foreach { case (_, nPos, _, _, _) =>
+        assert((nPos > 0) === (nDupGrams > 0), s"doc $doc dup-flag parity")
+        assert(nPos >= nDupGrams, s"doc $doc positions >= distinct grams")
+      }
+    }
+  }
+
   test("q513 sorted-LCP census satisfies the trie identity on a hand fixture") {
     import spark.implicits._
     val docs = Seq(

@@ -46,6 +46,7 @@ class StreamTopologySpec extends AnyFunSuite with SparkFixture {
     "q285_stream_stream_full_outer" -> (("q285", Seq("symmetricHashJoin"))),
     "q345_stream_histogram" -> (("q345", Seq("transformWithStateExec"))),
     "q359_stream_space_saving" -> (("q359", Seq("transformWithStateExec"))),
+    "q514_stream_token_bucket" -> (("q514", Seq("transformWithStateExec"))),
     "q392_stream_drift_psi" -> (("q392", Seq("stateStoreSave"))),
     // stateless by design: the as-of enrichment happens per micro-batch in
     // foreachBatch via the broadcast as-of operator; the stream itself
