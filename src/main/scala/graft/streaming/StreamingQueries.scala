@@ -49,20 +49,75 @@ object StreamingQueries {
     }
   }
 
+  /** Scale-adaptive state partition count for a streaming replay over the
+    * `events` table (optimization guide §2.2/§2.4: fewer, larger reduce
+    * partitions; AQE cannot coalesce in streaming, so derive the count from
+    * input size instead of inheriting the session's relational shuffle
+    * setting). Every state-store partition pays a FIXED commit cost per
+    * micro-batch (delta-file create + fsync + rename — measured ~80 ms per
+    * store instance on local disk, and a stream-stream join runs FOUR
+    * stores per partition), so partitions must be sized by stream volume:
+    * ceil(inputBytes / bytesPerStatePartition), floor 1, capped at
+    * 4 × defaultParallelism. Both knobs are confs with local defaults
+    * (`spark.graft.stream.bytesPerStatePartition` = 512 KiB of compressed
+    * input — the measured knee at the bench tiers; production streams set
+    * it to 32–64 MiB so each partition carries tens of MB of state, and
+    * raise the cap with `spark.graft.stream.maxStatePartitions`). The
+    * count is a pure function of (data size, confs) — NOT of the local
+    * core count — so the driver's low-core scaling runs measure the same
+    * topology. Results are partitioning-independent (keyed state is keyed
+    * state); only the commit overhead changes. */
+  private[streaming] def streamStatePartitions(spark: SparkSession, dir: String): Int = {
+    import java.nio.file.{Files, Paths}
+    val bytes =
+      try Files.size(Paths.get(s"$dir/events.parquet"))
+      catch { case _: java.io.IOException => -1L }
+    if (bytes < 0) spark.conf.get("spark.sql.shuffle.partitions").toInt
+    else {
+      val per = spark.conf.getOption("spark.graft.stream.bytesPerStatePartition")
+        .map(_.toLong).getOrElse(512L * 1024)
+      val cap = spark.conf.getOption("spark.graft.stream.maxStatePartitions")
+        .map(_.toInt).getOrElse(4 * spark.sparkContext.defaultParallelism)
+      math.max(1, math.min(cap, ((bytes + per - 1) / per).toInt))
+    }
+  }
+
+  /** Run `body` (a streaming-query start + drain) with
+    * `spark.sql.shuffle.partitions` set to [[streamStatePartitions]], then
+    * restore the session value. The streaming query pins its state
+    * partition count from the session conf at first-batch planning, so the
+    * window only needs to cover `.start()`; post-drain batch reads run on
+    * the restored relational setting. */
+  private[streaming] def withStreamStatePartitions[T](
+      spark: SparkSession, dir: String)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamStatePartitions(spark, dir).toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and return
-    * the sink table. AvailableNow ⇒ terminates once the replay drains. */
-  def runToMemory(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    * the sink table. AvailableNow ⇒ terminates once the replay drains.
+    * `inputDir` (when nonEmpty) sizes the replay's state partitions from
+    * the input — see [[streamStatePartitions]]; fixture callers that bring
+    * their own sources pass nothing and keep the session setting. */
+  def runToMemory(df: DataFrame, mode: OutputMode, name: String,
+      inputDir: String = ""): DataFrame = {
     val spark = df.sparkSession
     val qn = s"${name}_${System.nanoTime()}"
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(qn)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamTopology.record(name, q)
-    spark.table(qn)
+    def go(): DataFrame = {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamTopology.record(name, q)
+      spark.table(qn)
+    }
+    if (inputDir.isEmpty) go()
+    else withStreamStatePartitions(spark, inputDir)(go())
   }
 
   /** Tumbling 1-hour windows per event_type, complete mode ⇒ equals the
@@ -78,7 +133,7 @@ object StreamingQueries {
     val agg = eventsStream(spark, dir)
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
-    runToMemory(agg, OutputMode.Complete(), "q61")
+    runToMemory(agg, OutputMode.Complete(), "q61", dir)
       .select($"window.start".as("window_start"), $"event_type", $"n")
       .orderBy($"window_start", $"event_type")
   }
@@ -98,7 +153,7 @@ object StreamingQueries {
     val agg = eventsStream(spark, dir)
       .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
       .agg(count(lit(1)).as("n"))
-    runToMemory(agg, OutputMode.Complete(), "q62")
+    runToMemory(agg, OutputMode.Complete(), "q62", dir)
       .select($"window.start".as("window_start"), $"event_type", $"n")
       .orderBy($"window_start", $"event_type")
   }
@@ -128,7 +183,7 @@ object StreamingQueries {
       .groupBy(session_window($"ts", "30 minutes"), $"user_id")
       .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
         count(lit(1)).as("n_events"))
-    runToMemory(agg, OutputMode.Complete(), "q63")
+    runToMemory(agg, OutputMode.Complete(), "q63", dir)
       .select($"user_id", $"session_start", $"session_end", $"n_events")
       .orderBy($"user_id", $"session_start")
   }
@@ -145,7 +200,7 @@ object StreamingQueries {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates(Seq("user_id", "event_type"))
       .select($"user_id", $"event_type")
-    runToMemory(dedup, OutputMode.Append(), "q64")
+    runToMemory(dedup, OutputMode.Append(), "q64", dir)
       .orderBy($"user_id", $"event_type")
   }
 
@@ -168,7 +223,7 @@ object StreamingQueries {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
       .select($"user_id", $"event_type")
-    runToMemory(dedup, OutputMode.Append(), "q107")
+    runToMemory(dedup, OutputMode.Append(), "q107", dir)
       .orderBy($"user_id", $"event_type")
   }
 
@@ -187,7 +242,7 @@ object StreamingQueries {
       .join(broadcast(Tables.customer(spark, dir)), $"user_id" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_events"), money(sum($"value")).as("total_value"))
-    runToMemory(joined, OutputMode.Complete(), "q65")
+    runToMemory(joined, OutputMode.Complete(), "q65", dir)
       .orderBy($"c_mktsegment")
   }
 
@@ -244,7 +299,7 @@ object StreamingQueries {
     }
     val out = ds.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-    runToMemory(out.toDF(), OutputMode.Append(), "q66")
+    runToMemory(out.toDF(), OutputMode.Append(), "q66", dir)
       .orderBy($"user_id", $"session_start")
   }
 
@@ -293,7 +348,7 @@ object StreamingQueries {
         .transformWithState(new RunningCountProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
         .toDF("user_id", "n_events")
-      runToMemory(out, OutputMode.Append(), "q113")
+      runToMemory(out, OutputMode.Append(), "q113", dir)
         .orderBy($"user_id")
     } finally {
       prev match {
@@ -331,7 +386,7 @@ object StreamingQueries {
         $"purchase_ts" >= $"click_ts" &&
         $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTE"))
     runToMemory(joined.select($"click_id", $"purchase_id", $"user_id"),
-        OutputMode.Append(), "q77")
+        OutputMode.Append(), "q77", dir)
       .orderBy($"click_id", $"purchase_id")
   }
 
@@ -364,15 +419,17 @@ object StreamingQueries {
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"window.start".as("window_start"), $"event_type", $"n")
-    val q = agg.writeStream
-      .outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamTopology.record("q124", q)
+    withStreamStatePartitions(spark, dir) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamTopology.record("q124", q)
+    }
     spark.read.parquet(out)
       .orderBy($"window_start", $"event_type")
   }
@@ -386,30 +443,35 @@ object StreamingQueries {
     * batches idempotent: a replayed batch re-appends the same rows with the
     * same id, and the compact view is unchanged. */
   private[streaming] def foreachBatchUpsert(
-      agg: DataFrame, keys: Seq[String], tag: String): DataFrame =
+      agg: DataFrame, keys: Seq[String], tag: String,
+      inputDir: String): DataFrame =
     foreachBatchUpsert(agg, keys,
       java.nio.file.Paths.get("/tmp/graft-io", s"${tag}_${System.nanoTime()}"),
-      topologyName = tag)
+      topologyName = tag, inputDir = inputDir)
 
   private[streaming] def foreachBatchUpsert(
       agg: DataFrame, keys: Seq[String], base: java.nio.file.Path,
-      topologyName: String = ""): DataFrame = {
+      topologyName: String = "", inputDir: String = ""): DataFrame = {
     val spark = agg.sparkSession
     import spark.implicits._
     val out = base.resolve("data").toString
     val ckpt = base.resolve("ckpt").toString
-    val q = agg.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(out)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    if (topologyName.nonEmpty) StreamTopology.record(topologyName, q)
+    def go(): Unit = {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (topologyName.nonEmpty) StreamTopology.record(topologyName, q)
+    }
+    if (inputDir.isEmpty) go()
+    else withStreamStatePartitions(spark, inputDir)(go())
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy($"batch_id".desc)
     spark.read.parquet(out)
@@ -434,7 +496,7 @@ object StreamingQueries {
     val agg = eventsStream(spark, dir)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"value").as("total"))
-    foreachBatchUpsert(agg, Seq("event_type"), "upsert")
+    foreachBatchUpsert(agg, Seq("event_type"), "upsert", inputDir = dir)
       .select($"event_type", $"n", money($"total").as("total"))
       .orderBy($"event_type")
   }
@@ -488,7 +550,7 @@ object StreamingQueries {
         $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTE"),
       "left_outer")
     runToMemory(joined.select($"click_id", $"purchase_id", $"user_id"),
-        OutputMode.Append(), "q135")
+        OutputMode.Append(), "q135", dir)
       .orderBy($"click_id", $"purchase_id")
   }
 
@@ -546,7 +608,7 @@ object StreamingQueries {
         .transformWithState(new RunningVarianceProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
         .toDF("user_id", "n", "var_raw")
-      runToMemory(out, OutputMode.Append(), "q178")
+      runToMemory(out, OutputMode.Append(), "q178", dir)
         .select($"user_id", $"n", round($"var_raw", 3).as("var_val"))
         .orderBy($"user_id")
     } finally {
@@ -660,7 +722,7 @@ object StreamingQueries {
         .toDF("user_id", "start_ms", "n_events")
         .select($"user_id", timestamp_millis($"start_ms").as("session_start"),
           $"n_events")
-      runToMemory(out, OutputMode.Append(), "q206")
+      runToMemory(out, OutputMode.Append(), "q206", dir)
         .orderBy($"user_id", $"session_start")
     } finally {
       prev match {
@@ -711,7 +773,7 @@ object StreamingQueries {
       .agg(max($"n_events").as("max_hourly"))
       .select($"event_type", $"dw.start".as("day_start"),
         $"max_hourly".cast("long").as("max_hourly"))
-    runToMemory(daily, OutputMode.Append(), "q216")
+    runToMemory(daily, OutputMode.Append(), "q216", dir)
       .orderBy($"event_type", $"day_start")
   }
 
@@ -821,7 +883,7 @@ object StreamingQueries {
       // is the complete (final-state) histogram whether the AvailableNow
       // replay collapsed to one batch or split into several — no
       // single-batch assumption.
-      runToMemory(out, OutputMode.Append(), "q345")
+      runToMemory(out, OutputMode.Append(), "q345", dir)
         .groupBy($"event_type")
         .agg(max_by(struct($"p50_bkt", $"p99_bkt", $"n"), $"n").as("f"))
         .select($"event_type", $"f.p50_bkt".as("p50_bkt"),
@@ -1008,7 +1070,7 @@ object StreamingQueries {
           .transformWithState(new SpaceSavingProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
           .toDF("event_type", "item", "est_count", "err_bound", "n_seen")
-        val drained = runToMemory(out, OutputMode.Append(), "q359")
+        val drained = runToMemory(out, OutputMode.Append(), "q359", dir)
         val wMax = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
         drained
           .withColumn("n_final", max($"n_seen").over(wMax))
@@ -1086,7 +1148,7 @@ object StreamingQueries {
           .transformWithState(new TokenBucketProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
           .toDF("user_id", "n_events", "n_admitted", "tokens_u")
-        val drained = runToMemory(out, OutputMode.Append(), "q514")
+        val drained = runToMemory(out, OutputMode.Append(), "q514", dir)
         val wMax = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
         drained
           .withColumn("n_final", max($"n_events").over(wMax))
@@ -1122,7 +1184,7 @@ object StreamingQueries {
         .toDF("user_id", "event_type", "n")
       // same monotone-census collapse as q345: the max-n emission per
       // (user, type) is the final state regardless of batch count
-      runToMemory(out, OutputMode.Append(), "q243")
+      runToMemory(out, OutputMode.Append(), "q243", dir)
         .groupBy($"user_id", $"event_type")
         .agg(max($"n").as("n"))
         .orderBy($"user_id", $"event_type")
@@ -1170,7 +1232,7 @@ object StreamingQueries {
         $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTE"),
       "left_semi")
     runToMemory(joined.select($"click_id", $"user_id"),
-        OutputMode.Append(), "q240")
+        OutputMode.Append(), "q240", dir)
       .orderBy($"click_id")
   }
 
@@ -1198,14 +1260,16 @@ object StreamingQueries {
       .groupBy($"user_id").agg(count(lit(1)).as("n"))
     val ckpt = java.nio.file.Paths.get("/tmp/graft-io",
       s"statestore_${System.nanoTime()}").toString
-    val q = agg.writeStream
-      .outputMode(OutputMode.Update())
-      .format("noop")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamTopology.record("q233", q)
+    withStreamStatePartitions(spark, dir) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamTopology.record("q233", q)
+    }
     spark.read.format("statestore").load(ckpt)
       .select($"key.user_id".as("user_id"), $"value.count".as("n"))
       .orderBy($"user_id")
@@ -1267,7 +1331,7 @@ object StreamingQueries {
       "full_outer")
     runToMemory(joined.select($"click_id", $"purchase_id",
         coalesce($"user_id", $"p_user").as("user_id")),
-        OutputMode.Append(), "q285")
+        OutputMode.Append(), "q285", dir)
       .orderBy($"click_id".asc_nulls_first, $"purchase_id".asc_nulls_first)
   }
 
@@ -1333,7 +1397,7 @@ object StreamingQueries {
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 day"))
       .agg(count(lit(1)).cast("long").as("n"))
-    val sink = runToMemory(agg, OutputMode.Append(), "q449")
+    val sink = runToMemory(agg, OutputMode.Append(), "q449", dir)
     sink.select($"window.start".cast("date").as("day"), $"n")
       .orderBy($"day")
   }
@@ -1388,24 +1452,26 @@ object StreamingQueries {
     val base = java.nio.file.Paths.get("/tmp/graft-io", s"asof_${System.nanoTime()}")
     val out = base.resolve("data").toString
     val ckpt = base.resolve("ckpt").toString
-    val q = eventsStream(spark, dir)
-      .select($"event_id", $"user_id", $"ts")
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ref = Tables.orders(batch.sparkSession, dir)
-          .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_ts"), $"o_orderkey")
-        graft.plans.AsofBroadcastJoin.asof(
-            batch.toDF(), ref, "user_id", "ts", "o_custkey", "o_ts", "o_orderkey")
-          .select($"event_id", $"user_id", $"o_orderkey".as("asof_orderkey"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(out)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamTopology.record("q400", q)
+    withStreamStatePartitions(spark, dir) {
+      val q = eventsStream(spark, dir)
+        .select($"event_id", $"user_id", $"ts")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val ref = Tables.orders(batch.sparkSession, dir)
+            .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_ts"), $"o_orderkey")
+          graft.plans.AsofBroadcastJoin.asof(
+              batch.toDF(), ref, "user_id", "ts", "o_custkey", "o_ts", "o_orderkey")
+            .select($"event_id", $"user_id", $"o_orderkey".as("asof_orderkey"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamTopology.record("q400", q)
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_id").orderBy($"batch_id".desc)
     spark.read.parquet(out)
@@ -1457,7 +1523,7 @@ object StreamingQueries {
       .agg(count(lit(1)).cast("long").as("n"))
     // localCheckpoint: the drained MemoryPlan cannot self-join (no
     // newInstance); the checkpointed census (days×types — tiny) can
-    val c = runToMemory(agg, OutputMode.Complete(), "q392")
+    val c = runToMemory(agg, OutputMode.Complete(), "q392", dir)
       .select($"window.start".as("day"), $"event_type", $"n")
       .localCheckpoint()
     val grid = c.select($"day").distinct()

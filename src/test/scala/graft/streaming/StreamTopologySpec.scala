@@ -11,8 +11,9 @@ import graft.SparkFixture
   * drains, [[StreamTopology]] captures the public
   * `StreamingQueryProgress.stateOperators` topology; this spec pins, per
   * catalog entry, the exact operator list — and that every state store is
-  * KEYED across the session's shuffle partitions (8 here), never collapsed
-  * to a single-partition store.
+  * KEYED across exactly the input-derived state partition count
+  * ([[StreamingQueries.streamStatePartitions]]), i.e. the scale-adaptive
+  * sizing is honored end-to-end.
   *
   * The classification is exhaustive by construction: a new entry in
   * `StreamingQueries.all` fails the census test until it is classified
@@ -68,6 +69,12 @@ class StreamTopologySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("every replay runs its expected stateful operators on keyed state") {
+    // Since round 10 the state partition count is SCALE-ADAPTIVE (sized
+    // from the stream's input bytes, opt guide §2.2/§2.4), so the census
+    // pins parts against the same derivation the replay used — proving the
+    // sizing is honored end-to-end, not that it equals the session's
+    // relational shuffle setting.
+    val wantParts = StreamingQueries.streamStatePartitions(spark, sf).toLong
     val failures = StreamingQueries.all
       .filter(q => expected.contains(q.name))
       .flatMap { q =>
@@ -81,10 +88,9 @@ class StreamTopologySpec extends AnyFunSuite with SparkFixture {
                 Seq(s"${q.name}: operators ${got.map(_._1)} != expected $want")
               else Nil
             val keyErr = got.collect {
-              case (op, parts) if parts != 8L =>
+              case (op, parts) if parts != wantParts =>
                 s"${q.name}/$op: state spans $parts shuffle partitions, " +
-                  "expected the session's 8 — single-partition state stores " +
-                  "do not scale"
+                  s"expected the input-derived $wantParts"
             }
             opErr ++ keyErr
         }
