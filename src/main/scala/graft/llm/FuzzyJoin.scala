@@ -37,6 +37,41 @@ object FuzzyJoin {
       .orderBy($"c_name").limit(2000)
   }
 
+  /** Per-(session, dir) memo of the ED-≤1 pair set — the corpusFrame
+    * pattern (r9 verdict item 5): five entries (q160 itself, q177's BFS
+    * edges, q270/q275 entity resolution, q282 Fellegi–Sunter) each
+    * re-derived the same FastSS blocking + verify join per invocation.
+    * Unsorted; q160 adds its ORDER BY at release. */
+  private val ed1PairMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  /** q160's core: all (name_a < name_b) pairs at edit distance ≤ 1 among
+    * the capped vocabulary, via deletion-neighborhood blocking + exact
+    * re-check. Built once per data dir and localCheckpoint'ed. */
+  def ed1Pairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    ed1PairMemo.computeIfAbsent((spark, dir), _ => {
+      import spark.implicits._
+      val vocab = nameVocab(spark, dir)
+      // i = -1 marks the identity variant; i in [0, len) deletes char i+1.
+      val variants = vocab
+        .select($"c_name",
+          explode(concat(array(lit(-1)),
+            sequence(lit(0), length($"c_name") - 1))).as("i"))
+        .select($"c_name",
+          when($"i" === -1, $"c_name")
+            .otherwise(concat(
+              expr("substring(c_name, 1, i)"),
+              expr("substring(c_name, i + 2)"))).as("v"))
+      variants.as("a")
+        .join(variants.as("b"),
+          $"a.v" === $"b.v" && $"a.c_name" < $"b.c_name")
+        .select($"a.c_name".as("name_a"), $"b.c_name".as("name_b"))
+        .distinct()
+        .filter(levenshtein($"name_a", $"name_b") <= 1)
+        .localCheckpoint()
+    })
+
   /** Edit-distance-≤1 pairs among the first 2000 customer names (the
     * deterministic cap keeps the oracle's all-pairs check tractable at
     * every SF; the Spark side never goes quadratic regardless). */
@@ -50,24 +85,7 @@ object FuzzyJoin {
       |  AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY name_a, name_b""") { (spark, dir) =>
     import spark.implicits._
-    val vocab = nameVocab(spark, dir)
-    // i = -1 marks the identity variant; i in [0, len) deletes char i+1.
-    val variants = vocab
-      .select($"c_name",
-        explode(concat(array(lit(-1)),
-          sequence(lit(0), length($"c_name") - 1))).as("i"))
-      .select($"c_name",
-        when($"i" === -1, $"c_name")
-          .otherwise(concat(
-            expr("substring(c_name, 1, i)"),
-            expr("substring(c_name, i + 2)"))).as("v"))
-    variants.as("a")
-      .join(variants.as("b"),
-        $"a.v" === $"b.v" && $"a.c_name" < $"b.c_name")
-      .select($"a.c_name".as("name_a"), $"b.c_name".as("name_b"))
-      .distinct()
-      .filter(levenshtein($"name_a", $"name_b") <= 1)
-      .orderBy($"name_a", $"name_b")
+    ed1Pairs(spark, dir).orderBy($"name_a", $"name_b")
   }
 
   /** Directed edge list (both orientations) of the ED-≤1 name graph —
@@ -76,7 +94,7 @@ object FuzzyJoin {
   def ed1Edges(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val pairs = q160EditDistanceJoin.fn(spark, dir)
+    val pairs = ed1Pairs(spark, dir)
     pairs.select($"name_a".as("s"), $"name_b".as("t"))
       .unionByName(pairs.select($"name_b".as("s"), $"name_a".as("t")))
   }
@@ -118,7 +136,7 @@ object FuzzyJoin {
     val vk = Tables.customer(spark, dir)
       .join(nameVocab(spark, dir), Seq("c_name"))
       .select($"c_name", $"c_custkey".as("k"))
-    val namePairs = q160EditDistanceJoin.fn(spark, dir)
+    val namePairs = ed1Pairs(spark, dir)
     val keyPairs = namePairs
       .join(vk.toDF("c_name", "ka"), $"name_a" === $"c_name").drop("c_name")
       .join(vk.toDF("c_name", "kb"), $"name_b" === $"c_name").drop("c_name")
@@ -167,7 +185,7 @@ object FuzzyJoin {
     val vk = Tables.customer(spark, dir)
       .join(nameVocab(spark, dir), Seq("c_name"))
       .select($"c_name", $"c_custkey".as("k"), $"c_acctbal", $"c_nationkey")
-    val namePairs = q160EditDistanceJoin.fn(spark, dir)
+    val namePairs = ed1Pairs(spark, dir)
     val keyPairs = namePairs
       .join(vk.select($"c_name", $"k".as("ka")), $"name_a" === $"c_name").drop("c_name")
       .join(vk.select($"c_name", $"k".as("kb")), $"name_b" === $"c_name").drop("c_name")
@@ -278,7 +296,7 @@ object FuzzyJoin {
     val u = uRate("c_nationkey", "u1")
       .crossJoin(uRate("c_mktsegment", "u2"))
       .crossJoin(uRate("bal_band", "u3"))
-    val namePairs = q160EditDistanceJoin.fn(spark, dir)
+    val namePairs = ed1Pairs(spark, dir)
     val a = vk.select($"c_name".as("name_a"), $"k".as("ka"),
       $"c_nationkey".as("nat_a"), $"c_mktsegment".as("seg_a"), $"bal_band".as("bal_a"))
     val b = vk.select($"c_name".as("name_b"), $"k".as("kb"),

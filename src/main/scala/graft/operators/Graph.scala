@@ -14,17 +14,30 @@ import graft.sources.Tables
   */
 object Graph {
 
+  /** Per-(session, dir) memo of the shared co-order edge list — the
+    * Dedup.corpusFrame pattern (r9 verdict item 5, the q312-trainer
+    * discipline): nine catalog entries (triangles, PageRank family, LPA,
+    * k-core, Adamic–Adar, WL, k-truss …) each re-derived the same
+    * lineitem self-join + distinct per invocation. Built once per data
+    * dir and localCheckpoint'ed so later consumers read materialized
+    * blocks. Keyed by session so a fresh JVM/test session never sees
+    * another session's RDD handles. */
+  private val coOrderEdgeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
   /** Oriented edge list a<b of the co-order part graph; `distinct` collapses
     * parallel edges from parts co-occurring in many orders. */
-  private[operators] def coOrderEdges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" >= 40)
-      .select($"l_orderkey".as("k"), $"l_partkey")
-    li.as("x").join(li.as("y"), $"x.k" === $"y.k" && $"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
-      .distinct()
-  }
+  private[operators] def coOrderEdges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    coOrderEdgeMemo.computeIfAbsent((spark, dir), _ => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .filter($"l_quantity" >= 40)
+        .select($"l_orderkey".as("k"), $"l_partkey")
+      li.as("x").join(li.as("y"), $"x.k" === $"y.k" && $"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
+        .distinct()
+        .localCheckpoint()
+    })
 
   /** Triangle counting via the compact-forward wedge join: with every edge
     * oriented a<b, each triangle {x<y<z} is counted EXACTLY once as
@@ -454,7 +467,7 @@ object Graph {
       |SELECT pa, pb, n_common, aa_score
       |FROM score ORDER BY aa_score DESC, pa, pb LIMIT 20""") { (spark, dir) =>
     import spark.implicits._
-    val e = coOrderEdges(spark, dir).persist()
+    val e = coOrderEdges(spark, dir) // memoized + checkpointed — no extra persist
     val adj = e.select($"a".as("v"), $"b".as("nb"))
       .unionAll(e.select($"b".as("v"), $"a".as("nb")))
     val deg = adj.groupBy($"v").agg(count(lit(1)).cast("double").as("d"))
@@ -647,11 +660,23 @@ object Graph {
       |FROM msf m JOIN lab ON lab.id = m.doc_a
       |ORDER BY cluster, doc_a, doc_b""") { (spark, dir) =>
     import spark.implicits._
-    val (msf, labels) = boruvkaForest(spark, dir)
+    val (msf, labels) = boruvkaForestShared(spark, dir)
     msf.join(labels.select($"id".as("doc_a"), $"lbl".as("cluster")), Seq("doc_a"))
       .select($"cluster", $"doc_a", $"doc_b", $"w")
       .orderBy($"cluster", $"doc_a", $"doc_b")
   }
+
+  /** Per-(session, dir) memo of [[boruvkaForest]] — q409 and q419 both
+    * consume the identical forest (every inner frame is already eagerly
+    * localCheckpoint'ed, so the memo hands out materialized rows); a full
+    * sweep previously ran the log-bounded contraction rounds twice. */
+  private val forestMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+
+  private[operators] def boruvkaForestShared(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    forestMemo.computeIfAbsent((spark, dir), _ => boruvkaForest(spark, dir))
 
   /** q409's core, shared with q419's dendrogram cut: the Borůvka forest
     * (doc_a, doc_b, w) of the q45 near-dup graph plus the final component
@@ -755,7 +780,7 @@ object Graph {
       |SELECT CAST(1500 AS BIGINT), id, cluster FROM l15
       |ORDER BY tau_bp, doc_id""") { (spark, dir) =>
     import spark.implicits._
-    val (msf, _) = boruvkaForest(spark, dir)
+    val (msf, _) = boruvkaForestShared(spark, dir)
     val cut = msf.select($"doc_a", $"doc_b",
       floor($"w" * 10000 + 0.5).cast("long").as("w_bp")).localCheckpoint(true)
     val verts = cut.select($"doc_a".as("id")).union(cut.select($"doc_b"))
@@ -822,10 +847,17 @@ object Graph {
         (get_json_object($"props", "$.k").cast("long") % 20).as("i"))
       .distinct().localCheckpoint() // 7 consumers (one per round join)
     // L1 = 10^12 fixed-point projection: raw decimal scores -> integer
-    // simplex, one broadcast 1-row normalizer per round (never a collect)
+    // simplex, one broadcast 1-row normalizer per round (never a collect).
+    // The raw scores are localCheckpoint'ed first: norm references its
+    // input TWICE (the total and the quotient), so an unmaterialized
+    // 4-round chain doubles the logical tree per reference — measured as a
+    // 1.6 MB explain with 2540 Exchange nodes and 10.2 s at sf0.1; the
+    // materialized rounds (each ≤ max(20 items, |users|) rows) plan
+    // linearly (q177's lineage-truncation discipline).
     def norm(df: DataFrame, key: String): DataFrame = {
-      val tot = df.agg(sum($"raw").as("tot"))
-      df.crossJoin(broadcast(tot))
+      val m = df.localCheckpoint()
+      val tot = m.agg(sum($"raw").as("tot"))
+      m.crossJoin(broadcast(tot))
         .select(col(key),
           expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 DIV tot AS BIGINT)")
             .as("v"))
