@@ -79,7 +79,10 @@ object Curation {
       |LEFT JOIN contaminated ct ON d.doc_id = ct.doc_id
       |ORDER BY d.doc_id""") { (spark, dir) =>
     import spark.implicits._
-    curate(Tables.documents(spark, dir), $"doc_id" % 50 === 0)
+    curate(Tables.documents(spark, dir), $"doc_id" % 50 === 0,
+      _ => Dedup.corpusExactPairs(spark, dir),
+      contam = Some(Dedup.corpusContamination(spark, dir)),
+      clusterLabels = Some(Dedup.corpusExactClusters(spark, dir)))
   }
 
   /** The q127 core over any (doc_id, text, …) frame — factored out for the
@@ -94,7 +97,9 @@ object Curation {
       docs: org.apache.spark.sql.DataFrame,
       isEval: org.apache.spark.sql.Column,
       nearPairs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        Dedup.neardupPairs(_)): org.apache.spark.sql.DataFrame = {
+        Dedup.neardupPairs(_),
+      contam: Option[org.apache.spark.sql.DataFrame] = None,
+      clusterLabels: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val stopList = array(Seq("the", "and", "of", "a", "to").map(lit): _*)
@@ -104,11 +109,12 @@ object Curation {
     val exactKeep = docs
       .select($"doc_id", sha2(lower(trim($"text")), 256).as("ck"))
       .select($"doc_id", min($"doc_id").over(Window.partitionBy($"ck")).as("keep_id"))
-    val clusters = Dedup.minLabelComponents(
-        docs.select($"doc_id"),
-        nearPairs(docs).select($"doc_a", $"doc_b"))
-      .toDF("doc_id", "cluster_id")
-    val contaminated = Dedup.contamination(docs, isEval)
+    val clusters = clusterLabels.getOrElse(
+      Dedup.minLabelComponents(
+          docs.select($"doc_id"),
+          nearPairs(docs).select($"doc_a", $"doc_b"))
+        .toDF("doc_id", "cluster_id"))
+    val contaminated = contam.getOrElse(Dedup.contamination(docs, isEval))
       .select($"doc_id", lit(1).as("is_contam"))
     docs.select($"doc_id", isEval.as("is_eval"))
       .join(quality, Seq("doc_id"))
@@ -209,7 +215,9 @@ object Curation {
       |ORDER BY d.doc_id""") { (spark, dir) =>
     import spark.implicits._
     curate(Tables.documents(spark, dir), $"doc_id" % 50 === 0,
-      _ => Dedup.corpusPortablePairs(spark, dir))
+      _ => Dedup.corpusPortablePairs(spark, dir),
+      contam = Some(Dedup.corpusContamination(spark, dir)),
+      clusterLabels = Some(Dedup.corpusPortableClusters(spark, dir)))
   }
 
   /** NEYMAN-OPTIMAL EVAL ALLOCATION — how many eval docs to draw from each
@@ -827,9 +835,10 @@ object Curation {
     // stage and the split clustering
     val pairs = Dedup.corpusPortablePairs(spark, dir)
       .select($"doc_a", $"doc_b")
-    val verdicts = curate(docs, $"doc_id" % 50 === 0, _ => pairs)
-    val clusters = Dedup.minLabelComponents(docs.select($"doc_id"), pairs)
-      .toDF("doc_id", "cluster_id")
+    val clusters = Dedup.corpusPortableClusters(spark, dir) // memoized labels
+    val verdicts = curate(docs, $"doc_id" % 50 === 0, _ => pairs,
+      contam = Some(Dedup.corpusContamination(spark, dir)),
+      clusterLabels = Some(clusters))
     def coin(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 1000000L
     verdicts.filter($"verdict" === "keep")
@@ -1084,12 +1093,8 @@ object Curation {
     // strict even when a band misses a true pair (r9 sf1 lesson); the
     // guard fails loudly on a pathological mega-cluster before the size
     // census ever runs
-    val docsIn = Tables.documents(spark, dir)
     val lab = Dedup.guardClusterSizes(
-      Dedup.minLabelComponents(
-          docsIn.select($"doc_id"),
-          Dedup.corpusPortablePairs(spark, dir).select($"doc_a", $"doc_b"))
-        .toDF("doc_id", "cluster_id"))
+      Dedup.corpusPortableClusters(spark, dir)) // memoized labels
     val cs = lab.groupBy($"cluster_id").agg(count(lit(1)).cast("long").as("m"))
     Tables.documents(spark, dir).select($"doc_id", $"source")
       .join(lab, Seq("doc_id"))

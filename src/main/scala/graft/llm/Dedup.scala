@@ -221,6 +221,61 @@ object Dedup {
     corpusFrame(spark, dir, "exactPairs")(
       neardupPairs(Tables.documents(spark, dir)))
 
+  /** Memoized corpus-level cluster labels (doc_id, cluster_id) over the
+    * exact pair set — q365/q391/q407-class consumers need the LABELS, not
+    * the components machinery itself (q100/q109 stay un-memoized: those
+    * entries ARE the two component operators and must run their own
+    * rounds). Built on [[starComponents]], the log-bounded scale path;
+    * min-label and star labels are identical by construction (q100 ≡ q109,
+    * spec-pinned). */
+  private[llm] def corpusExactClusters(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // resolved OUTSIDE the memo insertion — computeIfAbsent must never
+    // recurse into its own map ("Recursive update")
+    val pairs = corpusExactPairs(spark, dir)
+    corpusFrame(spark, dir, "exactClusters")(
+      starComponents(
+        Tables.documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")),
+        pairs.select(
+          org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b")))._1
+        .toDF("doc_id", "cluster_id"))
+  }
+
+  /** Memoized corpus-level cluster labels over the PORTABLE verified pair
+    * set — the q300/q343/q349/q398 capstone family each re-ran components
+    * over the identical (memoized) pair frame. */
+  private[llm] def corpusPortableClusters(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = corpusPortablePairs(spark, dir) // resolved outside the insertion
+    corpusFrame(spark, dir, "portableClusters")(
+      starComponents(
+        Tables.documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")),
+        pairs.select(
+          org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b")))._1
+        .toDF("doc_id", "cluster_id"))
+  }
+
+  /** Memoized corpus-level capped shingle stream
+    * (capShingles(shingleDocs(documents), MaxShingleDf)) — q399/q423/q499
+    * each re-ran the tokenize + explode + distinct + hot-cap per
+    * invocation on top of the (already memoized) pair consumers. */
+  private[llm] def corpusCappedShingles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    corpusFrame(spark, dir, "cappedShingles")(
+      capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf))
+
+  /** Memoized corpus-level [[contamination]] on the standard doc_id%50
+    * eval split — q114, q127 and q349 each re-ran the 5-gram explode +
+    * broadcast join per invocation; the hit census is near-empty and
+    * cheap to hold. */
+  private[llm] def corpusContamination(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    corpusFrame(spark, dir, "contamination")(
+      contamination(Tables.documents(spark, dir),
+        org.apache.spark.sql.functions.col("doc_id") % 50 === 0))
+
   /** q45's core over any (doc_id, text, …) frame: exact shingle-Jaccard
     * near-dup pairs (≥ 0.8), frequency-capped inverted index. Shared by the
     * q100/q109 clustering queries and the q127 curation capstone. */
@@ -1099,7 +1154,7 @@ object Dedup {
       |GROUP BY tr.doc_id
       |ORDER BY doc_id""") { (spark, dir) =>
     import spark.implicits._
-    contamination(Tables.documents(spark, dir), $"doc_id" % 50 === 0)
+    corpusContamination(spark, dir).orderBy($"doc_id")
   }
 
   /** CONTAINMENT-FRACTION DECONTAMINATION — the published big-run rule
@@ -1340,11 +1395,9 @@ object Dedup {
       |GROUP BY s.split
       |ORDER BY s.split""") { (spark, dir) =>
     import spark.implicits._
-    val pairs = q45NeardupJaccard.fn(spark, dir)
-      .select($"doc_a", $"doc_b").persist()
-    val verts = Tables.documents(spark, dir).select($"doc_id")
-    val lab = starComponents(verts, pairs)._1
-      .select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+    val pairs = corpusExactPairs(spark, dir) // memoized + checkpointed
+      .select($"doc_a", $"doc_b")
+    val lab = corpusExactClusters(spark, dir) // memoized labels
     def coin(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 1000000L
     def splitOf(c: org.apache.spark.sql.Column) =
@@ -1441,9 +1494,7 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select($"doc_id")
-    val pairs = q45NeardupJaccard.fn(spark, dir).select($"doc_a", $"doc_b")
-    val lab = starComponents(docs, pairs)._1
-      .select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+    val lab = corpusExactClusters(spark, dir) // memoized labels
     val wC = Window.partitionBy($"cluster_id")
     val cm = lab
       .withColumn("rn", row_number().over(wC.orderBy($"doc_id")))
@@ -1534,11 +1585,7 @@ object Dedup {
       |ORDER BY cluster_id""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = corpusPortablePairs(spark, dir)
-      .select($"doc_a", $"doc_b")
-    val verts = Tables.documents(spark, dir).select($"doc_id")
-    val lab = guardClusterSizes(starComponents(verts, pairs)._1
-      .select($"id".as("doc_id"), $"lbl".as("cluster_id")))
+    val lab = guardClusterSizes(corpusPortableClusters(spark, dir)) // memoized
     val j = lab.join(Tables.documents(spark, dir).select($"doc_id", $"n_chars"),
       Seq("doc_id"))
     val w = Window.partitionBy($"cluster_id")
@@ -1831,13 +1878,9 @@ object Dedup {
       |FROM ksz k JOIN m ON m.cluster = k.cluster, gl
       |ORDER BY cluster_id""") { (spark, dir) =>
     import spark.implicits._
-    val good = q45NeardupJaccard.fn(spark, dir)
-      .select($"doc_a", $"doc_b").localCheckpoint(true)
-    // q100's clustering run directly on the checkpointed pair set — calling
-    // q100.fn here would re-derive the q45 shingle join a second time
-    val lab = minLabelComponents(
-      Tables.documents(spark, dir).select($"doc_id"), good)
-      .toDF("doc_id", "cluster_id")
+    val good = corpusExactPairs(spark, dir) // memoized + checkpointed
+      .select($"doc_a", $"doc_b")
+    val lab = corpusExactClusters(spark, dir) // memoized labels
     val ksz = lab.groupBy($"cluster_id").agg(count(lit(1)).cast("long").as("k"))
       .filter($"k" >= 2)
     val m = good.join(lab.select($"doc_id".as("doc_a"), $"cluster_id"), Seq("doc_a"))
@@ -2294,7 +2337,7 @@ object Dedup {
       |FROM h, t ORDER BY bin""") { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sh = capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
+    val sh = corpusCappedShingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val h = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
       .filter($"doc_a" < $"doc_b")
@@ -2756,7 +2799,7 @@ object Dedup {
       |       (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman_estimate
       |FROM cnt""") { (spark, dir) =>
     import spark.implicits._
-    val sh = capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
+    val sh = corpusCappedShingles(spark, dir)
       .withColumn("h",
         conv(substring(md5($"s"), 1, 8), 16, 10).cast("long") % 2)
       .localCheckpoint(true)
@@ -2774,7 +2817,9 @@ object Dedup {
     }
     val c0 = catchPairs($"h" === 0).localCheckpoint(true)
     val c1 = catchPairs($"h" === 1).localCheckpoint(true)
-    val cf = catchPairs(lit(true))
+    // the full-shingle catch IS q45's exact pair set (same capped frame,
+    // same ≥0.8 rule) — read the memoized frame instead of a third pair join
+    val cf = corpusExactPairs(spark, dir).select($"doc_a", $"doc_b")
     val counts = c0.agg(count(lit(1)).cast("long").as("n1"))
       .crossJoin(broadcast(c1.agg(count(lit(1)).cast("long").as("n2"))))
       .crossJoin(broadcast(c0.join(c1, Seq("doc_a", "doc_b"))
@@ -2817,7 +2862,7 @@ object Dedup {
       |WHERE shared / (sa.n + sb.n - shared) >= 0.8
       |ORDER BY doc_a, doc_b""") { (spark, dir) =>
     import spark.implicits._
-    val sh = capShingles(shingleDocs(Tables.documents(spark, dir)), MaxShingleDf)
+    val sh = corpusCappedShingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     sh.toDF("doc_a", "s")
       .join(sh.toDF("doc_b", "s"), Seq("s"))
