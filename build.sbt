@@ -37,5 +37,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (still SPARK_DRIVER_MEM-overridable): the full 508-query
+  // bench holds memoized corpus frames in block-manager storage for the
+  // whole run; at 8g the unified memory manager squeezed execution and
+  // full-pass-only 5-30x spikes appeared on untouched queries (q445 0.3s
+  // isolated vs 11.7s in-pass) — guide §5's storage-vs-execution pressure,
+  // on a 128 GiB host.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -458,8 +458,12 @@ object Chunking {
         coalesce(max($"n"), lit(0)).cast("long").as("max_class_size"))
       .select(lit(w.toLong).as("span_len"), $"dup_classes", $"dup_positions",
         $"max_class_size")
+    // each round localCheckpoint'd (the scaladoc's stated discipline —
+    // previously unmaterialized, so round k's census re-derived rounds
+    // 1..k-1's window chains: 21 chained window passes instead of 6)
     var cur = tok.select($"doc_id", $"p", $"pid",
       min($"pid").over(Window.partitionBy($"t")).as("c"))
+      .localCheckpoint()
     var out = stats(cur, 1)
     var half = 1
     while (half <= 16) {
@@ -469,6 +473,7 @@ object Chunking {
         .filter($"cnext".isNotNull)
         .select($"doc_id", $"p", $"pid",
           min($"pid").over(Window.partitionBy($"c", $"cnext")).as("c"))
+        .localCheckpoint()
       out = out.unionAll(stats(cur, half * 2))
       half *= 2
     }

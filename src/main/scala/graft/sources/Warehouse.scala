@@ -464,15 +464,20 @@ object Warehouse {
     import spark.implicits._
     def coin(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 100 < 5
+    // localCheckpoint: the four delta terms + the full view each re-scanned
+    // both tables and re-hashed every row (5x the md5 work); the stamped
+    // sides are computed once and the five joins read materialized rows
     val a = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_orderpriority",
         coin($"o_orderkey".cast("string")).as("is_da"))
+      .localCheckpoint()
     val b = Tables.lineitem(spark, dir)
       .select($"l_orderkey",
         floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100 + 0.5)
           .cast("long").as("cents"),
         coin(concat($"l_orderkey".cast("string"), lit("-"),
           $"l_linenumber".cast("string"))).as("is_db"))
+      .localCheckpoint()
     // the four disjoint IVM terms, composed as SEPARATE joins — the
     // actual maintenance plan shape, not a post-hoc filter of one join
     def term(fa: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
