@@ -1990,7 +1990,7 @@ object Dedup {
     import spark.implicits._
     graft.functions.LcsLength.register(spark)
     val docs = Tables.documents(spark, dir)
-    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
+    val sh = corpusCappedShingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val cands = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
       .filter($"doc_a" < $"doc_b")
@@ -2281,7 +2281,7 @@ object Dedup {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
       .withColumn("is_cand", lit(true))
-    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
+    val sh = corpusCappedShingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val jac = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
       .filter($"doc_a" < $"doc_b")
@@ -2395,13 +2395,12 @@ object Dedup {
         |       CAST(max(jppm) AS BIGINT) AS max_exact_ppm
         |FROM cal GROUP BY est16 ORDER BY est16""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
     val sig = corpusPortableSigs(spark, dir)
     val agr = sig.toDF("doc_a", "i", "minhash")
       .join(sig.toDF("doc_b", "i", "minhash"), Seq("i", "minhash"))
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).cast("long").as("est16"))
-    val sh = capShingles(shingleDocs(docs), MaxShingleDf)
+    val sh = corpusCappedShingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val jac = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), Seq("s"))
       .filter($"doc_a" < $"doc_b")
